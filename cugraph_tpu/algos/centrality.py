@@ -1,0 +1,303 @@
+"""Centrality: Katz, eigenvector, degree, betweenness (+ edge betweenness).
+
+Reference: cpp/src/centrality/{katz_centrality_impl.cuh:32-187,
+eigenvector_centrality_impl.cuh:161, betweenness_centrality_impl.cuh:1636}
+and python/cugraph/cugraph/centrality/.
+
+TPU design: Katz/eigenvector are pull-SpMV power iterations fully on-device
+(lax.while_loop).  Betweenness is multi-source Brandes with *dense*
+level-synchronous forward sigma accumulation and backward dependency sweeps —
+the frontier is a distance array, not a compressed worklist, which trades
+O(E) work per level for static shapes (the right trade on TPU; see
+prims/frontier.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cugraph_tpu.algos._utils import vertex_frame, normalize_start
+from cugraph_tpu.api.exceptions import FailedToConvergeError
+from cugraph_tpu.core.structure import GraphStructure
+from cugraph_tpu.prims.vertex_edge import (
+    spmv_pull,
+    segment_reduce_by_major,
+    gather_minor,
+    gather_major,
+)
+
+
+# --------------------------------------------------------------------------
+# Katz
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_iter", "normalized"))
+def _katz_kernel(g: GraphStructure, alpha, beta, tol, x0, max_iter: int,
+                 normalized: bool):
+    n = g.num_vertices
+    real = jnp.arange(g.pad_v) < n
+
+    def step(state):
+        x, _, it = state
+        x_new = alpha * spmv_pull(g, x) + beta
+        x_new = jnp.where(real, x_new, 0.0)
+        err = jnp.sum(jnp.abs(x_new - x))
+        return x_new, err, it + 1
+
+    def cond(state):
+        _, err, it = state
+        return (err >= tol) & (it < max_iter)
+
+    x, err, iters = jax.lax.while_loop(
+        cond, step, (x0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
+    )
+    if normalized:
+        norm = jnp.sqrt(jnp.sum(jnp.where(real, x * x, 0.0)))
+        x = x / jnp.maximum(norm, 1e-30)
+    return x, err, iters
+
+
+def katz_centrality(G, alpha=None, beta: float = 1.0, max_iter: int = 100,
+                    tol: float = 1.0e-6, nstart=None, normalized: bool = True):
+    """Katz centrality (reference katz_centrality_impl.cuh:32-187).
+    Returns DataFrame ['vertex', 'katz_centrality']."""
+    g = G.structure
+    n = G.number_of_vertices()
+    if alpha is None:
+        dmax = int(np.max(np.asarray(g.in_degrees())[:n])) if n else 1
+        alpha = 1.0 / (dmax + 1)
+    x0 = np.zeros(g.pad_v, dtype=np.float32)
+    if nstart is not None:
+        ids = G.lookup_internal_vertex_id(nstart["vertex"].to_numpy())
+        x0[ids] = nstart["values"].to_numpy()
+    # convergence threshold follows the reference: L1 diff < n * tol
+    x, err, iters = _katz_kernel(g, jnp.float32(alpha), jnp.float32(beta),
+                                 jnp.float32(n * tol), jnp.asarray(x0),
+                                 int(max_iter), normalized)
+    if not bool(err < n * tol):
+        raise FailedToConvergeError(f"katz failed to converge in {max_iter} iters")
+    return vertex_frame(G, {"katz_centrality": np.asarray(x)})
+
+
+# --------------------------------------------------------------------------
+# Eigenvector
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _eigenvector_kernel(g: GraphStructure, tol, x0, max_iter: int):
+    n = g.num_vertices
+    real = jnp.arange(g.pad_v) < n
+
+    def step(state):
+        x, _, it = state
+        y = spmv_pull(g, x)
+        y = y + x  # reference adds the previous vector (shifted iteration)
+        y = jnp.where(real, y, 0.0)
+        norm = jnp.sqrt(jnp.sum(y * y))
+        y = y / jnp.maximum(norm, 1e-30)
+        err = jnp.sum(jnp.abs(y - x))
+        return y, err, it + 1
+
+    def cond(state):
+        _, err, it = state
+        return (err >= tol) & (it < max_iter)
+
+    return jax.lax.while_loop(
+        cond, step, (x0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
+    )
+
+
+def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1.0e-6):
+    """Eigenvector centrality (reference eigenvector_centrality_impl.cuh:161);
+    matches networkx (L2-normalized principal eigenvector, pull direction)."""
+    g = G.structure
+    n = G.number_of_vertices()
+    x0 = np.zeros(g.pad_v, dtype=np.float32)
+    x0[:n] = 1.0 / np.sqrt(n)
+    x, err, iters = _eigenvector_kernel(g, jnp.float32(n * tol), jnp.asarray(x0),
+                                        int(max_iter))
+    if not bool(err < n * tol):
+        raise FailedToConvergeError(f"eigenvector failed to converge in {max_iter} iters")
+    return vertex_frame(G, {"eigenvector_centrality": np.asarray(x)})
+
+
+# --------------------------------------------------------------------------
+# Degree centrality (python-only in the reference too)
+# --------------------------------------------------------------------------
+
+def degree_centrality(G, normalized: bool = True):
+    df = G.degree()
+    n = G.number_of_vertices()
+    vals = df["degree"].to_numpy().astype(np.float64)
+    if normalized and n > 1:
+        vals = vals / (n - 1)
+    import pandas as pd
+    return pd.DataFrame({"vertex": df["vertex"], "degree_centrality": vals})
+
+
+# --------------------------------------------------------------------------
+# Betweenness centrality (multi-source Brandes)
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def _brandes_one_source(g: GraphStructure, s: jax.Array):
+    """Forward BFS with shortest-path counting + backward dependency sweep.
+    Returns (delta [pad_v], per-edge dependency [pad_e] in csr order).
+    Reference: betweenness_centrality_impl.cuh:1636 (multi-source Brandes)."""
+    pad_v = g.pad_v
+    n = g.num_vertices
+    real = jnp.arange(pad_v) < n
+    NEG = jnp.int32(-1)
+
+    dist0 = jnp.where(jnp.arange(pad_v) == s, 0, NEG)
+    sigma0 = jnp.where(jnp.arange(pad_v) == s, 1.0, 0.0)
+
+    # ---- forward: level-synchronous
+    def fwd_body(state):
+        dist, sigma, level, frontier_nonempty = state
+        at_level_src = gather_minor(g.csc, dist) == level   # src side of in-edges
+        contrib = jnp.where(at_level_src, gather_minor(g.csc, sigma), 0.0)
+        sig_in = segment_reduce_by_major(g.csc, contrib, "sum")
+        unvisited = (dist == NEG) & real
+        newly = unvisited & (sig_in > 0)
+        dist = jnp.where(newly, level + 1, dist)
+        sigma = sigma + jnp.where(newly, sig_in, 0.0)
+        return dist, sigma, level + 1, jnp.any(newly)
+
+    def fwd_cond(state):
+        _, _, level, nonempty = state
+        return nonempty & (level < n)
+
+    dist, sigma, max_level, _ = jax.lax.while_loop(
+        fwd_cond, fwd_body, (dist0, sigma0, jnp.int32(0), jnp.bool_(True))
+    )
+
+    # ---- backward: levels max_level-1 .. 0
+    def bwd_body(state):
+        delta, edge_dep, level = state
+        # per out-edge (u,w): tree edge iff dist[w] == dist[u] + 1
+        du = gather_major(g.csr, dist)
+        dw = gather_minor(g.csr, dist)
+        sw = gather_minor(g.csr, sigma)
+        dl = gather_minor(g.csr, delta)
+        is_tree = (du == level) & (dw == level + 1) & (du >= 0)
+        t = jnp.where(is_tree, (1.0 + dl) / jnp.maximum(sw, 1e-30), 0.0)
+        dep_u = segment_reduce_by_major(g.csr, t, "sum") * sigma
+        delta = delta + jnp.where(dist == level, dep_u, 0.0)
+        su = gather_major(g.csr, sigma)
+        edge_dep = edge_dep + jnp.where(is_tree, su * t, 0.0)
+        return delta, edge_dep, level - 1
+
+    def bwd_cond(state):
+        _, _, level = state
+        return level >= 0
+
+    delta0 = jnp.zeros(pad_v, dtype=jnp.float32)
+    edep0 = jnp.zeros(g.csr.pad_e, dtype=jnp.float32)
+    delta, edge_dep, _ = jax.lax.while_loop(
+        bwd_cond, bwd_body, (delta0, edep0, max_level - 1)
+    )
+    delta = jnp.where(jnp.arange(pad_v) == s, 0.0, delta)
+    return delta, edge_dep
+
+
+def _betweenness_accumulate(G, sources_internal: np.ndarray):
+    g = G.structure
+    bc = jnp.zeros(g.pad_v, dtype=jnp.float32)
+    ebc = jnp.zeros(g.csr.pad_e, dtype=jnp.float32)
+
+    @jax.jit
+    def accum(bc, ebc, s):
+        d, ed = _brandes_one_source(g, s)
+        return bc + d, ebc + ed
+
+    for s in sources_internal:
+        bc, ebc = accum(bc, ebc, jnp.int32(s))
+    return np.asarray(bc), np.asarray(ebc)
+
+
+def _bc_scale(G, k, normalized, n):
+    directed = G.is_directed()
+    if normalized:
+        # raw accumulation counts each unordered pair twice for undirected
+        # graphs (all sources), which is exactly the networkx/cuGraph
+        # convention, so no extra undirected factor here.
+        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+    else:
+        scale = 1.0 if directed else 0.5
+    if k is not None and k < n:
+        scale *= n / k
+    return scale
+
+
+def betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
+                           endpoints: bool = False, seed=None, random_state=None):
+    """Vertex betweenness (reference betweenness_centrality_impl.cuh:1636).
+    ``k``: number of random source samples (None = exact, all sources)."""
+    if weight is not None:
+        raise NotImplementedError("weighted betweenness not yet supported")
+    n = G.number_of_vertices()
+    if k is None:
+        sources = np.arange(n, dtype=np.int32)
+    elif np.isscalar(k):
+        rng = np.random.default_rng(seed if seed is not None else random_state)
+        sources = rng.choice(n, size=int(k), replace=False).astype(np.int32)
+    else:
+        sources = normalize_start(G, k)
+    bc, _ = _betweenness_accumulate(G, sources)
+    nsrc = len(sources) if (k is not None and np.isscalar(k)) else None
+    scale = _bc_scale(G, nsrc, normalized, n)
+    if endpoints:
+        # add (number of reachable pairs) endpoint contributions — follow nx:
+        # s gets |{t reachable}|-? ; omitted: reference also defaults False
+        raise NotImplementedError("endpoints=True not yet supported")
+    return vertex_frame(G, {"betweenness_centrality": bc * scale})
+
+
+def edge_betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
+                                seed=None):
+    """Edge betweenness (reference betweenness_centrality_impl.cuh:1649).
+    Returns ['src', 'dst', 'betweenness_centrality']."""
+    if weight is not None:
+        raise NotImplementedError("weighted edge betweenness not yet supported")
+    n = G.number_of_vertices()
+    if k is None:
+        sources = np.arange(n, dtype=np.int32)
+    else:
+        rng = np.random.default_rng(seed)
+        sources = rng.choice(n, size=int(k), replace=False).astype(np.int32)
+    _, ebc = _betweenness_accumulate(G, sources)
+    g = G.structure
+    E = g.num_edges
+
+    if normalized:
+        scale = 1.0 / (n * (n - 1)) if n > 1 else 1.0
+        if not G.is_directed():
+            scale *= 2.0
+    else:
+        scale = 1.0 if G.is_directed() else 0.5
+    if k is not None and k < n:
+        scale *= n / len(sources)
+
+    src = np.asarray(g.csr.majors)[:E]
+    dst = np.asarray(g.csr.indices)[:E]
+    vals = ebc[:E] * scale
+    import pandas as pd
+    df = pd.DataFrame({
+        "src": G.number_map.to_external(src),
+        "dst": G.number_map.to_external(dst),
+        "betweenness_centrality": vals,
+    })
+    if not G.is_directed():
+        # report each undirected edge once with summed halves, like the reference
+        lo = np.minimum(df["src"].to_numpy(), df["dst"].to_numpy())
+        hi = np.maximum(df["src"].to_numpy(), df["dst"].to_numpy())
+        df = pd.DataFrame({"src": lo, "dst": hi,
+                           "betweenness_centrality": vals})
+        df = df.groupby(["src", "dst"], as_index=False).sum()
+        df["betweenness_centrality"] /= 2.0
+    return df

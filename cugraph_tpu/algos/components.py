@@ -1,0 +1,195 @@
+"""Components: WCC, SCC, maximal independent set, vertex coloring.
+
+Reference: cpp/src/components/{weakly_connected_components_impl.cuh:682-1037,
+strongly_connected_components_impl.cuh:2370, mis_impl.cuh:315,
+vertex_coloring_impl.cuh:151}.
+
+TPU design:
+* WCC — min-label propagation with pointer jumping (label[label] compression),
+  converging in O(log D) dense sweeps; replaces the reference's multi-root
+  frontier expansion (data-dependent worklists don't pay on TPU).
+* SCC — Orzan-coloring rounds: forward max-color propagation to a fixpoint,
+  then one joint backward confirmation sweep restricted to equal colors (the
+  dense analog of the reference's FW-BW reachability,
+  strongly_connected_components_impl.cuh:1113-1150).
+* MIS — Luby random-priority rounds (mis_impl.cuh uses the same scheme);
+  coloring = iterated MIS like vertex_coloring_impl.cuh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cugraph_tpu.algos._utils import vertex_frame
+from cugraph_tpu.core.structure import GraphStructure
+from cugraph_tpu.prims.vertex_edge import gather_minor, segment_reduce_by_major
+
+
+@jax.jit
+def _wcc_kernel(g: GraphStructure):
+    pad_v = g.pad_v
+    n = g.num_vertices
+    ids = jnp.arange(pad_v)
+    real = ids < n
+    label0 = jnp.where(real, ids, pad_v - 1).astype(jnp.int32)
+
+    def body(state):
+        label, _ = state
+        # min over in- and out-neighborhoods (directed edges treated both ways)
+        lin = segment_reduce_by_major(g.csc, gather_minor(g.csc, label), "min")
+        lout = segment_reduce_by_major(g.csr, gather_minor(g.csr, label), "min")
+        new = jnp.minimum(label, jnp.minimum(lin, lout))
+        # pointer jumping: compress toward the root
+        new = jnp.minimum(new, new[new])
+        new = jnp.minimum(new, new[new])
+        new = jnp.where(real, new, pad_v - 1)
+        changed = jnp.any(new != label)
+        return new, changed
+
+    label, _ = jax.lax.while_loop(lambda s: s[1], body, (label0, jnp.bool_(True)))
+    return label
+
+
+def weakly_connected_components(G, directed=None, connection=None, return_labels=None):
+    """WCC; returns ['vertex', 'labels'] — label = smallest internal vertex id
+    in the component, mapped back to its external id (the reference returns
+    arbitrary roots, weakly_connected_components_impl.cuh:1037)."""
+    g = G.structure
+    n = G.number_of_vertices()
+    label = np.asarray(_wcc_kernel(g))[:n]
+    return vertex_frame(G, {"labels": G.number_map.to_external(label)})
+
+
+def connected_components(G, directed=None, connection="weak", return_labels=None):
+    if connection == "weak":
+        return weakly_connected_components(G)
+    if connection == "strong":
+        return strongly_connected_components(G)
+    raise ValueError(f"unknown connection type {connection!r}")
+
+
+@jax.jit
+def _scc_round(g: GraphStructure, active: jax.Array):
+    """One Orzan round: returns (confirmed mask, color array)."""
+    pad_v = g.pad_v
+    ids = jnp.arange(pad_v)
+    color0 = jnp.where(active, ids, -1).astype(jnp.int32)
+
+    def fwd_body(state):
+        c, _ = state
+        src_c = gather_minor(g.csc, jnp.where(active, c, -1))
+        m = segment_reduce_by_major(g.csc, src_c, "max")
+        new = jnp.where(active, jnp.maximum(c, m), c)
+        return new, jnp.any(new != c)
+
+    color, _ = jax.lax.while_loop(lambda s: s[1], fwd_body,
+                                  (color0, jnp.bool_(True)))
+
+    roots = (color == ids) & active
+    # joint backward sweep restricted to same-color endpoints: reached u means
+    # u ->* (its color root) forward, and color[u] == root means root ->* u,
+    # so reached == SCC membership for this round's roots.
+    edge_same = gather_minor(g.csr, color) == jnp.take(color, g.csr.majors)
+
+    def bwd_body(state):
+        r, _ = state
+        dst_r = gather_minor(g.csr, r)
+        hit = segment_reduce_by_major(
+            g.csr, (dst_r & edge_same).astype(jnp.int32), "max") > 0
+        new = r | (hit & active)
+        return new, jnp.any(new != r)
+
+    reach, _ = jax.lax.while_loop(lambda s: s[1], bwd_body,
+                                  (roots, jnp.bool_(True)))
+    return reach, color
+
+
+def strongly_connected_components(G):
+    """SCC labels; returns ['vertex', 'labels']."""
+    g = G.structure
+    n = G.number_of_vertices()
+    pad_v = g.pad_v
+
+    active = np.zeros(pad_v, dtype=bool)
+    active[:n] = True
+    scc = np.full(pad_v, -1, dtype=np.int32)
+
+    while active[:n].any():
+        confirmed, color = _scc_round(g, jnp.asarray(active))
+        confirmed = np.asarray(confirmed) & active
+        color = np.asarray(color)
+        scc[confirmed] = color[confirmed]
+        active &= ~confirmed
+
+    return vertex_frame(G, {"labels": G.number_map.to_external(scc[:n])})
+
+
+# --------------------------------------------------------------------------
+# MIS and vertex coloring
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _mis_kernel(g: GraphStructure, key: jax.Array, eligible0: jax.Array):
+    """Luby's algorithm on the undirected closure (reference mis_impl.cuh:315)."""
+    pad_v = g.pad_v
+
+    def nbr_max(vals):
+        a = segment_reduce_by_major(g.csc, gather_minor(g.csc, vals), "max")
+        b = segment_reduce_by_major(g.csr, gather_minor(g.csr, vals), "max")
+        return jnp.maximum(a, b)
+
+    def body(state):
+        in_set, eligible, k = state
+        k, sub = jax.random.split(k)
+        pri = jax.random.uniform(sub, (pad_v,))
+        # deterministic tie-break by vertex id
+        pri = pri + jnp.arange(pad_v) * 1e-12
+        pri = jnp.where(eligible, pri, -1.0)
+        winner = eligible & (pri > nbr_max(pri))
+        in_set = in_set | winner
+        nbr_win = nbr_max(winner.astype(jnp.int32)) > 0
+        eligible = eligible & ~winner & ~nbr_win
+        return in_set, eligible, k
+
+    def cond(state):
+        _, eligible, _ = state
+        return jnp.any(eligible)
+
+    in_set, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros(pad_v, dtype=bool), eligible0, key)
+    )
+    return in_set
+
+
+def maximal_independent_set(G, seed: int = 0):
+    """Returns ['vertex'] rows forming a maximal independent set."""
+    g = G.structure
+    n = G.number_of_vertices()
+    eligible = np.zeros(g.pad_v, dtype=bool)
+    eligible[:n] = True
+    mis = np.asarray(_mis_kernel(g, jax.random.PRNGKey(seed), jnp.asarray(eligible)))
+    verts = np.nonzero(mis[:n])[0]
+    return pd.DataFrame({"vertex": G.number_map.to_external(verts)})
+
+
+def vertex_coloring(G, seed: int = 0, max_colors: int | None = None):
+    """Greedy coloring by iterated MIS (reference vertex_coloring_impl.cuh:151).
+    Returns ['vertex', 'color']."""
+    g = G.structure
+    n = G.number_of_vertices()
+    eligible = np.zeros(g.pad_v, dtype=bool)
+    eligible[:n] = True
+    colors = np.full(g.pad_v, -1, dtype=np.int32)
+    key = jax.random.PRNGKey(seed)
+    c = 0
+    limit = max_colors if max_colors is not None else n
+    while eligible[:n].any() and c < limit:
+        key, sub = jax.random.split(key)
+        mis = np.asarray(_mis_kernel(g, sub, jnp.asarray(eligible)))
+        colors[mis & eligible] = c
+        eligible &= ~mis
+        c += 1
+    return vertex_frame(G, {"color": colors[:n]})

@@ -1,0 +1,297 @@
+"""User-facing Graph classes (NetworkX-flavored, cuGraph-compatible surface).
+
+Capability match for the reference's Python layer:
+``cugraph.Graph``/``MultiGraph`` (python/cugraph/cugraph/structure/
+graph_classes.py:30) backed by simpleGraph.py / simpleDistributedGraph.py.
+
+Differences by design (TPU-first):
+* The device structure is a pair of padded, statically-shaped CSR orderings
+  (see core/structure.py) built eagerly on first use, not a lazily-created
+  SGGraph C object.
+* Results come back as pandas DataFrames (the host-side analog of cudf
+  frames the reference returns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cugraph_tpu.api.exceptions import InvalidInputError
+from cugraph_tpu.core import preprocess
+from cugraph_tpu.core.renumber import NumberMap, renumber_edgelist
+from cugraph_tpu.core.structure import GraphStructure, build_structure_host
+
+
+def _as_numpy_col(df_or_arr, col):
+    if isinstance(df_or_arr, pd.DataFrame):
+        return df_or_arr[col].to_numpy()
+    raise InvalidInputError("expected a pandas DataFrame")
+
+
+class Graph:
+    """A property graph holding one edge list; undirected by default.
+
+    Mirrors ``cugraph.Graph(directed=...)``
+    (python/cugraph/cugraph/structure/graph_classes.py:30).  Undirected
+    construction symmetrizes the edge list exactly like the reference.
+    """
+
+    def __init__(self, directed: bool = False):
+        self._directed = bool(directed)
+        self._multi = False
+        self._src: np.ndarray | None = None  # internal int32 ids
+        self._dst: np.ndarray | None = None
+        self._weight: np.ndarray | None = None
+        self._number_map: NumberMap | None = None
+        self._structure: GraphStructure | None = None
+        self._renumbered = False
+
+    # -- construction ---------------------------------------------------------
+
+    def from_edgelist(
+        self,
+        source,
+        destination=None,
+        weight=None,
+        *,
+        vertices=None,
+        renumber: bool = True,
+        store_transposed: bool = False,  # accepted for API parity; both
+                                         # orientations are materialized
+    ) -> "Graph":
+        """Build from arrays or a DataFrame.
+
+        ``from_edgelist(df, 'src', 'dst', 'wgt')`` or
+        ``from_edgelist(src_array, dst_array, weight_array)``.
+        Mirrors Graph.from_cudf_edgelist / from_pandas_edgelist
+        (graph_classes.py:119,238).
+        """
+        if isinstance(source, pd.DataFrame):
+            df = source
+            src_col = destination if destination is not None else "src"
+            dst_col = weight if weight is not None else "dst"
+            if isinstance(src_col, str):
+                src = df[src_col].to_numpy()
+                dst = df[dst_col].to_numpy()
+                w = None
+            else:  # (df, 'src', 'dst') misuse guard
+                raise InvalidInputError("column names must be strings")
+            wcols = [c for c in df.columns if c not in (src_col, dst_col)]
+            if len(wcols) == 1:
+                w = df[wcols[0]].to_numpy().astype(np.float32)
+        else:
+            src = np.asarray(source)
+            dst = np.asarray(destination)
+            w = None if weight is None else np.asarray(weight, dtype=np.float32)
+        return self._from_arrays(src, dst, w, renumber=renumber, vertices=vertices)
+
+    def from_pandas_edgelist(self, df, source="src", destination="dst",
+                             edge_attr=None, renumber=True) -> "Graph":
+        src = df[source].to_numpy()
+        dst = df[destination].to_numpy()
+        w = None if edge_attr is None else df[edge_attr].to_numpy().astype(np.float32)
+        return self._from_arrays(src, dst, w, renumber=renumber)
+
+    def from_numpy_array(self, A) -> "Graph":
+        A = np.asarray(A)
+        src, dst = np.nonzero(A)
+        w = A[src, dst].astype(np.float32)
+        return self._from_arrays(src, dst, w, renumber=True)
+
+    def _from_arrays(self, src, dst, weight, *, renumber=True, vertices=None) -> "Graph":
+        if self._src is not None:
+            raise InvalidInputError("graph already has an edge list")
+        if src.shape != dst.shape:
+            raise InvalidInputError("source/destination length mismatch")
+        if weight is not None and weight.shape != src.shape:
+            raise InvalidInputError("weight length mismatch")
+
+        if renumber:
+            src_i, dst_i, nmap = renumber_edgelist(src, dst, vertices=vertices)
+        else:
+            if not np.issubdtype(np.asarray(src).dtype, np.integer):
+                raise InvalidInputError("renumber=False requires integer ids")
+            n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1 if src.size else 0
+            src_i, dst_i = src.astype(np.int32), dst.astype(np.int32)
+            nmap = NumberMap(np.arange(n))
+
+        if not self._multi:
+            src_i, dst_i, weight = preprocess.remove_multi_edges(src_i, dst_i, weight)
+        if not self._directed:
+            src_i, dst_i, weight = preprocess.symmetrize_edgelist(src_i, dst_i, weight)
+
+        self._src, self._dst, self._weight = src_i, dst_i, weight
+        self._number_map = nmap
+        self._renumbered = renumber
+        return self
+
+    # -- properties -----------------------------------------------------------
+
+    def is_directed(self) -> bool:
+        return self._directed
+
+    def is_multigraph(self) -> bool:
+        return self._multi
+
+    def is_weighted(self) -> bool:
+        return self._weight is not None
+
+    def is_renumbered(self) -> bool:
+        return self._renumbered
+
+    @property
+    def number_map(self) -> NumberMap:
+        self._check_built()
+        return self._number_map
+
+    def number_of_vertices(self) -> int:
+        self._check_built()
+        return self._number_map.num_vertices
+
+    number_of_nodes = number_of_vertices
+
+    def number_of_edges(self) -> int:
+        """Edge count matching NetworkX semantics (undirected edges counted
+        once)."""
+        self._check_built()
+        e = int(self._src.shape[0])
+        if self._directed:
+            return e
+        n_loops = int(np.sum(self._src == self._dst))
+        return (e - n_loops) // 2 + n_loops
+
+    def has_vertex(self, v) -> bool:
+        self._check_built()
+        return bool(self._number_map.contains(np.asarray([v]))[0])
+
+    has_node = has_vertex
+
+    def nodes(self) -> np.ndarray:
+        self._check_built()
+        return self._number_map.to_external(np.arange(self.number_of_vertices()))
+
+    def vertices(self) -> np.ndarray:
+        return self.nodes()
+
+    def edges(self) -> pd.DataFrame:
+        return self.view_edge_list()
+
+    def view_edge_list(self) -> pd.DataFrame:
+        """Decompress back to an external-id edge list (reference:
+        decompress_to_edgelist, cpp/include/cugraph/graph_functions.hpp:366)."""
+        self._check_built()
+        src, dst, w = self._src, self._dst, self._weight
+        if not self._directed:
+            keep = src <= dst
+            src, dst = src[keep], dst[keep]
+            w = None if w is None else w[keep]
+        out = {
+            "src": self._number_map.to_external(src),
+            "dst": self._number_map.to_external(dst),
+        }
+        if w is not None:
+            out["weight"] = w
+        return pd.DataFrame(out)
+
+    # -- internal edge list / device structure --------------------------------
+
+    def edgelist_arrays(self):
+        """(src, dst, weight) internal int32 arrays, symmetrized if undirected."""
+        self._check_built()
+        return self._src, self._dst, self._weight
+
+    @property
+    def structure(self) -> GraphStructure:
+        """Device-side padded CSR/CSC bundle (built lazily, cached) — the
+        analog of simpleGraph.py:1376 building the SGGraph on first use."""
+        self._check_built()
+        if self._structure is None:
+            self._structure = build_structure_host(
+                self._src, self._dst, self._weight, self.number_of_vertices()
+            )
+        return self._structure
+
+    # -- degrees (reference: graph_view.hpp:653-668, degrees.pyx) -------------
+
+    def degrees(self, vertex_subset=None) -> pd.DataFrame:
+        self._check_built()
+        n = self.number_of_vertices()
+        ind = np.bincount(self._dst, minlength=n)
+        outd = np.bincount(self._src, minlength=n)
+        df = pd.DataFrame({
+            "vertex": self._number_map.to_external(np.arange(n)),
+            "in_degree": ind,
+            "out_degree": outd,
+        })
+        return self._filter_vertices(df, vertex_subset)
+
+    def in_degree(self, vertex_subset=None) -> pd.DataFrame:
+        df = self.degrees(vertex_subset)[["vertex", "in_degree"]]
+        return df.rename(columns={"in_degree": "degree"})
+
+    def out_degree(self, vertex_subset=None) -> pd.DataFrame:
+        df = self.degrees(vertex_subset)[["vertex", "out_degree"]]
+        return df.rename(columns={"out_degree": "degree"})
+
+    def degree(self, vertex_subset=None) -> pd.DataFrame:
+        d = self.degrees(vertex_subset)
+        # NetworkX-style degree = in + out for directed; for undirected the
+        # symmetrized list already double-counts, matching nx.degree.
+        if self._directed:
+            deg = d["in_degree"] + d["out_degree"]
+        else:
+            deg = d["out_degree"]
+        return pd.DataFrame({"vertex": d["vertex"], "degree": deg})
+
+    def _filter_vertices(self, df, vertex_subset):
+        if vertex_subset is None:
+            return df
+        vs = np.asarray(vertex_subset)
+        return df[df["vertex"].isin(vs)].reset_index(drop=True)
+
+    # -- helpers for algorithms ------------------------------------------------
+
+    def lookup_internal_vertex_id(self, external) -> np.ndarray:
+        self._check_built()
+        return self._number_map.to_internal(np.asarray(external))
+
+    def unrenumber_frame(self, df: pd.DataFrame, col: str) -> pd.DataFrame:
+        self._check_built()
+        df = df.copy()
+        df[col] = self._number_map.to_external(df[col].to_numpy())
+        return df
+
+    def _check_built(self):
+        if self._src is None:
+            raise InvalidInputError("graph has no edge list; call from_edgelist")
+
+    def clear(self):
+        self.__init__(directed=self._directed)
+
+    def to_directed(self) -> "Graph":
+        g = Graph(directed=True)
+        src, dst, w = self.edgelist_arrays()
+        ext_s = self._number_map.to_external(src)
+        ext_d = self._number_map.to_external(dst)
+        return g.from_edgelist(ext_s, ext_d, w)
+
+    def to_undirected(self) -> "Graph":
+        g = Graph(directed=False)
+        src, dst, w = self.edgelist_arrays()
+        ext_s = self._number_map.to_external(src)
+        ext_d = self._number_map.to_external(dst)
+        return g.from_edgelist(ext_s, ext_d, w)
+
+
+class MultiGraph(Graph):
+    """Graph that keeps parallel edges (reference graph_classes.py MultiGraph)."""
+
+    def __init__(self, directed: bool = False):
+        super().__init__(directed=directed)
+        self._multi = True
+
+
+class DiGraph(Graph):
+    def __init__(self):
+        super().__init__(directed=True)

@@ -1,0 +1,90 @@
+"""Vertex renumbering: arbitrary external ids -> dense internal int32 ids.
+
+Capability match for the reference's NumberMap
+(python/cugraph/cugraph/structure/number_map.py:12,480,592) and the C++
+renumber_edgelist (cpp/src/structure/renumber_edgelist_impl.cuh:95-318).
+
+The reference sorts the renumber map by global degree so its CUDA kernels can
+pick per-degree-segment launch shapes (graph_view.hpp:242-254).  On TPU the
+analogous payoff is edge-tile load balance inside Pallas kernels, so we keep
+the same degree-descending order as an *option* (on by default): internal id 0
+is the highest-degree vertex.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class NumberMap:
+    """Bidirectional map external vertex ids <-> internal [0, V) int32 ids."""
+
+    def __init__(self, internal_to_external: np.ndarray):
+        # internal_to_external[i] = external id of internal vertex i
+        self._i2e = internal_to_external
+        self._sorter = np.argsort(internal_to_external, kind="stable")
+        self._sorted_ext = internal_to_external[self._sorter]
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self._i2e.shape[0])
+
+    def to_internal(self, external: np.ndarray) -> np.ndarray:
+        external = np.asarray(external)
+        pos = np.searchsorted(self._sorted_ext, external)
+        pos = np.clip(pos, 0, self._sorted_ext.shape[0] - 1)
+        found = self._sorted_ext[pos] == external
+        if not np.all(found):
+            missing = np.asarray(external)[~found]
+            raise ValueError(f"vertex ids not in graph: {missing[:10]!r}")
+        return self._sorter[pos].astype(np.int32)
+
+    def to_external(self, internal: np.ndarray) -> np.ndarray:
+        return self._i2e[np.asarray(internal)]
+
+    def contains(self, external: np.ndarray) -> np.ndarray:
+        external = np.asarray(external)
+        pos = np.searchsorted(self._sorted_ext, external)
+        pos = np.clip(pos, 0, self._sorted_ext.shape[0] - 1)
+        return self._sorted_ext[pos] == external
+
+
+def renumber_edgelist(
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    sort_by_degree: bool = True,
+    vertices: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, NumberMap]:
+    """Renumber an edge list to dense int32 ids; returns (src', dst', map).
+
+    With ``sort_by_degree`` internal ids are assigned in descending order of
+    total degree (ties broken by external id), mirroring the reference's
+    degree-ordered renumber map (renumber_edgelist_impl.cuh:95-318).
+    ``vertices`` optionally adds isolated vertices not present in any edge
+    (reference: the optional vertex list of create_graph_from_edgelist,
+    cpp/src/structure/create_graph_from_edgelist_impl.cuh).
+    """
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    pool = [src, dst]
+    if vertices is not None:
+        pool.append(np.asarray(vertices))
+    uniq, inv_all = np.unique(np.concatenate(pool), return_inverse=True)
+    inv = inv_all[: src.shape[0] + dst.shape[0]]
+    n = uniq.shape[0]
+    e = src.shape[0]
+    src_i = inv[:e].astype(np.int64)
+    dst_i = inv[e:].astype(np.int64)
+
+    if sort_by_degree and n > 0:
+        deg = np.bincount(src_i, minlength=n) + np.bincount(dst_i, minlength=n)
+        # stable sort by -degree; ties keep external-sorted order
+        order = np.argsort(-deg, kind="stable")  # order[k] = old idx of new id k
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        src_i = rank[src_i]
+        dst_i = rank[dst_i]
+        uniq = uniq[order]
+
+    return src_i.astype(np.int32), dst_i.astype(np.int32), NumberMap(uniq)

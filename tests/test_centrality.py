@@ -1,0 +1,81 @@
+"""Centrality vs NetworkX — mirrors reference
+python/cugraph/cugraph/tests/centrality/."""
+
+import networkx as nx
+import numpy as np
+
+import cugraph_tpu as ctpu
+from tests.utils import karate, random_directed, compare_vertex_values
+
+
+def test_katz_karate():
+    G, Gnx = karate()
+    df = ctpu.katz_centrality(G, alpha=0.05, tol=1e-8, max_iter=1000)
+    ref = nx.katz_centrality(Gnx, alpha=0.05, tol=1e-10, max_iter=2000)
+    compare_vertex_values(df, "katz_centrality", ref, atol=1e-5)
+
+
+def test_katz_directed():
+    G, Gnx = random_directed(n=50, m=150, seed=5)
+    df = ctpu.katz_centrality(G, alpha=0.05, tol=1e-8, max_iter=2000)
+    ref = nx.katz_centrality(Gnx, alpha=0.05, tol=1e-10, max_iter=4000)
+    compare_vertex_values(df, "katz_centrality", ref, atol=1e-5)
+
+
+def test_eigenvector_karate():
+    G, Gnx = karate()
+    df = ctpu.eigenvector_centrality(G, max_iter=2000, tol=1e-7)
+    ref = nx.eigenvector_centrality(Gnx, max_iter=2000, tol=1e-10)
+    compare_vertex_values(df, "eigenvector_centrality", ref, atol=1e-4)
+
+
+def test_degree_centrality():
+    G, Gnx = karate()
+    df = ctpu.degree_centrality(G)
+    ref = nx.degree_centrality(Gnx)
+    compare_vertex_values(df, "degree_centrality", ref, atol=1e-9)
+
+
+def test_betweenness_karate_normalized():
+    G, Gnx = karate()
+    df = ctpu.betweenness_centrality(G)
+    ref = nx.betweenness_centrality(Gnx)
+    compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-5)
+
+
+def test_betweenness_directed_unnormalized():
+    G, Gnx = random_directed(n=40, m=160, seed=3)
+    df = ctpu.betweenness_centrality(G, normalized=False)
+    ref = nx.betweenness_centrality(Gnx, normalized=False)
+    compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-3)
+
+
+def test_betweenness_sampled_k():
+    G, Gnx = karate()
+    df = ctpu.betweenness_centrality(G, k=10, seed=42)
+    # sampled values approximate the exact ones
+    ref = nx.betweenness_centrality(Gnx)
+    got = dict(zip(df["vertex"], df["betweenness_centrality"]))
+    # top vertex should still rank near the top
+    top_ref = max(ref, key=ref.get)
+    top_rank = sorted(got, key=got.get, reverse=True)[:5]
+    assert top_ref in top_rank
+
+
+def test_edge_betweenness_karate():
+    G, Gnx = karate()
+    df = ctpu.edge_betweenness_centrality(G)
+    ref = nx.edge_betweenness_centrality(Gnx)
+    got = {(r.src, r.dst): r.betweenness_centrality for r in df.itertuples()}
+    for (u, v), val in ref.items():
+        key = (min(u, v), max(u, v))
+        assert abs(got[key] - val) < 1e-5
+
+
+def test_edge_betweenness_directed():
+    G, Gnx = random_directed(n=35, m=120, seed=19)
+    df = ctpu.edge_betweenness_centrality(G)
+    ref = nx.edge_betweenness_centrality(Gnx)
+    got = {(r.src, r.dst): r.betweenness_centrality for r in df.itertuples()}
+    for (u, v), val in ref.items():
+        assert abs(got[(u, v)] - val) < 1e-5

@@ -1,0 +1,102 @@
+"""BFS / SSSP vs NetworkX — mirrors reference
+python/cugraph/cugraph/tests/traversal/."""
+
+import numpy as np
+import networkx as nx
+
+import cugraph_tpu as ctpu
+from cugraph_tpu.algos.traversal import INT32_INF
+from tests.utils import karate, random_directed, random_undirected, disconnected
+
+
+def _check_bfs(G, Gnx, start):
+    df = ctpu.bfs(G, start)
+    ref = nx.single_source_shortest_path_length(Gnx, start)
+    got = dict(zip(df["vertex"], df["distance"]))
+    pred = dict(zip(df["vertex"], df["predecessor"]))
+    for v in Gnx.nodes():
+        if v in ref:
+            assert got[v] == ref[v], (v, got[v], ref[v])
+            if v != start:
+                p = pred[v]
+                assert p is not None and p != -1
+                assert Gnx.has_edge(p, v)
+                assert got[p] == got[v] - 1
+        else:
+            assert got[v] == INT32_INF
+            assert pred[v] == -1 or pred[v] is None
+
+
+def test_bfs_karate():
+    G, Gnx = karate()
+    _check_bfs(G, Gnx, 0)
+    _check_bfs(G, Gnx, 33)
+
+
+def test_bfs_directed():
+    G, Gnx = random_directed(n=70, m=180, seed=13)
+    _check_bfs(G, Gnx, 0)
+
+
+def test_bfs_disconnected():
+    G, Gnx = disconnected()
+    _check_bfs(G, Gnx, 0)
+
+
+def test_bfs_depth_limit():
+    G, Gnx = karate()
+    df = ctpu.bfs(G, 0, depth_limit=1)
+    got = dict(zip(df["vertex"], df["distance"]))
+    ref = nx.single_source_shortest_path_length(Gnx, 0, cutoff=1)
+    for v in Gnx.nodes():
+        if v in ref:
+            assert got[v] == ref[v]
+        else:
+            assert got[v] == INT32_INF
+
+
+def _check_sssp(G, Gnx, start):
+    df = ctpu.sssp(G, start)
+    ref = nx.single_source_dijkstra_path_length(Gnx, start)
+    got = dict(zip(df["vertex"], df["distance"]))
+    for v in Gnx.nodes():
+        if v in ref:
+            assert abs(got[v] - ref[v]) < 1e-4, (v, got[v], ref[v])
+        else:
+            assert got[v] > 1e30
+
+
+def test_sssp_weighted_directed():
+    G, Gnx = random_directed(n=60, m=240, seed=7, weighted=True)
+    _check_sssp(G, Gnx, 0)
+
+
+def test_sssp_weighted_undirected():
+    G, Gnx = random_undirected(n=50, m=160, seed=21, weighted=True)
+    _check_sssp(G, Gnx, 5)
+
+
+def test_sssp_predecessor_validity():
+    G, Gnx = random_directed(n=40, m=160, seed=17, weighted=True)
+    df = ctpu.sssp(G, 0)
+    got = dict(zip(df["vertex"], df["distance"]))
+    for row in df.itertuples():
+        if row.predecessor not in (None, -1) and row.vertex != 0:
+            p = row.predecessor
+            assert Gnx.has_edge(p, row.vertex)
+            w = Gnx[p][row.vertex]["weight"]
+            assert abs(got[p] + w - row.distance) < 1e-4
+
+
+def test_filter_unreachable():
+    G, Gnx = disconnected()
+    df = ctpu.filter_unreachable(ctpu.bfs(G, 0))
+    reach = set(nx.single_source_shortest_path_length(Gnx, 0))
+    assert set(df["vertex"]) == reach
+
+
+def test_k_hop_neighbors():
+    G, Gnx = karate()
+    df = ctpu.algos.traversal.k_hop_neighbors(G, [0], 2)
+    ref = set(nx.single_source_shortest_path_length(Gnx, 0, cutoff=2)) - {0}
+    assert set(df["vertex"]) == ref
