@@ -1,12 +1,119 @@
-"""cugraph_tpu — TPU-native graph analytics (temporary minimal exports)."""
-from cugraph_tpu.api.graph import Graph, MultiGraph
+"""cugraph_tpu — a TPU-native graph analytics framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of RAPIDS
+cuGraph (reference: rapidsai/cugraph, see SURVEY.md).  The compute path is
+functional JAX over static-shaped, padded CSR structures; multi-chip scaling
+uses a 2D edge partition over a `jax.sharding.Mesh` (the TPU analog of the
+reference's 2D NCCL partition, cpp/include/cugraph/graph_view.hpp:31-59).
+
+Public surface mirrors the `cugraph` Python package
+(python/cugraph/cugraph/__init__.py:15-120 in the reference): a `Graph`
+class built from edge lists plus one function per algorithm.
+"""
+
+from cugraph_tpu.api.graph import Graph, MultiGraph, DiGraph
+from cugraph_tpu.api import exceptions
 from cugraph_tpu.api.exceptions import FailedToConvergeError
+
+from cugraph_tpu import algos
+from cugraph_tpu import datasets
+from cugraph_tpu import generators
+
+# -- link analysis -----------------------------------------------------------
 from cugraph_tpu.algos.link_analysis import pagerank, hits
+
+# -- centrality ---------------------------------------------------------------
 from cugraph_tpu.algos.centrality import (
-    katz_centrality, eigenvector_centrality, degree_centrality,
-    betweenness_centrality, edge_betweenness_centrality)
-from cugraph_tpu.algos.traversal import bfs, sssp, shortest_path_length, filter_unreachable
+    katz_centrality,
+    eigenvector_centrality,
+    degree_centrality,
+    betweenness_centrality,
+    edge_betweenness_centrality,
+)
+
+# -- traversal ----------------------------------------------------------------
+from cugraph_tpu.algos.traversal import (
+    bfs,
+    sssp,
+    shortest_path_length,
+    filter_unreachable,
+)
+
+# -- components ---------------------------------------------------------------
 from cugraph_tpu.algos.components import (
-    weakly_connected_components, connected_components,
-    strongly_connected_components, maximal_independent_set, vertex_coloring)
+    weakly_connected_components,
+    connected_components,
+    strongly_connected_components,
+    maximal_independent_set,
+    vertex_coloring,
+)
+
+# -- community ----------------------------------------------------------------
+from cugraph_tpu.algos.community import (
+    louvain,
+    leiden,
+    ecg,
+    triangle_count,
+    ktruss_subgraph,
+    k_truss,
+    egonet,
+    batched_ego_graphs,
+    analyzeClustering_modularity,
+    analyzeClustering_edge_cut,
+    analyzeClustering_ratio_cut,
+    spectralBalancedCutClustering,
+    spectralModularityMaximizationClustering,
+)
+
+# -- cores --------------------------------------------------------------------
+from cugraph_tpu.algos.cores import core_number, k_core
+
+# -- link prediction ----------------------------------------------------------
+from cugraph_tpu.algos.link_prediction import (
+    jaccard,
+    sorensen,
+    overlap,
+    cosine,
+    jaccard_coefficient,
+    all_pairs_jaccard,
+    all_pairs_sorensen,
+    all_pairs_overlap,
+    all_pairs_cosine,
+)
+
+# -- sampling -----------------------------------------------------------------
+from cugraph_tpu.algos.sampling import (
+    uniform_neighbor_sample,
+    homogeneous_uniform_neighbor_sample,
+    homogeneous_biased_neighbor_sample,
+    random_walks,
+    uniform_random_walks,
+    biased_random_walks,
+    node2vec,
+    node2vec_random_walks,
+    negative_sampling,
+)
+
+# -- structure ops -------------------------------------------------------------
+from cugraph_tpu.algos.structure import (
+    symmetrize,
+    k_hop_neighbors,
+    two_hop_neighbors,
+    induced_subgraph,
+    subgraph,
+)
+
+# -- tree / dag / layout / assignment -----------------------------------------
+from cugraph_tpu.algos.tree import minimum_spanning_tree, maximum_spanning_tree
+from cugraph_tpu.algos.dag import topological_sort
+from cugraph_tpu.algos.layout import force_atlas2
+from cugraph_tpu.algos.linear_assignment import hungarian, dense_hungarian
+
+# -- generators ---------------------------------------------------------------
+from cugraph_tpu.generators.rmat import (
+    rmat,
+    generate_rmat_edgelist,
+    generate_rmat_edgelists,
+)
+
 __version__ = "0.1.0"

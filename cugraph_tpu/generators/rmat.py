@@ -1,0 +1,111 @@
+"""RMAT recursive-matrix graph generator.
+
+Reference: cpp/src/generators/generate_rmat_edgelist.cuh (Chakrabarti et al.
+R-MAT, Graph500 parameters a=0.57 b=0.19 c=0.19) + scramble.cuh vertex id
+scrambler; python wrapper python/cugraph/cugraph/generators/rmat.py.
+
+TPU design: all ``scale`` bit-levels for all edges are drawn in one
+[n_edges, scale] uniform tensor and reduced with bit-shifts — one fused VPU
+pass, no per-edge loops.  The draws are stateless threefry, so the edge list
+is reproducible for a given seed across any device count (MG parity comes
+free: shard the edge index range)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("scale", "num_edges", "clip_and_flip"))
+def _rmat_kernel(key, scale: int, num_edges: int, a, b, c, clip_and_flip: bool):
+    ka, kb = jax.random.split(key)
+    # quadrant probabilities: P(src_bit=1) depends on dst_bit draw jointly;
+    # draw u ~ U[0,1) per (edge, level) and pick quadrant by thresholds
+    u = jax.random.uniform(ka, (num_edges, scale))
+    d = a + b
+    src_bit = (u >= (a + b)).astype(jnp.uint32)          # quadrants c,d
+    thresh_dst = jnp.where(src_bit == 1,
+                           a + b + c,                    # within {c,d}: c then d
+                           a)                            # within {a,b}: a then b
+    dst_bit = (u >= thresh_dst).astype(jnp.uint32)
+    # Build ids MSB-first.  Note: using the same u for both bits correlates
+    # them exactly per the 4-way quadrant split:
+    #   u in [0,a) -> (0,0); [a,a+b) -> (0,1); [a+b,a+b+c) -> (1,0); else (1,1)
+    weights = (jnp.uint32(1) << (scale - 1 - jnp.arange(scale, dtype=jnp.uint32)))
+    src = jnp.sum(src_bit * weights[None, :], axis=1).astype(jnp.uint32)
+    dst = jnp.sum(dst_bit * weights[None, :], axis=1).astype(jnp.uint32)
+    if clip_and_flip:
+        lo = jnp.minimum(src, dst)
+        hi = jnp.maximum(src, dst)
+        src, dst = lo, hi
+    return src.astype(jnp.int32), dst.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def _scramble_kernel(ids, scale: int):
+    """Deterministic vertex-id scrambler within [0, 2^scale) (reference
+    generators/scramble.cuh uses a bijective bit-mix; here a feistel-style
+    xor-multiply-shift confined to `scale` bits)."""
+    x = ids.astype(jnp.uint32)
+    mask = jnp.uint32((1 << scale) - 1)
+    x = (x ^ (x >> 8)) & mask
+    x = (x * jnp.uint32(0x9E3B)) & mask
+    x = (x ^ (x >> 4)) & mask
+    x = (x * jnp.uint32(0x85EB)) & mask
+    x = (x ^ (x >> 7)) & mask
+    return x.astype(jnp.int32)
+
+
+def rmat(scale: int, num_edges: int, a: float = 0.57, b: float = 0.19,
+         c: float = 0.19, seed: int = 42, clip_and_flip: bool = False,
+         scramble_vertex_ids: bool = False, create_using=None,
+         mg: bool = False, include_edge_weights: bool = False,
+         minimum_weight=0.0, maximum_weight=1.0, dtype=np.float32,
+         include_edge_ids: bool = False, include_edge_types: bool = False,
+         min_edge_type_value=0, max_edge_type_value=0):
+    """Generate an RMAT edge list or Graph (reference rmat.py /
+    generate_rmat_edgelist.cuh).  create_using=None returns a DataFrame
+    ['src','dst'(, 'weights')]; pass a Graph class to get a built graph."""
+    if a + b + c > 1.0:
+        raise ValueError("a + b + c must be <= 1.0")
+    key = jax.random.PRNGKey(seed)
+    src, dst = _rmat_kernel(key, int(scale), int(num_edges),
+                            jnp.float32(a), jnp.float32(b), jnp.float32(c),
+                            bool(clip_and_flip))
+    if scramble_vertex_ids:
+        src = _scramble_kernel(src, int(scale))
+        dst = _scramble_kernel(dst, int(scale))
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    cols = {"src": src, "dst": dst}
+    if include_edge_weights:
+        wkey = jax.random.fold_in(key, 1)
+        w = np.asarray(jax.random.uniform(
+            wkey, (num_edges,), minval=minimum_weight, maxval=maximum_weight))
+        cols["weights"] = w.astype(dtype)
+    import pandas as pd
+    df = pd.DataFrame(cols)
+    if create_using is None:
+        return df
+    G = create_using() if isinstance(create_using, type) else create_using
+    G.from_edgelist(df["src"].to_numpy(), df["dst"].to_numpy(),
+                    df["weights"].to_numpy() if include_edge_weights else None)
+    return G
+
+
+def generate_rmat_edgelist(*args, **kwargs):
+    return rmat(*args, **kwargs)
+
+
+def generate_rmat_edgelists(n_edgelists: int, min_scale: int, max_scale: int,
+                            edge_factor: int = 16, seed: int = 42, **kw):
+    """Batch RMAT generation (reference generate_rmat_edgelists.pyx)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_edgelists):
+        s = int(rng.integers(min_scale, max_scale + 1))
+        out.append(rmat(s, (2 ** s) * edge_factor, seed=seed + i, **kw))
+    return out

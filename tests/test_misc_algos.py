@@ -1,0 +1,140 @@
+"""MST, topological sort, layout, Hungarian, structure ops, datasets."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+import cugraph_tpu as ctpu
+from tests.utils import karate, build_pair, disconnected
+
+
+def test_mst_weight_matches_networkx():
+    rng = np.random.default_rng(0)
+    Gnx = nx.gnm_random_graph(40, 120, seed=5)
+    for u, v in Gnx.edges():
+        Gnx[u][v]["weight"] = float(rng.uniform(0.1, 5.0))
+    G, _ = build_pair(Gnx, weighted=True)
+    mst = ctpu.minimum_spanning_tree(G)
+    ref = nx.minimum_spanning_tree(Gnx)
+    got_w = mst.view_edge_list()["weight"].sum()
+    ref_w = sum(d["weight"] for _, _, d in ref.edges(data=True))
+    assert abs(got_w - ref_w) < 1e-3
+    assert mst.number_of_edges() == ref.number_of_edges()
+
+
+def test_mst_forest_disconnected():
+    G, Gnx = disconnected()
+    mst = ctpu.minimum_spanning_tree(G)
+    ncc = nx.number_connected_components(Gnx)
+    assert mst.number_of_edges() == Gnx.number_of_nodes() - ncc
+
+
+def test_maximum_spanning_tree():
+    rng = np.random.default_rng(1)
+    Gnx = nx.gnm_random_graph(30, 90, seed=2)
+    for u, v in Gnx.edges():
+        Gnx[u][v]["weight"] = float(rng.uniform(0.1, 5.0))
+    G, _ = build_pair(Gnx, weighted=True)
+    mst = ctpu.maximum_spanning_tree(G)
+    ref = nx.maximum_spanning_tree(Gnx)
+    assert abs(mst.view_edge_list()["weight"].sum()
+               - sum(d["weight"] for _, _, d in ref.edges(data=True))) < 1e-3
+
+
+def test_topological_sort():
+    Gnx = nx.gn_graph(25, seed=3).reverse()  # a DAG
+    G, _ = build_pair(Gnx)
+    df = ctpu.topological_sort(G)
+    pos = {v: i for i, v in enumerate(df["vertex"])}
+    for u, v in Gnx.edges():
+        assert pos[u] < pos[v]
+
+
+def test_topological_sort_cycle_raises():
+    Gnx = nx.DiGraph([(0, 1), (1, 2), (2, 0)])
+    G, _ = build_pair(Gnx)
+    with pytest.raises(ValueError):
+        ctpu.topological_sort(G)
+
+
+def test_force_atlas2_separates_components():
+    G, Gnx = disconnected()
+    df = ctpu.force_atlas2(G, max_iter=200)
+    assert len(df) == Gnx.number_of_nodes()
+    assert np.isfinite(df[["x", "y"]].to_numpy()).all()
+    # connected vertices end closer together than the global spread
+    pos = {v: (x, y) for v, x, y in zip(df["vertex"], df["x"], df["y"])}
+    d_edges = np.mean([np.hypot(pos[u][0] - pos[v][0], pos[u][1] - pos[v][1])
+                       for u, v in Gnx.edges()])
+    all_pts = df[["x", "y"]].to_numpy()
+    spread = np.mean(np.abs(all_pts - all_pts.mean(0)))
+    assert d_edges < spread * 2.5
+
+
+def test_dense_hungarian():
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(4)
+    C = rng.uniform(0, 10, (12, 12))
+    cost, cols = ctpu.dense_hungarian(C)
+    r, c = linear_sum_assignment(C)
+    assert abs(cost - C[r, c].sum()) < 1e-2
+
+
+def test_two_hop_neighbors():
+    G, Gnx = karate()
+    df = ctpu.two_hop_neighbors(G)
+    got = {tuple(sorted(p)) for p in zip(df["first"], df["second"])}
+    ref = set()
+    for u in Gnx.nodes():
+        for w in Gnx[u]:
+            for v in Gnx[w]:
+                if u != v:
+                    ref.add(tuple(sorted((u, v))))
+    assert got == ref
+
+
+def test_induced_subgraph():
+    G, Gnx = karate()
+    verts = [0, 1, 2, 3, 33]
+    df, offs = ctpu.induced_subgraph(G, verts)
+    ref = Gnx.subgraph(verts)
+    got = {tuple(sorted(e)) for e in zip(df["src"], df["dst"])}
+    assert got == {tuple(sorted(e)) for e in ref.edges()}
+
+
+def test_subgraph_returns_graph():
+    G, Gnx = karate()
+    sub = ctpu.subgraph(G, [0, 1, 2, 3])
+    assert sub.number_of_edges() == Gnx.subgraph([0, 1, 2, 3]).number_of_edges()
+
+
+def test_symmetrize_frame():
+    df = pd.DataFrame({"src": [0, 1], "dst": [1, 2]})
+    out = ctpu.symmetrize(df)
+    got = set(zip(out["src"], out["dst"]))
+    assert got == {(0, 1), (1, 0), (1, 2), (2, 1)}
+
+
+def test_datasets_registry():
+    from cugraph_tpu import datasets
+    G = datasets.karate.get_graph(ignore_weights=True)
+    assert G.number_of_vertices() == 34
+    assert G.number_of_edges() == 78
+    el = datasets.les_miserables.get_edgelist()
+    assert {"src", "dst", "wgt"} <= set(el.columns)
+    assert datasets.small_rmat.number_of_edges() == 1024 * 16
+
+
+def test_simple_generators():
+    from cugraph_tpu.generators import simple
+    p = simple.path_graph(5)
+    assert len(p) == 4
+    c = simple.complete_graph(6)
+    assert len(c) == 15
+    m = simple.mesh_2d_graph(3, 4)
+    assert len(m) == 3 * 3 + 2 * 4
+    er = simple.erdos_renyi_gnp(50, 0.1, seed=1)
+    assert (er["src"] != er["dst"]).all()
+    # valid vertex range
+    assert er[["src", "dst"]].to_numpy().max() < 50
