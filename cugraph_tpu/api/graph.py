@@ -113,6 +113,8 @@ class Graph:
             if not np.issubdtype(np.asarray(src).dtype, np.integer):
                 raise InvalidInputError("renumber=False requires integer ids")
             n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1 if src.size else 0
+            if vertices is not None:  # explicit vertex set may add isolated ids
+                n = max(n, int(np.asarray(vertices).max(initial=-1)) + 1)
             src_i, dst_i = src.astype(np.int32), dst.astype(np.int32)
             nmap = NumberMap(np.arange(n))
 

@@ -1,0 +1,27 @@
+"""GNN layer + model family (pure-functional JAX, MXU-friendly).
+
+The reference delegates GNNs to the external cugraph-gnn repo and only ships
+the sampling feed path (readme_pages/gnn_support.md); here the layers live
+in-framework so the BASELINE GraphSAGE config runs end-to-end on TPU.
+"""
+
+from cugraph_tpu.nn.layers import (
+    aggregate_neighbors,
+    sage_init,
+    sage_conv,
+    gcn_init,
+    gcn_conv,
+    gat_init,
+    gat_conv,
+)
+from cugraph_tpu.nn.models import (
+    graphsage_init,
+    graphsage_apply,
+    gcn_init as gcn_model_init,
+    gcn_apply,
+    gat_init as gat_model_init,
+    gat_apply,
+    masked_cross_entropy,
+    make_train_step,
+    accuracy,
+)

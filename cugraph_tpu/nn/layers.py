@@ -1,0 +1,149 @@
+"""Message-passing neural-network layers over the graph primitives.
+
+The reference keeps GNN layers out-of-repo (cugraph-pyg/cugraph-dgl consume its
+sampling + lookup capabilities, readme_pages/gnn_support.md); this framework
+ships a native JAX layer family so the GNN feed path (SURVEY.md §3.5,
+BASELINE.json GraphSAGE/ogbn-arxiv config) is end-to-end runnable on TPU.
+
+TPU mapping: neighbor aggregation lowers to the same sorted segment-reduce as
+``per_v_transform_reduce_incoming_e`` (the SpMM), feature transforms are dense
+[V, F] @ [F, H] matmuls that land on the MXU.  Aggregate-then-transform order
+is chosen so the matmul operates on the [pad_v, F] matrix (one MXU-friendly
+GEMM) instead of [pad_e, F].
+
+All layers are pure functions: ``params`` pytrees in, arrays out.  No flax
+module state — functional transforms (grad/jit/shard_map) compose directly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from cugraph_tpu.core.structure import GraphStructure
+from cugraph_tpu.prims.vertex_edge import (
+    gather_major,
+    gather_minor,
+    segment_reduce_by_major,
+)
+
+
+def _glorot(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[-1]
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+# ---------------------------------------------------------------------------
+# aggregation primitives (SpMM-shaped)
+# ---------------------------------------------------------------------------
+
+def aggregate_neighbors(
+    g: GraphStructure, x: jax.Array, *, mode: str = "mean"
+) -> jax.Array:
+    """Per-vertex reduce of in-neighbor features: out[v] = op_{(u,v)∈E} x[u].
+
+    x: [pad_v, F] → out: [pad_v, F].  Padding edges source from the sink row;
+    we zero the sink row first so "sum"/"mean" stay exact without masks.
+    """
+    adj = g.csc  # major = dst, minor = src
+    x = x.at[adj.sink].set(0.0)
+    msgs = gather_minor(adj, x)  # [pad_e, F]
+    if mode in ("sum", "mean"):
+        agg = segment_reduce_by_major(adj, msgs, "sum")
+        if mode == "mean":
+            deg = adj.degrees().astype(x.dtype)
+            agg = agg / jnp.maximum(deg, 1.0)[:, None]
+        return agg
+    if mode == "max":
+        big = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+        msgs = jnp.where((adj.majors < adj.num_vertices)[:, None], msgs, big)
+        agg = segment_reduce_by_major(adj, msgs, "max")
+        # empty segments come back -inf; masked padding edges as finfo.min
+        return jnp.where(agg <= big, 0.0, agg)
+    raise ValueError(f"unknown aggregation mode {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE (mean aggregator, Hamilton et al. 2017)
+# ---------------------------------------------------------------------------
+
+def sage_init(key, in_dim: int, out_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w_self": _glorot(k1, (in_dim, out_dim)),
+        "w_nbr": _glorot(k2, (in_dim, out_dim)),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def sage_conv(params, g: GraphStructure, x: jax.Array) -> jax.Array:
+    """h[v] = W_self·x[v] + W_nbr·mean_{u→v} x[u] + b."""
+    h_nbr = aggregate_neighbors(g, x, mode="mean")
+    return (
+        jnp.dot(x, params["w_self"], preferred_element_type=jnp.float32)
+        + jnp.dot(h_nbr, params["w_nbr"], preferred_element_type=jnp.float32)
+        + params["b"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# GCN (Kipf & Welling 2017): H' = D̂^{-1/2} Â D̂^{-1/2} H W
+# ---------------------------------------------------------------------------
+
+def gcn_init(key, in_dim: int, out_dim: int):
+    return {
+        "w": _glorot(key, (in_dim, out_dim)),
+        "b": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def gcn_conv(params, g: GraphStructure, x: jax.Array) -> jax.Array:
+    """Symmetric-normalized propagation with implicit self loops."""
+    deg = (g.in_degrees() + 1).astype(x.dtype)  # +1: self loop
+    inv_sqrt = jax.lax.rsqrt(deg)
+    h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+    h = h * inv_sqrt[:, None]
+    agg = aggregate_neighbors(g, h, mode="sum") + h  # Â = A + I
+    return agg * inv_sqrt[:, None] + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# GAT (Veličković et al. 2018), single- or multi-head
+# ---------------------------------------------------------------------------
+
+def gat_init(key, in_dim: int, out_dim: int, num_heads: int = 1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w": _glorot(k1, (in_dim, num_heads * out_dim)),
+        "a_src": _glorot(k2, (num_heads, out_dim)),
+        "a_dst": _glorot(k3, (num_heads, out_dim)),
+        "b": jnp.zeros((num_heads * out_dim,), jnp.float32),
+    }
+
+
+def gat_conv(params, g: GraphStructure, x: jax.Array, *, negative_slope=0.2):
+    """Attention logits are SDDMM-shaped (per-edge transform_e analog:
+    reference transform_e.cuh); the softmax over each vertex's in-edge set is
+    a segment-max/segment-sum pair over the dst-sorted edge order."""
+    adj = g.csc
+    H, D = params["a_src"].shape
+    h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+    h = h.reshape(h.shape[0], H, D)  # [pad_v, H, D]
+    alpha_src = jnp.einsum("vhd,hd->vh", h, params["a_src"])
+    alpha_dst = jnp.einsum("vhd,hd->vh", h, params["a_dst"])
+    logits = gather_minor(adj, alpha_src) + gather_major(adj, alpha_dst)
+    logits = jax.nn.leaky_relu(logits, negative_slope)  # [pad_e, H]
+    # numerically-stable segment softmax over in-edges of each dst
+    valid = (adj.majors < adj.num_vertices)[:, None]
+    neg = jnp.asarray(-1e30, logits.dtype)
+    logits = jnp.where(valid, logits, neg)
+    mx = segment_reduce_by_major(adj, logits, "max")  # [pad_v, H]
+    ex = jnp.where(valid, jnp.exp(logits - gather_major(adj, mx)), 0.0)
+    denom = segment_reduce_by_major(adj, ex, "sum")
+    coef = ex / jnp.maximum(gather_major(adj, denom), 1e-16)
+    msgs = gather_minor(adj, h) * coef[:, :, None]  # [pad_e, H, D]
+    out = segment_reduce_by_major(adj, msgs, "sum")  # [pad_v, H, D]
+    return out.reshape(out.shape[0], H * D) + params["b"]

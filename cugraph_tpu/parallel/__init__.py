@@ -1,0 +1,31 @@
+"""Multi-chip (MG) execution: 2D edge partition over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's multi-GPU stack (RAFT/NCCL comms +
+partition_manager + MG primitives; SURVEY.md §2.3, §5 "Distributed
+communication backend").  The taxonomy is preserved:
+
+  reference                         → here
+  ---------------------------------- ------------------------------------------
+  major_comm / minor_comm 2D grid    → Mesh axes ("major", "minor")
+  update_edge_src_property (bcast)   → jax.lax.all_gather along "minor"
+  per-vertex partial reduce          → sorted segment_sum per edge block
+  device_reduce to vertex owner      → jax.lax.psum_scatter along "major"
+  host_scalar_allreduce              → jax.lax.psum over both axes (on device!)
+  partition_manager rank math        → Partition2D (pure NumPy)
+
+Everything runs as ONE jitted shard_map program per algorithm — whole power
+iterations / BFS level loops stay on device (lax.while_loop), unlike the
+reference which syncs a host scalar every iteration (pagerank_impl.cuh:209).
+"""
+
+from cugraph_tpu.parallel.partition import Partition2D, DistGraph, build_dist_graph
+from cugraph_tpu.parallel.mesh import make_mesh_2d, mesh_shape_for
+from cugraph_tpu.parallel import prims
+from cugraph_tpu.parallel.algos import (
+    mg_pagerank,
+    mg_bfs,
+    mg_sssp,
+    mg_wcc,
+    mg_katz_centrality,
+    mg_degrees,
+)

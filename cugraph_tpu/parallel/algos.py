@@ -1,0 +1,329 @@
+"""Distributed (multi-chip) graph algorithms over the 2D mesh partition.
+
+Every algorithm is ONE jitted shard_map program: the full iteration loop runs
+on device via lax.while_loop, with convergence decided by on-device psums
+(where the reference pays a host_scalar_allreduce per iteration,
+pagerank_impl.cuh:209, here nothing leaves the chips until the result does).
+
+Per-algorithm semantics mirror the single-device implementations in
+cugraph_tpu.algos (which themselves cite the reference *_impl.cuh files);
+MG↔SG equality is asserted by tests/test_parallel.py the same way the
+reference's MG tests gather-to-one-GPU and re-run SG
+(tests/link_analysis/mg_pagerank_test.cpp:169-232).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cugraph_tpu.parallel import prims
+from cugraph_tpu.parallel.mesh import edge_spec, vertex_spec
+from cugraph_tpu.parallel.partition import DistGraph
+
+INT_INF = jnp.iinfo(jnp.int32).max
+
+
+def _edge_args(blocks):
+    """The stacked [pmaj, pmin, E] arrays an MG kernel consumes."""
+    return blocks.src_loc, blocks.dst_loc, blocks.weight, blocks.valid
+
+
+def _sq(a):
+    """Inside shard_map an edge-spec array arrives as [1, 1, E]; drop the
+    unit device axes."""
+    return a[0, 0]
+
+
+def _shard_wrap(mesh, fn, n_edge_arrays: int, n_vertex_arrays: int,
+                n_scalar: int, out_specs):
+    es, vs = edge_spec(), vertex_spec()
+    in_specs = (es,) * n_edge_arrays + (vs,) * n_vertex_arrays + (P(),) * n_scalar
+    return jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (reference link_analysis/pagerank_impl.cuh:224-330)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_pagerank_kernel(mesh, pmaj, pmin, chunk, n, max_iter):
+    def kernel(src_loc, dst_loc, w, valid, out_deg, reset, dang, p0, alpha, tol):
+        src_loc, dst_loc, w = _sq(src_loc), _sq(dst_loc), _sq(w)
+        gidx = prims.global_vertex_ids(chunk)
+        real = gidx < n
+        inv_out = jnp.where(out_deg > 0, 1.0 / out_deg, 0.0)
+        is_dangling = real & (out_deg <= 0)
+
+        def body(state):
+            p, _, it = state
+            scaled = p * inv_out                      # pagerank_impl.cuh:239
+            dang_sum = prims.psum_all(jnp.sum(jnp.where(is_dangling, p, 0.0)))
+            pulled = prims.pull_spmv(src_loc, dst_loc, w, scaled,
+                                     pmaj=pmaj, chunk=chunk)
+            p_new = alpha * (pulled + dang_sum * dang) + (1.0 - alpha) * reset
+            p_new = jnp.where(real, p_new, 0.0)
+            err = prims.psum_all(jnp.sum(jnp.abs(p_new - p)))
+            return p_new, err, it + 1
+
+        def cond(state):
+            _, err, it = state
+            return (err >= tol) & (it < max_iter)
+
+        p, err, iters = jax.lax.while_loop(
+            cond, body,
+            (p0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32)),
+        )
+        return p, err, iters
+
+    return _shard_wrap(mesh, kernel, 4, 4, 2, (vertex_spec(), P(), P()))
+
+
+def mg_pagerank(g: DistGraph, mesh, alpha: float = 0.85, tol: float = 1e-5,
+                max_iter: int = 100, personalization=None, nstart=None):
+    """Distributed PageRank.  Returns (p [pad_v] owner-sharded, err, iters)."""
+    n, pad_v = g.num_vertices, g.pad_v
+    vsh = NamedSharding(mesh, vertex_spec())
+
+    def vec(x, default):
+        v = np.zeros(pad_v, np.float32)
+        if x is None:
+            v[:n] = default
+        else:
+            v[: len(x)] = np.asarray(x, np.float32)
+            v /= v.sum()
+        return jax.device_put(jnp.asarray(v), vsh)
+
+    reset = vec(personalization, 1.0 / n)
+    p0 = vec(nstart, 1.0 / n)
+    kern = _mg_pagerank_kernel(mesh, g.pmaj, g.pmin, g.chunk, n, int(max_iter))
+    return kern(*_edge_args(g.pull), g.out_degree, reset, reset, p0,
+                jnp.float32(alpha), jnp.float32(tol))
+
+
+# ---------------------------------------------------------------------------
+# BFS — level-synchronous, dense masked-SpMV frontier expansion.
+# The reference flips between top-down/bottom-up kernels (bfs_impl.cuh:291-300);
+# on TPU the bottom-up-shaped full-edge scan IS the idiomatic form: static
+# shapes, no sorting, one segment_max per level.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_bfs_kernel(mesh, pmaj, pmin, chunk, n, max_depth):
+    B = pmin * chunk
+    nseg = pmaj * chunk
+
+    def kernel(src_loc, dst_loc, w, valid, source):
+        src_loc, valid = _sq(src_loc), _sq(valid)
+        dst_loc = _sq(dst_loc)
+        gidx = prims.global_vertex_ids(chunk)
+        i = jax.lax.axis_index(prims.MAJOR)
+        gsrc = i * B + src_loc  # global id of each edge's source
+
+        dist0 = jnp.where(gidx == source, 0, INT_INF)
+        # constant carries must be cast to device-varying for the while_loop
+        pred0 = jax.lax.pcast(jnp.full((chunk,), -1, jnp.int32),
+                              (prims.MAJOR, prims.MINOR), to="varying")
+        f0 = gidx == source
+
+        def body(state):
+            dist, pred, f, level, _ = state
+            f_blk = prims.gather_minor_block(f)          # [B] bool
+            cand = valid & f_blk[src_loc]
+            part = prims.block_segment_reduce(
+                jnp.where(cand, gsrc + 1, 0), dst_loc, nseg, "max")
+            red = prims.scatter_reduce_major(part, chunk, "max")
+            newly = (red > 0) & (dist == INT_INF)
+            dist = jnp.where(newly, level + 1, dist)
+            pred = jnp.where(newly, red - 1, pred)
+            cnt = prims.psum_all(jnp.sum(newly.astype(jnp.int32)))
+            return dist, pred, newly, level + 1, cnt
+
+        def cond(state):
+            _, _, _, level, cnt = state
+            return (cnt > 0) & (level < max_depth)
+
+        dist, pred, _, _, _ = jax.lax.while_loop(
+            cond, body, (dist0, pred0, f0, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(1, jnp.int32)))
+        return dist, pred
+
+    return _shard_wrap(mesh, kernel, 4, 0, 1, (vertex_spec(), vertex_spec()))
+
+
+def mg_bfs(g: DistGraph, mesh, source: int, depth_limit: int | None = None):
+    """Distributed BFS. Returns (distance, predecessor) owner-sharded [pad_v];
+    unreachable vertices have distance INT32_MAX and predecessor -1."""
+    max_depth = int(depth_limit) if depth_limit is not None else g.num_vertices
+    kern = _mg_bfs_kernel(mesh, g.pmaj, g.pmin, g.chunk, g.num_vertices, max_depth)
+    return kern(*_edge_args(g.pull), jnp.asarray(source, jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# SSSP — Bellman-Ford rounds of min-plus SpMV (the reference uses near-far
+# delta stepping, sssp_impl.cuh:75-153; dense rounds are the static-shape
+# TPU equivalent — each round is one gather + segment_min + pmin).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_sssp_kernel(mesh, pmaj, pmin, chunk, n):
+    B = pmin * chunk
+    nseg = pmaj * chunk
+    INF = jnp.float32(jnp.inf)
+
+    def kernel(src_loc, dst_loc, w, valid, source, cutoff):
+        src_loc, dst_loc = _sq(src_loc), _sq(dst_loc)
+        w, valid = _sq(w), _sq(valid)
+        gidx = prims.global_vertex_ids(chunk)
+        i = jax.lax.axis_index(prims.MAJOR)
+        gsrc = i * B + src_loc
+
+        dist0 = jnp.where(gidx == source, 0.0, INF)
+
+        def body(state):
+            dist, it, _ = state
+            d_blk = prims.gather_minor_block(dist)
+            cand = jnp.where(valid, d_blk[src_loc] + w, INF)
+            cand = jnp.where(cand <= cutoff, cand, INF)
+            part = prims.block_segment_reduce(cand, dst_loc, nseg, "min")
+            red = prims.scatter_reduce_major(part, chunk, "min")
+            new = jnp.minimum(dist, red)
+            changed = prims.psum_all(jnp.sum((new < dist).astype(jnp.int32)))
+            return new, it + 1, changed
+
+        def cond(state):
+            _, it, changed = state
+            return (changed > 0) & (it < n)
+
+        dist, _, _ = jax.lax.while_loop(
+            cond, body, (dist0, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(1, jnp.int32)))
+
+        # predecessor extraction: any in-edge achieving the final distance
+        d_blk = prims.gather_minor_block(dist)
+        d_seg = prims.gather_major_block(dist)  # dst-slot-ordered distances
+        ok = valid & jnp.isfinite(d_blk[src_loc]) \
+            & (d_blk[src_loc] + w == d_seg[dst_loc])
+        part = prims.block_segment_reduce(
+            jnp.where(ok, gsrc + 1, 0), dst_loc, nseg, "max")
+        red = prims.scatter_reduce_major(part, chunk, "max")
+        pred = jnp.where((red > 0) & (gidx != source) & jnp.isfinite(dist),
+                         red - 1, -1)
+        return dist, pred
+
+    return _shard_wrap(mesh, kernel, 4, 0, 2, (vertex_spec(), vertex_spec()))
+
+
+def mg_sssp(g: DistGraph, mesh, source: int, cutoff: float = np.inf):
+    kern = _mg_sssp_kernel(mesh, g.pmaj, g.pmin, g.chunk, g.num_vertices)
+    return kern(*_edge_args(g.pull), jnp.asarray(source, jnp.int32),
+                jnp.float32(cutoff))
+
+
+# ---------------------------------------------------------------------------
+# WCC — min-label propagation over both orientations (reference
+# weakly_connected_components_impl.cuh:682-804 frontier label expansion;
+# dense min-SpMV rounds here).  Uses pull AND push blocks so the input need
+# not be symmetrized.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_wcc_kernel(mesh, pmaj, pmin, chunk, n):
+    nseg = pmaj * chunk
+
+    def one_direction(blocks, labels):
+        src_loc, dst_loc, valid = blocks
+        l_blk = prims.gather_minor_block(labels)
+        cand = jnp.where(valid, l_blk[src_loc], INT_INF)
+        part = prims.block_segment_reduce(cand, dst_loc, nseg, "min")
+        return prims.scatter_reduce_major(part, chunk, "min")
+
+    def kernel(psrc, pdst, pval, qsrc, qdst, qval):
+        pull = (_sq(psrc), _sq(pdst), _sq(pval))
+        push = (_sq(qsrc), _sq(qdst), _sq(qval))
+        gidx = prims.global_vertex_ids(chunk)
+        real = gidx < n
+        l0 = jnp.where(real, gidx, INT_INF)
+
+        def body(state):
+            lab, it, _ = state
+            new = jnp.minimum(lab, one_direction(pull, lab))
+            new = jnp.minimum(new, one_direction(push, new))
+            changed = prims.psum_all(jnp.sum((new < lab).astype(jnp.int32)))
+            return new, it + 1, changed
+
+        def cond(state):
+            _, it, changed = state
+            return (changed > 0) & (it < n)
+
+        lab, _, _ = jax.lax.while_loop(
+            cond, body, (l0, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32)))
+        return lab
+
+    return _shard_wrap(mesh, kernel, 6, 0, 0, vertex_spec())
+
+
+def mg_wcc(g: DistGraph, mesh):
+    """Distributed weakly-connected components: label[v] = min vertex id in
+    v's component.  Requires the graph built with store_push=True."""
+    assert g.push is not None, "mg_wcc needs push blocks (store_push=True)"
+    kern = _mg_wcc_kernel(mesh, g.pmaj, g.pmin, g.chunk, g.num_vertices)
+    return kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
+                g.push.src_loc, g.push.dst_loc, g.push.valid)
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (reference centrality/katz_centrality_impl.cuh:32-187)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_katz_kernel(mesh, pmaj, pmin, chunk, n, max_iter, normalized):
+    def kernel(src_loc, dst_loc, w, valid, b0, alpha, beta, tol):
+        src_loc, dst_loc, w = _sq(src_loc), _sq(dst_loc), _sq(w)
+        gidx = prims.global_vertex_ids(chunk)
+        real = gidx < n
+
+        def body(state):
+            c, _, it = state
+            pulled = prims.pull_spmv(src_loc, dst_loc, w, c,
+                                     pmaj=pmaj, chunk=chunk)
+            c_new = jnp.where(real, alpha * pulled + beta, 0.0)
+            err = prims.psum_all(jnp.sum(jnp.abs(c_new - c)))
+            return c_new, err, it + 1
+
+        def cond(state):
+            _, err, it = state
+            return (err >= tol) & (it < max_iter)
+
+        c, err, iters = jax.lax.while_loop(
+            cond, body, (b0, jnp.asarray(jnp.inf, jnp.float32),
+                         jnp.asarray(0, jnp.int32)))
+        if normalized:
+            norm = jnp.sqrt(prims.psum_all(jnp.sum(c * c)))
+            c = c / jnp.maximum(norm, 1e-30)
+        return c, err, iters
+
+    return _shard_wrap(mesh, kernel, 4, 1, 3, (vertex_spec(), P(), P()))
+
+
+def mg_katz_centrality(g: DistGraph, mesh, alpha: float = 0.1, beta: float = 1.0,
+                       tol: float = 1e-6, max_iter: int = 100,
+                       normalized: bool = True):
+    vsh = NamedSharding(mesh, vertex_spec())
+    b0 = jax.device_put(jnp.zeros(g.pad_v, jnp.float32), vsh)
+    kern = _mg_katz_kernel(mesh, g.pmaj, g.pmin, g.chunk, g.num_vertices,
+                           int(max_iter), bool(normalized))
+    return kern(*_edge_args(g.pull), b0, jnp.float32(alpha), jnp.float32(beta),
+                jnp.float32(tol))
+
+
+def mg_degrees(g: DistGraph, mesh):
+    """(in_degree, out_degree) owner-sharded (already materialized at build)."""
+    vsh = NamedSharding(mesh, vertex_spec())
+    return (jax.device_put(g.in_degree, vsh), jax.device_put(g.out_degree, vsh))

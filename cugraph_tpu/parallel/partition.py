@@ -1,0 +1,240 @@
+"""2D edge partition math + distributed graph construction (host side).
+
+TPU-native analog of the reference's ``partition_t``/``partition_manager``
+(cpp/include/cugraph/graph_view.hpp:64-230, partition_manager.hpp:22-180) and
+``create_graph_from_edgelist`` (cpp/src/structure/create_graph_from_edgelist_impl.cuh).
+
+Layout (P = pmaj × pmin devices on a Mesh with axes ("major", "minor")):
+
+* The padded vertex space [0, P·Vc) is split into P contiguous ranges of size
+  ``Vc``; device (i, j) owns range ``[(i·pmin + j)·Vc, +Vc)`` — row-major over
+  mesh coordinates, so a global vertex vector sharded with
+  ``PartitionSpec(("major", "minor"))`` lands each owner's slice on its device.
+* "Row-block" i = the union of ranges owned by devices (i, *) = the contiguous
+  span ``[i·B, (i+1)·B)`` with ``B = pmin·Vc``.  ``all_gather`` along "minor"
+  of owned slices therefore reconstructs exactly row-block i on every device
+  of mesh row i — this is the reference's ``update_edge_src_property`` minor-
+  comm broadcast (update_edge_src_dst_property.cuh:163-224) as one collective.
+* Pull-oriented edge (src, dst) is stored on device (i, j) with
+  ``i = src // B`` (so the gathered row-block i covers all its sources) and
+  ``j = (dst // Vc) % pmin`` (so ``psum_scatter`` along "major" delivers each
+  per-destination partial straight to the destination's owner — the
+  reference's minor-comm ``device_reduce``, detail/per_v_transform_reduce_e.cuh:3397).
+* Local indices: ``src_loc = src − i·B`` ∈ [0, B);
+  ``dst_loc = (dst // B)·Vc + dst % Vc`` ∈ [0, pmaj·Vc) — dst's position in
+  the concatenation, over i', of V_own(i', j), which is precisely the tiled
+  ``psum_scatter`` piece order.
+
+Communication per device per SpMV: B values gathered + pmaj·Vc partials
+scattered ⇒ O(V/pmaj + V/pmin) — the classic 2D √P scaling (Boman et al.,
+cited at graph_view.hpp:58-59).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cugraph_tpu.core.structure import round_up
+
+E_ALIGN = 128
+V_ALIGN = 8
+
+
+@dataclass(frozen=True)
+class Partition2D:
+    """Pure rank/range math for the 2D partition (no device data)."""
+
+    num_vertices: int
+    pmaj: int
+    pmin: int
+    chunk: int  # Vc: vertices per device
+
+    @staticmethod
+    def create(num_vertices: int, pmaj: int, pmin: int) -> "Partition2D":
+        p = pmaj * pmin
+        chunk = round_up(max(round_up(num_vertices, p) // p, 1), V_ALIGN)
+        return Partition2D(num_vertices, pmaj, pmin, chunk)
+
+    @property
+    def num_devices(self) -> int:
+        return self.pmaj * self.pmin
+
+    @property
+    def pad_v(self) -> int:
+        """Global padded vertex count (= P · Vc)."""
+        return self.num_devices * self.chunk
+
+    @property
+    def row_block(self) -> int:
+        """B: vertices per mesh row (gather span along "minor")."""
+        return self.pmin * self.chunk
+
+    def owner(self, v: np.ndarray):
+        """(i, j) mesh coordinates of the device owning each vertex."""
+        r = np.asarray(v) // self.chunk
+        return r // self.pmin, r % self.pmin
+
+    def owned_range(self, i: int, j: int):
+        lo = (i * self.pmin + j) * self.chunk
+        return lo, lo + self.chunk
+
+    # -- pull-edge placement (src gathered, dst reduced) ---------------------
+    def edge_device(self, src: np.ndarray, dst: np.ndarray):
+        i = np.asarray(src) // self.row_block
+        j = (np.asarray(dst) // self.chunk) % self.pmin
+        return i, j
+
+    def src_local(self, src: np.ndarray, i: np.ndarray):
+        return np.asarray(src) - i * self.row_block
+
+    def dst_local(self, dst: np.ndarray):
+        d = np.asarray(dst)
+        return (d // self.row_block) * self.chunk + d % self.chunk
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EdgeBlocks:
+    """One orientation's per-device edge blocks, stacked [pmaj, pmin, E_loc].
+
+    ``dst_loc`` is sorted ascending within each block (sorted-segment fast
+    path); invalid (padding) lanes have ``valid`` False, weight 0, and both
+    endpoints parked on in-range slots so gathers stay in bounds.
+    """
+
+    src_loc: jax.Array  # int32 [pmaj, pmin, E_loc], ∈ [0, B)
+    dst_loc: jax.Array  # int32 [pmaj, pmin, E_loc], ∈ [0, pmaj·Vc), sorted
+    weight: jax.Array   # float32 [pmaj, pmin, E_loc]
+    valid: jax.Array    # bool  [pmaj, pmin, E_loc]
+
+    @property
+    def e_local(self) -> int:
+        return self.src_loc.shape[-1]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistGraph:
+    """2D-partitioned graph: pull blocks (+ optional push blocks) + degrees.
+
+    Distributed analog of ``graph_t``/``graph_view_t`` (graph.hpp:68-269).
+    Vertex-indexed members (degrees) are global [pad_v] vectors intended to be
+    sharded ``PartitionSpec(("major", "minor"))``.
+    """
+
+    pull: EdgeBlocks            # src gathered / dst reduced (CSC-like)
+    push: EdgeBlocks | None     # dst gathered / src reduced (CSR-like)
+    out_degree: jax.Array       # float32 [pad_v] (weighted out-degree)
+    in_degree: jax.Array        # float32 [pad_v]
+    num_vertices: int = field(metadata=dict(static=True))
+    num_edges: int = field(metadata=dict(static=True))
+    pmaj: int = field(metadata=dict(static=True))
+    pmin: int = field(metadata=dict(static=True))
+    chunk: int = field(metadata=dict(static=True))
+
+    @property
+    def part(self) -> Partition2D:
+        return Partition2D(self.num_vertices, self.pmaj, self.pmin, self.chunk)
+
+    @property
+    def pad_v(self) -> int:
+        return self.pmaj * self.pmin * self.chunk
+
+
+def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarray,
+                  weight: np.ndarray) -> EdgeBlocks:
+    """Bucket edges to devices and build padded, dst-sorted local blocks.
+
+    ``minor_end`` plays the gathered role (cuGraph "src"), ``major_end`` the
+    reduced role ("dst").  Host-side NumPy: this is the construction path, the
+    analog of the reference's shuffle + CSR compression (all-to-all #1 in
+    SURVEY.md §3.2) executed as one pass over the COO list.
+    """
+    pmaj, pmin = part.pmaj, part.pmin
+    i, j = part.edge_device(minor_end, major_end)
+    src_loc = part.src_local(minor_end, i).astype(np.int64)
+    dst_loc = part.dst_local(major_end).astype(np.int64)
+
+    dev = i * pmin + j
+    # group by device, then by dst_loc within the device (sorted segments)
+    order = np.lexsort((src_loc, dst_loc, dev))
+    dev, src_loc, dst_loc = dev[order], src_loc[order], dst_loc[order]
+    w = weight[order]
+
+    counts = np.bincount(dev, minlength=part.num_devices)
+    e_local = max(int(round_up(max(counts.max(), 1), E_ALIGN)), E_ALIGN)
+
+    n_dev = part.num_devices
+    sl = np.zeros((n_dev, e_local), np.int32)
+    dl = np.full((n_dev, e_local), part.pmaj * part.chunk - 1, np.int32)
+    ww = np.zeros((n_dev, e_local), np.float32)
+    vv = np.zeros((n_dev, e_local), bool)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for d in range(n_dev):
+        c = counts[d]
+        if c:
+            s = starts[d]
+            sl[d, :c] = src_loc[s : s + c]
+            dl[d, :c] = dst_loc[s : s + c]
+            ww[d, :c] = w[s : s + c]
+            vv[d, :c] = True
+    # keep dst_loc sorted including the padding tail (pad dst = last segment)
+    resort = np.argsort(dl, axis=1, kind="stable")
+    sl = np.take_along_axis(sl, resort, axis=1)
+    dl = np.take_along_axis(dl, resort, axis=1)
+    ww = np.take_along_axis(ww, resort, axis=1)
+    vv = np.take_along_axis(vv, resort, axis=1)
+
+    shape = (pmaj, pmin, e_local)
+    return EdgeBlocks(
+        src_loc=jnp.asarray(sl.reshape(shape)),
+        dst_loc=jnp.asarray(dl.reshape(shape)),
+        weight=jnp.asarray(ww.reshape(shape)),
+        valid=jnp.asarray(vv.reshape(shape)),
+    )
+
+
+def build_dist_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray | None,
+    num_vertices: int,
+    pmaj: int,
+    pmin: int,
+    *,
+    store_push: bool = True,
+    symmetrize: bool = False,
+) -> DistGraph:
+    """COO edge list → 2D-partitioned DistGraph (host-side build)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    m = src.shape[0]
+    w = np.ones(m, np.float32) if weight is None else np.asarray(weight, np.float32)
+    if symmetrize:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        w = np.concatenate([w, w])
+
+    part = Partition2D.create(num_vertices, pmaj, pmin)
+    pull = _build_blocks(part, major_end=dst, minor_end=src, weight=w)
+    push = _build_blocks(part, major_end=src, minor_end=dst, weight=w) if store_push else None
+
+    out_deg = np.zeros(part.pad_v, np.float32)
+    in_deg = np.zeros(part.pad_v, np.float32)
+    np.add.at(out_deg, src, w)
+    np.add.at(in_deg, dst, w)
+
+    return DistGraph(
+        pull=pull,
+        push=push,
+        out_degree=jnp.asarray(out_deg),
+        in_degree=jnp.asarray(in_deg),
+        num_vertices=num_vertices,
+        num_edges=int(src.shape[0]),
+        pmaj=pmaj,
+        pmin=pmin,
+        chunk=part.chunk,
+    )

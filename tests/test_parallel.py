@@ -1,0 +1,218 @@
+"""MG↔SG parity tests on the virtual 8-device CPU mesh.
+
+The reference validates every MG algorithm by aggregating the distributed
+graph to one GPU and re-running SG (tests/link_analysis/mg_pagerank_test.cpp:169-232);
+here the distributed result (owner-sharded, gathered to host) is compared
+against the single-shard implementation on the same edge list.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import cugraph_tpu as ct
+from cugraph_tpu.core.structure import build_structure_host
+from cugraph_tpu.parallel import (
+    build_dist_graph,
+    make_mesh_2d,
+    mesh_shape_for,
+    mg_bfs,
+    mg_katz_centrality,
+    mg_pagerank,
+    mg_sssp,
+    mg_wcc,
+)
+from cugraph_tpu.parallel.partition import Partition2D
+
+
+def _random_coo(n=150, m=900, seed=0, weighted=True):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # dedupe multi-edges so SG/MG accumulate identically
+    uniq = np.unique(src * n + dst)
+    src, dst = (uniq // n).astype(np.int64), (uniq % n).astype(np.int64)
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32) if weighted else None
+    return src, dst, w
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return make_mesh_2d(4, 2, jax.devices()[:8])
+
+
+def _sg_graph(src, dst, w, n, directed=True):
+    G = ct.Graph(directed=directed)
+    G.from_edgelist(src, dst, w, vertices=np.arange(n), renumber=False)
+    return G
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(8) == (4, 2)
+    assert mesh_shape_for(4) == (2, 2)
+    assert mesh_shape_for(1) == (1, 1)
+    assert mesh_shape_for(6) == (3, 2)
+
+
+def test_partition_roundtrip():
+    part = Partition2D.create(100, 4, 2)
+    v = np.arange(part.pad_v)
+    i, j = part.owner(v)
+    # ownership ranges are exactly the row-major (i, j) contiguous chunks
+    for ii in range(4):
+        for jj in range(2):
+            lo, hi = part.owned_range(ii, jj)
+            assert np.all(i[lo:hi] == ii) and np.all(j[lo:hi] == jj)
+    # dst_local is the position inside concat_{i'} V_own(i', j)
+    d = part.dst_local(v)
+    assert d.min() >= 0 and d.max() < part.pmaj * part.chunk
+
+
+def test_mg_pagerank_matches_sg(mesh):
+    src, dst, w, n = *_random_coo(seed=1), 150
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=False)
+    p, err, iters = mg_pagerank(g, mesh, tol=1e-8, max_iter=200)
+    p = np.asarray(p)[:n]
+
+    G = _sg_graph(src, dst, w, n)
+    sg = ct.pagerank(G, tol=1e-8, max_iter=200).sort_values("vertex")
+    np.testing.assert_allclose(p, sg["pagerank"].to_numpy(), rtol=2e-4, atol=1e-7)
+    assert int(iters) > 1
+
+
+def test_mg_pagerank_dangling_and_unweighted(mesh):
+    # star + isolated chain: exercises dangling redistribution
+    src = np.array([0, 0, 0, 1, 2, 5], np.int64)
+    dst = np.array([1, 2, 3, 4, 4, 6], np.int64)
+    n = 8  # vertex 7 isolated
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    p, err, _ = mg_pagerank(g, mesh, tol=1e-10, max_iter=300)
+    G = _sg_graph(src, dst, None, n)
+    sg = ct.pagerank(G, tol=1e-10, max_iter=300).sort_values("vertex")
+    np.testing.assert_allclose(np.asarray(p)[:n], sg["pagerank"].to_numpy(),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_mg_bfs_matches_sg(mesh):
+    src, dst, w = _random_coo(seed=2, weighted=False)
+    n = 150
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    dist, pred = mg_bfs(g, mesh, source=3)
+    dist, pred = np.asarray(dist)[:n], np.asarray(pred)[:n]
+
+    G = _sg_graph(src, dst, None, n)
+    sg = ct.bfs(G, start=3).sort_values("vertex")
+    sg_dist = sg["distance"].to_numpy()
+    mg_dist = np.where(dist == np.iinfo(np.int32).max, sg_dist.max() + 10, dist)
+    sg_dist = np.where(sg_dist < 0, sg_dist.max() + 10, sg_dist)  # normalize inf codes
+    reach = sg_dist <= n
+    np.testing.assert_array_equal(mg_dist[reach], sg_dist[reach])
+    # predecessor validity: pred's distance must be dist-1 and edge must exist
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for v in range(n):
+        if dist[v] not in (0, np.iinfo(np.int32).max):
+            assert (int(pred[v]), v) in edge_set
+            assert dist[pred[v]] == dist[v] - 1
+
+
+def test_mg_sssp_matches_sg(mesh):
+    src, dst, w, n = *_random_coo(seed=3), 150
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=False)
+    dist, pred = mg_sssp(g, mesh, source=7)
+    dist = np.asarray(dist)[:n]
+
+    G = _sg_graph(src, dst, w, n)
+    sg = ct.sssp(G, source=7).sort_values("vertex")
+    sg_dist = sg["distance"].to_numpy()
+    # SG encodes unreachable as float32 max (the reference's convention)
+    sg_dist = np.where(sg_dist >= np.finfo(np.float32).max / 2, np.inf, sg_dist)
+    np.testing.assert_allclose(dist, sg_dist, rtol=1e-5, atol=1e-5)
+
+
+def test_mg_wcc_matches_sg(mesh):
+    src, dst, _ = _random_coo(n=80, m=120, seed=4, weighted=False)
+    n = 80
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    lab = np.asarray(mg_wcc(g, mesh))[:n]
+
+    G = _sg_graph(src, dst, None, n, directed=False)
+    sg = ct.weakly_connected_components(G).sort_values("vertex")
+    sg_lab = sg["labels"].to_numpy()
+    # same partition: vertices share an MG label iff they share an SG label
+    from collections import defaultdict
+
+    mg_groups, sg_groups = defaultdict(set), defaultdict(set)
+    for v in range(n):
+        mg_groups[lab[v]].add(v)
+        sg_groups[sg_lab[v]].add(v)
+    assert sorted(map(sorted, mg_groups.values())) == sorted(
+        map(sorted, sg_groups.values()))
+
+
+def test_mg_katz_matches_sg(mesh):
+    src, dst, w, n = *_random_coo(seed=5), 150
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=False)
+    alpha = 0.05
+    c, err, _ = mg_katz_centrality(g, mesh, alpha=alpha, tol=1e-9, max_iter=500)
+    c = np.asarray(c)[:n]
+    G = _sg_graph(src, dst, w, n)
+    sg = ct.katz_centrality(G, alpha=alpha, tol=1e-9, max_iter=500).sort_values("vertex")
+    np.testing.assert_allclose(c, sg["katz_centrality"].to_numpy(),
+                               rtol=1e-3, atol=1e-6)
+
+
+def test_mg_graphsage_train_step(mesh):
+    import optax
+
+    from cugraph_tpu.nn import graphsage_init
+    from cugraph_tpu.parallel.nn import (
+        make_mg_train_step,
+        mg_graphsage_apply,
+        replicate,
+        shard_vertex_data,
+    )
+
+    src, dst, _ = _random_coo(n=100, m=500, seed=6, weighted=False)
+    n = 100
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    from cugraph_tpu.parallel.mesh import shard_dist_graph
+
+    g = shard_dist_graph(g, mesh)
+
+    rng = np.random.default_rng(0)
+    F, H, C = 8, 16, 3
+    x = rng.normal(size=(g.pad_v, F)).astype(np.float32)
+    labels = rng.integers(0, C, g.pad_v).astype(np.int32)
+    mask = np.zeros(g.pad_v, bool)
+    mask[:n] = True
+    x, labels, mask = shard_vertex_data(mesh, x, jnp.asarray(labels),
+                                        jnp.asarray(mask))
+
+    params = replicate(mesh, graphsage_init(jax.random.key(0), F, H, C))
+    opt = optax.adam(1e-2)
+    opt_state = replicate(mesh, opt.init(params))
+    step = make_mg_train_step(g, mesh, opt)
+
+    losses = []
+    for _ in range(15):
+        params, opt_state, loss = step(params, opt_state, x, labels, mask)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]  # it learns
+
+    # MG forward == SG forward on the same graph/params
+    sg_struct = build_structure_host(src, dst, None, n)
+    from cugraph_tpu.nn import graphsage_apply
+
+    params_host = jax.tree.map(np.asarray, params)
+    x_host = np.asarray(x)
+    pad_sg = sg_struct.pad_v
+    x_sg = np.zeros((pad_sg, F), np.float32)
+    x_sg[:n] = x_host[:n]
+    sg_logits = np.asarray(graphsage_apply(params_host, sg_struct,
+                                           jnp.asarray(x_sg)))[:n]
+    mg_logits = np.asarray(mg_graphsage_apply(params, g, mesh, x))[:n]
+    np.testing.assert_allclose(mg_logits, sg_logits, rtol=2e-4, atol=2e-4)
