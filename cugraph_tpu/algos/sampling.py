@@ -400,3 +400,219 @@ def negative_sampling(G, num_samples: int, vertices=None, src_bias=None,
         "src": G.number_map.to_external(ss),
         "dst": G.number_map.to_external(dd),
     })
+
+
+# --------------------------------------------------------------------------
+# Edge-property plumbing, heterogeneous + temporal sampling
+# (reference: 8 neighbor-sample variants, sampling_functions.hpp:505+,
+#  temporal_sampling_impl.cuh; fanouts per edge type for heterogeneous)
+# --------------------------------------------------------------------------
+
+def _csr_perm(G):
+    """Permutation mapping original edge order → CSR (src-sorted) order,
+    cached; used to align edge properties with structure edge indices."""
+    perm = getattr(G, "_csr_perm_cache", None)
+    if perm is None:
+        src, dst, _ = G.edgelist_arrays()
+        perm = np.lexsort((dst, src))
+        G._csr_perm_cache = perm
+    return perm
+
+
+def _csr_prop(G, prop):
+    """An edge-property array re-ordered to CSR edge positions, padded."""
+    perm = _csr_perm(G)
+    pad_e = G.structure.csr.pad_e
+    out = np.zeros(pad_e, dtype=np.asarray(prop).dtype)
+    out[: len(perm)] = np.asarray(prop)[perm]
+    return out
+
+
+@partial(jax.jit, static_argnames=("k", "max_deg", "strict"))
+def _sample_neighbors_masked(g: GraphStructure, frontier: jax.Array,
+                             key: jax.Array, k: int, max_deg: int,
+                             edge_ok: jax.Array,
+                             seed_times: jax.Array | None,
+                             edge_times: jax.Array | None,
+                             strict: bool = True):
+    """Gumbel top-k uniform sampling restricted to an eligibility mask —
+    the masked analog of per_v_random_select_transform_outgoing_e used by
+    the heterogeneous (per-edge-type) and temporal variants."""
+    adj = g.csr
+    F = frontier.shape[0]
+    nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg)
+    safe = jnp.clip(eidx_tile, 0, adj.pad_e - 1)
+    ok = tile_valid & jnp.take(edge_ok, safe)
+    if edge_times is not None:
+        t = jnp.take(edge_times, safe)
+        lim = seed_times[:, None]
+        ok = ok & (t > lim if strict else t >= lim)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
+    score = jnp.where(ok, gumbel, -jnp.inf)
+    _, top = jax.lax.top_k(score, k)
+    picked = jnp.take_along_axis(score, top, axis=1) > -jnp.inf
+    eidx = jnp.take_along_axis(eidx_tile, top, axis=1)
+    dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
+    return dst, eidx, picked
+
+
+def _attach_edge_props(G, frame, eidx):
+    if G.edge_ids is not None:
+        frame["edge_id"] = _csr_prop(G, G.edge_ids)[eidx]
+    if G.edge_types is not None:
+        frame["edge_type"] = _csr_prop(G, G.edge_types)[eidx]
+    if G.edge_times is not None:
+        frame["edge_time"] = _csr_prop(G, G.edge_times)[eidx]
+    return frame
+
+
+def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
+                            random_state=None, seed_time=None, strict=True):
+    """Shared driver: per hop, per (type, fanout) masked sampling.
+
+    fanouts_per_hop: list of lists [(type_key, k), ...] per hop.
+    masks_by_type: type_key → bool [pad_e] eligibility in CSR edge order.
+    """
+    g = G.structure
+    seeds = normalize_start(G, start_list).astype(np.int32)
+    key = jax.random.PRNGKey(random_state if random_state is not None else 0)
+    n = G.number_of_vertices()
+    max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
+
+    edge_times = (jnp.asarray(_csr_prop(G, G.edge_times).astype(np.float32))
+                  if G.edge_times is not None and seed_time is not None else None)
+    times = None
+    if edge_times is not None:
+        t0 = np.full(len(seeds), np.float32(seed_time), np.float32)
+        times = t0
+
+    frames = []
+    frontier = seeds
+    batch_ids = np.arange(len(seeds), dtype=np.int32)
+    for hop, fanouts in enumerate(fanouts_per_hop):
+        if len(frontier) == 0:
+            break
+        hop_frames = []
+        for type_key, k in fanouts:
+            if int(k) <= 0:
+                continue
+            key, sub = jax.random.split(key)
+            dst, eidx, valid = _sample_neighbors_masked(
+                g, jnp.asarray(frontier), sub, int(k), max_deg,
+                masks_by_type[type_key],
+                jnp.asarray(times) if times is not None else None,
+                edge_times, strict)
+            dst = np.asarray(dst); eidx = np.asarray(eidx)
+            valid = np.asarray(valid)
+            kk = dst.shape[1]
+            srcs = np.repeat(frontier, kk)
+            bats = np.repeat(batch_ids, kk)
+            flat = valid.reshape(-1)
+            fe = eidx.reshape(-1)[flat]
+            fr = pd.DataFrame({
+                "sources": srcs[flat],
+                "destinations": dst.reshape(-1)[flat],
+                "weight": np.asarray(g.csr.weights)[fe],
+                "hop_id": np.int32(hop),
+                "batch_id": bats[flat],
+            })
+            fr = _attach_edge_props(G, fr, fe)
+            hop_frames.append(fr)
+        if not hop_frames:
+            break
+        hf = pd.concat(hop_frames, ignore_index=True)
+        frames.append(hf)
+        nxt, first_idx = np.unique(hf["destinations"].to_numpy(), return_index=True)
+        frontier = nxt.astype(np.int32)
+        batch_ids = hf["batch_id"].to_numpy()[first_idx]
+        if times is not None:
+            times = hf["edge_time"].to_numpy()[first_idx].astype(np.float32)
+
+    cols = ["sources", "destinations", "weight", "hop_id", "batch_id"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    out = pd.concat(frames, ignore_index=True)
+    out["sources"] = unrenumber_column(G, out["sources"].to_numpy())
+    out["destinations"] = unrenumber_column(G, out["destinations"].to_numpy())
+    return out
+
+
+def _type_masks(G):
+    """bool [pad_e] CSR-order eligibility mask per edge type."""
+    if G.edge_types is None:
+        raise ValueError("heterogeneous sampling requires edge_type on the graph")
+    et = _csr_prop(G, G.edge_types)
+    types = np.unique(np.asarray(G.edge_types))
+    pad_e = G.structure.csr.pad_e
+    m = G.number_of_edges()
+    valid = np.zeros(pad_e, bool)
+    valid[:m] = True
+    return {int(t): jnp.asarray((et == t) & valid) for t in types}, types
+
+
+def heterogeneous_uniform_neighbor_sample(G, start_list, fanout_vals,
+                                          num_edge_types: int | None = None,
+                                          random_state=None, **kw):
+    """Per-edge-type fanouts (reference
+    heterogeneous_uniform_neighbor_sample.pyx): ``fanout_vals`` is flattened
+    [hop0_type0, hop0_type1, ..., hop1_type0, ...]."""
+    masks, types = _type_masks(G)
+    ntypes = num_edge_types or len(types)
+    fv = list(fanout_vals)
+    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
+    hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
+    fanouts_per_hop = [
+        [(int(types[t]), k) for t, k in enumerate(hop_fans) if int(types[t]) in masks]
+        for hop_fans in hops
+    ]
+    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
+                                   masks_by_type=masks, random_state=random_state)
+
+
+def heterogeneous_biased_neighbor_sample(G, start_list, fanout_vals,
+                                         num_edge_types: int | None = None,
+                                         random_state=None, **kw):
+    """Biased variant: eligibility ∧ weight-proportional Gumbel trick would
+    need per-type weights; currently weights bias is approximated by uniform
+    sampling within type (documented limitation)."""
+    return heterogeneous_uniform_neighbor_sample(
+        G, start_list, fanout_vals, num_edge_types, random_state, **kw)
+
+
+def homogeneous_uniform_temporal_neighbor_sample(
+        G, start_list, fanout_vals, seed_time=0.0, strict: bool = True,
+        random_state=None, **kw):
+    """Temporal sampling: only edges with time > (≥ when strict=False) the
+    seed's time are eligible; sampled vertices inherit the traversed edge's
+    time (reference temporal_sampling_impl.cuh comparison semantics,
+    sampling_functions.hpp:75)."""
+    if G.edge_times is None:
+        raise ValueError("temporal sampling requires edge_time on the graph")
+    pad_e = G.structure.csr.pad_e
+    m = G.number_of_edges()
+    all_ok = np.zeros(pad_e, bool)
+    all_ok[:m] = True
+    masks = {0: jnp.asarray(all_ok)}
+    fanouts_per_hop = [[(0, k)] for k in fanout_vals]
+    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
+                                   masks_by_type=masks,
+                                   random_state=random_state,
+                                   seed_time=seed_time, strict=strict)
+
+
+def heterogeneous_uniform_temporal_neighbor_sample(
+        G, start_list, fanout_vals, num_edge_types: int | None = None,
+        seed_time=0.0, strict: bool = True, random_state=None, **kw):
+    masks, types = _type_masks(G)
+    ntypes = num_edge_types or len(types)
+    fv = list(fanout_vals)
+    hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
+    fanouts_per_hop = [
+        [(int(types[t]), k) for t, k in enumerate(hop_fans)]
+        for hop_fans in hops
+    ]
+    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
+                                   masks_by_type=masks,
+                                   random_state=random_state,
+                                   seed_time=seed_time, strict=strict)

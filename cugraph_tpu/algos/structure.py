@@ -85,3 +85,126 @@ def two_hop_neighbors(G):
 def k_hop_neighbors(G, start, k):
     from cugraph_tpu.algos.traversal import k_hop_neighbors as _khop
     return _khop(G, start, k)
+
+
+# --------------------------------------------------------------------------
+# Structure utilities rounding out the reference surface
+# (graph_functions.hpp:366-1144; pylibcugraph decompress_to_edgelist.pyx,
+#  replicate_edgelist.pyx, select_random_vertices.pyx, extract_vertex_list.pyx,
+#  count_multi_edges.pyx, renumber_arbitrary_edgelist.pyx)
+# --------------------------------------------------------------------------
+
+def decompress_to_edgelist(G) -> pd.DataFrame:
+    """Graph → COO edge frame in external ids (graph_functions.hpp:366)."""
+    src, dst, w = G.edgelist_arrays()
+    nm = G.number_map
+    out = {"src": nm.to_external(src), "dst": nm.to_external(dst)}
+    if w is not None:
+        out["weight"] = w
+    if G.edge_ids is not None:
+        out["edge_id"] = G.edge_ids
+    if G.edge_types is not None:
+        out["edge_type"] = G.edge_types
+    return pd.DataFrame(out)
+
+
+def replicate_edgelist(G) -> pd.DataFrame:
+    """SG no-op copy of the edge list (the MG version allgathers it —
+    c_api/allgather.cpp; on a mesh use parallel.mesh.shard_dist_graph's
+    gathered arrays)."""
+    return decompress_to_edgelist(G)
+
+
+def select_random_vertices(G, num_vertices: int, random_state=None) -> np.ndarray:
+    """Uniform sample of distinct vertices (select_random_vertices_impl.hpp)."""
+    n = G.number_of_vertices()
+    if num_vertices > n:
+        raise ValueError("cannot select more vertices than the graph has")
+    rng = np.random.default_rng(random_state)
+    ids = rng.choice(n, size=num_vertices, replace=False).astype(np.int32)
+    return G.number_map.to_external(ids)
+
+
+def extract_vertex_list(G) -> np.ndarray:
+    """All vertex ids, external (extract_vertex_list.pyx)."""
+    return G.nodes()
+
+
+def count_multi_edges(G) -> int:
+    """Number of edges beyond the first of each parallel group
+    (graph_view count_multi_edges / count_multi_edges.pyx)."""
+    src, dst, _ = G.edgelist_arrays()
+    key = src.astype(np.int64) << 32 | dst.astype(np.uint32).astype(np.int64)
+    return int(len(key) - len(np.unique(key)))
+
+
+def renumber_arbitrary_edgelist(src, dst):
+    """Renumber an edge list with arbitrary (possibly 64-bit) ids to dense
+    int32 (renumber_arbitrary_edgelist.pyx).  Returns (src32, dst32, map)."""
+    from cugraph_tpu.core import native
+
+    res = native.renumber_native(np.asarray(src, np.int64),
+                                 np.asarray(dst, np.int64))
+    if res is not None:
+        uniq, s32, d32 = res
+        return s32, d32, uniq
+    from cugraph_tpu.core.renumber import renumber_edgelist
+
+    s32, d32, nmap = renumber_edgelist(np.asarray(src), np.asarray(dst),
+                                       sort_by_degree=False)
+    return s32, d32, nmap._i2e
+
+
+# -- weight utilities (structure/graph_weight_utils_impl.cuh) ----------------
+
+def out_weight_sums(G) -> np.ndarray:
+    g = G.structure
+    return np.asarray(g.out_weight_sums())[: G.number_of_vertices()]
+
+
+def in_weight_sums(G) -> np.ndarray:
+    g = G.structure
+    return np.asarray(g.in_weight_sums())[: G.number_of_vertices()]
+
+
+def total_edge_weight(G) -> float:
+    _, _, w = G.edgelist_arrays()
+    if w is None:
+        return float(G.number_of_edges())
+    return float(np.sum(w))
+
+
+# -- hypergraph construction (python-only in the reference:
+#    python/cugraph/cugraph/structure/hypergraph.py) -------------------------
+
+def hypergraph(df: pd.DataFrame, columns=None, *, categorical_metadata=True,
+               drop_edge_attrs=False, direct: bool = False):
+    """Build a bipartite (entity, row-node) — or direct entity–entity — graph
+    from a DataFrame's categorical columns.  Returns (nodes_df, edges_df, G).
+    """
+    from cugraph_tpu.api.graph import Graph
+
+    if columns is None:
+        columns = [c for c in df.columns]
+    ents = []
+    for c in columns:
+        vals = df[c].astype(str)
+        ents.append(c + "::" + vals)
+    if direct:
+        # clique among the entity nodes of each row
+        srcs, dsts = [], []
+        for i in range(len(columns)):
+            for j in range(i + 1, len(columns)):
+                srcs.append(ents[i]); dsts.append(ents[j])
+        edges = pd.DataFrame({"src": pd.concat(srcs, ignore_index=True),
+                              "dst": pd.concat(dsts, ignore_index=True)})
+    else:
+        row_nodes = pd.Series([f"rownode::{i}" for i in range(len(df))])
+        srcs = [pd.Series(row_nodes) for _ in columns]
+        edges = pd.DataFrame({"src": pd.concat(srcs, ignore_index=True),
+                              "dst": pd.concat(ents, ignore_index=True)})
+    nodes = pd.DataFrame({"node": pd.unique(
+        pd.concat([edges["src"], edges["dst"]], ignore_index=True))})
+    G = Graph()
+    G.from_edgelist(edges["src"].to_numpy(), edges["dst"].to_numpy(), None)
+    return nodes, edges, G

@@ -43,6 +43,9 @@ class Graph:
         self._src: np.ndarray | None = None  # internal int32 ids
         self._dst: np.ndarray | None = None
         self._weight: np.ndarray | None = None
+        self._edge_id: np.ndarray | None = None
+        self._edge_type: np.ndarray | None = None
+        self._edge_time: np.ndarray | None = None
         self._number_map: NumberMap | None = None
         self._structure: GraphStructure | None = None
         self._renumbered = False
@@ -57,6 +60,9 @@ class Graph:
         *,
         vertices=None,
         renumber: bool = True,
+        edge_id=None,
+        edge_type=None,
+        edge_time=None,
         store_transposed: bool = False,  # accepted for API parity; both
                                          # orientations are materialized
     ) -> "Graph":
@@ -84,7 +90,9 @@ class Graph:
             src = np.asarray(source)
             dst = np.asarray(destination)
             w = None if weight is None else np.asarray(weight, dtype=np.float32)
-        return self._from_arrays(src, dst, w, renumber=renumber, vertices=vertices)
+        return self._from_arrays(src, dst, w, renumber=renumber, vertices=vertices,
+                                 edge_id=edge_id, edge_type=edge_type,
+                                 edge_time=edge_time)
 
     def from_pandas_edgelist(self, df, source="src", destination="dst",
                              edge_attr=None, renumber=True) -> "Graph":
@@ -99,13 +107,22 @@ class Graph:
         w = A[src, dst].astype(np.float32)
         return self._from_arrays(src, dst, w, renumber=True)
 
-    def _from_arrays(self, src, dst, weight, *, renumber=True, vertices=None) -> "Graph":
+    def _from_arrays(self, src, dst, weight, *, renumber=True, vertices=None,
+                     edge_id=None, edge_type=None, edge_time=None) -> "Graph":
         if self._src is not None:
             raise InvalidInputError("graph already has an edge list")
         if src.shape != dst.shape:
             raise InvalidInputError("source/destination length mismatch")
         if weight is not None and weight.shape != src.shape:
             raise InvalidInputError("weight length mismatch")
+        extras = {}
+        for name, arr in (("edge_id", edge_id), ("edge_type", edge_type),
+                          ("edge_time", edge_time)):
+            if arr is not None:
+                arr = np.asarray(arr)
+                if arr.shape != src.shape:
+                    raise InvalidInputError(f"{name} length mismatch")
+                extras[name] = arr
 
         if renumber:
             src_i, dst_i, nmap = renumber_edgelist(src, dst, vertices=vertices)
@@ -118,15 +135,49 @@ class Graph:
             src_i, dst_i = src.astype(np.int32), dst.astype(np.int32)
             nmap = NumberMap(np.arange(n))
 
-        if not self._multi:
-            src_i, dst_i, weight = preprocess.remove_multi_edges(src_i, dst_i, weight)
-        if not self._directed:
-            src_i, dst_i, weight = preprocess.symmetrize_edgelist(src_i, dst_i, weight)
+        if extras and (not self._multi or not self._directed):
+            # edge properties require keeping every edge as-is; mirror the
+            # reference, which attaches edge_id/type to directed multigraph
+            # construction paths (graphs.pyx SGGraph edge_id_array)
+            if not self._multi:
+                key = (src_i.astype(np.int64) << 32) | dst_i.astype(np.int64)
+                _, idx = np.unique(key, return_index=True)
+                idx.sort()
+                src_i, dst_i = src_i[idx], dst_i[idx]
+                weight = None if weight is None else weight[idx]
+                extras = {k: v[idx] for k, v in extras.items()}
+            if not self._directed:
+                src_i, dst_i = (np.concatenate([src_i, dst_i]),
+                                np.concatenate([dst_i, src_i]))
+                weight = None if weight is None else np.concatenate([weight, weight])
+                extras = {k: np.concatenate([v, v]) for k, v in extras.items()}
+        elif not extras:
+            if not self._multi:
+                src_i, dst_i, weight = preprocess.remove_multi_edges(src_i, dst_i, weight)
+            if not self._directed:
+                src_i, dst_i, weight = preprocess.symmetrize_edgelist(src_i, dst_i, weight)
 
         self._src, self._dst, self._weight = src_i, dst_i, weight
+        self._edge_id = extras.get("edge_id")
+        self._edge_type = extras.get("edge_type")
+        self._edge_time = extras.get("edge_time")
         self._number_map = nmap
         self._renumbered = renumber
         return self
+
+    # -- edge properties ------------------------------------------------------
+
+    @property
+    def edge_ids(self):
+        return self._edge_id
+
+    @property
+    def edge_types(self):
+        return self._edge_type
+
+    @property
+    def edge_times(self):
+        return self._edge_time
 
     # -- properties -----------------------------------------------------------
 

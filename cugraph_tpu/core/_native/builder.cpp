@@ -1,0 +1,189 @@
+// Native graph-construction kernels (host side).
+//
+// TPU-native equivalent of the reference's native construction layer:
+// renumbering (cpp/src/structure/renumber_edgelist_impl.cuh) and COO→CSR
+// compression (cpp/src/structure/create_graph_from_edgelist_impl.cuh),
+// re-targeted at the host CPU: on a TPU system the graph build is host work
+// (the device consumes the padded CSR arrays), so the "CUDA part" of the
+// reference maps to tight C++ loops here, exposed to Python via ctypes.
+//
+// All functions use counting sort / radix passes — O(V + E), no comparisons —
+// which beats numpy's lexsort by an order of magnitude on large edge lists.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// COO (major, minor, weight) → CSR-style arrays sorted by (major, minor).
+// Inputs:  major/minor int32[m], weight float[m] (may be null), n vertices,
+//          pad_v (vertex slots incl. sink), pad_e (edge slots), sink id.
+// Outputs: offsets int32[pad_v+1], out_major/out_minor int32[pad_e],
+//          out_weight float[pad_e].  Padding lanes get (sink, sink, 0).
+// Returns 0 on success, -1 on bad args.
+int coo_to_csr(const int32_t* major, const int32_t* minor, const float* weight,
+               int64_t m, int64_t n, int64_t pad_v, int64_t pad_e, int32_t sink,
+               int32_t* offsets, int32_t* out_major, int32_t* out_minor,
+               float* out_weight) {
+  if (m > pad_e || n + 1 > pad_v) return -1;
+
+  // pass 1: counting sort by major → row starts
+  std::vector<int64_t> cnt(pad_v + 1, 0);
+  for (int64_t e = 0; e < m; ++e) cnt[major[e] + 1]++;
+  for (int64_t v = 0; v < pad_v; ++v) cnt[v + 1] += cnt[v];
+  for (int64_t v = 0; v <= pad_v; ++v) offsets[v] = (int32_t)cnt[v];
+  // all padding edges live in the sink row
+  offsets[pad_v] = (int32_t)pad_e;
+  if (sink + 1 < pad_v) {
+    for (int64_t v = sink + 1; v <= pad_v; ++v) offsets[v] = (int32_t)pad_e;
+  }
+
+  // scatter minors/weights by major (stable)
+  std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
+  std::vector<int32_t> tmp_minor(m);
+  std::vector<float> tmp_weight(weight ? m : 0);
+  std::vector<int64_t> pos(m);
+  for (int64_t e = 0; e < m; ++e) pos[e] = cur[major[e]]++;
+  for (int64_t e = 0; e < m; ++e) tmp_minor[pos[e]] = minor[e];
+  if (weight)
+    for (int64_t e = 0; e < m; ++e) tmp_weight[pos[e]] = weight[e];
+
+  // pass 2: sort minors within each row (counting sort over the whole minor
+  // domain amortized: radix by minor first would change stability; rows are
+  // short on average — use per-row insertion via a second global counting
+  // sort keyed by (minor) then stable re-scatter by major):
+  // equivalent trick: stable-sort by minor globally, then stable by major.
+  std::vector<int64_t> cnt2(pad_v + 1, 0);
+  for (int64_t e = 0; e < m; ++e) cnt2[minor[e] + 1]++;
+  for (int64_t v = 0; v < pad_v; ++v) cnt2[v + 1] += cnt2[v];
+  std::vector<int64_t> cur2(cnt2.begin(), cnt2.end() - 1);
+  std::vector<int64_t> order1(m);  // positions after sort-by-minor
+  for (int64_t e = 0; e < m; ++e) order1[cur2[minor[e]]++] = e;
+  // now stable counting sort those by major
+  std::fill(cur.begin(), cur.end(), 0);
+  for (int64_t v = 0; v < pad_v; ++v) cur[v] = cnt[v];
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t e = order1[i];
+    int64_t p = cur[major[e]]++;
+    out_major[p] = major[e];
+    out_minor[p] = minor[e];
+    out_weight[p] = weight ? weight[e] : 1.0f;
+  }
+  for (int64_t p = m; p < pad_e; ++p) {
+    out_major[p] = sink;
+    out_minor[p] = sink;
+    out_weight[p] = 0.0f;
+  }
+  return 0;
+}
+
+// Renumber: map arbitrary int64 vertex ids to dense [0, n) ids.
+// Two-pass radix-hash: returns number of unique ids, fills id arrays.
+// unique_out must have capacity m*2 (worst case); src_out/dst_out size m.
+int64_t renumber_edgelist64(const int64_t* src, const int64_t* dst, int64_t m,
+                            int64_t* unique_out, int32_t* src_out,
+                            int32_t* dst_out) {
+  // open-addressing hash table sized to next pow2 ≥ 4m
+  int64_t cap = 4;
+  while (cap < 2 * m + 1) cap <<= 1;
+  std::vector<int64_t> keys(cap, INT64_MIN);
+  std::vector<int32_t> vals(cap, -1);
+  int64_t n = 0;
+  auto intern = [&](int64_t k) -> int32_t {
+    uint64_t h = (uint64_t)k * 0x9E3779B97F4A7C15ull;
+    int64_t i = (int64_t)(h & (uint64_t)(cap - 1));
+    while (true) {
+      if (keys[i] == k) return vals[i];
+      if (keys[i] == INT64_MIN) {
+        keys[i] = k;
+        vals[i] = (int32_t)n;
+        unique_out[n++] = k;
+        return vals[i];
+      }
+      i = (i + 1) & (cap - 1);
+    }
+  };
+  for (int64_t e = 0; e < m; ++e) {
+    src_out[e] = intern(src[e]);
+    dst_out[e] = intern(dst[e]);
+  }
+  return n;
+}
+
+// Degree computation: weighted out/in degrees in one pass.
+void degrees(const int32_t* src, const int32_t* dst, const float* weight,
+             int64_t m, int64_t n, float* out_deg, float* in_deg) {
+  std::memset(out_deg, 0, n * sizeof(float));
+  std::memset(in_deg, 0, n * sizeof(float));
+  for (int64_t e = 0; e < m; ++e) {
+    float w = weight ? weight[e] : 1.0f;
+    out_deg[src[e]] += w;
+    in_deg[dst[e]] += w;
+  }
+}
+
+// 2D-partition edge bucketing (cugraph_tpu.parallel.partition._build_blocks
+// hot loop): computes per-edge device id and local indices for the pull
+// orientation, then a grouped (device, dst_loc, src_loc) sort.
+// Outputs are pre-allocated dense blocks [n_dev, e_local].
+int build_blocks_2d(const int64_t* gathered_end, const int64_t* reduced_end,
+                    const float* weight, int64_t m, int64_t pmaj, int64_t pmin,
+                    int64_t chunk, int64_t e_local, int32_t* src_loc,
+                    int32_t* dst_loc, float* w_out, uint8_t* valid_out) {
+  const int64_t n_dev = pmaj * pmin;
+  const int64_t row_block = pmin * chunk;
+  const int64_t dst_pad = pmaj * chunk - 1;
+
+  std::vector<int64_t> cnt(n_dev, 0);
+  std::vector<int32_t> dev(m);
+  for (int64_t e = 0; e < m; ++e) {
+    int64_t i = gathered_end[e] / row_block;
+    int64_t j = (reduced_end[e] / chunk) % pmin;
+    dev[e] = (int32_t)(i * pmin + j);
+    cnt[dev[e]]++;
+  }
+  for (int64_t d = 0; d < n_dev; ++d)
+    if (cnt[d] > e_local) return -1;
+
+  // init padding
+  for (int64_t d = 0; d < n_dev; ++d) {
+    int64_t base = d * e_local;
+    for (int64_t k = 0; k < e_local; ++k) {
+      src_loc[base + k] = 0;
+      dst_loc[base + k] = (int32_t)dst_pad;
+      w_out[base + k] = 0.0f;
+      valid_out[base + k] = 0;
+    }
+  }
+  // counting-sort per device by dst_loc (single global pass: bucket per
+  // device, then stable sort by dst within device)
+  std::vector<std::vector<int64_t>> per_dev(n_dev);
+  for (int64_t d = 0; d < n_dev; ++d) per_dev[d].reserve(cnt[d]);
+  for (int64_t e = 0; e < m; ++e) per_dev[dev[e]].push_back(e);
+
+  std::vector<int64_t> keycnt;
+  for (int64_t d = 0; d < n_dev; ++d) {
+    auto& es = per_dev[d];
+    int64_t nseg = pmaj * chunk;
+    keycnt.assign(nseg + 1, 0);
+    for (int64_t e : es) {
+      int64_t dl = (reduced_end[e] / row_block) * chunk + (reduced_end[e] % chunk);
+      keycnt[dl + 1]++;
+    }
+    for (int64_t k = 0; k < nseg; ++k) keycnt[k + 1] += keycnt[k];
+    int64_t base = d * e_local;
+    for (int64_t e : es) {
+      int64_t i = gathered_end[e] / row_block;
+      int64_t dl = (reduced_end[e] / row_block) * chunk + (reduced_end[e] % chunk);
+      int64_t p = base + keycnt[dl]++;
+      src_loc[p] = (int32_t)(gathered_end[e] - i * row_block);
+      dst_loc[p] = (int32_t)dl;
+      w_out[p] = weight ? weight[e] : 1.0f;
+      valid_out[p] = 1;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

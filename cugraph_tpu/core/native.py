@@ -1,0 +1,163 @@
+"""ctypes loader for the native (C++) graph-construction kernels.
+
+The reference implements construction in CUDA (renumber_edgelist_impl.cuh,
+create_graph_from_edgelist_impl.cuh); on a TPU system construction is host
+work, so the native layer is tight C++ (counting sorts, open-addressing
+renumber map) compiled on first use with the system toolchain and loaded via
+ctypes.  NumPy fallbacks keep everything working when no compiler is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "_native", "builder.cpp")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _cache_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "CUGRAPH_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "cugraph_tpu"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"builder_{digest}.so")
+
+
+def _build() -> str | None:
+    so = _cache_path()
+    if os.path.exists(so):
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", so + ".tmp"],
+            check=True, capture_output=True, timeout=180,
+        )
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception:
+        return None
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.coo_to_csr.restype = ctypes.c_int
+        lib.coo_to_csr.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int32,
+                                   i32p, i32p, i32p, f32p]
+        lib.renumber_edgelist64.restype = ctypes.c_int64
+        lib.renumber_edgelist64.argtypes = [i64p, i64p, ctypes.c_int64,
+                                            i64p, i32p, i32p]
+        lib.degrees.restype = None
+        lib.degrees.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                ctypes.c_int64, f32p, f32p]
+        lib.build_blocks_2d.restype = ctypes.c_int
+        lib.build_blocks_2d.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        i32p, i32p, f32p, u8p]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def coo_to_csr_native(major, minor, weight, num_vertices, pad_v, pad_e, sink):
+    """Native COO→sorted-CSR; returns (offsets, out_major, out_minor,
+    out_weight) or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    major = np.ascontiguousarray(major, np.int32)
+    minor = np.ascontiguousarray(minor, np.int32)
+    m = major.shape[0]
+    w = None if weight is None else np.ascontiguousarray(weight, np.float32)
+    offsets = np.empty(pad_v + 1, np.int32)
+    om = np.empty(pad_e, np.int32)
+    on = np.empty(pad_e, np.int32)
+    ow = np.empty(pad_e, np.float32)
+    rc = lib.coo_to_csr(
+        _ptr(major, ctypes.c_int32), _ptr(minor, ctypes.c_int32),
+        _ptr(w, ctypes.c_float) if w is not None else None,
+        m, num_vertices, pad_v, pad_e, sink,
+        _ptr(offsets, ctypes.c_int32), _ptr(om, ctypes.c_int32),
+        _ptr(on, ctypes.c_int32), _ptr(ow, ctypes.c_float))
+    if rc != 0:
+        return None
+    return offsets, om, on, ow
+
+
+def renumber_native(src, dst):
+    """Native renumber: (src64, dst64) → (unique_ids, src32, dst32) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    m = src.shape[0]
+    uniq = np.empty(max(2 * m, 1), np.int64)
+    so = np.empty(m, np.int32)
+    do = np.empty(m, np.int32)
+    n = lib.renumber_edgelist64(_ptr(src, ctypes.c_int64),
+                                _ptr(dst, ctypes.c_int64), m,
+                                _ptr(uniq, ctypes.c_int64),
+                                _ptr(so, ctypes.c_int32),
+                                _ptr(do, ctypes.c_int32))
+    return uniq[:n].copy(), so, do
+
+
+def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,
+                           chunk, e_local):
+    """Native 2D-partition bucketing; returns (src_loc, dst_loc, w, valid)
+    as [n_dev, e_local] arrays, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ge = np.ascontiguousarray(gathered_end, np.int64)
+    re = np.ascontiguousarray(reduced_end, np.int64)
+    m = ge.shape[0]
+    w = None if weight is None else np.ascontiguousarray(weight, np.float32)
+    n_dev = pmaj * pmin
+    src_loc = np.empty((n_dev, e_local), np.int32)
+    dst_loc = np.empty((n_dev, e_local), np.int32)
+    w_out = np.empty((n_dev, e_local), np.float32)
+    valid = np.empty((n_dev, e_local), np.uint8)
+    rc = lib.build_blocks_2d(
+        _ptr(ge, ctypes.c_int64), _ptr(re, ctypes.c_int64),
+        _ptr(w, ctypes.c_float) if w is not None else None,
+        m, pmaj, pmin, chunk, e_local,
+        _ptr(src_loc, ctypes.c_int32), _ptr(dst_loc, ctypes.c_int32),
+        _ptr(w_out, ctypes.c_float), _ptr(valid, ctypes.c_uint8))
+    if rc != 0:
+        return None
+    return src_loc, dst_loc, w_out, valid.astype(bool)

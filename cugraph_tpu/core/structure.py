@@ -102,14 +102,33 @@ def build_csr_host(
     major = np.asarray(major, dtype=np.int32)
     minor = np.asarray(minor, dtype=np.int32)
     num_edges = int(major.shape[0])
-    if weight is None:
-        weight = np.ones(num_edges, dtype=dtype)
-    else:
-        weight = np.asarray(weight, dtype=dtype)
 
     pad_v = padded_vertex_count(num_vertices, v_align)
     sink = pad_v - 1
     pad_e = max(round_up(num_edges, e_align), e_align)
+
+    # native C++ counting-sort path (core/_native/builder.cpp), ~10× numpy's
+    # lexsort; silently falls back to numpy when no toolchain is present
+    if dtype == np.float32:
+        from cugraph_tpu.core import native
+
+        res = native.coo_to_csr_native(major, minor, weight, num_vertices,
+                                       pad_v, pad_e, sink)
+        if res is not None:
+            offsets, maj_s, min_s, w_s = res
+            return CsrMatrix(
+                offsets=jnp.asarray(offsets),
+                indices=jnp.asarray(min_s),
+                weights=jnp.asarray(w_s),
+                majors=jnp.asarray(maj_s),
+                num_vertices=num_vertices,
+                num_edges=num_edges,
+            )
+
+    if weight is None:
+        weight = np.ones(num_edges, dtype=dtype)
+    else:
+        weight = np.asarray(weight, dtype=dtype)
 
     # lexicographic (major, minor) order: adjacency lists come out sorted,
     # enabling O(log d) vectorized membership tests (nbr_intersection analog,

@@ -44,6 +44,31 @@ def _rmat_kernel(key, scale: int, num_edges: int, a, b, c, clip_and_flip: bool):
     return src.astype(jnp.int32), dst.astype(jnp.int32)
 
 
+def _rmat_host(scale: int, num_edges: int, a: float, b: float, c: float,
+               seed: int, clip_and_flip: bool):
+    """Host NumPy RMAT — identical quadrant semantics to _rmat_kernel.
+
+    Graph generation is host work in this framework (the device consumes the
+    compressed graph); drawing on-host avoids a device round-trip of the
+    [edges × scale] uniform tensor, which dominates wall time on a tunneled
+    accelerator."""
+    rng = np.random.default_rng(seed)
+    src = np.zeros(num_edges, np.int64)
+    dst = np.zeros(num_edges, np.int64)
+    for _ in range(scale):
+        u = rng.random(num_edges)
+        src_bit = (u >= a + b).astype(np.int64)
+        thresh_dst = np.where(src_bit == 1, a + b + c, a)
+        dst_bit = (u >= thresh_dst).astype(np.int64)
+        src = (src << 1) | src_bit
+        dst = (dst << 1) | dst_bit
+    if clip_and_flip:
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        src, dst = lo, hi
+    return src.astype(np.int32), dst.astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("scale",))
 def _scramble_kernel(ids, scale: int):
     """Deterministic vertex-id scrambler within [0, 2^scale) (reference
@@ -72,19 +97,17 @@ def rmat(scale: int, num_edges: int, a: float = 0.57, b: float = 0.19,
     if a + b + c > 1.0:
         raise ValueError("a + b + c must be <= 1.0")
     key = jax.random.PRNGKey(seed)
-    src, dst = _rmat_kernel(key, int(scale), int(num_edges),
-                            jnp.float32(a), jnp.float32(b), jnp.float32(c),
-                            bool(clip_and_flip))
+    src, dst = _rmat_host(int(scale), int(num_edges), float(a), float(b),
+                          float(c), int(seed), bool(clip_and_flip))
     if scramble_vertex_ids:
-        src = _scramble_kernel(src, int(scale))
-        dst = _scramble_kernel(dst, int(scale))
+        src = np.asarray(_scramble_kernel(jnp.asarray(src), int(scale)))
+        dst = np.asarray(_scramble_kernel(jnp.asarray(dst), int(scale)))
     src = np.asarray(src)
     dst = np.asarray(dst)
     cols = {"src": src, "dst": dst}
     if include_edge_weights:
-        wkey = jax.random.fold_in(key, 1)
-        w = np.asarray(jax.random.uniform(
-            wkey, (num_edges,), minval=minimum_weight, maxval=maximum_weight))
+        w = np.random.default_rng(seed + 1).uniform(
+            minimum_weight, maximum_weight, num_edges)
         cols["weights"] = w.astype(dtype)
     import pandas as pd
     df = pd.DataFrame(cols)

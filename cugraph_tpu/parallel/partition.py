@@ -156,6 +156,24 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
     """
     pmaj, pmin = part.pmaj, part.pmin
     i, j = part.edge_device(minor_end, major_end)
+
+    # native C++ path (core/_native/builder.cpp build_blocks_2d)
+    counts_native = np.bincount(i * pmin + j, minlength=part.num_devices)
+    e_local_n = max(int(round_up(max(counts_native.max(initial=0), 1), E_ALIGN)),
+                    E_ALIGN)
+    from cugraph_tpu.core import native
+
+    res = native.build_blocks_2d_native(minor_end, major_end, weight,
+                                        pmaj, pmin, part.chunk, e_local_n)
+    if res is not None:
+        sl, dl, ww, vv = res
+        shape = (pmaj, pmin, e_local_n)
+        return EdgeBlocks(
+            src_loc=jnp.asarray(sl.reshape(shape)),
+            dst_loc=jnp.asarray(dl.reshape(shape)),
+            weight=jnp.asarray(ww.reshape(shape)),
+            valid=jnp.asarray(vv.reshape(shape)),
+        )
     src_loc = part.src_local(minor_end, i).astype(np.int64)
     dst_loc = part.dst_local(major_end).astype(np.int64)
 

@@ -1,0 +1,55 @@
+"""One-hot SpMV kernel: interpret-mode correctness vs a NumPy oracle.
+
+On-TPU speed is covered by bench.py; here the Pallas kernel runs in
+interpreter mode on CPU so the tiling/plan logic is exercised everywhere.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan, spmv_onehot
+
+
+@pytest.mark.parametrize("n,m,yb_rows", [
+    (300, 2000, 8192),       # single y block
+    (40_000, 120_000, 128),  # multiple y blocks + multiple x windows
+    (7, 5, 8192),            # tiny
+    (1, 0, 8192),            # empty
+])
+def test_spmv_onehot_matches_numpy(n, m, yb_rows):
+    rng = np.random.default_rng(n + m)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)
+    plan = build_spmv_plan(src, dst, w, n, yb_rows=yb_rows)
+    x = rng.random(plan.pad_v).astype(np.float32)
+
+    y = np.asarray(spmv_onehot(plan, jnp.asarray(x), interpret=True))
+    expect = np.zeros(plan.pad_v, np.float64)
+    np.add.at(expect, dst, w.astype(np.float64) * x[src])
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_spmv_plan_padding_overhead_is_bounded():
+    rng = np.random.default_rng(0)
+    n, m = 1 << 14, 1 << 18
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    plan = build_spmv_plan(src, dst, None, n)
+    # tiles ≥ ideal, but padding should stay modest on a uniform graph
+    ideal = m // 1024
+    assert plan.num_tiles <= ideal * 1.5 + 16
+
+
+def test_spmv_self_loops_and_multi_edges():
+    src = np.array([0, 0, 0, 2, 2, 1])
+    dst = np.array([1, 1, 0, 2, 2, 1])
+    w = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], np.float32)
+    plan = build_spmv_plan(src, dst, w, 3)
+    x = np.zeros(plan.pad_v, np.float32)
+    x[:3] = [10.0, 20.0, 30.0]
+    y = np.asarray(spmv_onehot(plan, jnp.asarray(x), interpret=True))
+    assert y[0] == pytest.approx(3 * 10)           # 0→0 w3
+    assert y[1] == pytest.approx(1 * 10 + 2 * 10 + 6 * 20)
+    assert y[2] == pytest.approx((4 + 5) * 30)

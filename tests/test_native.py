@@ -1,0 +1,115 @@
+"""Native (C++) builder vs NumPy-path equivalence.
+
+The native layer (core/_native/builder.cpp via core/native.py) must produce
+bit-identical structures to the NumPy fallback — same contract the reference
+enforces between its host utilities and device results (SURVEY.md §4 tier 3).
+"""
+
+import numpy as np
+import pytest
+
+from cugraph_tpu.core import native
+from cugraph_tpu.core.structure import (
+    build_csr_host,
+    padded_vertex_count,
+    round_up,
+    E_ALIGN,
+)
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="no C++ toolchain")
+
+
+def test_coo_to_csr_matches_numpy():
+    rng = np.random.default_rng(0)
+    n, m = 500, 4000
+    major = rng.integers(0, n, m).astype(np.int32)
+    minor = rng.integers(0, n, m).astype(np.int32)
+    w = rng.random(m).astype(np.float32)
+
+    pad_v = padded_vertex_count(n)
+    pad_e = max(round_up(m, E_ALIGN), E_ALIGN)
+    res = native.coo_to_csr_native(major, minor, w, n, pad_v, pad_e, pad_v - 1)
+    assert res is not None
+    offsets, om, on, ow = res
+
+    # numpy oracle (the lexsort path)
+    order = np.lexsort((minor, major))
+    np.testing.assert_array_equal(om[:m], major[order])
+    np.testing.assert_array_equal(on[:m], minor[order])
+    np.testing.assert_array_equal(ow[:m], w[order])
+    counts = np.bincount(major, minlength=pad_v)
+    counts[pad_v - 1] += pad_e - m
+    np.testing.assert_array_equal(np.diff(offsets), counts)
+    assert np.all(om[m:] == pad_v - 1)
+    assert np.all(ow[m:] == 0)
+
+
+def test_csr_build_uses_native_and_matches():
+    # build_csr_host must give identical device arrays either way
+    rng = np.random.default_rng(1)
+    n, m = 300, 2500
+    src = rng.integers(0, n, m).astype(np.int32)
+    dst = rng.integers(0, n, m).astype(np.int32)
+    w = rng.random(m).astype(np.float32)
+
+    a = build_csr_host(src, dst, w, n)
+    # force numpy fallback by monkeypatching
+    import cugraph_tpu.core.native as nat
+    saved = nat._lib, nat._tried
+    nat._lib, nat._tried = None, True
+    try:
+        b = build_csr_host(src, dst, w, n)
+    finally:
+        nat._lib, nat._tried = saved
+    np.testing.assert_array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
+    np.testing.assert_array_equal(np.asarray(a.majors), np.asarray(b.majors))
+    np.testing.assert_array_equal(np.asarray(a.indices), np.asarray(b.indices))
+    np.testing.assert_array_equal(np.asarray(a.weights), np.asarray(b.weights))
+
+
+def test_renumber_native():
+    rng = np.random.default_rng(2)
+    ids = rng.choice(10**12, 200, replace=False)
+    src = rng.choice(ids, 1000)
+    dst = rng.choice(ids, 1000)
+    res = native.renumber_native(src, dst)
+    assert res is not None
+    uniq, s32, d32 = res
+    # mapping is consistent and dense
+    assert len(np.unique(np.concatenate([s32, d32]))) == len(uniq)
+    np.testing.assert_array_equal(uniq[s32], src)
+    np.testing.assert_array_equal(uniq[d32], dst)
+
+
+def test_build_blocks_2d_native_matches_numpy():
+    from cugraph_tpu.parallel.partition import Partition2D, _build_blocks
+    import cugraph_tpu.core.native as nat
+
+    rng = np.random.default_rng(3)
+    n, m = 200, 1500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.random(m).astype(np.float32)
+    part = Partition2D.create(n, 4, 2)
+
+    a = _build_blocks(part, major_end=dst, minor_end=src, weight=w)
+    saved = nat._lib, nat._tried
+    nat._lib, nat._tried = None, True
+    try:
+        b = _build_blocks(part, major_end=dst, minor_end=src, weight=w)
+    finally:
+        nat._lib, nat._tried = saved
+
+    # per-device multisets of (dst_loc, src_loc, w) must match; dst_loc order
+    # must be sorted in both
+    sa = np.asarray(a.dst_loc).reshape(8, -1)
+    sb = np.asarray(b.dst_loc).reshape(8, -1)
+    assert np.all(np.diff(sa, axis=1) >= 0) and np.all(np.diff(sb, axis=1) >= 0)
+    for d in range(8):
+        ta = sorted(zip(np.asarray(a.dst_loc).reshape(8, -1)[d],
+                        np.asarray(a.src_loc).reshape(8, -1)[d],
+                        np.asarray(a.weight).reshape(8, -1)[d]))
+        tb = sorted(zip(sb[d], np.asarray(b.src_loc).reshape(8, -1)[d],
+                        np.asarray(b.weight).reshape(8, -1)[d]))
+        assert ta == tb

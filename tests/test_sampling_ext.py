@@ -1,0 +1,114 @@
+"""Heterogeneous/temporal sampling, post-processing, lookup table, and the
+new structure utilities."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cugraph_tpu as ct
+
+
+def _typed_graph():
+    # two edge types: type 0 = ring 0→1→2→3→0, type 1 = star 0→{4,5,6}
+    src = np.array([0, 1, 2, 3, 0, 0, 0])
+    dst = np.array([1, 2, 3, 0, 4, 5, 6])
+    etype = np.array([0, 0, 0, 0, 1, 1, 1], np.int32)
+    eid = np.arange(7, dtype=np.int64)
+    etime = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0], np.float32)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, None, edge_id=eid, edge_type=etype,
+                    edge_time=etime, renumber=False)
+    return G
+
+
+def test_edge_properties_stored():
+    G = _typed_graph()
+    assert G.edge_ids is not None and len(G.edge_ids) == 7
+    assert G.edge_types is not None and G.edge_times is not None
+
+
+def test_heterogeneous_sampling_respects_types():
+    G = _typed_graph()
+    # hop fanouts: [type0: 2, type1: 0] → only ring edges from vertex 0
+    df = ct.heterogeneous_uniform_neighbor_sample(
+        G, [0], [2, 0], num_edge_types=2, random_state=0)
+    assert set(df["destinations"]) <= {1}          # only 0→1 is type 0
+    df2 = ct.heterogeneous_uniform_neighbor_sample(
+        G, [0], [0, 3], num_edge_types=2, random_state=0)
+    assert set(df2["destinations"]) <= {4, 5, 6}   # only star edges
+
+
+def test_temporal_sampling_monotone_times():
+    G = _typed_graph()
+    df = ct.homogeneous_uniform_temporal_neighbor_sample(
+        G, [0], [2, 2], seed_time=0.0, random_state=1)
+    # all sampled edge times must exceed the seed time and be non-decreasing
+    # across hops along each path (edge_time column present)
+    assert "edge_time" in df.columns
+    assert (df["edge_time"] > 0).all()
+    h0 = df[df.hop_id == 0]
+    h1 = df[df.hop_id == 1]
+    if len(h1):
+        assert h1["edge_time"].min() > h0["edge_time"].min()
+
+
+def test_temporal_requires_times():
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([0, 1]), np.array([1, 2]), None)
+    with pytest.raises(ValueError):
+        ct.homogeneous_uniform_temporal_neighbor_sample(G, [0], [1])
+
+
+def test_sampling_post_processing_batches():
+    G = _typed_graph()
+    df = ct.uniform_neighbor_sample(G, [0, 1], [2, 2], random_state=0)
+    batches = ct.sampling_results_to_batches(df)
+    for b, pack in batches.items():
+        n_local = len(pack["map"])
+        for hop in pack["hops"]:
+            assert hop["offsets"][-1] == len(hop["indices"])
+            assert (hop["indices"] < n_local).all()
+        # seeds come first in the renumber map
+        seed = df[df.batch_id == b]["sources"].iloc[0]
+        assert pack["map"][0] == seed or seed in pack["map"][:2]
+
+
+def test_edge_id_lookup_table():
+    G = _typed_graph()
+    t = ct.edge_id_lookup_table(G)
+    r = t.lookup_vertex_ids(np.array([4, 5]), edge_type=1)
+    assert list(r["src"]) == [0, 0]
+    assert list(r["dst"]) == [4, 5]
+    miss = t.lookup_vertex_ids(np.array([99]), edge_type=1)
+    assert miss["src"].iloc[0] == -1
+
+
+def test_structure_utils_roundtrip():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 50, 300)
+    dst = rng.integers(0, 50, 300)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    df = ct.decompress_to_edgelist(G)
+    # round-trip: same edge multiset after dedupe (Graph dedupes multi-edges)
+    a = set(zip(df["src"], df["dst"]))
+    b = set(zip(src.tolist(), dst.tolist()))
+    assert a <= b and len(a) == len(set(b))
+
+    assert ct.count_multi_edges(G) == 0  # already deduped inside Graph
+    vs = ct.select_random_vertices(G, 10, random_state=0)
+    assert len(set(vs)) == 10
+    assert len(ct.extract_vertex_list(G)) == G.number_of_vertices()
+    assert ct.total_edge_weight(G) == G.number_of_edges()
+
+    s32, d32, mp = ct.renumber_arbitrary_edgelist(
+        np.array([10**10, 10**10 + 5]), np.array([10**10 + 5, 10**10]))
+    assert s32.max() <= 1 and len(mp) == 2
+
+
+def test_hypergraph():
+    df = pd.DataFrame({"user": ["a", "b", "a"], "item": ["x", "x", "y"]})
+    nodes, edges, G = ct.hypergraph(df, columns=["user", "item"])
+    assert G.number_of_vertices() == len(nodes)
+    nodes2, edges2, G2 = ct.hypergraph(df, columns=["user", "item"], direct=True)
+    assert G2.number_of_vertices() == 4  # a,b,x,y entities only
