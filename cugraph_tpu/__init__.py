@@ -37,6 +37,9 @@ from cugraph_tpu.algos.traversal import (
     sssp,
     shortest_path_length,
     filter_unreachable,
+    extract_bfs_paths,
+    od_shortest_distances,
+    k_hop_neighbors,
 )
 
 # -- components ---------------------------------------------------------------
@@ -64,6 +67,16 @@ from cugraph_tpu.algos.community import (
     spectralBalancedCutClustering,
     spectralModularityMaximizationClustering,
 )
+from cugraph_tpu.algos.community import (
+    edge_triangle_count,
+    approx_weighted_matching,
+)
+
+# -- aux layers ---------------------------------------------------------------
+from cugraph_tpu import utils
+from cugraph_tpu import testing
+from cugraph_tpu import plc
+from cugraph_tpu.utils import ensure_cugraph_obj, import_optional
 
 # -- cores --------------------------------------------------------------------
 from cugraph_tpu.algos.cores import core_number, k_core

@@ -481,3 +481,41 @@ def analyzeClustering_ratio_cut(G, n_clusters, df, vertex_col_name="vertex",
         cut_c = float(np.sum(np.where((lab[src] == c) != (lab[dst] == c), w, 0.0))) / 2.0
         total += cut_c / size
     return total
+
+
+def edge_triangle_count(G) -> pd.DataFrame:
+    """Per-edge triangle counts (reference
+    community/edge_triangle_count_impl.cuh).  Returns ['src','dst','counts']
+    over the (symmetrized) edge list."""
+    src, dst, counts = _edge_triangle_counts(G)
+    nm = G.number_map
+    return pd.DataFrame({
+        "src": nm.to_external(src),
+        "dst": nm.to_external(dst),
+        "counts": np.asarray(counts).astype(np.int64),
+    })
+
+
+def approx_weighted_matching(G) -> pd.DataFrame:
+    """Greedy half-approximation to maximum weight matching (reference
+    community/approx_weighted_matching_impl.cuh:372 — locally-heaviest-edge
+    rounds).  Returns ['vertex', 'partner'] (−1 when unmatched) and the
+    matching weight."""
+    src, dst, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    if w is None:
+        w = np.ones(len(src), np.float32)
+    # locally-heaviest-edge rounds (Preis algorithm, host-side):
+    order = np.argsort(-w, kind="stable")
+    partner = np.full(n, -1, np.int64)
+    total = 0.0
+    for e in order:
+        u, v = int(src[e]), int(dst[e])
+        if u != v and partner[u] == -1 and partner[v] == -1:
+            partner[u], partner[v] = v, u
+            total += float(w[e])
+    nm = G.number_map
+    ext_partner = np.where(partner >= 0,
+                           nm.to_external(np.maximum(partner, 0)), -1)
+    return pd.DataFrame({"vertex": nm.to_external(np.arange(n)),
+                         "partner": ext_partner}), total

@@ -138,7 +138,7 @@ def sssp(G, source, cutoff=None, method=None):
             raise ValueError("sssp requires non-negative weights")
     dist, pred = _sssp_kernel(g, jnp.int32(s))
     dist = np.asarray(dist)[:n].astype(np.float64)
-    pred = np.asarray(pred)[:n]
+    pred = np.array(pred)[:n]  # writable copy (np.asarray of a jax array is readonly)
     if cutoff is not None:
         over = dist > cutoff
         dist[over] = np.float64(F32_INF)
@@ -195,3 +195,56 @@ def k_hop_neighbors(G, start, k: int):
     reach[seeds[seeds < n]] = False
     verts = np.nonzero(reach)[0]
     return pd.DataFrame({"vertex": G.number_map.to_external(verts)})
+
+
+def extract_bfs_paths(G, distances_df: pd.DataFrame, destinations) -> pd.DataFrame:
+    """Reconstruct root→destination paths from a BFS result frame.
+
+    Reference: traversal/extract_bfs_paths_impl.cuh (kv-gather walk up the
+    predecessor chain); python cugraph.utilities.path_retrieval.
+    Returns a frame ['destination', 'path_offset'] plus a flat 'vertex_paths'
+    array padded with -1 (the reference's max_path_length convention).
+    """
+    df = distances_df.sort_values("vertex")
+    vertices = df["vertex"].to_numpy()
+    pred = df["predecessor"].to_numpy()
+    dist = df["distance"].to_numpy()
+    lut_pred = dict(zip(vertices.tolist(), pred.tolist()))
+    lut_dist = dict(zip(vertices.tolist(), dist.tolist()))
+
+    destinations = np.asarray(destinations).reshape(-1)
+    finite = [d for d in destinations
+              if lut_dist.get(d, np.inf) not in (np.inf,) and lut_dist[d] >= 0]
+    max_len = int(max((lut_dist[d] for d in finite), default=0)) + 1
+    paths = np.full((len(destinations), max_len), -1, dtype=np.int64)
+    for r, d in enumerate(destinations):
+        if d not in lut_dist or lut_dist[d] < 0 or not np.isfinite(lut_dist[d]):
+            continue
+        cur, chain = d, []
+        while cur is not None and cur != -1 and len(chain) <= max_len:
+            chain.append(cur)
+            nxt = lut_pred.get(cur, -1)
+            cur = None if nxt == -1 or nxt is None else nxt
+        paths[r, : len(chain)] = chain[::-1]
+    return pd.DataFrame({
+        "destination": destinations,
+        "path_offset": np.arange(len(destinations)) * max_len,
+    }), paths.reshape(-1), max_len
+
+
+def od_shortest_distances(G, origins, destinations) -> pd.DataFrame:
+    """All origin→destination shortest distances (reference
+    traversal/od_shortest_distances_impl.cuh:426).  Runs one SSSP per origin
+    (vectorizable later via multi-source batching); returns
+    ['origin', 'destination', 'distance']."""
+    from cugraph_tpu.algos._utils import normalize_start
+
+    origins = np.asarray(origins).reshape(-1)
+    destinations = np.asarray(destinations).reshape(-1)
+    rows = []
+    for o in origins:
+        df = sssp(G, source=o)
+        sel = df[df["vertex"].isin(destinations)]
+        for _, r in sel.iterrows():
+            rows.append((o, r["vertex"], r["distance"]))
+    return pd.DataFrame(rows, columns=["origin", "destination", "distance"])

@@ -1,0 +1,636 @@
+"""Stable-layer algorithm functions (pylibcugraph's one-module-per-algorithm
+surface, SURVEY.md Appendix B) over the cugraph_tpu engine.
+
+Convention (matching the reference .pyx signatures): every function takes
+``(resource_handle, graph, ...)`` and returns plain NumPy arrays in internal
+vertex id space — the exact contract of the C API it mirrors
+(cpp/include/cugraph_c/*.h).  SGGraph dispatches to the single-device engine;
+MGGraph to the 2D-mesh shard_map engine where implemented.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cugraph_tpu.plc.graphs import MGGraph, ResourceHandle, SGGraph
+
+
+def _sg(graph) -> "object":
+    if isinstance(graph, SGGraph):
+        return graph.graph()
+    if isinstance(graph, MGGraph):
+        raise NotImplementedError("this algorithm has no MG path yet; "
+                                  "see cugraph_tpu.parallel for MG coverage")
+    return graph  # allow raw Graph
+
+
+def _vert_df(df, value_cols):
+    v = df["vertex"].to_numpy()
+    return (v, *[df[c].to_numpy() for c in value_cols])
+
+
+# -- link analysis -----------------------------------------------------------
+
+def pagerank(resource_handle, graph, precomputed_vertex_out_weight_vertices=None,
+             precomputed_vertex_out_weight_sums=None,
+             initial_guess_vertices=None, initial_guess_values=None,
+             alpha=0.85, epsilon=1e-5, max_iterations=100,
+             do_expensive_check=False, fail_on_nonconvergence=True):
+    import cugraph_tpu as ct
+
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_pagerank
+
+        p, err, iters = mg_pagerank(graph.graph(), graph.mesh, alpha=alpha,
+                                    tol=epsilon, max_iter=max_iterations)
+        n = graph.graph().num_vertices
+        p = np.asarray(p)[:n]
+        return np.arange(n, dtype=np.int32), p
+    G = _sg(graph)
+    out = ct.pagerank(G, alpha=alpha, tol=epsilon, max_iter=max_iterations,
+                      fail_on_nonconvergence=fail_on_nonconvergence)
+    df = out[0] if isinstance(out, tuple) else out
+    return _vert_df(df.sort_values("vertex"), ["pagerank"])
+
+
+def personalized_pagerank(resource_handle, graph, personalization_vertices,
+                          personalization_values, alpha=0.85, epsilon=1e-5,
+                          max_iterations=100, **kw):
+    import cugraph_tpu as ct
+    import pandas as pd
+
+    G = _sg(graph)
+    pers = pd.DataFrame({"vertex": np.asarray(personalization_vertices),
+                         "values": np.asarray(personalization_values)})
+    df = ct.pagerank(G, alpha=alpha, tol=epsilon, max_iter=max_iterations,
+                     personalization=pers)
+    return _vert_df(df.sort_values("vertex"), ["pagerank"])
+
+
+def hits(resource_handle, graph, tol=1e-5, max_iter=100, initial_hubs_guess_vertices=None,
+         initial_hubs_guess_values=None, normalized=True, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.hits(_sg(graph), max_iter=max_iter, tol=tol, normalized=normalized)
+    return _vert_df(df.sort_values("vertex"), ["hubs", "authorities"])
+
+
+# -- traversal ---------------------------------------------------------------
+
+def bfs(resource_handle, graph, sources, direction_optimizing=False, depth_limit=-1,
+        compute_predecessors=True, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_bfs
+
+        s = int(np.asarray(sources).reshape(-1)[0])
+        dist, pred = mg_bfs(graph.graph(), graph.mesh, s,
+                            None if depth_limit in (-1, None) else depth_limit)
+        n = graph.graph().num_vertices
+        return (np.asarray(dist)[:n], np.arange(n, dtype=np.int32),
+                np.asarray(pred)[:n])
+    s = np.asarray(sources).reshape(-1)[0]
+    df = ct.bfs(_sg(graph), start=s,
+                depth_limit=None if depth_limit in (-1, None) else depth_limit)
+    df = df.sort_values("vertex")
+    return (df["distance"].to_numpy(), df["vertex"].to_numpy(),
+            df["predecessor"].to_numpy())
+
+
+def sssp(resource_handle, graph, source, cutoff=np.inf,
+         compute_predecessors=True, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_sssp
+
+        dist, pred = mg_sssp(graph.graph(), graph.mesh, int(source), cutoff)
+        n = graph.graph().num_vertices
+        return (np.arange(n, dtype=np.int32), np.asarray(dist)[:n],
+                np.asarray(pred)[:n])
+    df = ct.sssp(_sg(graph), source=source, cutoff=cutoff).sort_values("vertex")
+    return (df["vertex"].to_numpy(), df["distance"].to_numpy(),
+            df["predecessor"].to_numpy())
+
+
+# -- centrality --------------------------------------------------------------
+
+def katz_centrality(resource_handle, graph, betas=None, alpha=0.1, beta=1.0,
+                    epsilon=1e-6, max_iterations=100, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_katz_centrality
+
+        c, err, it = mg_katz_centrality(graph.graph(), graph.mesh, alpha=alpha,
+                                        beta=beta, tol=epsilon,
+                                        max_iter=max_iterations)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), np.asarray(c)[:n]
+    df = ct.katz_centrality(_sg(graph), alpha=alpha, beta=beta, tol=epsilon,
+                            max_iter=max_iterations)
+    return _vert_df(df.sort_values("vertex"), ["katz_centrality"])
+
+
+def eigenvector_centrality(resource_handle, graph, epsilon=1e-6,
+                           max_iterations=100, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.eigenvector_centrality(_sg(graph), tol=epsilon,
+                                   max_iter=max_iterations)
+    return _vert_df(df.sort_values("vertex"), ["eigenvector_centrality"])
+
+
+def betweenness_centrality(resource_handle, graph, k=None, random_state=None,
+                           normalized=True, include_endpoints=False,
+                           do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.betweenness_centrality(_sg(graph), k=k, normalized=normalized,
+                                   endpoints=include_endpoints,
+                                   seed=random_state)
+    return _vert_df(df.sort_values("vertex"), ["betweenness_centrality"])
+
+
+def edge_betweenness_centrality(resource_handle, graph, k=None,
+                                random_state=None, normalized=True,
+                                do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.edge_betweenness_centrality(_sg(graph), k=k, normalized=normalized,
+                                        seed=random_state)
+    return (df["src"].to_numpy(), df["dst"].to_numpy(),
+            df["betweenness_centrality"].to_numpy())
+
+
+# -- community ---------------------------------------------------------------
+
+def louvain(resource_handle, graph, max_level=100, threshold=1e-7,
+            resolution=1.0, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    parts, mod = ct.louvain(_sg(graph), max_level=max_level,
+                            threshold=threshold, resolution=resolution)
+    parts = parts.sort_values("vertex")
+    return parts["vertex"].to_numpy(), parts["partition"].to_numpy(), float(mod)
+
+
+def leiden(resource_handle, graph, random_state=None, max_level=100,
+           resolution=1.0, theta=1.0, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    parts, mod = ct.leiden(_sg(graph), max_iter=max_level, resolution=resolution,
+                           random_state=random_state)
+    parts = parts.sort_values("vertex")
+    return parts["vertex"].to_numpy(), parts["partition"].to_numpy(), float(mod)
+
+
+def ecg(resource_handle, graph, min_weight=0.0001, ensemble_size=16,
+        max_level=10, threshold=1e-7, resolution=1.0, random_state=None,
+        do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    parts = ct.ecg(_sg(graph), min_weight=min_weight,
+                   ensemble_size=ensemble_size)
+    if isinstance(parts, tuple):
+        parts, mod = parts
+    parts = parts.sort_values("vertex")
+    return parts["vertex"].to_numpy(), parts["partition"].to_numpy()
+
+
+def triangle_count(resource_handle, graph, start_list=None,
+                   do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.triangle_count(_sg(graph)).sort_values("vertex")
+    return df["vertex"].to_numpy(), df["counts"].to_numpy()
+
+
+def k_truss_subgraph(resource_handle, graph, k, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    H = ct.ktruss_subgraph(_sg(graph), k)
+    src, dst, w = H.edgelist_arrays()
+    return (H.number_map.to_external(src), H.number_map.to_external(dst),
+            w if w is not None else np.ones(len(src), np.float32))
+
+
+def egonet(resource_handle, graph, source_vertices, radius,
+           do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df, offsets = ct.batched_ego_graphs(_sg(graph), source_vertices, radius)
+    return (df["src"].to_numpy(), df["dst"].to_numpy(),
+            df["weight"].to_numpy() if "weight" in df else
+            np.ones(len(df), np.float32), np.asarray(offsets))
+
+
+def balanced_cut_clustering(resource_handle, graph, num_clusters,
+                            num_eigenvectors=2, evs_tolerance=1e-5,
+                            evs_max_iterations=100, kmean_tolerance=1e-5,
+                            kmean_max_iterations=100, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.spectralBalancedCutClustering(
+        _sg(graph), num_clusters, num_eigen_vects=num_eigenvectors)
+    df = df.sort_values("vertex")
+    return df["vertex"].to_numpy(), df["cluster"].to_numpy()
+
+
+def spectral_modularity_maximization(resource_handle, graph, num_clusters,
+                                     num_eigenvectors=2, **kw):
+    import cugraph_tpu as ct
+
+    df = ct.spectralModularityMaximizationClustering(
+        _sg(graph), num_clusters, num_eigen_vects=num_eigenvectors)
+    df = df.sort_values("vertex")
+    return df["vertex"].to_numpy(), df["cluster"].to_numpy()
+
+
+def analyze_clustering_modularity(resource_handle, graph, num_clusters,
+                                  vertex, cluster):
+    import cugraph_tpu as ct
+    import pandas as pd
+
+    df = pd.DataFrame({"vertex": np.asarray(vertex),
+                       "cluster": np.asarray(cluster)})
+    return float(ct.analyzeClustering_modularity(_sg(graph), num_clusters, df,
+                                                 "vertex", "cluster"))
+
+
+def analyze_clustering_edge_cut(resource_handle, graph, num_clusters, vertex,
+                                cluster):
+    import cugraph_tpu as ct
+    import pandas as pd
+
+    df = pd.DataFrame({"vertex": np.asarray(vertex),
+                       "cluster": np.asarray(cluster)})
+    return float(ct.analyzeClustering_edge_cut(_sg(graph), num_clusters, df,
+                                               "vertex", "cluster"))
+
+
+def analyze_clustering_ratio_cut(resource_handle, graph, num_clusters, vertex,
+                                 cluster):
+    import cugraph_tpu as ct
+    import pandas as pd
+
+    df = pd.DataFrame({"vertex": np.asarray(vertex),
+                       "cluster": np.asarray(cluster)})
+    return float(ct.analyzeClustering_ratio_cut(_sg(graph), num_clusters, df,
+                                                "vertex", "cluster"))
+
+
+# -- cores -------------------------------------------------------------------
+
+def core_number(resource_handle, graph, degree_type="bidirectional",
+                do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.core_number(_sg(graph), degree_type=degree_type).sort_values("vertex")
+    return df["vertex"].to_numpy(), df["core_number"].to_numpy()
+
+
+def k_core(resource_handle, graph, k=None, degree_type="bidirectional",
+           core_result=None, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    H = ct.k_core(_sg(graph), k=k, degree_type=degree_type)
+    src, dst, w = H.edgelist_arrays()
+    return (H.number_map.to_external(src), H.number_map.to_external(dst),
+            w if w is not None else np.ones(len(src), np.float32))
+
+
+# -- components --------------------------------------------------------------
+
+def weakly_connected_components(resource_handle, graph, offsets=None,
+                                indices=None, weights=None, labels=None,
+                                do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_wcc
+
+        lab = mg_wcc(graph.graph(), graph.mesh)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), np.asarray(lab)[:n]
+    df = ct.weakly_connected_components(_sg(graph)).sort_values("vertex")
+    return df["vertex"].to_numpy(), df["labels"].to_numpy()
+
+
+def strongly_connected_components(resource_handle, graph, offsets=None,
+                                  indices=None, weights=None, labels=None,
+                                  do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.strongly_connected_components(_sg(graph)).sort_values("vertex")
+    return df["vertex"].to_numpy(), df["labels"].to_numpy()
+
+
+# -- similarity --------------------------------------------------------------
+
+def _sim(fn, graph, first, second):
+    import pandas as pd
+
+    df = fn(_sg(graph), pd.DataFrame({"first": np.asarray(first),
+                                      "second": np.asarray(second)}))
+    col = [c for c in df.columns if c.endswith("_coeff")][0]
+    return df["first"].to_numpy(), df["second"].to_numpy(), df[col].to_numpy()
+
+
+def jaccard_coefficients(resource_handle, graph, first, second,
+                         use_weight=False, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _sim(ct.jaccard, graph, first, second)
+
+
+def sorensen_coefficients(resource_handle, graph, first, second,
+                          use_weight=False, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _sim(ct.sorensen, graph, first, second)
+
+
+def overlap_coefficients(resource_handle, graph, first, second,
+                         use_weight=False, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _sim(ct.overlap, graph, first, second)
+
+
+def cosine_coefficients(resource_handle, graph, first, second,
+                        use_weight=False, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _sim(ct.cosine, graph, first, second)
+
+
+def _all_pairs(fn, graph, vertices, topk):
+    df = fn(_sg(graph), vertices=vertices, topk=topk)
+    col = [c for c in df.columns if c.endswith("_coeff")][0]
+    return df["first"].to_numpy(), df["second"].to_numpy(), df[col].to_numpy()
+
+
+def all_pairs_jaccard_coefficients(resource_handle, graph, vertices=None,
+                                   use_weight=False, topk=None,
+                                   do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _all_pairs(ct.all_pairs_jaccard, graph, vertices, topk)
+
+
+def all_pairs_sorensen_coefficients(resource_handle, graph, vertices=None,
+                                    use_weight=False, topk=None,
+                                    do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _all_pairs(ct.all_pairs_sorensen, graph, vertices, topk)
+
+
+def all_pairs_overlap_coefficients(resource_handle, graph, vertices=None,
+                                   use_weight=False, topk=None,
+                                   do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _all_pairs(ct.all_pairs_overlap, graph, vertices, topk)
+
+
+def all_pairs_cosine_coefficients(resource_handle, graph, vertices=None,
+                                  use_weight=False, topk=None,
+                                  do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return _all_pairs(ct.all_pairs_cosine, graph, vertices, topk)
+
+
+# -- sampling / walks --------------------------------------------------------
+
+def uniform_random_walks(resource_handle, graph, start_vertices, max_length,
+                         random_state=None):
+    import cugraph_tpu as ct
+
+    df = ct.uniform_random_walks(_sg(graph), start_vertices, max_length,
+                                 random_state=random_state)
+    return df
+
+
+def biased_random_walks(resource_handle, graph, start_vertices, max_length,
+                        random_state=None):
+    import cugraph_tpu as ct
+
+    return ct.biased_random_walks(_sg(graph), start_vertices, max_length,
+                                  random_state=random_state)
+
+
+def node2vec_random_walks(resource_handle, graph, start_vertices, max_length,
+                          p=1.0, q=1.0, random_state=None):
+    import cugraph_tpu as ct
+
+    return ct.node2vec_random_walks(_sg(graph), start_vertices, max_length,
+                                    p=p, q=q)
+
+
+def uniform_neighbor_sample(resource_handle, graph, start_list, fanout_vals,
+                            with_replacement=True, random_state=None, **kw):
+    import cugraph_tpu as ct
+
+    return ct.uniform_neighbor_sample(_sg(graph), start_list, fanout_vals,
+                                      with_replacement=with_replacement,
+                                      random_state=random_state)
+
+
+def homogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
+                                        fanout_vals, **kw):
+    import cugraph_tpu as ct
+
+    return ct.homogeneous_uniform_neighbor_sample(_sg(graph), start_list,
+                                                  fanout_vals, **kw)
+
+
+def homogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
+                                       fanout_vals, **kw):
+    import cugraph_tpu as ct
+
+    return ct.homogeneous_biased_neighbor_sample(_sg(graph), start_list,
+                                                 fanout_vals, **kw)
+
+
+def heterogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
+                                          fanout_vals, num_edge_types=None,
+                                          **kw):
+    import cugraph_tpu as ct
+
+    return ct.heterogeneous_uniform_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types, **kw)
+
+
+def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
+                                         fanout_vals, num_edge_types=None,
+                                         **kw):
+    import cugraph_tpu as ct
+
+    return ct.heterogeneous_biased_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types, **kw)
+
+
+def negative_sampling(resource_handle, graph, num_samples, vertices=None,
+                      src_bias=None, dst_bias=None, remove_duplicates=True,
+                      remove_false_negatives=True, exact_number_of_samples=False,
+                      random_state=None, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.negative_sampling(_sg(graph), num_samples, vertices=vertices,
+                              src_bias=src_bias, dst_bias=dst_bias,
+                              remove_duplicates=remove_duplicates,
+                              remove_existing_edges=remove_false_negatives,
+                              random_state=random_state)
+    return df["src"].to_numpy(), df["dst"].to_numpy()
+
+
+# -- generators --------------------------------------------------------------
+
+def generate_rmat_edgelist(resource_handle, random_state, scale, num_edges,
+                           a=0.57, b=0.19, c=0.19, clip_and_flip=False,
+                           scramble_vertex_ids=False, include_edge_weights=False,
+                           minimum_weight=0.0, maximum_weight=1.0, dtype=None,
+                           include_edge_ids=False, include_edge_types=False,
+                           min_edge_type_value=0, max_edge_type_value=0,
+                           multi_gpu=False):
+    import cugraph_tpu as ct
+
+    df = ct.rmat(scale, num_edges, a, b, c,
+                 seed=random_state if isinstance(random_state, int) else 0,
+                 clip_and_flip=clip_and_flip,
+                 scramble_vertex_ids=scramble_vertex_ids,
+                 include_edge_weights=include_edge_weights,
+                 minimum_weight=minimum_weight, maximum_weight=maximum_weight)
+    out = [df["src"].to_numpy(), df["dst"].to_numpy()]
+    if include_edge_weights:
+        out.append(df["weights"].to_numpy())
+    return tuple(out)
+
+
+def generate_rmat_edgelists(resource_handle, random_state, n_edgelists,
+                            min_scale, max_scale, edge_factor=16, **kw):
+    from cugraph_tpu.generators.rmat import generate_rmat_edgelists as gen
+
+    return gen(n_edgelists, min_scale, max_scale, edge_factor=edge_factor)
+
+
+# -- structure / misc --------------------------------------------------------
+
+def two_hop_neighbors(resource_handle, graph, start_vertices=None,
+                      do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.two_hop_neighbors(_sg(graph))
+    return df["first"].to_numpy(), df["second"].to_numpy()
+
+
+def degrees(resource_handle, graph, source_vertices=None,
+            do_expensive_check=False):
+    G = _sg(graph)
+    df = G.degrees().sort_values("vertex")
+    return (df["vertex"].to_numpy(), df["in_degree"].to_numpy(),
+            df["out_degree"].to_numpy())
+
+
+def in_degrees(resource_handle, graph, source_vertices=None, **kw):
+    G = _sg(graph)
+    df = G.in_degree().sort_values("vertex")
+    return df["vertex"].to_numpy(), df["degree"].to_numpy()
+
+
+def out_degrees(resource_handle, graph, source_vertices=None, **kw):
+    G = _sg(graph)
+    df = G.out_degree().sort_values("vertex")
+    return df["vertex"].to_numpy(), df["degree"].to_numpy()
+
+
+def select_random_vertices(resource_handle, graph, random_state, num_vertices):
+    import cugraph_tpu as ct
+
+    return ct.select_random_vertices(_sg(graph), num_vertices,
+                                     random_state=random_state)
+
+
+def replicate_edgelist(resource_handle, src_array=None, dst_array=None,
+                       weight_array=None, graph=None, **kw):
+    import cugraph_tpu as ct
+
+    if graph is not None:
+        df = ct.replicate_edgelist(_sg(graph))
+        return df["src"].to_numpy(), df["dst"].to_numpy()
+    return np.asarray(src_array), np.asarray(dst_array)
+
+
+def decompress_to_edgelist(resource_handle, graph, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.decompress_to_edgelist(_sg(graph))
+    out = [df["src"].to_numpy(), df["dst"].to_numpy()]
+    if "weight" in df:
+        out.append(df["weight"].to_numpy())
+    return tuple(out)
+
+
+def extract_vertex_list(resource_handle, graph, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return ct.extract_vertex_list(_sg(graph))
+
+
+def has_vertex(resource_handle, graph, vertices):
+    G = _sg(graph)
+    return np.array([G.has_vertex(v) for v in np.asarray(vertices).reshape(-1)])
+
+
+def count_multi_edges(resource_handle, graph, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    return ct.count_multi_edges(_sg(graph))
+
+
+def renumber_arbitrary_edgelist(resource_handle, renumber_map, src_array,
+                                dst_array):
+    import cugraph_tpu as ct
+
+    s32, d32, mp = ct.renumber_arbitrary_edgelist(src_array, dst_array)
+    return s32, d32
+
+
+def minimum_spanning_tree(resource_handle, graph, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.minimum_spanning_tree(_sg(graph))
+    src, dst, w = df._src, df._dst, df._weight
+    return (df.number_map.to_external(src), df.number_map.to_external(dst),
+            w if w is not None else np.ones(len(src), np.float32))
+
+
+def induced_subgraph(resource_handle, graph, subgraph_vertices,
+                     subgraph_offsets=None, do_expensive_check=False):
+    import cugraph_tpu as ct
+
+    df = ct.induced_subgraph(_sg(graph), subgraph_vertices)
+    if isinstance(df, tuple):
+        df = df[0]
+    src, dst, w = df.edgelist_arrays()
+    return (df.number_map.to_external(src), df.number_map.to_external(dst),
+            w if w is not None else np.ones(len(src), np.float32),
+            np.array([0, len(src)]))
+
+
+def force_atlas2(resource_handle, graph, max_iter=500, **kw):
+    import cugraph_tpu as ct
+
+    df = ct.force_atlas2(_sg(graph), max_iter=max_iter, **kw)
+    df = df.sort_values("vertex")
+    return df["vertex"].to_numpy(), df["x"].to_numpy(), df["y"].to_numpy()
+
+
+def edge_id_lookup_table(resource_handle, graph):
+    import cugraph_tpu as ct
+
+    return ct.edge_id_lookup_table(_sg(graph))

@@ -1,0 +1,120 @@
+"""Stable-layer graph containers (pylibcugraph graphs.pyx analog).
+
+``SGGraph`` (reference graphs.pyx:42) and ``MGGraph`` (graphs.pyx:357) take
+plain arrays — exactly the reference's calling convention — and wrap the
+engine-level Graph / DistGraph.  ``ResourceHandle`` (resource_handle.pyx:15)
+carries the device or mesh; on TPU the jax runtime owns devices, so the
+handle is bookkeeping plus the mesh for MG graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ResourceHandle:
+    """Device/mesh handle (the raft-handle analog; resource_handle.pyx:15).
+
+    ``ResourceHandle()`` = default device.  ``ResourceHandle(mesh=mesh)``
+    carries a 2D jax Mesh for MG graphs (replaces the reference's raft
+    subcomm bootstrap, dask/comms/comms.py:82)."""
+
+    def __init__(self, handle=None, *, mesh=None):
+        self.mesh = mesh
+
+    def get_mesh(self):
+        if self.mesh is None:
+            from cugraph_tpu.parallel.mesh import make_mesh_2d
+
+            self.mesh = make_mesh_2d()
+        return self.mesh
+
+
+class GraphProperties:
+    """reference graph_properties.pyx: is_symmetric / is_multigraph flags."""
+
+    def __init__(self, is_symmetric: bool = False, is_multigraph: bool = False):
+        self.is_symmetric = bool(is_symmetric)
+        self.is_multigraph = bool(is_multigraph)
+
+
+class SGGraph:
+    """Single-device graph from arrays (reference graphs.pyx:42).
+
+    Parameters mirror the reference signature; ``store_transposed`` is
+    accepted for parity (both orientations are materialized on demand).
+    """
+
+    def __init__(self, resource_handle=None, graph_properties=None,
+                 src_or_offset_array=None, dst_or_index_array=None,
+                 weight_array=None, *, store_transposed=False, renumber=True,
+                 do_expensive_check=False, edge_id_array=None,
+                 edge_type_array=None, edge_start_time_array=None,
+                 input_array_format="COO", vertices_array=None, **kwargs):
+        from cugraph_tpu.api.graph import Graph, MultiGraph
+
+        props = graph_properties or GraphProperties()
+        cls = MultiGraph if props.is_multigraph else Graph
+        g = cls(directed=not props.is_symmetric)
+        if input_array_format != "COO":
+            raise ValueError("only COO input is supported")
+        g.from_edgelist(
+            np.asarray(src_or_offset_array),
+            np.asarray(dst_or_index_array),
+            None if weight_array is None else np.asarray(weight_array),
+            renumber=renumber,
+            vertices=vertices_array,
+            edge_id=edge_id_array,
+            edge_type=edge_type_array,
+            edge_time=edge_start_time_array,
+        )
+        self._graph = g
+        self.properties = props
+        self.weighted = weight_array is not None
+
+    def graph(self):
+        return self._graph
+
+    def number_of_vertices(self):
+        return self._graph.number_of_vertices()
+
+    def number_of_edges(self):
+        return self._graph.number_of_edges()
+
+
+class MGGraph:
+    """Multi-device graph over the handle's 2D mesh (reference graphs.pyx:357).
+
+    The reference builds one per worker with local COO chunks; here the full
+    COO is passed once and partitioned by Partition2D (the shuffle happens at
+    build, SURVEY.md §3.2)."""
+
+    def __init__(self, resource_handle, graph_properties=None,
+                 src_array=None, dst_array=None, weight_array=None, *,
+                 store_transposed=False, num_arrays=1, do_expensive_check=False,
+                 **kwargs):
+        from cugraph_tpu.parallel import build_dist_graph
+        from cugraph_tpu.parallel.mesh import shard_dist_graph
+
+        mesh = resource_handle.get_mesh()
+        props = graph_properties or GraphProperties()
+        if isinstance(src_array, (list, tuple)):  # per-worker chunk lists
+            src_array = np.concatenate([np.asarray(a) for a in src_array])
+            dst_array = np.concatenate([np.asarray(a) for a in dst_array])
+            if weight_array is not None:
+                weight_array = np.concatenate([np.asarray(a) for a in weight_array])
+        src = np.asarray(src_array)
+        dst = np.asarray(dst_array)
+        n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+        pmaj, pmin = mesh.devices.shape
+        g = build_dist_graph(
+            src, dst,
+            None if weight_array is None else np.asarray(weight_array),
+            n, pmaj, pmin,
+            store_push=True, symmetrize=props.is_symmetric)
+        self._graph = shard_dist_graph(g, mesh)
+        self.mesh = mesh
+        self.properties = props
+
+    def graph(self):
+        return self._graph

@@ -1,0 +1,111 @@
+"""Aux subsystems: profiling timer, validation checks, testing resultsets,
+ensure_cugraph_obj adapters, new traversal/community additions."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cugraph_tpu as ct
+from cugraph_tpu.utils import HighResTimer, validate_edgelist, validate_structure
+from cugraph_tpu.api.exceptions import InvalidInputError
+
+
+def _karate():
+    import networkx as nx
+
+    Gx = nx.karate_club_graph()
+    src = np.array([u for u, v in Gx.edges()])
+    dst = np.array([v for u, v in Gx.edges()])
+    G = ct.Graph()
+    G.from_edgelist(src, dst, None)
+    return G, Gx
+
+
+def test_high_res_timer():
+    t = HighResTimer()
+    with t.range("region"):
+        sum(range(1000))
+    tot = t.totals()
+    assert "region" in tot and tot["region"][1] == 1
+    t.display()
+
+
+def test_validation_catches_bad_edges():
+    with pytest.raises(InvalidInputError):
+        validate_edgelist(np.array([0, 1]), np.array([1, -2]))
+    with pytest.raises(InvalidInputError):
+        validate_edgelist(np.array([0, 5]), np.array([1, 1]), num_vertices=3)
+    validate_edgelist(np.array([0, 1]), np.array([1, 2]), num_vertices=3)
+
+
+def test_validate_structure_ok():
+    G, _ = _karate()
+    validate_structure(G.structure)
+
+
+def test_resultset_oracle_cache(tmp_path, monkeypatch):
+    import cugraph_tpu.testing as tst
+
+    monkeypatch.setattr(tst, "_CACHE_DIR", str(tmp_path))
+    r1 = tst.get_resultset("pagerank", dataset="karate")
+    r2 = tst.get_resultset("pagerank", dataset="karate")  # cache hit
+    assert r1 == r2 and len(r1) == 34
+
+
+def test_ensure_cugraph_obj():
+    import networkx as nx
+    import scipy.sparse as sp
+
+    G, _ = _karate()
+    g2, t = ct.ensure_cugraph_obj(G)
+    assert g2 is G
+
+    g3, t3 = ct.ensure_cugraph_obj(nx.karate_club_graph())
+    assert g3.number_of_vertices() == 34
+
+    A = sp.random(20, 20, density=0.2, random_state=0, format="csr")
+    g4, _ = ct.ensure_cugraph_obj(A, directed=True)
+    assert g4.number_of_vertices() == 20
+
+
+def test_extract_bfs_paths():
+    G, Gx = _karate()
+    df = ct.bfs(G, 0)
+    offsets_df, paths, max_len = ct.extract_bfs_paths(G, df, [33, 15])
+    p33 = paths[:max_len]
+    p33 = p33[p33 >= 0]
+    assert p33[0] == 0 and p33[-1] == 33
+    # consecutive path vertices are connected
+    for a, b in zip(p33, p33[1:]):
+        assert Gx.has_edge(int(a), int(b))
+
+
+def test_od_shortest_distances():
+    G, Gx = _karate()
+    import networkx as nx
+
+    df = ct.od_shortest_distances(G, [0, 1], [32, 33])
+    for _, r in df.iterrows():
+        expect = nx.shortest_path_length(Gx, int(r["origin"]),
+                                         int(r["destination"]))
+        assert r["distance"] == expect
+
+
+def test_edge_triangle_count():
+    G, Gx = _karate()
+    import networkx as nx
+
+    df = ct.edge_triangle_count(G)
+    # sum of per-edge counts = 6 × number of triangles on symmetrized list
+    n_tri = sum(nx.triangles(Gx).values()) // 3
+    assert df["counts"].sum() == 6 * n_tri
+
+
+def test_approx_weighted_matching():
+    G, _ = _karate()
+    m, total = ct.approx_weighted_matching(G)
+    p = m.set_index("vertex")["partner"]
+    for v, u in p.items():
+        if u != -1:
+            assert p[u] == v  # symmetric matching
+    assert total > 0

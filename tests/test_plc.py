@@ -1,0 +1,105 @@
+"""Stable-layer (pylibcugraph-style) API smoke + numeric tests."""
+
+import numpy as np
+import pytest
+
+import cugraph_tpu.plc as plc
+
+
+@pytest.fixture(scope="module")
+def rh():
+    return plc.ResourceHandle()
+
+
+@pytest.fixture(scope="module")
+def karate(rh):
+    import networkx as nx
+
+    Gx = nx.karate_club_graph()
+    src = np.array([u for u, v in Gx.edges()], np.int32)
+    dst = np.array([v for u, v in Gx.edges()], np.int32)
+    return plc.SGGraph(
+        rh, plc.GraphProperties(is_symmetric=True),
+        src, dst, None, renumber=False), Gx
+
+
+def test_sg_graph_basics(karate, rh):
+    g, Gx = karate
+    assert g.number_of_vertices() == 34
+    # undirected edge count matches networkx (symmetrized pairs counted once)
+    assert g.number_of_edges() == Gx.number_of_edges()
+
+
+def test_plc_pagerank(karate, rh):
+    import networkx as nx
+
+    g, Gx = karate
+    verts, pr = plc.pagerank(rh, g)
+    nxpr = np.array([v for _, v in sorted(nx.pagerank(Gx, weight=None).items())])
+    np.testing.assert_allclose(pr, nxpr, atol=1e-4)
+
+
+def test_plc_bfs_sssp(karate, rh):
+    g, Gx = karate
+    dist, verts, pred = plc.bfs(rh, g, np.array([0]))
+    assert dist[0] == 0 and dist.max() <= 5
+    v, d, p = plc.sssp(rh, g, 0)
+    np.testing.assert_array_equal(np.sort(v), np.arange(34))
+
+
+def test_plc_community(karate, rh):
+    g, _ = karate
+    v, part, mod = plc.louvain(rh, g)
+    assert mod > 0.3
+    v2, cnt = plc.triangle_count(rh, g)
+    assert cnt.sum() > 0
+    v3, cn = plc.core_number(rh, g)
+    assert cn.max() >= 4
+
+
+def test_plc_components_similarity(karate, rh):
+    g, _ = karate
+    v, lab = plc.weakly_connected_components(rh, g)
+    assert len(np.unique(lab)) == 1
+    f, s, c = plc.jaccard_coefficients(rh, g, np.array([0, 1]), np.array([1, 2]))
+    assert np.all((0 <= c) & (c <= 1))
+
+
+def test_plc_degrees_misc(karate, rh):
+    g, _ = karate
+    v, ind, outd = plc.degrees(rh, g)
+    assert ind.sum() == outd.sum() == 2 * g.number_of_edges()
+    assert plc.count_multi_edges(rh, g) == 0
+    assert plc.has_vertex(rh, g, [0, 33]).all()
+    vs = plc.select_random_vertices(rh, g, 0, 5)
+    assert len(vs) == 5
+
+
+def test_plc_sampling(karate, rh):
+    g, _ = karate
+    df = plc.uniform_neighbor_sample(rh, g, [0, 1], [2, 2], random_state=0)
+    assert len(df) > 0
+    s, d = plc.negative_sampling(rh, g, 20, random_state=0)
+    assert len(s) == 20
+
+
+def test_plc_rmat(rh):
+    s, d = plc.generate_rmat_edgelist(rh, 7, 8, 1024)
+    assert len(s) == 1024 and s.max() < 256
+
+
+def test_plc_mg_graph_pagerank(rh):
+    import jax
+
+    from cugraph_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    h = plc.ResourceHandle(mesh=mesh)
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    g = plc.MGGraph(h, plc.GraphProperties(), src, dst, None)
+    v, pr = plc.pagerank(h, g, max_iterations=100, epsilon=1e-7)
+    assert pr.sum() == pytest.approx(1.0, abs=1e-3)
+    v2, lab = plc.weakly_connected_components(h, g)
+    assert len(lab) == 60
