@@ -28,4 +28,8 @@ from cugraph_tpu.parallel.algos import (
     mg_wcc,
     mg_katz_centrality,
     mg_degrees,
+    mg_hits,
+    mg_eigenvector_centrality,
+    mg_sample_one_hop,
+    mg_uniform_neighbor_sample,
 )

@@ -327,3 +327,221 @@ def mg_degrees(g: DistGraph, mesh):
     """(in_degree, out_degree) owner-sharded (already materialized at build)."""
     vsh = NamedSharding(mesh, vertex_spec())
     return (jax.device_put(g.in_degree, vsh), jax.device_put(g.out_degree, vsh))
+
+
+# ---------------------------------------------------------------------------
+# HITS (reference link_analysis/hits_impl.cuh:47-194) — alternating pull/push
+# SpMV over the two orientations; normalization via on-device psums.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_hits_kernel(mesh, pmaj, pmin, chunk, n, max_iter, normalized):
+    def kernel(psrc, pdst, pw, qsrc, qdst, qw, h0, tol):
+        psrc_, pdst_, pw_ = _sq(psrc), _sq(pdst), _sq(pw)
+        qsrc_, qdst_, qw_ = _sq(qsrc), _sq(qdst), _sq(qw)
+        gidx = prims.global_vertex_ids(chunk)
+        real = gidx < n
+
+        def norm_inf(x):
+            m = prims.psum_all(jnp.max(jnp.abs(x)))
+            return x / jnp.maximum(m, 1e-30)
+
+        def body(state):
+            h, a, _, it = state
+            a_new = prims.pull_spmv(psrc_, pdst_, pw_, h, pmaj=pmaj, chunk=chunk)
+            a_new = norm_inf(jnp.where(real, a_new, 0.0))
+            h_new = prims.pull_spmv(qsrc_, qdst_, qw_, a_new, pmaj=pmaj, chunk=chunk)
+            h_new = norm_inf(jnp.where(real, h_new, 0.0))
+            err = prims.psum_all(jnp.sum(jnp.abs(h_new - h)))
+            return h_new, a_new, err, it + 1
+
+        def cond(state):
+            _, _, err, it = state
+            return (err >= tol) & (it < max_iter)
+
+        h, a, err, iters = jax.lax.while_loop(
+            cond, body, (h0, jnp.zeros_like(h0),
+                         jnp.asarray(jnp.inf, jnp.float32),
+                         jnp.asarray(0, jnp.int32)))
+        if normalized:
+            h = h / jnp.maximum(prims.psum_all(jnp.sum(jnp.where(real, h, 0.0))), 1e-30)
+            a = a / jnp.maximum(prims.psum_all(jnp.sum(jnp.where(real, a, 0.0))), 1e-30)
+        return h, a, err, iters
+
+    return _shard_wrap(mesh, kernel, 6, 1, 1,
+                       (vertex_spec(), vertex_spec(), P(), P()))
+
+
+def mg_hits(g: DistGraph, mesh, tol: float = 1e-5, max_iter: int = 100,
+            normalized: bool = True):
+    """Distributed HITS; needs push blocks (store_push=True)."""
+    assert g.push is not None, "mg_hits needs push blocks"
+    vsh = NamedSharding(mesh, vertex_spec())
+    h0 = np.zeros(g.pad_v, np.float32)
+    h0[: g.num_vertices] = 1.0 / max(g.num_vertices, 1)
+    h0 = jax.device_put(jnp.asarray(h0), vsh)
+    kern = _mg_hits_kernel(mesh, g.pmaj, g.pmin, g.chunk, g.num_vertices,
+                           int(max_iter), bool(normalized))
+    return kern(g.pull.src_loc, g.pull.dst_loc, g.pull.weight,
+                g.push.src_loc, g.push.dst_loc, g.push.weight, h0,
+                jnp.float32(tol))
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality (reference centrality/eigenvector_centrality_impl.cuh:161)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_eigenvector_kernel(mesh, pmaj, pmin, chunk, n, max_iter):
+    def kernel(src_loc, dst_loc, w, valid, c0, tol):
+        src_loc, dst_loc, w = _sq(src_loc), _sq(dst_loc), _sq(w)
+        gidx = prims.global_vertex_ids(chunk)
+        real = gidx < n
+
+        def body(state):
+            c, _, it = state
+            c_new = prims.pull_spmv(src_loc, dst_loc, w, c, pmaj=pmaj, chunk=chunk)
+            c_new = jnp.where(real, c_new + c, 0.0)  # shifted iteration (A+I)x
+            norm = jnp.sqrt(prims.psum_all(jnp.sum(c_new * c_new)))
+            c_new = c_new / jnp.maximum(norm, 1e-30)
+            err = prims.psum_all(jnp.sum(jnp.abs(c_new - c)))
+            return c_new, err, it + 1
+
+        def cond(state):
+            _, err, it = state
+            return (err >= tol * n) & (it < max_iter)
+
+        return jax.lax.while_loop(
+            cond, body, (c0, jnp.asarray(jnp.inf, jnp.float32),
+                         jnp.asarray(0, jnp.int32)))
+
+    return _shard_wrap(mesh, kernel, 4, 1, 1, (vertex_spec(), P(), P()))
+
+
+def mg_eigenvector_centrality(g: DistGraph, mesh, tol: float = 1e-6,
+                              max_iter: int = 100):
+    vsh = NamedSharding(mesh, vertex_spec())
+    c0 = np.zeros(g.pad_v, np.float32)
+    c0[: g.num_vertices] = 1.0 / max(np.sqrt(g.num_vertices), 1.0)
+    c0 = jax.device_put(jnp.asarray(c0), vsh)
+    kern = _mg_eigenvector_kernel(mesh, g.pmaj, g.pmin, g.chunk,
+                                  g.num_vertices, int(max_iter))
+    return kern(*_edge_args(g.pull), c0, jnp.float32(tol))
+
+
+# ---------------------------------------------------------------------------
+# Distributed uniform neighbor sampling — k rounds of random-priority
+# argmax per source over the push-oriented blocks (the dense TPU analog of
+# per_v_random_select_transform_outgoing_e + sample_and_compute_local_nbr_
+# indices, SURVEY.md §3.5).  With- and without-replacement via re-masking.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement):
+    B = pmin * chunk
+    nseg = pmaj * chunk
+    NEG = jnp.float32(-1.0)
+
+    def kernel(src_loc, dst_loc, valid, f_own, seed):
+        # push blocks: the GATHERED role (EdgeBlocks.src_loc) is the dst
+        # endpoint in row-block space [0, B); the REDUCED role
+        # (EdgeBlocks.dst_loc) is the src endpoint in slot space [0, pmaj·Vc)
+        gath = _sq(src_loc)   # dst endpoint, gathered space
+        red = _sq(dst_loc)    # src endpoint, reduction slots
+        valid_ = _sq(valid)
+        i = jax.lax.axis_index(prims.MAJOR)
+        j = jax.lax.axis_index(prims.MINOR)
+        gdst = i * B + gath                     # global dst id per edge
+        E = gath.shape[0]
+
+        f_seg = prims.gather_major_block(f_own)  # frontier flags by src slot
+        elig0 = valid_ & f_seg[red]
+
+        def round_body(r, carry):
+            taken, out_dst = carry
+            key = jax.random.fold_in(jax.random.fold_in(
+                jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
+            score = jax.random.uniform(key, (E,), jnp.float32, 1e-6, 1.0)
+            elig = elig0 if with_replacement else (elig0 & ~taken)
+            score = jnp.where(elig, score, NEG)
+            part = prims.block_segment_reduce(score, red, nseg, "max")
+            mx = prims.scatter_reduce_major(
+                jnp.maximum(part, NEG), chunk, "max")     # [chunk] per owner
+            mx_seg = prims.gather_major_block(mx)          # back to slot space
+            win = elig & (score == mx_seg[red]) & (score > 0)
+            # tie-break: min dst among winners
+            cand = jnp.where(win, gdst, INT_INF)
+            part2 = prims.block_segment_reduce(cand, red, nseg, "min")
+            sel = prims.scatter_reduce_major(
+                jnp.minimum(part2, INT_INF), chunk, "min")
+            out_dst = out_dst.at[:, r].set(jnp.where(sel == INT_INF, -1, sel))
+            chosen = win & (gdst == jnp.clip(prims.gather_major_block(sel)[red],
+                                             0, INT_INF))
+            return taken | chosen, out_dst
+
+        taken0 = jax.lax.pcast(jnp.zeros((E,), bool),
+                               (prims.MAJOR, prims.MINOR), to="varying")
+        out0 = jax.lax.pcast(jnp.full((chunk, k), -1, jnp.int32),
+                             (prims.MAJOR, prims.MINOR), to="varying")
+        _, out_dst = jax.lax.fori_loop(0, k, round_body, (taken0, out0))
+        return out_dst
+
+    es, vs = edge_spec(), vertex_spec()
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(es, es, es, vs, P()),
+        out_specs=vs))
+
+
+def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
+                      seed: int = 0, with_replacement: bool = False):
+    """One hop of distributed uniform sampling: k out-neighbors per frontier
+    vertex.  Returns int32 [pad_v, k] owner-sharded (−1 = no sample)."""
+    assert g.push is not None, "sampling needs push blocks"
+    f = np.zeros(g.pad_v, bool)
+    f[frontier] = True
+    vsh = NamedSharding(mesh, vertex_spec())
+    f = jax.device_put(jnp.asarray(f), vsh)
+    kern = _mg_sample_round_kernel(mesh, g.pmaj, g.pmin, g.chunk, int(k),
+                                   bool(with_replacement))
+    return kern(g.push.src_loc, g.push.dst_loc, g.push.valid, f,
+                jnp.int32(seed))
+
+
+def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
+                               with_replacement: bool = False, seed: int = 0):
+    """Multi-hop distributed uniform neighbor sampling.
+
+    Returns a pandas frame ['sources','destinations','hop_id','batch_id'] in
+    global vertex ids (the reference's MG homogeneous_uniform_neighbor_sample
+    output shape, minus per-edge properties).
+    """
+    import pandas as pd
+
+    frontier = np.asarray(start_list, np.int64)
+    batch_of = {int(v): b for b, v in enumerate(frontier)}
+    frames = []
+    for hop, k in enumerate(fanout_vals):
+        if len(frontier) == 0:
+            break
+        samp = np.asarray(mg_sample_one_hop(g, mesh, frontier, int(k),
+                                            seed + hop, with_replacement))
+        srcs, dsts = np.nonzero(samp >= 0)
+        keep = np.isin(srcs, frontier)
+        s, d = srcs[keep], samp[srcs[keep], dsts[keep]]
+        frames.append(pd.DataFrame({
+            "sources": s, "destinations": d,
+            "hop_id": np.int32(hop),
+            "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
+        }))
+        nxt = np.unique(d)
+        for v in nxt:
+            if int(v) not in batch_of:
+                b = batch_of[int(frames[-1][frames[-1].destinations == v]
+                                ["sources"].iloc[0])]
+                batch_of[int(v)] = b
+        frontier = nxt
+    if not frames:
+        return pd.DataFrame(columns=["sources", "destinations", "hop_id",
+                                     "batch_id"])
+    return pd.concat(frames, ignore_index=True)

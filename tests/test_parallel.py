@@ -216,3 +216,60 @@ def test_mg_graphsage_train_step(mesh):
                                            jnp.asarray(x_sg)))[:n]
     mg_logits = np.asarray(mg_graphsage_apply(params, g, mesh, x))[:n]
     np.testing.assert_allclose(mg_logits, sg_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_mg_hits_matches_sg(mesh):
+    src, dst, _ = _random_coo(n=100, m=600, seed=8, weighted=False)
+    n = 100
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_hits
+
+    h, a, err, iters = mg_hits(g, mesh, tol=1e-8, max_iter=300)
+    h, a = np.asarray(h)[:n], np.asarray(a)[:n]
+
+    G = _sg_graph(src, dst, None, n)
+    sg = ct.hits(G, tol=1e-8, max_iter=300).sort_values("vertex")
+    np.testing.assert_allclose(h, sg["hubs"].to_numpy(), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(a, sg["authorities"].to_numpy(), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_mg_eigenvector_matches_sg(mesh):
+    # symmetric graph for a well-defined principal eigenvector
+    src, dst, _ = _random_coo(n=80, m=500, seed=9, weighted=False)
+    n = 80
+    # symmetrize with dedupe (MG symmetrize=True keeps reciprocal duplicates,
+    # while the undirected SG Graph dedupes — build identical edge sets)
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    src, dst = key // n, key % n
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    from cugraph_tpu.parallel import mg_eigenvector_centrality
+
+    c, err, iters = mg_eigenvector_centrality(g, mesh, tol=1e-8, max_iter=500)
+    c = np.asarray(c)[:n]
+
+    G = _sg_graph(src, dst, None, n, directed=False)
+    sg = ct.eigenvector_centrality(G, tol=1e-8, max_iter=500).sort_values("vertex")
+    np.testing.assert_allclose(c, sg["eigenvector_centrality"].to_numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_mg_uniform_neighbor_sample(mesh):
+    src, dst, _ = _random_coo(n=60, m=500, seed=10, weighted=False)
+    n = 60
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_uniform_neighbor_sample
+
+    df = mg_uniform_neighbor_sample(g, mesh, [0, 1, 2], [3, 2], seed=5)
+    assert len(df) > 0
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for _, r in df.iterrows():
+        assert (int(r["sources"]), int(r["destinations"])) in edge_set
+    # hop-0 sources are exactly (a subset of) the seeds
+    assert set(df[df.hop_id == 0]["sources"]) <= {0, 1, 2}
+    # no more than k samples per (source, hop)
+    cnt = df.groupby(["hop_id", "sources"]).size()
+    assert cnt[0].max() <= 3 if 0 in cnt.index.get_level_values(0) else True
+    # without replacement: samples per source are distinct
+    for (h, s), grp in df.groupby(["hop_id", "sources"]):
+        assert grp["destinations"].is_unique
