@@ -213,19 +213,15 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
     dn_ee = (((1,), (1,)), ((), ()))
     odt = jnp.bfloat16 if split else jnp.float32
 
-    if split:
-        # exact f32 → bf16 pair: each one-hot product selects one addend, so
-        # both bf16 matmuls are exact selections; their f32 sum recovers x to
-        # ~2^-16 relative (split-precision selection trick)
-        x_hi = x_ref[:].astype(jnp.bfloat16)
-        x_lo = (x_ref[:] - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
     def _sel(data_f32, onehot, dims):
         """data @ onehot at full MXU rate, exactly (split) or per `prec`."""
         if not split:
             return jax.lax.dot_general(data_f32, onehot, dims,
                                        preferred_element_type=jnp.float32,
                                        precision=prec)
+        # exact f32 → bf16 pair: each one-hot product selects one addend, so
+        # both bf16 matmuls are exact selections; their f32 sum recovers the
+        # value to ~2^-16 relative (split-precision selection trick)
         d_hi = data_f32.astype(jnp.bfloat16)
         d_lo = (data_f32 - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return (jax.lax.dot_general(d_hi, onehot, dims,
@@ -233,22 +229,21 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
                 + jax.lax.dot_general(d_lo, onehot, dims,
                                       preferred_element_type=jnp.float32))
 
+    # -- gather, batched across the tile's 8 subtiles: ONE wide [128, 1024]
+    # one-hot matmul keeps the MXU pipelined instead of 8 narrow dispatches
+    O_hi_cols, O_lo_cols = [], []
     for j in range(8):
         s_row = src_ref[j:j + 1, :]
-        O_hiT = (sub128 == (s_row >> 7)).astype(odt)           # [h, e]
-        if split:
-            R_T = (jax.lax.dot_general(x_hi, O_hiT, dn_hh,
-                                       preferred_element_type=jnp.float32)
-                   + jax.lax.dot_general(x_lo, O_hiT, dn_hh,
-                                         preferred_element_type=jnp.float32))
-        else:
-            R_T = jax.lax.dot_general(x_ref[:], O_hiT, dn_hh,
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)          # [l, e]
-        O_loT = (sub128 == (s_row & 127)).astype(jnp.float32)
-        xe_row = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
-        v_row = xe_row * w_ref[j:j + 1, :]
+        O_hi_cols.append((sub128 == (s_row >> 7)).astype(odt))
+        O_lo_cols.append((sub128 == (s_row & 127)).astype(jnp.float32))
+    O_hiT = jnp.concatenate(O_hi_cols, axis=1)       # [h, 8·128]
+    O_loT = jnp.concatenate(O_lo_cols, axis=1)
+    R_T = _sel(x_ref[:], O_hiT, dn_hh)               # [l, 8·128]
+    xe_all = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
 
+    # -- scatter per subtile (each has its own 64-row dst window)
+    for j in range(8):
+        v_row = xe_all[:, j * 128:(j + 1) * 128] * w_ref[j:j + 1, :]
         d_row = dst_ref[j:j + 1, :]
         d13 = jnp.min(d_row[0, :]) >> 13         # subtile dst-window id
         d_rel = d_row - (d13 << 13)

@@ -1,0 +1,93 @@
+"""MTMG-analog, ETL renumbering, and memory-helper tests."""
+
+import threading
+
+import numpy as np
+import pandas as pd
+import jax
+
+import cugraph_tpu as ct
+from cugraph_tpu.etl import renumber_strings, renumber_multi_columns
+from cugraph_tpu.mtmg import (
+    GraphHandle,
+    InstanceManager,
+    PerThreadEdgelist,
+    ResourceManager,
+)
+from cugraph_tpu.utils.memory import (
+    HostStagingBuffer,
+    device_memory_stats,
+    estimate_graph_bytes,
+    fits_on_device,
+)
+
+
+def test_mtmg_threaded_build_and_pagerank():
+    """Mirror of the reference's mtmg threaded_test.cpp: threads append edge
+    chunks via per-thread edgelists, then one distributed graph is built and
+    an MG algorithm runs on it."""
+    rm = ResourceManager()
+    for r in range(8):
+        rm.register_local_gpu(r, jax.devices()[r])
+    im = rm.create_instance_manager()
+    assert im.size() == 8
+
+    rng = np.random.default_rng(0)
+    n = 64
+    chunks = [(rng.integers(0, n, 200), rng.integers(0, n, 200))
+              for _ in range(4)]
+    el = PerThreadEdgelist()
+
+    def worker(c):
+        h = im.get_handle()
+        assert h.device is not None
+        s, d = c
+        el.append(s[:100], d[:100])
+        el.append(s[100:], d[100:])
+        el.flush()
+
+    threads = [threading.Thread(target=worker, args=(c,)) for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    src, dst, w = el.consolidate()
+    assert len(src) == 800
+
+    g, mesh = GraphHandle(im).create_graph(el, num_vertices=n)
+    from cugraph_tpu.parallel import mg_pagerank
+
+    p, err, iters = mg_pagerank(g, mesh, tol=1e-7, max_iter=100)
+    np.testing.assert_allclose(np.asarray(p)[:n].sum(), 1.0, atol=1e-3)
+
+
+def test_etl_renumber_strings():
+    df = pd.DataFrame({"a": ["x", "y", "x"], "b": ["y", "z", "z"]})
+    out, mp = renumber_strings(df, "a", "b")
+    assert out.dtypes["a"] == np.int32
+    assert len(mp) == 3  # x, y, z
+    # round-trip
+    lut = dict(zip(mp["id"], mp["value"]))
+    assert [lut[i] for i in out["a"]] == ["x", "y", "x"]
+    assert [lut[i] for i in out["b"]] == ["y", "z", "z"]
+
+
+def test_etl_renumber_multi_columns():
+    df = pd.DataFrame({"a1": ["u", "u"], "a2": ["1", "2"],
+                       "b1": ["u", "v"], "b2": ["2", "1"]})
+    out, mp = renumber_multi_columns(df, ["a1", "a2"], ["b1", "b2"])
+    assert len(mp) == 3  # composite keys: (u,1), (u,2), (v,1)
+    assert out["src"].nunique() == 2
+
+
+def test_memory_helpers():
+    assert estimate_graph_bytes(1000, 10000) > 10000 * 12
+    stats = device_memory_stats()
+    assert "bytes_in_use" in stats
+    assert fits_on_device(100, 1000) in (True, False)
+    buf = HostStagingBuffer(np.ones(10, np.float32))
+    d = buf.to_device()
+    assert float(np.asarray(d).sum()) == 10.0
+    buf.release()
+    assert buf._device is None
