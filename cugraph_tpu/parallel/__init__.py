@@ -32,4 +32,10 @@ from cugraph_tpu.parallel.algos import (
     mg_eigenvector_centrality,
     mg_sample_one_hop,
     mg_uniform_neighbor_sample,
+    mg_uniform_random_walks,
+    mg_jaccard_coefficients,
+    mg_sorensen_coefficients,
+    mg_overlap_coefficients,
+    mg_cosine_coefficients,
+    mg_core_number,
 )

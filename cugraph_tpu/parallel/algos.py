@@ -545,3 +545,195 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
         return pd.DataFrame(columns=["sources", "destinations", "hop_id",
                                      "batch_id"])
     return pd.concat(frames, ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed random walks — one mg_sample_one_hop(k=1) per step
+# (reference sampling/random_walks_impl.cuh:894 MG path).
+# ---------------------------------------------------------------------------
+
+def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
+                            seed: int = 0):
+    """Uniform random walks over the 2D partition.  Returns an int64 array
+    [n_walks, max_depth + 1] padded with -1 after termination."""
+    starts = np.asarray(start_vertices, np.int64)
+    paths = np.full((len(starts), max_depth + 1), -1, np.int64)
+    paths[:, 0] = starts
+    cur = starts
+    for step in range(max_depth):
+        alive = cur >= 0
+        if not alive.any():
+            break
+        frontier = np.unique(cur[alive])
+        samp = np.asarray(mg_sample_one_hop(g, mesh, frontier, 1,
+                                            seed * 1000003 + step,
+                                            with_replacement=True))[:, 0]
+        nxt = np.where(alive, samp[np.clip(cur, 0, None)], -1)
+        paths[:, step + 1] = nxt
+        cur = nxt
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Distributed similarity (Jaccard/Sørensen/overlap/cosine) for vertex pairs.
+# Common-neighbor counts via one batched SpMM: cn(u,v) = (A·1_u)[v] summed
+# over the batch — the dense analog of the reference's MG nbr_intersection
+# adjacency gathers (prims/detail/nbr_intersection.cuh).
+# ---------------------------------------------------------------------------
+
+def _mg_common_neighbors(g: DistGraph, mesh, firsts, seconds, batch: int = 512):
+    """Directed out-neighbor intersections |N(u) ∩ N(v)| per pair (push
+    orientation not needed: uses pull blocks as the in-edge adjacency of the
+    REVERSED roles — pass the orientation the SG similarity uses)."""
+    from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
+
+    firsts = np.asarray(firsts, np.int64)
+    seconds = np.asarray(seconds, np.int64)
+    out = np.zeros(len(firsts), np.float64)
+    spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
+    for lo in range(0, len(firsts), batch):
+        u = firsts[lo: lo + batch]
+        P_ = len(u)
+        onehot = np.zeros((g.pad_v, P_), np.float32)
+        onehot[u, np.arange(P_)] = 1.0
+        X = shard_vertex_data(mesh, jnp.asarray(onehot))
+        # Z[w, p] = Σ_u' A[w ← u'] · onehot[u', p]; with pull blocks
+        # (src gathered, dst reduced) this accumulates over IN-edges of w —
+        # i.e. Z[w, p] = 1 if w has an in-edge from u_p (weights aside).
+        Z = spmm(g.pull.src_loc, g.pull.dst_loc,
+                 g.pull.weight * 0 + g.pull.valid.astype(jnp.float32), X)
+        Zh = np.asarray(Z)
+        # cn(u_p, v_p) = Σ_w [w ∈ N_out(u_p)] · [w ∈ N_out(v_p)]
+        #             = Σ_w Zt[w, p] · Zt2[w, p] — need v's indicator too;
+        # build it in the same pass: Z2 for seconds
+        v = seconds[lo: lo + batch]
+        onehot2 = np.zeros((g.pad_v, P_), np.float32)
+        onehot2[v, np.arange(P_)] = 1.0
+        X2 = shard_vertex_data(mesh, jnp.asarray(onehot2))
+        Z2 = spmm(g.pull.src_loc, g.pull.dst_loc,
+                  g.pull.weight * 0 + g.pull.valid.astype(jnp.float32), X2)
+        Z2h = np.asarray(Z2)
+        out[lo: lo + batch] = np.sum((Zh > 0) & (Z2h > 0), axis=0)
+    return out
+
+
+def mg_jaccard_coefficients(g: DistGraph, mesh, firsts, seconds):
+    """Jaccard over OUT-neighborhoods for vertex pairs (reference
+    link_prediction/jaccard_impl.cuh MG path).  Returns float64 [P]."""
+    cn = _mg_common_neighbors(g, mesh, firsts, seconds)
+    deg = np.asarray(g.out_degree)
+    du = deg[np.asarray(firsts)]
+    dv = deg[np.asarray(seconds)]
+    union = du + dv - cn
+    return np.divide(cn, union, out=np.zeros_like(cn), where=union > 0)
+
+
+def mg_sorensen_coefficients(g: DistGraph, mesh, firsts, seconds):
+    cn = _mg_common_neighbors(g, mesh, firsts, seconds)
+    deg = np.asarray(g.out_degree)
+    s = deg[np.asarray(firsts)] + deg[np.asarray(seconds)]
+    return np.divide(2 * cn, s, out=np.zeros_like(cn), where=s > 0)
+
+
+def mg_overlap_coefficients(g: DistGraph, mesh, firsts, seconds):
+    cn = _mg_common_neighbors(g, mesh, firsts, seconds)
+    deg = np.asarray(g.out_degree)
+    mn = np.minimum(deg[np.asarray(firsts)], deg[np.asarray(seconds)])
+    return np.divide(cn, mn, out=np.zeros_like(cn), where=mn > 0)
+
+
+def mg_cosine_coefficients(g: DistGraph, mesh, firsts, seconds):
+    cn = _mg_common_neighbors(g, mesh, firsts, seconds)
+    deg = np.asarray(g.out_degree)
+    denom = np.sqrt(deg[np.asarray(firsts)] * deg[np.asarray(seconds)])
+    return np.divide(cn, denom, out=np.zeros_like(cn), where=denom > 0)
+
+
+# ---------------------------------------------------------------------------
+# Distributed core number — h-index fixpoint (Lü et al. 2016): iterating
+# core[v] ← h-index{core[u] : u ∈ N(v)} converges to the k-core numbers.
+# Each threshold count is one masked SpMV; thresholds swept on device.
+# (reference cores/core_number_impl.cuh peels frontier buckets; the h-operator
+# is the dense-iteration equivalent, exact at the fixpoint.)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_core_number_kernel(mesh, pmaj, pmin, chunk, n, max_core, use_pull,
+                           use_push):
+    nseg = pmaj * chunk
+
+    def one_direction(src_loc, dst_loc, valid, vals, t):
+        ind = jnp.where(valid, (prims.gather_minor_block(vals)[src_loc] >= t)
+                        .astype(jnp.int32), 0)
+        part = prims.block_segment_reduce(ind, dst_loc, nseg, "sum")
+        return prims.scatter_reduce_major_sum(part)
+
+    def kernel(psrc, pdst, pval, qsrc, qdst, qval, deg):
+        psrc_, pdst_, pv = _sq(psrc), _sq(pdst), _sq(pval)
+        qsrc_, qdst_, qv = _sq(qsrc), _sq(qdst), _sq(qval)
+        gidx = prims.global_vertex_ids(chunk)
+        real = gidx < n
+        # start from a safe upper bound: weighted degrees can under-estimate
+        # edge counts, so init with min(ceil(deg), max_core) only when deg is
+        # a true count; max_core is always safe and costs at most one extra
+        # sweep of the monotone h-operator
+        core0 = jnp.where(real, jnp.int32(max_core), 0)
+        del deg
+
+        def sweep(state):
+            core, it, _ = state
+
+            def h_body(t, best):
+                cnt = jnp.zeros_like(core)
+                if use_pull:   # in-neighbors with core >= t
+                    cnt = cnt + one_direction(psrc_, pdst_, pv, core, t)
+                if use_push:   # out-neighbors with core >= t
+                    cnt = cnt + one_direction(qsrc_, qdst_, qv, core, t)
+                ok = cnt >= t
+                return jnp.where(ok, jnp.maximum(best, t), best)
+
+            hidx = jax.lax.fori_loop(1, max_core + 1, h_body,
+                                     jnp.zeros_like(core))
+            new = jnp.minimum(core, hidx)
+            changed = prims.psum_all(jnp.sum((new != core).astype(jnp.int32)))
+            return new, it + 1, changed
+
+        def cond(state):
+            _, it, changed = state
+            return (changed > 0) & (it < n)
+
+        core, _, _ = jax.lax.while_loop(
+            cond, sweep, (core0, jnp.asarray(0, jnp.int32),
+                          jnp.asarray(1, jnp.int32)))
+        return core
+
+    return _shard_wrap(mesh, kernel, 6, 1, 0, vertex_spec())
+
+
+def mg_core_number(g: DistGraph, mesh, degree_type: str = "bidirectional",
+                   max_core: int | None = None):
+    """Distributed core numbers via the h-index fixpoint.
+
+    degree_type: "incoming" (in-nbrs; use this for symmetrized edge lists to
+    get classic core numbers), "outgoing", or "bidirectional" (in+out, the
+    reference's default — doubles coreness on symmetric inputs, matching
+    cuGraph).  Needs push blocks for outgoing/bidirectional."""
+    use_pull = degree_type in ("incoming", "bidirectional")
+    use_push = degree_type in ("outgoing", "bidirectional")
+    if use_push:
+        assert g.push is not None, "need push blocks for this degree_type"
+    deg = np.zeros(g.pad_v, np.float32)
+    if use_pull:
+        deg += np.asarray(g.in_degree)
+    if use_push:
+        deg += np.asarray(g.out_degree)
+    if max_core is None:
+        max_core = int(deg.max()) if deg.size else 1
+    vsh = NamedSharding(mesh, vertex_spec())
+    deg_d = jax.device_put(jnp.asarray(deg, jnp.float32), vsh)
+    kern = _mg_core_number_kernel(mesh, g.pmaj, g.pmin, g.chunk,
+                                  g.num_vertices, int(max_core),
+                                  use_pull, use_push)
+    push = g.push if g.push is not None else g.pull
+    return kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
+                push.src_loc, push.dst_loc, push.valid, deg_d)

@@ -273,3 +273,62 @@ def test_mg_uniform_neighbor_sample(mesh):
     # without replacement: samples per source are distinct
     for (h, s), grp in df.groupby(["hop_id", "sources"]):
         assert grp["destinations"].is_unique
+
+
+def test_mg_core_number_matches_sg(mesh):
+    src, dst, _ = _random_coo(n=60, m=300, seed=11, weighted=False)
+    n = 60
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    src, dst = key // n, key % n
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_core_number
+
+    core = np.asarray(mg_core_number(g, mesh, degree_type="incoming"))[:n]
+
+    import networkx as nx
+
+    Gx = nx.Graph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    Gx.remove_edges_from(nx.selfloop_edges(Gx))
+    expect = nx.core_number(Gx)
+    np.testing.assert_array_equal(core, [expect[v] for v in range(n)])
+
+
+def test_mg_random_walks(mesh):
+    src, dst, _ = _random_coo(n=60, m=600, seed=12, weighted=False)
+    n = 60
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_uniform_random_walks
+
+    paths = mg_uniform_random_walks(g, mesh, [0, 1, 2, 3], 5, seed=3)
+    assert paths.shape == (4, 6)
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for row in paths:
+        for a, b in zip(row, row[1:]):
+            if b == -1:
+                break
+            assert (int(a), int(b)) in edge_set
+
+
+def test_mg_similarity_matches_sg(mesh):
+    src, dst, _ = _random_coo(n=60, m=600, seed=13, weighted=False)
+    n = 60
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    from cugraph_tpu.parallel import mg_jaccard_coefficients
+
+    rng = np.random.default_rng(0)
+    firsts = rng.integers(0, n, 20)
+    seconds = rng.integers(0, n, 20)
+    mg = mg_jaccard_coefficients(g, mesh, firsts, seconds)
+
+    # oracle: out-neighbor jaccard
+    from collections import defaultdict
+
+    out_nbrs = defaultdict(set)
+    for s, d in zip(src, dst):
+        out_nbrs[s].add(d)
+    for p, (u, v) in enumerate(zip(firsts, seconds)):
+        a, b = out_nbrs[u], out_nbrs[v]
+        expect = len(a & b) / len(a | b) if (a | b) else 0.0
+        np.testing.assert_allclose(mg[p], expect, atol=1e-6)
