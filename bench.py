@@ -22,7 +22,7 @@ import numpy as np
 BASELINE_EDGES_PER_S = 1.0e9
 SCALE = 20
 EDGE_FACTOR = 16
-ITERS = 30
+ITERS = 100
 
 
 def main():

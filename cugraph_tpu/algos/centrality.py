@@ -61,6 +61,34 @@ def _katz_kernel(g: GraphStructure, alpha, beta, tol, x0, max_iter: int,
     return x, err, iters
 
 
+@partial(jax.jit, static_argnames=("max_iter", "normalized", "n"))
+def _katz_kernel_pallas(plan, alpha, beta, tol, x0, max_iter: int,
+                        normalized: bool, n: int):
+    """Katz power iteration over the one-hot MXU SpMV (TPU fast path)."""
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    real = jnp.arange(x0.shape[0]) < n
+
+    def step(state):
+        x, _, it = state
+        x_new = alpha * spmv_onehot(plan, x, precision="split") + beta
+        x_new = jnp.where(real, x_new, 0.0)
+        err = jnp.sum(jnp.abs(x_new - x))
+        return x_new, err, it + 1
+
+    def cond(state):
+        _, err, it = state
+        return (err >= tol) & (it < max_iter)
+
+    x, err, iters = jax.lax.while_loop(
+        cond, step, (x0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
+    )
+    if normalized:
+        norm = jnp.sqrt(jnp.sum(jnp.where(real, x * x, 0.0)))
+        x = x / jnp.maximum(norm, 1e-30)
+    return x, err, iters
+
+
 def katz_centrality(G, alpha=None, beta: float = 1.0, max_iter: int = 100,
                     tol: float = 1.0e-6, nstart=None, normalized: bool = True):
     """Katz centrality (reference katz_centrality_impl.cuh:32-187).
@@ -70,14 +98,23 @@ def katz_centrality(G, alpha=None, beta: float = 1.0, max_iter: int = 100,
     if alpha is None:
         dmax = int(np.max(np.asarray(g.in_degrees())[:n])) if n else 1
         alpha = 1.0 / (dmax + 1)
-    x0 = np.zeros(g.pad_v, dtype=np.float32)
+    from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
+
+    fast = use_pallas(G)
+    pad = get_pull_plan(G).pad_v if fast else g.pad_v
+    x0 = np.zeros(pad, dtype=np.float32)
     if nstart is not None:
         ids = G.lookup_internal_vertex_id(nstart["vertex"].to_numpy())
         x0[ids] = nstart["values"].to_numpy()
     # convergence threshold follows the reference: L1 diff < n * tol
-    x, err, iters = _katz_kernel(g, jnp.float32(alpha), jnp.float32(beta),
-                                 jnp.float32(n * tol), jnp.asarray(x0),
-                                 int(max_iter), normalized)
+    if fast:
+        x, err, iters = _katz_kernel_pallas(
+            get_pull_plan(G), jnp.float32(alpha), jnp.float32(beta),
+            jnp.float32(n * tol), jnp.asarray(x0), int(max_iter), normalized, n)
+    else:
+        x, err, iters = _katz_kernel(g, jnp.float32(alpha), jnp.float32(beta),
+                                     jnp.float32(n * tol), jnp.asarray(x0),
+                                     int(max_iter), normalized)
     if not bool(err < n * tol):
         raise FailedToConvergeError(f"katz failed to converge in {max_iter} iters")
     return vertex_frame(G, {"katz_centrality": np.asarray(x)})
@@ -111,15 +148,49 @@ def _eigenvector_kernel(g: GraphStructure, tol, x0, max_iter: int):
     )
 
 
+@partial(jax.jit, static_argnames=("max_iter", "n"))
+def _eigenvector_kernel_pallas(plan, tol, x0, max_iter: int, n: int):
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    real = jnp.arange(x0.shape[0]) < n
+
+    def step(state):
+        x, _, it = state
+        y = spmv_onehot(plan, x, precision="split") + x  # shifted iteration
+        y = jnp.where(real, y, 0.0)
+        norm = jnp.sqrt(jnp.sum(y * y))
+        y = y / jnp.maximum(norm, 1e-30)
+        err = jnp.sum(jnp.abs(y - x))
+        return y, err, it + 1
+
+    def cond(state):
+        _, err, it = state
+        return (err >= tol) & (it < max_iter)
+
+    return jax.lax.while_loop(
+        cond, step, (x0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32))
+    )
+
+
 def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1.0e-6):
     """Eigenvector centrality (reference eigenvector_centrality_impl.cuh:161);
     matches networkx (L2-normalized principal eigenvector, pull direction)."""
-    g = G.structure
+    from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
+
     n = G.number_of_vertices()
-    x0 = np.zeros(g.pad_v, dtype=np.float32)
-    x0[:n] = 1.0 / np.sqrt(n)
-    x, err, iters = _eigenvector_kernel(g, jnp.float32(n * tol), jnp.asarray(x0),
-                                        int(max_iter))
+    fast = use_pallas(G)
+    if fast:
+        plan = get_pull_plan(G)
+        x0 = np.zeros(plan.pad_v, dtype=np.float32)
+        x0[:n] = 1.0 / np.sqrt(n)
+        x, err, iters = _eigenvector_kernel_pallas(
+            plan, jnp.float32(n * tol), jnp.asarray(x0), int(max_iter), n)
+    else:
+        g = G.structure
+        x0 = np.zeros(g.pad_v, dtype=np.float32)
+        x0[:n] = 1.0 / np.sqrt(n)
+        x, err, iters = _eigenvector_kernel(g, jnp.float32(n * tol), jnp.asarray(x0),
+                                            int(max_iter))
     if not bool(err < n * tol):
         raise FailedToConvergeError(f"eigenvector failed to converge in {max_iter} iters")
     return vertex_frame(G, {"eigenvector_centrality": np.asarray(x)})

@@ -107,24 +107,15 @@ def _pagerank_kernel_pallas(
 
 
 def _get_pull_plan(G):
-    """Build (once) and cache the Pallas SpMV plan for the pull orientation."""
-    plan = getattr(G, "_spmv_plan_pull", None)
-    if plan is None:
-        src, dst, w = G.edgelist_arrays()
-        from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
+    from cugraph_tpu.kernels.dispatch import get_pull_plan
 
-        plan = build_spmv_plan(src, dst, w, G.number_of_vertices())
-        G._spmv_plan_pull = plan
-    return plan
+    return get_pull_plan(G)
 
 
 def _use_pallas(G) -> bool:
-    from cugraph_tpu.kernels.spmv_onehot import spmv_available
+    from cugraph_tpu.kernels.dispatch import use_pallas
 
-    import os
-    if os.environ.get("CUGRAPH_TPU_DISABLE_PALLAS"):
-        return False
-    return spmv_available() and G.number_of_edges() >= _PALLAS_MIN_EDGES
+    return use_pallas(G)
 
 
 def pagerank(
@@ -177,12 +168,9 @@ def pagerank(
     p0 = _vec_from_df_or_dict(nstart, 1.0 / n)
 
     if use_pallas:
-        src, dst, w = G.edgelist_arrays()
-        out_w = np.zeros(pad_v, np.float32)
-        np.add.at(out_w, src, np.ones(len(src), np.float32) if w is None else w)
-        inv_out = np.divide(1.0, out_w, out=np.zeros_like(out_w),
-                            where=out_w > 0).astype(np.float32)
-        is_dang = (np.arange(pad_v) < n) & (out_w <= 0)
+        from cugraph_tpu.kernels.dispatch import out_weight_vectors
+
+        inv_out, is_dang = out_weight_vectors(G, pad_v)
         p, err, iters = _pagerank_kernel_pallas(
             plan, jnp.asarray(inv_out), jnp.asarray(is_dang),
             jnp.asarray(reset), jnp.asarray(dang), jnp.asarray(p0),
@@ -239,17 +227,63 @@ def _hits_kernel(g: GraphStructure, tol, max_iter: int, normalized: bool, h0):
     return h, a, err, iters
 
 
+@partial(jax.jit, static_argnames=("max_iter", "normalized", "n"))
+def _hits_kernel_pallas(pull_plan, push_plan, tol, max_iter: int,
+                        normalized: bool, h0, n: int):
+    """HITS over the one-hot MXU SpMV pair (TPU fast path)."""
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    real = jnp.arange(h0.shape[0]) < n
+
+    def step(state):
+        h, a, _, it = state
+        a_new = spmv_onehot(pull_plan, h, precision="split")
+        a_new = jnp.where(real, a_new, 0.0)
+        a_new = a_new / jnp.maximum(jnp.max(jnp.abs(a_new)), 1e-30)
+        h_new = spmv_onehot(push_plan, a_new, precision="split")
+        h_new = jnp.where(real, h_new, 0.0)
+        h_new = h_new / jnp.maximum(jnp.max(jnp.abs(h_new)), 1e-30)
+        err = jnp.sum(jnp.abs(h_new - h))
+        return h_new, a_new, err, it + 1
+
+    def cond(state):
+        _, _, err, it = state
+        return (err >= tol) & (it < max_iter)
+
+    h, a, err, iters = jax.lax.while_loop(
+        cond, step, (h0, jnp.zeros_like(h0), jnp.asarray(jnp.inf, jnp.float32),
+                     jnp.asarray(0, jnp.int32))
+    )
+    if normalized:
+        h = h / jnp.maximum(jnp.sum(jnp.where(real, h, 0.0)), 1e-30)
+        a = a / jnp.maximum(jnp.sum(jnp.where(real, a, 0.0)), 1e-30)
+    return h, a, err, iters
+
+
 def hits(G, max_iter: int = 100, tol: float = 1.0e-5, nstart=None, normalized: bool = True):
     """HITS hubs/authorities (reference hits_impl.cuh:47-194).
     Returns DataFrame ['vertex', 'hubs', 'authorities']."""
-    g = G.structure
+    from cugraph_tpu.kernels.dispatch import (
+        get_pull_plan,
+        get_push_plan,
+        use_pallas,
+    )
+
     n = G.number_of_vertices()
-    h0 = np.zeros(g.pad_v, dtype=np.float32)
+    fast = use_pallas(G)
+    pad = get_pull_plan(G).pad_v if fast else G.structure.pad_v
+    h0 = np.zeros(pad, dtype=np.float32)
     if nstart is None:
         h0[:n] = 1.0 / n
     else:
         ids = G.lookup_internal_vertex_id(nstart["vertex"].to_numpy())
         h0[ids] = nstart["values"].to_numpy()
-    h, a, err, iters = _hits_kernel(g, jnp.float32(tol), int(max_iter), normalized,
-                                    jnp.asarray(h0))
+    if fast:
+        h, a, err, iters = _hits_kernel_pallas(
+            get_pull_plan(G), get_push_plan(G), jnp.float32(tol),
+            int(max_iter), normalized, jnp.asarray(h0), n)
+    else:
+        h, a, err, iters = _hits_kernel(G.structure, jnp.float32(tol),
+                                        int(max_iter), normalized,
+                                        jnp.asarray(h0))
     return vertex_frame(G, {"hubs": np.asarray(h), "authorities": np.asarray(a)})

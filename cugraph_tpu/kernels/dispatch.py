@@ -1,0 +1,58 @@
+"""Dispatch helpers: choose the Pallas one-hot SpMV on TPU, XLA elsewhere.
+
+Pull/push plans are built once per Graph and cached on the object (the same
+lifecycle as the reference's lazily-built SGGraph, simpleGraph.py:1376).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# edge count above which the Pallas kernel pays for its compile time
+PALLAS_MIN_EDGES = 200_000
+
+
+def use_pallas(G) -> bool:
+    from cugraph_tpu.kernels.spmv_onehot import spmv_available
+
+    if os.environ.get("CUGRAPH_TPU_DISABLE_PALLAS"):
+        return False
+    return spmv_available() and G.number_of_edges() >= PALLAS_MIN_EDGES
+
+
+def get_pull_plan(G):
+    """Plan computing y[dst] = Σ w·x[src] (the pull SpMV)."""
+    plan = getattr(G, "_spmv_plan_pull", None)
+    if plan is None:
+        from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
+
+        src, dst, w = G.edgelist_arrays()
+        plan = build_spmv_plan(src, dst, w, G.number_of_vertices())
+        G._spmv_plan_pull = plan
+    return plan
+
+
+def get_push_plan(G):
+    """Plan computing y[src] = Σ w·x[dst] (the push SpMV = pull on Aᵀ)."""
+    plan = getattr(G, "_spmv_plan_push", None)
+    if plan is None:
+        from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
+
+        src, dst, w = G.edgelist_arrays()
+        plan = build_spmv_plan(dst, src, w, G.number_of_vertices())
+        G._spmv_plan_push = plan
+    return plan
+
+
+def out_weight_vectors(G, pad_v: int):
+    """(inv_out_weight, is_dangling) host vectors sized to the plan."""
+    src, dst, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    out_w = np.zeros(pad_v, np.float32)
+    np.add.at(out_w, src, np.ones(len(src), np.float32) if w is None else w)
+    inv_out = np.divide(1.0, out_w, out=np.zeros_like(out_w),
+                        where=out_w > 0).astype(np.float32)
+    is_dang = (np.arange(pad_v) < n) & (out_w <= 0)
+    return inv_out, is_dang

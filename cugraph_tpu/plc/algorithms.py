@@ -287,6 +287,12 @@ def core_number(resource_handle, graph, degree_type="bidirectional",
                 do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_core_number
+
+        core = mg_core_number(graph.graph(), graph.mesh, degree_type=degree_type)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), np.asarray(core)[:n]
     df = ct.core_number(_sg(graph), degree_type=degree_type).sort_values("vertex")
     return df["vertex"].to_numpy(), df["core_number"].to_numpy()
 
@@ -342,6 +348,11 @@ def jaccard_coefficients(resource_handle, graph, first, second,
                          use_weight=False, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_jaccard_coefficients
+
+        c = mg_jaccard_coefficients(graph.graph(), graph.mesh, first, second)
+        return np.asarray(first), np.asarray(second), c
     return _sim(ct.jaccard, graph, first, second)
 
 
@@ -410,6 +421,12 @@ def uniform_random_walks(resource_handle, graph, start_vertices, max_length,
                          random_state=None):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_uniform_random_walks
+
+        return mg_uniform_random_walks(
+            graph.graph(), graph.mesh, start_vertices, max_length,
+            seed=random_state or 0)
     df = ct.uniform_random_walks(_sg(graph), start_vertices, max_length,
                                  random_state=random_state)
     return df
@@ -435,6 +452,12 @@ def uniform_neighbor_sample(resource_handle, graph, start_list, fanout_vals,
                             with_replacement=True, random_state=None, **kw):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_uniform_neighbor_sample
+
+        return mg_uniform_neighbor_sample(
+            graph.graph(), graph.mesh, start_list, fanout_vals,
+            with_replacement=with_replacement, seed=random_state or 0)
     return ct.uniform_neighbor_sample(_sg(graph), start_list, fanout_vals,
                                       with_replacement=with_replacement,
                                       random_state=random_state)

@@ -103,3 +103,28 @@ def test_plc_mg_graph_pagerank(rh):
     assert pr.sum() == pytest.approx(1.0, abs=1e-3)
     v2, lab = plc.weakly_connected_components(h, g)
     assert len(lab) == 60
+
+
+def test_plc_mg_routing_extended(rh):
+    import jax
+
+    from cugraph_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    h = plc.ResourceHandle(mesh=mesh)
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    g = plc.MGGraph(h, plc.GraphProperties(), src, dst, None)
+
+    v, core = plc.core_number(h, g, degree_type="incoming")
+    assert len(core) == 40 and core.max() >= 1
+
+    f, s, c = plc.jaccard_coefficients(h, g, np.array([0, 1]), np.array([2, 3]))
+    assert np.all((0 <= c) & (c <= 1))
+
+    paths = plc.uniform_random_walks(h, g, [0, 1], 4, random_state=1)
+    assert paths.shape == (2, 5)
+
+    df = plc.uniform_neighbor_sample(h, g, [0, 1], [2, 2], random_state=0)
+    assert {"sources", "destinations", "hop_id"} <= set(df.columns)
