@@ -170,6 +170,14 @@ def louvain(resource_handle, graph, max_level=100, threshold=1e-7,
             resolution=1.0, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_louvain
+
+        labels, mod = mg_louvain(graph.graph(), graph.mesh,
+                                 max_level=max_level, resolution=resolution,
+                                 threshold=threshold)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), labels, float(mod)
     parts, mod = ct.louvain(_sg(graph), max_level=max_level,
                             threshold=threshold, resolution=resolution)
     parts = parts.sort_values("vertex")

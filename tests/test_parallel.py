@@ -332,3 +332,43 @@ def test_mg_similarity_matches_sg(mesh):
         a, b = out_nbrs[u], out_nbrs[v]
         expect = len(a & b) / len(a | b) if (a | b) else 0.0
         np.testing.assert_allclose(mg[p], expect, atol=1e-6)
+
+
+def test_mg_louvain_quality(mesh):
+    # planted 4-community graph: MG louvain must recover high modularity
+    rng = np.random.default_rng(5)
+    n_half, n_comm = 20, 4
+    n = n_half * n_comm
+    edges = set()
+    for c in range(n_comm):
+        base = c * n_half
+        for _ in range(150):
+            u, v = rng.integers(0, n_half, 2)
+            if u != v:
+                edges.add((base + u, base + v))
+    for _ in range(20):  # sparse inter-community noise
+        u, v = rng.integers(0, n, 2)
+        if u != v:
+            edges.add((u, v))
+    src, dst = np.array(sorted(edges)).T
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    src, dst = key // n, key % n
+
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel.louvain import mg_louvain
+
+    labels, q = mg_louvain(g, mesh)
+    assert len(labels) == n
+
+    G = _sg_graph(src, dst, None, n, directed=False)
+    _, q_sg = ct.louvain(G)
+    # distributed quality within 10% of the single-device result
+    assert q > 0.5 * float(q_sg) and q > 0.3
+    # communities mostly align with the planted structure
+    from collections import Counter
+
+    majority = 0
+    for c in range(n_comm):
+        blk = labels[c * n_half:(c + 1) * n_half]
+        majority += Counter(blk.tolist()).most_common(1)[0][1]
+    assert majority / n > 0.8
