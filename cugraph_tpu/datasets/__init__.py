@@ -120,3 +120,10 @@ ALL_DATASETS = [karate, les_miserables, davis, florentine, petersen,
 
 def get_all_datasets():
     return list(ALL_DATASETS)
+
+
+from cugraph_tpu.datasets.readers import (  # noqa: E402
+    read_csv_edgelist,
+    read_mtx,
+    write_csv_edgelist,
+)

@@ -138,3 +138,28 @@ def test_simple_generators():
     assert (er["src"] != er["dst"]).all()
     # valid vertex range
     assert er[["src", "dst"]].to_numpy().max() < 50
+
+
+def test_file_readers_roundtrip(tmp_path):
+    import cugraph_tpu as ct
+    from cugraph_tpu.datasets import read_csv_edgelist, read_mtx, \
+        write_csv_edgelist
+
+    # csv round trip
+    G = ct.datasets.karate.get_graph()
+    p = tmp_path / "karate.csv"
+    write_csv_edgelist(G, str(p))
+    df = read_csv_edgelist(str(p))
+    G2 = ct.Graph()
+    G2.from_edgelist(df["src"].to_numpy(), df["dst"].to_numpy(),
+                     df["wgt"].to_numpy() if "wgt" in df else None)
+    assert G2.number_of_edges() == G.number_of_edges()
+
+    # mtx: symmetric banner expansion + 1-based conversion
+    mtx = tmp_path / "t.mtx"
+    mtx.write_text("%%MatrixMarket matrix coordinate real symmetric\n"
+                   "3 3 3\n1 2 1.5\n2 3 2.5\n3 3 9.0\n")
+    dfm = read_mtx(str(mtx))
+    assert len(dfm) == 5  # two off-diagonal edges doubled + one self loop
+    assert dfm["src"].min() == 0
+    assert set(dfm.columns) == {"src", "dst", "wgt"}
