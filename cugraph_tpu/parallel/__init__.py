@@ -40,4 +40,5 @@ from cugraph_tpu.parallel.algos import (
     mg_overlap_coefficients,
     mg_cosine_coefficients,
     mg_core_number,
+    mg_k_core,
 )

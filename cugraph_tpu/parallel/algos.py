@@ -737,3 +737,19 @@ def mg_core_number(g: DistGraph, mesh, degree_type: str = "bidirectional",
     push = g.push if g.push is not None else g.pull
     return kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
                 push.src_loc, push.dst_loc, push.valid, deg_d)
+
+
+def mg_k_core(g: DistGraph, mesh, k: int | None = None,
+              degree_type: str = "incoming"):
+    """Distributed k-core extraction: distributed core numbers, then the
+    edge filter (both endpoints with core ≥ k) applied to the decompressed
+    blocks (reference cores/k_core_impl.cuh:23 = core_number + extract).
+    Returns (src, dst, w) host arrays of the k-core subgraph in global ids."""
+    core = np.asarray(mg_core_number(g, mesh, degree_type=degree_type))
+    if k is None:
+        k = int(core.max())
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    src, dst, w = _gather_edges_host(g)
+    keep = (core[src] >= k) & (core[dst] >= k)
+    return src[keep], dst[keep], w[keep], core

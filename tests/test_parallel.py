@@ -372,3 +372,26 @@ def test_mg_louvain_quality(mesh):
         blk = labels[c * n_half:(c + 1) * n_half]
         majority += Counter(blk.tolist()).most_common(1)[0][1]
     assert majority / n > 0.8
+
+
+def test_mg_k_core(mesh):
+    src, dst, _ = _random_coo(n=50, m=260, seed=14, weighted=False)
+    n = 50
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    src, dst = key // n, key % n
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_k_core
+
+    ks, kd, kw, core = mg_k_core(g, mesh, k=2, degree_type="incoming")
+    assert np.all(core[ks] >= 2) and np.all(core[kd] >= 2)
+    # oracle: networkx k_core edge set
+    import networkx as nx
+
+    Gx = nx.Graph(); Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    Gx.remove_edges_from(nx.selfloop_edges(Gx))
+    H = nx.k_core(Gx, 2)
+    got = set(map(tuple, np.sort(np.stack([ks, kd], 1), axis=1).tolist()))
+    got = {e for e in got if e[0] != e[1]}
+    expect = {tuple(sorted(e)) for e in H.edges()}
+    assert got == expect
