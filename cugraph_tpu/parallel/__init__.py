@@ -41,4 +41,5 @@ from cugraph_tpu.parallel.algos import (
     mg_cosine_coefficients,
     mg_core_number,
     mg_k_core,
+    mg_betweenness_centrality,
 )

@@ -753,3 +753,110 @@ def mg_k_core(g: DistGraph, mesh, k: int | None = None,
     src, dst, w = _gather_edges_host(g)
     keep = (core[src] >= k) & (core[dst] >= k)
     return src[keep], dst[keep], w[keep], core
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality — distributed Brandes (reference
+# centrality/betweenness_centrality_impl.cuh:1636: multi-source BFS forward
+# with path counts, then backward dependency accumulation).  Forward = one
+# masked-sum SpMV per level (pull blocks); backward = one masked-sum SpMV per
+# level over the push blocks, walking levels down.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n):
+    B = pmin * chunk
+    nseg = pmaj * chunk
+
+    def kernel(psrc, pdst, pval, qsrc, qdst, qval, source):
+        # pull blocks: gathered = src, reduced = dst (forward expansion)
+        pg, pr, pv = _sq(psrc), _sq(pdst), _sq(pval)
+        # push blocks: gathered = dst, reduced = src (backward accumulation)
+        qg, qr, qv = _sq(qsrc), _sq(qdst), _sq(qval)
+        gidx = prims.global_vertex_ids(chunk)
+        i = jax.lax.axis_index(prims.MAJOR)
+
+        dist0 = jnp.where(gidx == source, 0, INT_INF)
+        sigma0 = jnp.where(gidx == source, 1.0, 0.0)
+
+        # -- forward: levels + path counts ---------------------------------
+        def fwd(state):
+            dist, sigma, level, _ = state
+            src_at = prims.gather_minor_block((dist == level)
+                                              .astype(jnp.float32) * sigma)
+            cand = jnp.where(pv, src_at[pg], 0.0)
+            part = prims.block_segment_reduce(cand, pr, nseg, "sum")
+            pulled = prims.scatter_reduce_major_sum(part)
+            newly = (pulled > 0) & (dist == INT_INF)
+            dist = jnp.where(newly, level + 1, dist)
+            sigma = jnp.where(newly, pulled, sigma)
+            cnt = prims.psum_all(jnp.sum(newly.astype(jnp.int32)))
+            return dist, sigma, level + 1, cnt
+
+        def fwd_cond(state):
+            _, _, level, cnt = state
+            return (cnt > 0) & (level < n)
+
+        dist, sigma, max_level, _ = jax.lax.while_loop(
+            fwd_cond, fwd, (dist0, sigma0, jnp.asarray(0, jnp.int32),
+                            jnp.asarray(1, jnp.int32)))
+
+        # -- backward: delta accumulation, levels descending ---------------
+        delta0 = jax.lax.pcast(jnp.zeros((chunk,), jnp.float32),
+                               (prims.MAJOR, prims.MINOR), to="varying")
+
+        def bwd(state):
+            delta, level = state
+            # per-edge (u → v with dist[v] == dist[u]+1):
+            #   contribution to u: (1 + delta[v]) / sigma[v]
+            d_blk = prims.gather_minor_block(dist)        # dst values (push)
+            contrib_v = prims.gather_minor_block(
+                jnp.where(sigma > 0, (1.0 + delta) / jnp.maximum(sigma, 1e-30),
+                          0.0))
+            dist_seg = prims.gather_major_block(dist)     # src by slot
+            ok = qv & (d_blk[qg] == dist_seg[qr] + 1) & \
+                (dist_seg[qr] == level)
+            part = prims.block_segment_reduce(
+                jnp.where(ok, contrib_v[qg], 0.0), qr, nseg, "sum")
+            acc = prims.scatter_reduce_major_sum(part)
+            delta = jnp.where(dist == level, sigma * acc, delta)
+            return delta, level - 1
+
+        def bwd_cond(state):
+            _, level = state
+            return level >= 0
+
+        delta, _ = jax.lax.while_loop(
+            bwd_cond, bwd, (delta0, max_level - 1))
+        bc = jnp.where((gidx != source) & (dist < INT_INF), delta, 0.0)
+        return bc
+
+    return _shard_wrap(mesh, kernel, 6, 0, 1, vertex_spec())
+
+
+def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
+                              sources=None, normalized: bool = True,
+                              seed: int = 0):
+    """Distributed Brandes betweenness.  ``k`` samples that many sources
+    (reference's k-source approximation); sources=None, k=None → exact
+    (all sources).  Needs push blocks."""
+    assert g.push is not None, "mg_betweenness needs push blocks"
+    n = g.num_vertices
+    if sources is None:
+        if k is None:
+            sources = np.arange(n)
+        else:
+            sources = np.random.default_rng(seed).choice(n, size=min(k, n),
+                                                         replace=False)
+    kern = _mg_brandes_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)
+    bc = np.zeros(g.pad_v, np.float64)
+    for s in np.asarray(sources):
+        bc += np.asarray(kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
+                              g.push.src_loc, g.push.dst_loc, g.push.valid,
+                              jnp.asarray(int(s), jnp.int32)), np.float64)
+    if normalized and n > 2:
+        denom = (n - 1) * (n - 2)
+        if len(sources) < n:
+            denom = denom * len(sources) / n
+        bc = bc / denom
+    return bc

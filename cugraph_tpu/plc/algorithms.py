@@ -147,6 +147,14 @@ def betweenness_centrality(resource_handle, graph, k=None, random_state=None,
                            do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_betweenness_centrality
+
+        bc = mg_betweenness_centrality(graph.graph(), graph.mesh, k=k,
+                                       normalized=normalized,
+                                       seed=random_state or 0)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), bc[:n]
     df = ct.betweenness_centrality(_sg(graph), k=k, normalized=normalized,
                                    endpoints=include_endpoints,
                                    seed=random_state)

@@ -395,3 +395,21 @@ def test_mg_k_core(mesh):
     got = {e for e in got if e[0] != e[1]}
     expect = {tuple(sorted(e)) for e in H.edges()}
     assert got == expect
+
+
+def test_mg_betweenness_matches_networkx(mesh):
+    src, dst, _ = _random_coo(n=40, m=200, seed=15, weighted=False)
+    n = 40
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_betweenness_centrality
+
+    bc = mg_betweenness_centrality(g, mesh, normalized=True)[:n]
+
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    expect = nx.betweenness_centrality(Gx, normalized=True)
+    np.testing.assert_allclose(bc, [expect[v] for v in range(n)],
+                               rtol=1e-4, atol=1e-6)
