@@ -34,6 +34,7 @@ from cugraph_tpu.parallel.algos import (
     mg_eigenvector_centrality,
     mg_sample_one_hop,
     mg_uniform_neighbor_sample,
+    mg_biased_neighbor_sample,
     mg_uniform_random_walks,
     mg_jaccard_coefficients,
     mg_sorensen_coefficients,
@@ -42,4 +43,5 @@ from cugraph_tpu.parallel.algos import (
     mg_core_number,
     mg_k_core,
     mg_betweenness_centrality,
+    mg_strongly_connected_components,
 )

@@ -437,12 +437,13 @@ def mg_eigenvector_centrality(g: DistGraph, mesh, tol: float = 1e-6,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=32)
-def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement):
+def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
+                            biased=False):
     B = pmin * chunk
     nseg = pmaj * chunk
-    NEG = jnp.float32(-1.0)
+    NEG = jnp.float32(-jnp.inf) if biased else jnp.float32(-1.0)
 
-    def kernel(src_loc, dst_loc, valid, f_own, seed):
+    def kernel(src_loc, dst_loc, valid, f_own, seed, w):
         # push blocks: the GATHERED role (EdgeBlocks.src_loc) is the dst
         # endpoint in row-block space [0, B); the REDUCED role
         # (EdgeBlocks.dst_loc) is the src endpoint in slot space [0, pmaj·Vc)
@@ -457,18 +458,26 @@ def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement):
         f_seg = prims.gather_major_block(f_own)  # frontier flags by src slot
         elig0 = valid_ & f_seg[red]
 
+        w_ = _sq(w)
+
         def round_body(r, carry):
             taken, out_dst = carry
             key = jax.random.fold_in(jax.random.fold_in(
                 jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
-            score = jax.random.uniform(key, (E,), jnp.float32, 1e-6, 1.0)
+            if biased:
+                # Gumbel trick: argmax(log w + G) samples ∝ edge weight
+                gumb = -jnp.log(-jnp.log(
+                    jax.random.uniform(key, (E,), jnp.float32, 1e-20, 1.0)))
+                score = jnp.log(jnp.maximum(w_, 1e-30)) + gumb
+            else:
+                score = jax.random.uniform(key, (E,), jnp.float32, 1e-6, 1.0)
             elig = elig0 if with_replacement else (elig0 & ~taken)
-            score = jnp.where(elig, score, NEG)
+            score = jnp.where(elig & (w_ > 0 if biased else True), score, NEG)
             part = prims.block_segment_reduce(score, red, nseg, "max")
             mx = prims.scatter_reduce_major(
                 jnp.maximum(part, NEG), chunk, "max")     # [chunk] per owner
             mx_seg = prims.gather_major_block(mx)          # back to slot space
-            win = elig & (score == mx_seg[red]) & (score > 0)
+            win = elig & (score == mx_seg[red]) & (score > NEG)
             # tie-break: min dst among winners
             cand = jnp.where(win, gdst, INT_INF)
             part2 = prims.block_segment_reduce(cand, red, nseg, "min")
@@ -489,27 +498,40 @@ def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement):
     es, vs = edge_spec(), vertex_spec()
     return jax.jit(jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(es, es, es, vs, P()),
+        in_specs=(es, es, es, vs, P(), es),
         out_specs=vs))
 
 
 def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
-                      seed: int = 0, with_replacement: bool = False):
-    """One hop of distributed uniform sampling: k out-neighbors per frontier
-    vertex.  Returns int32 [pad_v, k] owner-sharded (−1 = no sample)."""
+                      seed: int = 0, with_replacement: bool = False,
+                      biased: bool = False):
+    """One hop of distributed uniform/biased sampling: k out-neighbors per
+    frontier vertex.  Returns int32 [pad_v, k] owner-sharded (−1 = none).
+    ``biased`` samples ∝ edge weight via the Gumbel-max trick (the
+    per_v_random_select biased variant)."""
     assert g.push is not None, "sampling needs push blocks"
     f = np.zeros(g.pad_v, bool)
     f[frontier] = True
     vsh = NamedSharding(mesh, vertex_spec())
     f = jax.device_put(jnp.asarray(f), vsh)
     kern = _mg_sample_round_kernel(mesh, g.pmaj, g.pmin, g.chunk, int(k),
-                                   bool(with_replacement))
+                                   bool(with_replacement), bool(biased))
     return kern(g.push.src_loc, g.push.dst_loc, g.push.valid, f,
-                jnp.int32(seed))
+                jnp.int32(seed), g.push.weight)
+
+
+def mg_biased_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
+                              with_replacement: bool = False, seed: int = 0):
+    """Weight-biased distributed neighbor sampling
+    (homogeneous_biased_neighbor_sample's MG role)."""
+    return mg_uniform_neighbor_sample(g, mesh, start_list, fanout_vals,
+                                      with_replacement=with_replacement,
+                                      seed=seed, biased=True)
 
 
 def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
-                               with_replacement: bool = False, seed: int = 0):
+                               with_replacement: bool = False, seed: int = 0,
+                               biased: bool = False):
     """Multi-hop distributed uniform neighbor sampling.
 
     Returns a pandas frame ['sources','destinations','hop_id','batch_id'] in
@@ -525,7 +547,8 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
         if len(frontier) == 0:
             break
         samp = np.asarray(mg_sample_one_hop(g, mesh, frontier, int(k),
-                                            seed + hop, with_replacement))
+                                            seed + hop, with_replacement,
+                                            biased))
         srcs, dsts = np.nonzero(samp >= 0)
         keep = np.isin(srcs, frontier)
         s, d = srcs[keep], samp[srcs[keep], dsts[keep]]
@@ -860,3 +883,121 @@ def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
             denom = denom * len(sources) / n
         bc = bc / denom
     return bc
+
+
+# ---------------------------------------------------------------------------
+# SCC — distributed forward-backward (reference
+# components/strongly_connected_components_impl.cuh:1113-1150 reachability
+# sets).  Device kernels: iterative trim (degree-0 peeling) + masked
+# reachability; host loop picks pivots (FW ∩ BW = one SCC per round).
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=32)
+def _mg_trim_kernel(mesh, pmaj, pmin, chunk, n):
+    nseg = pmaj * chunk
+
+    def deg_within(gath, red, valid, active):
+        a_blk = prims.gather_minor_block(active)
+        a_seg = prims.gather_major_block(active)
+        ind = jnp.where(valid & a_blk[gath] & a_seg[red], 1, 0)
+        part = prims.block_segment_reduce(ind, red, nseg, "sum")
+        return prims.scatter_reduce_major_sum(part)
+
+    def kernel(psrc, pdst, pval, qsrc, qdst, qval, active0):
+        pg, pr, pv = _sq(psrc), _sq(pdst), _sq(pval)
+        qg, qr, qv = _sq(qsrc), _sq(qdst), _sq(qval)
+
+        def body(state):
+            active, _ = state
+            ind = deg_within(pg, pr, pv, active)   # in-degree within active
+            outd = deg_within(qg, qr, qv, active)  # out-degree within active
+            keep = active & (ind > 0) & (outd > 0)
+            removed = prims.psum_all(jnp.sum((active & ~keep)
+                                             .astype(jnp.int32)))
+            return keep, removed
+
+        def cond(state):
+            _, removed = state
+            return removed > 0
+
+        active, _ = jax.lax.while_loop(
+            cond, body, (active0, jnp.asarray(1, jnp.int32)))
+        return active
+
+    return _shard_wrap(mesh, kernel, 6, 1, 0, vertex_spec())
+
+
+@lru_cache(maxsize=32)
+def _mg_reach_kernel(mesh, pmaj, pmin, chunk, n):
+    nseg = pmaj * chunk
+
+    def kernel(gath_a, red_a, val_a, active, source):
+        gath, red, valid = _sq(gath_a), _sq(red_a), _sq(val_a)
+        gidx = prims.global_vertex_ids(chunk)
+        reach0 = (gidx == source) & active
+
+        def body(state):
+            reach, _ = state
+            r_blk = prims.gather_minor_block(reach)
+            a_seg = prims.gather_major_block(active)
+            cand = jnp.where(valid & r_blk[gath] & a_seg[red], 1, 0)
+            part = prims.block_segment_reduce(cand, red, nseg, "sum")
+            hit = prims.scatter_reduce_major_sum(part) > 0
+            new = reach | (hit & active)
+            grew = prims.psum_all(jnp.sum((new & ~reach).astype(jnp.int32)))
+            return new, grew
+
+        def cond(state):
+            _, grew = state
+            return grew > 0
+
+        reach, _ = jax.lax.while_loop(
+            cond, body, (reach0, jnp.asarray(1, jnp.int32)))
+        return reach
+
+    return _shard_wrap(mesh, kernel, 3, 1, 1, vertex_spec())
+
+
+def mg_strongly_connected_components(g: DistGraph, mesh,
+                                     max_rounds: int | None = None):
+    """Distributed SCC labels (label = smallest member id per component).
+
+    Forward-backward with trimming: degree-0 peeling handles singleton SCCs
+    on device; each host round extracts one nontrivial SCC (pivot's FW ∩ BW
+    reachability).  Needs push blocks."""
+    assert g.push is not None, "mg_scc needs push blocks"
+    n, pad_v = g.num_vertices, g.pad_v
+    part = g.part
+    vsh = NamedSharding(mesh, vertex_spec())
+    trim = _mg_trim_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)
+    reach = _mg_reach_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)
+
+    labels = np.full(pad_v, -1, np.int64)
+    active = np.zeros(pad_v, bool)
+    active[:n] = True
+    rounds = 0
+    limit = max_rounds if max_rounds is not None else n + 1
+    while active.any() and rounds < limit:
+        act_d = jax.device_put(jnp.asarray(active), vsh)
+        core = np.array(trim(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
+                             g.push.src_loc, g.push.dst_loc, g.push.valid,
+                             act_d))  # writable host copy
+        # trimmed-away vertices are singleton SCCs
+        trimmed = active & ~core
+        labels[trimmed] = np.nonzero(trimmed)[0]
+        active = core
+        if not active.any():
+            break
+        pivot = int(np.nonzero(active)[0][0])
+        act_d = jax.device_put(jnp.asarray(active), vsh)
+        fwd = np.asarray(reach(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
+                               act_d, jnp.int32(pivot)))
+        bwd = np.asarray(reach(g.push.src_loc, g.push.dst_loc, g.push.valid,
+                               act_d, jnp.int32(pivot)))
+        scc = fwd & bwd & active
+        scc[pivot] = True
+        members = np.nonzero(scc)[0]
+        labels[members] = members.min()
+        active &= ~scc
+        rounds += 1
+    return labels

@@ -345,6 +345,12 @@ def strongly_connected_components(resource_handle, graph, offsets=None,
                                   do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_strongly_connected_components
+
+        lab = mg_strongly_connected_components(graph.graph(), graph.mesh)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), lab[:n]
     df = ct.strongly_connected_components(_sg(graph)).sort_values("vertex")
     return df["vertex"].to_numpy(), df["labels"].to_numpy()
 

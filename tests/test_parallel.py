@@ -413,3 +413,46 @@ def test_mg_betweenness_matches_networkx(mesh):
     expect = nx.betweenness_centrality(Gx, normalized=True)
     np.testing.assert_allclose(bc, [expect[v] for v in range(n)],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_mg_biased_sampling_prefers_heavy_edges(mesh):
+    # vertex 0 → {1..9}: edge to 5 has weight 100, others 0.01
+    src = np.zeros(9, np.int64)
+    dst = np.arange(1, 10)
+    w = np.full(9, 0.01, np.float32)
+    w[4] = 100.0  # edge 0→5
+    n = 10
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_biased_neighbor_sample
+
+    hits5 = 0
+    for s in range(20):
+        df = mg_biased_neighbor_sample(g, mesh, [0], [1], seed=s,
+                                       with_replacement=True)
+        if len(df) and int(df["destinations"].iloc[0]) == 5:
+            hits5 += 1
+    assert hits5 >= 18  # weight 100 vs 0.08 total → nearly always picked
+
+
+def test_mg_scc_matches_networkx(mesh):
+    src, dst, _ = _random_coo(n=40, m=160, seed=16, weighted=False)
+    n = 40
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_strongly_connected_components
+
+    lab = mg_strongly_connected_components(g, mesh)[:n]
+
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    expect_groups = sorted(sorted(c) for c in
+                           nx.strongly_connected_components(Gx))
+    from collections import defaultdict
+
+    got = defaultdict(list)
+    for v in range(n):
+        got[lab[v]].append(v)
+    got_groups = sorted(sorted(g_) for g_ in got.values())
+    assert got_groups == expect_groups
