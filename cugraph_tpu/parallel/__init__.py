@@ -44,4 +44,5 @@ from cugraph_tpu.parallel.algos import (
     mg_k_core,
     mg_betweenness_centrality,
     mg_strongly_connected_components,
+    mg_triangle_count,
 )

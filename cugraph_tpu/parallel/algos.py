@@ -1001,3 +1001,24 @@ def mg_strongly_connected_components(g: DistGraph, mesh,
         active &= ~scc
         rounds += 1
     return labels
+
+
+def mg_triangle_count(g: DistGraph, mesh, batch: int = 1024):
+    """Distributed per-vertex triangle counts on a symmetrized graph.
+
+    t(v) = ½ Σ_{(v,u)∈E} |N(v) ∩ N(u)| with intersections computed as
+    batched one-hot SpMMs over the mesh (the dense analog of the reference's
+    MG nbr_intersection gathers, community/triangle_count_impl.cuh:124).
+    Cost: O(E/batch) SpMM passes of width `batch` — quadratic-ish in E/V, so
+    suited to moderate edge counts; the SG path is cheaper per edge when the
+    graph fits one chip."""
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    src, dst, _ = _gather_edges_host(g)
+    keep = src < dst  # count each undirected pair once
+    su, du = src[keep], dst[keep]
+    cn = _mg_common_neighbors(g, mesh, su, du, batch=batch)
+    counts = np.zeros(g.pad_v, np.int64)
+    np.add.at(counts, su, cn.astype(np.int64))
+    np.add.at(counts, du, cn.astype(np.int64))
+    return counts // 2

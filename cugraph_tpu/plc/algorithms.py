@@ -219,6 +219,12 @@ def triangle_count(resource_handle, graph, start_list=None,
                    do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_triangle_count
+
+        t = mg_triangle_count(graph.graph(), graph.mesh)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), t[:n]
     df = ct.triangle_count(_sg(graph)).sort_values("vertex")
     return df["vertex"].to_numpy(), df["counts"].to_numpy()
 

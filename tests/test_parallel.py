@@ -456,3 +456,24 @@ def test_mg_scc_matches_networkx(mesh):
         got[lab[v]].append(v)
     got_groups = sorted(sorted(g_) for g_ in got.values())
     assert got_groups == expect_groups
+
+
+def test_mg_triangle_count_matches_networkx(mesh):
+    src, dst, _ = _random_coo(n=30, m=160, seed=17, weighted=False)
+    n = 30
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    src, dst = key // n, key % n
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    from cugraph_tpu.parallel import mg_triangle_count
+
+    t = mg_triangle_count(g, mesh)[:n]
+
+    import networkx as nx
+
+    Gx = nx.Graph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    expect = nx.triangles(Gx)
+    np.testing.assert_array_equal(t, [expect[v] for v in range(n)])
