@@ -22,7 +22,7 @@ from cugraph_tpu.parallel.partition import Partition2D, DistGraph, build_dist_gr
 from cugraph_tpu.parallel.mesh import make_mesh_2d, mesh_shape_for
 from cugraph_tpu.parallel import prims
 from cugraph_tpu.parallel.shuffle import shuffle_to_owners, shuffle_reduce_by_key
-from cugraph_tpu.parallel.louvain import mg_louvain, mg_louvain_move_phase
+from cugraph_tpu.parallel.louvain import mg_louvain, mg_louvain_move_phase, mg_leiden
 from cugraph_tpu.parallel.algos import (
     mg_pagerank,
     mg_bfs,

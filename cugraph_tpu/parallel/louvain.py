@@ -265,3 +265,62 @@ def _gather_edges_host(g: DistGraph):
             ws.append(w[i, j][v])
     return (np.concatenate(srcs), np.concatenate(dsts),
             np.concatenate(ws).astype(np.float32))
+
+
+def _mask_blocks_intra(blocks, labels, pmaj, pmin, chunk):
+    """EdgeBlocks copy whose valid mask keeps only intra-community edges."""
+    from cugraph_tpu.parallel.partition import EdgeBlocks
+
+    B = pmin * chunk
+    gath = np.asarray(blocks.src_loc)
+    red = np.asarray(blocks.dst_loc)
+    valid = np.array(blocks.valid)
+    for i in range(pmaj):
+        for j in range(pmin):
+            g_glob = i * B + gath[i, j]
+            r_glob = (red[i, j] // chunk * pmin + j) * chunk + red[i, j] % chunk
+            ok = labels[np.clip(g_glob, 0, len(labels) - 1)] == \
+                labels[np.clip(r_glob, 0, len(labels) - 1)]
+            valid[i, j] &= ok
+    return EdgeBlocks(src_loc=blocks.src_loc, dst_loc=blocks.dst_loc,
+                      weight=blocks.weight, valid=jnp.asarray(valid))
+
+
+def mg_leiden(g: DistGraph, mesh, max_level: int = 100,
+              resolution: float = 1.0, threshold: float = 1e-7):
+    """Distributed Leiden = distributed Louvain + the refinement GUARANTEE:
+    after clustering, communities are split into their weakly-connected
+    components over intra-community edges (refine_impl.cuh's purpose — no
+    disconnected community survives), with the split computed by the
+    distributed WCC on community-masked blocks."""
+    from cugraph_tpu.parallel.algos import mg_wcc
+    from cugraph_tpu.parallel.partition import DistGraph as DG
+
+    assert g.push is not None, "mg_leiden needs push blocks"
+    labels, q = mg_louvain(g, mesh, max_level=max_level,
+                           resolution=resolution, threshold=threshold)
+    n, pad_v = g.num_vertices, g.pad_v
+    lab_full = np.zeros(pad_v, np.int64)
+    lab_full[:n] = labels
+
+    masked = DG(
+        pull=_mask_blocks_intra(g.pull, lab_full, g.pmaj, g.pmin, g.chunk),
+        push=_mask_blocks_intra(g.push, lab_full, g.pmaj, g.pmin, g.chunk),
+        out_degree=g.out_degree, in_degree=g.in_degree,
+        num_vertices=g.num_vertices, num_edges=g.num_edges,
+        pmaj=g.pmaj, pmin=g.pmin, chunk=g.chunk)
+    cc = np.asarray(mg_wcc(masked, mesh))[:n]
+    _, refined = np.unique(cc, return_inverse=True)
+    refined = refined.astype(np.int32)
+
+    # modularity of the refined partition (host; edges already gathered once
+    # inside mg_louvain's coarsening — reuse the same decompression)
+    src, dst, w = _gather_edges_host(g)
+    m2 = float(w.sum())
+    intra = float(w[refined[src] == refined[dst]].sum())
+    k = np.zeros(n, np.float64)
+    np.add.at(k, src, w)
+    sigma = np.zeros(refined.max() + 1, np.float64)
+    np.add.at(sigma, refined, k)
+    q_ref = intra / m2 - resolution * float(np.sum((sigma / m2) ** 2))
+    return refined, q_ref

@@ -196,6 +196,13 @@ def leiden(resource_handle, graph, random_state=None, max_level=100,
            resolution=1.0, theta=1.0, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_leiden
+
+        labels, mod = mg_leiden(graph.graph(), graph.mesh,
+                                max_level=max_level, resolution=resolution)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), labels, float(mod)
     parts, mod = ct.leiden(_sg(graph), max_iter=max_level, resolution=resolution,
                            random_state=random_state)
     parts = parts.sort_values("vertex")

@@ -477,3 +477,37 @@ def test_mg_triangle_count_matches_networkx(mesh):
     Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
     expect = nx.triangles(Gx)
     np.testing.assert_array_equal(t, [expect[v] for v in range(n)])
+
+
+def test_mg_leiden_no_disconnected_communities(mesh):
+    rng = np.random.default_rng(6)
+    n = 64
+    edges = set()
+    for c in range(4):
+        base = c * 16
+        for _ in range(100):
+            u, v = rng.integers(0, 16, 2)
+            if u != v:
+                edges.add((base + u, base + v))
+    for _ in range(12):
+        u, v = rng.integers(0, n, 2)
+        if u != v:
+            edges.add((u, v))
+    src, dst = np.array(sorted(edges)).T
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    src, dst = key // n, key % n
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_leiden
+
+    labels, q = mg_leiden(g, mesh)
+    assert q > 0.3
+    # Leiden guarantee: every community is connected over intra edges
+    import networkx as nx
+
+    Gx = nx.Graph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    for c in np.unique(labels):
+        members = np.nonzero(labels == c)[0]
+        sub = Gx.subgraph(members.tolist())
+        assert nx.is_connected(sub), f"community {c} disconnected"
