@@ -45,4 +45,5 @@ from cugraph_tpu.parallel.algos import (
     mg_betweenness_centrality,
     mg_strongly_connected_components,
     mg_triangle_count,
+    mg_k_truss,
 )

@@ -1022,3 +1022,40 @@ def mg_triangle_count(g: DistGraph, mesh, batch: int = 1024):
     np.add.at(counts, su, cn.astype(np.int64))
     np.add.at(counts, du, cn.astype(np.int64))
     return counts // 2
+
+
+def mg_k_truss(g: DistGraph, mesh, k: int, batch: int = 1024,
+               max_rounds: int = 50):
+    """Distributed k-truss subgraph: iteratively drop edges whose triangle
+    support < k−2 (reference community/k_truss_impl.cuh:166 peeling).
+
+    Support is recomputed per round with the batched one-hot SpMM
+    intersections restricted to the surviving edge set — O(rounds · E/batch)
+    SpMM passes, suited to moderate edge counts (the reference's MG path pays
+    the same asymptotics through nbr_intersection gathers).
+    Returns (src, dst, w) of the k-truss in global ids."""
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+    from cugraph_tpu.parallel.partition import build_dist_graph
+
+    src, dst, w = _gather_edges_host(g)
+    keep_pair = src < dst
+    su, du, wu = src[keep_pair], dst[keep_pair], w[keep_pair]
+    alive = np.ones(len(su), bool)
+    cur = g
+    for _ in range(max_rounds):
+        if not alive.any():
+            break
+        cn = np.zeros(len(su))
+        cn[alive] = _mg_common_neighbors(cur, mesh, su[alive], du[alive],
+                                         batch=batch)
+        drop = alive & (cn < (k - 2))
+        if not drop.any():
+            break
+        alive &= ~drop
+        # rebuild the surviving symmetric graph for the next support pass
+        ss = np.concatenate([su[alive], du[alive]])
+        dd = np.concatenate([du[alive], su[alive]])
+        ww = np.concatenate([wu[alive], wu[alive]])
+        cur = build_dist_graph(ss, dd, ww, g.num_vertices, g.pmaj, g.pmin,
+                               store_push=False)
+    return su[alive], du[alive], wu[alive]

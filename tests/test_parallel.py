@@ -511,3 +511,26 @@ def test_mg_leiden_no_disconnected_communities(mesh):
         members = np.nonzero(labels == c)[0]
         sub = Gx.subgraph(members.tolist())
         assert nx.is_connected(sub), f"community {c} disconnected"
+
+
+def test_mg_k_truss_matches_networkx(mesh):
+    src, dst, _ = _random_coo(n=25, m=140, seed=18, weighted=False)
+    n = 25
+    key = np.unique(np.concatenate([src * n + dst, dst * n + src]))
+    src, dst = key // n, key % n
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    from cugraph_tpu.parallel import mg_k_truss
+
+    ks, kd, kw = mg_k_truss(g, mesh, k=3)
+
+    import networkx as nx
+
+    Gx = nx.Graph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    H = nx.k_truss(Gx, 3)
+    got = set(zip(ks.tolist(), kd.tolist()))
+    expect = {tuple(sorted(e)) for e in H.edges()}
+    assert got == expect
