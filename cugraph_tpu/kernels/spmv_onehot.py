@@ -90,13 +90,14 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     n_yblocks = max(_round_up(n_rows, yb_rows) // yb_rows, 1)
 
     if m == 0:
-        t = 1
+        # one empty tile PER y block so every output block gets zero-inited
+        t = n_yblocks
         return SpmvPlan(
             src_rel=jnp.zeros((t * 8, 128), jnp.int32),
             dst_full=jnp.zeros((t * 8, 128), jnp.int32),
             weight=jnp.zeros((t * 8, 128), jnp.float32),
             xwin_blk=jnp.zeros((t,), jnp.int32),
-            yblk=jnp.zeros((t,), jnp.int32),
+            yblk=jnp.arange(t, dtype=jnp.int32),
             num_vertices=num_vertices, n_rows=n_rows, yb_rows=yb_rows,
             n_yblocks=n_yblocks, num_tiles=t,
         )
@@ -163,7 +164,6 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     row_base = np.zeros(T * 8, np.int64)  # unused rows → window 0 (harmless)
     row_of_sub = sub_tile * 8 + slot
     row_base[row_of_sub] = sub_dwin_rel * DST_WIN
-    mask = weight_a == 0  # includes real zero-weight edges — restore below
     dst_col = np.broadcast_to(row_base[:, None], (T * 8, 128)).copy()
     filled = np.zeros((T * 8, 128), bool)
     filled[e_row, lane] = True
@@ -178,6 +178,31 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     rg_grp = sub_grp[rg_first_sub]
     xwin_blk[:] = rg_grp[tile_of_rg]
     yblk_arr[:] = rg_yb[tile_of_rg]
+
+    # every y block MUST receive at least one tile: the kernel zero-inits a
+    # block on its first visiting grid step, and pallas output buffers are
+    # NOT zero-initialized — an edge-less block would otherwise return
+    # uninitialized memory.  Append one empty (all-padding) tile per missing
+    # block and keep tiles sorted by y block.
+    missing = np.setdiff1d(np.arange(n_yblocks), np.unique(yblk_arr))
+    if len(missing):
+        pad_tiles = len(missing)
+        src_rel = np.concatenate([src_rel,
+                                  np.zeros((pad_tiles * 8, 128), np.int32)])
+        dst_full = np.concatenate([dst_full,
+                                   np.zeros((pad_tiles * 8, 128), np.int32)])
+        weight_a = np.concatenate([weight_a,
+                                   np.zeros((pad_tiles * 8, 128), np.float32)])
+        xwin_blk = np.concatenate([xwin_blk, np.zeros(pad_tiles, np.int32)])
+        yblk_arr = np.concatenate([yblk_arr, missing.astype(np.int32)])
+        order_t = np.argsort(yblk_arr, kind="stable")
+        yblk_arr = yblk_arr[order_t]
+        xwin_blk = xwin_blk[order_t]
+        rows = (order_t[:, None] * 8 + np.arange(8)).reshape(-1)
+        src_rel = src_rel[rows]
+        dst_full = dst_full[rows]
+        weight_a = weight_a[rows]
+        T += pad_tiles
 
     return SpmvPlan(
         src_rel=jnp.asarray(src_rel),

@@ -557,13 +557,13 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
             "hop_id": np.int32(hop),
             "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
         }))
-        nxt = np.unique(d)
-        for v in nxt:
-            if int(v) not in batch_of:
-                b = batch_of[int(frames[-1][frames[-1].destinations == v]
-                                ["sources"].iloc[0])]
-                batch_of[int(v)] = b
-        frontier = nxt
+        # route each new destination to the LOWEST batch that reached it
+        # (deterministic; the reference samples per batch independently —
+        # here batches share one frontier, so ties resolve by min batch id)
+        fb = frames[-1].groupby("destinations")["batch_id"].min()
+        for v, b in fb.items():
+            batch_of.setdefault(int(v), int(b))
+        frontier = np.unique(d)
     if not frames:
         return pd.DataFrame(columns=["sources", "destinations", "hop_id",
                                      "batch_id"])
@@ -578,20 +578,33 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
 def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
                             seed: int = 0):
     """Uniform random walks over the 2D partition.  Returns an int64 array
-    [n_walks, max_depth + 1] padded with -1 after termination."""
+    [n_walks, max_depth + 1] padded with -1 after termination.
+
+    Walkers are INDEPENDENT even when co-located: per step, k = (max number
+    of walkers on any one vertex) with-replacement samples are drawn per
+    frontier vertex and distributed one per walker."""
     starts = np.asarray(start_vertices, np.int64)
     paths = np.full((len(starts), max_depth + 1), -1, np.int64)
     paths[:, 0] = starts
-    cur = starts
+    cur = starts.copy()
     for step in range(max_depth):
         alive = cur >= 0
         if not alive.any():
             break
-        frontier = np.unique(cur[alive])
-        samp = np.asarray(mg_sample_one_hop(g, mesh, frontier, 1,
+        frontier, inv, counts = np.unique(cur[alive], return_inverse=True,
+                                          return_counts=True)
+        k_step = int(counts.max())
+        samp = np.asarray(mg_sample_one_hop(g, mesh, frontier, k_step,
                                             seed * 1000003 + step,
-                                            with_replacement=True))[:, 0]
-        nxt = np.where(alive, samp[np.clip(cur, 0, None)], -1)
+                                            with_replacement=True))
+        # walker i at vertex v takes column (rank of i among v's walkers)
+        order = np.argsort(inv, kind="stable")
+        col = np.empty(len(inv), np.int64)
+        col[order] = np.arange(len(inv)) - np.concatenate(
+            [[0], np.cumsum(counts)])[inv[order]]
+        nxt_alive = samp[cur[alive], col]
+        nxt = np.full(len(cur), -1, np.int64)
+        nxt[alive] = nxt_alive
         paths[:, step + 1] = nxt
         cur = nxt
     return paths
@@ -604,39 +617,42 @@ def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
 # adjacency gathers (prims/detail/nbr_intersection.cuh).
 # ---------------------------------------------------------------------------
 
+def _mg_out_degree_counts(g: DistGraph):
+    """UNWEIGHTED out-degree (edge counts) — similarity coefficients are
+    neighbor-set sizes, not weight sums; cached on the DistGraph object."""
+    cached = getattr(g, "_out_counts", None)
+    if cached is not None:
+        return cached
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    src, _, _ = _gather_edges_host(g)
+    counts = np.bincount(src, minlength=g.pad_v).astype(np.float64)
+    object.__setattr__(g, "_out_counts", counts)
+    return counts
+
+
 def _mg_common_neighbors(g: DistGraph, mesh, firsts, seconds, batch: int = 512):
-    """Directed out-neighbor intersections |N(u) ∩ N(v)| per pair (push
-    orientation not needed: uses pull blocks as the in-edge adjacency of the
-    REVERSED roles — pass the orientation the SG similarity uses)."""
+    """Out-neighbor intersections |N(u) ∩ N(v)| per pair, computed as ONE
+    [pad_v, 2·batch]-wide binary SpMM over the mesh (u-indicators in the
+    first half of the columns, v-indicators in the second)."""
     from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
 
     firsts = np.asarray(firsts, np.int64)
     seconds = np.asarray(seconds, np.int64)
     out = np.zeros(len(firsts), np.float64)
     spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
+    binary_w = g.pull.valid.astype(jnp.float32)  # hoisted, loop-invariant
     for lo in range(0, len(firsts), batch):
         u = firsts[lo: lo + batch]
-        P_ = len(u)
-        onehot = np.zeros((g.pad_v, P_), np.float32)
-        onehot[u, np.arange(P_)] = 1.0
-        X = shard_vertex_data(mesh, jnp.asarray(onehot))
-        # Z[w, p] = Σ_u' A[w ← u'] · onehot[u', p]; with pull blocks
-        # (src gathered, dst reduced) this accumulates over IN-edges of w —
-        # i.e. Z[w, p] = 1 if w has an in-edge from u_p (weights aside).
-        Z = spmm(g.pull.src_loc, g.pull.dst_loc,
-                 g.pull.weight * 0 + g.pull.valid.astype(jnp.float32), X)
-        Zh = np.asarray(Z)
-        # cn(u_p, v_p) = Σ_w [w ∈ N_out(u_p)] · [w ∈ N_out(v_p)]
-        #             = Σ_w Zt[w, p] · Zt2[w, p] — need v's indicator too;
-        # build it in the same pass: Z2 for seconds
         v = seconds[lo: lo + batch]
-        onehot2 = np.zeros((g.pad_v, P_), np.float32)
-        onehot2[v, np.arange(P_)] = 1.0
-        X2 = shard_vertex_data(mesh, jnp.asarray(onehot2))
-        Z2 = spmm(g.pull.src_loc, g.pull.dst_loc,
-                  g.pull.weight * 0 + g.pull.valid.astype(jnp.float32), X2)
-        Z2h = np.asarray(Z2)
-        out[lo: lo + batch] = np.sum((Zh > 0) & (Z2h > 0), axis=0)
+        P_ = len(u)
+        onehot = np.zeros((g.pad_v, 2 * P_), np.float32)
+        onehot[u, np.arange(P_)] = 1.0
+        onehot[v, P_ + np.arange(P_)] = 1.0
+        X = shard_vertex_data(mesh, jnp.asarray(onehot))
+        # Z[w, p] > 0  ⟺  w has an in-edge from the p-th indicator vertex
+        Z = np.asarray(spmm(g.pull.src_loc, g.pull.dst_loc, binary_w, X))
+        out[lo: lo + batch] = np.sum((Z[:, :P_] > 0) & (Z[:, P_:] > 0), axis=0)
     return out
 
 
@@ -644,7 +660,7 @@ def mg_jaccard_coefficients(g: DistGraph, mesh, firsts, seconds):
     """Jaccard over OUT-neighborhoods for vertex pairs (reference
     link_prediction/jaccard_impl.cuh MG path).  Returns float64 [P]."""
     cn = _mg_common_neighbors(g, mesh, firsts, seconds)
-    deg = np.asarray(g.out_degree)
+    deg = _mg_out_degree_counts(g)  # neighbor-set sizes, not weight sums
     du = deg[np.asarray(firsts)]
     dv = deg[np.asarray(seconds)]
     union = du + dv - cn
@@ -653,21 +669,21 @@ def mg_jaccard_coefficients(g: DistGraph, mesh, firsts, seconds):
 
 def mg_sorensen_coefficients(g: DistGraph, mesh, firsts, seconds):
     cn = _mg_common_neighbors(g, mesh, firsts, seconds)
-    deg = np.asarray(g.out_degree)
+    deg = _mg_out_degree_counts(g)
     s = deg[np.asarray(firsts)] + deg[np.asarray(seconds)]
     return np.divide(2 * cn, s, out=np.zeros_like(cn), where=s > 0)
 
 
 def mg_overlap_coefficients(g: DistGraph, mesh, firsts, seconds):
     cn = _mg_common_neighbors(g, mesh, firsts, seconds)
-    deg = np.asarray(g.out_degree)
+    deg = _mg_out_degree_counts(g)
     mn = np.minimum(deg[np.asarray(firsts)], deg[np.asarray(seconds)])
     return np.divide(cn, mn, out=np.zeros_like(cn), where=mn > 0)
 
 
 def mg_cosine_coefficients(g: DistGraph, mesh, firsts, seconds):
     cn = _mg_common_neighbors(g, mesh, firsts, seconds)
-    deg = np.asarray(g.out_degree)
+    deg = _mg_out_degree_counts(g)
     denom = np.sqrt(deg[np.asarray(firsts)] * deg[np.asarray(seconds)])
     return np.divide(cn, denom, out=np.zeros_like(cn), where=denom > 0)
 
@@ -691,17 +707,14 @@ def _mg_core_number_kernel(mesh, pmaj, pmin, chunk, n, max_core, use_pull,
         part = prims.block_segment_reduce(ind, dst_loc, nseg, "sum")
         return prims.scatter_reduce_major_sum(part)
 
-    def kernel(psrc, pdst, pval, qsrc, qdst, qval, deg):
+    def kernel(psrc, pdst, pval, qsrc, qdst, qval):
         psrc_, pdst_, pv = _sq(psrc), _sq(pdst), _sq(pval)
         qsrc_, qdst_, qv = _sq(qsrc), _sq(qdst), _sq(qval)
         gidx = prims.global_vertex_ids(chunk)
         real = gidx < n
-        # start from a safe upper bound: weighted degrees can under-estimate
-        # edge counts, so init with min(ceil(deg), max_core) only when deg is
-        # a true count; max_core is always safe and costs at most one extra
-        # sweep of the monotone h-operator
+        # init at the cap: a safe upper bound for the monotone h-operator
+        # (costs at most one extra sweep vs seeding with true degrees)
         core0 = jnp.where(real, jnp.int32(max_core), 0)
-        del deg
 
         def sweep(state):
             core, it, _ = state
@@ -730,7 +743,7 @@ def _mg_core_number_kernel(mesh, pmaj, pmin, chunk, n, max_core, use_pull,
                           jnp.asarray(1, jnp.int32)))
         return core
 
-    return _shard_wrap(mesh, kernel, 6, 1, 0, vertex_spec())
+    return _shard_wrap(mesh, kernel, 6, 0, 0, vertex_spec())
 
 
 def mg_core_number(g: DistGraph, mesh, degree_type: str = "bidirectional",
@@ -745,21 +758,24 @@ def mg_core_number(g: DistGraph, mesh, degree_type: str = "bidirectional",
     use_push = degree_type in ("outgoing", "bidirectional")
     if use_push:
         assert g.push is not None, "need push blocks for this degree_type"
-    deg = np.zeros(g.pad_v, np.float32)
-    if use_pull:
-        deg += np.asarray(g.in_degree)
-    if use_push:
-        deg += np.asarray(g.out_degree)
     if max_core is None:
+        # the h-operator counts EDGES, so the cap must come from edge counts
+        # (weighted degrees can under-estimate when weights < 1)
+        from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+        src_e, dst_e, _ = _gather_edges_host(g)
+        deg = np.zeros(g.pad_v, np.int64)
+        if use_pull:
+            deg += np.bincount(dst_e, minlength=g.pad_v)
+        if use_push:
+            deg += np.bincount(src_e, minlength=g.pad_v)
         max_core = int(deg.max()) if deg.size else 1
-    vsh = NamedSharding(mesh, vertex_spec())
-    deg_d = jax.device_put(jnp.asarray(deg, jnp.float32), vsh)
     kern = _mg_core_number_kernel(mesh, g.pmaj, g.pmin, g.chunk,
                                   g.num_vertices, int(max_core),
                                   use_pull, use_push)
     push = g.push if g.push is not None else g.pull
     return kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
-                push.src_loc, push.dst_loc, push.valid, deg_d)
+                push.src_loc, push.dst_loc, push.valid)
 
 
 def mg_k_core(g: DistGraph, mesh, k: int | None = None,
@@ -859,10 +875,12 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n):
 
 def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
                               sources=None, normalized: bool = True,
-                              seed: int = 0):
+                              directed: bool = True, seed: int = 0):
     """Distributed Brandes betweenness.  ``k`` samples that many sources
     (reference's k-source approximation); sources=None, k=None → exact
-    (all sources).  Needs push blocks."""
+    (all sources).  Scaling matches the SG path (_bc_scale): normalized →
+    1/((n−1)(n−2)); unnormalized → 0.5 for undirected inputs; sampled
+    sources extrapolate by n/k in both modes.  Needs push blocks."""
     assert g.push is not None, "mg_betweenness needs push blocks"
     n = g.num_vertices
     if sources is None:
@@ -877,12 +895,13 @@ def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
         bc += np.asarray(kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
                               g.push.src_loc, g.push.dst_loc, g.push.valid,
                               jnp.asarray(int(s), jnp.int32)), np.float64)
-    if normalized and n > 2:
-        denom = (n - 1) * (n - 2)
-        if len(sources) < n:
-            denom = denom * len(sources) / n
-        bc = bc / denom
-    return bc
+    if normalized:
+        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+    else:
+        scale = 1.0 if directed else 0.5
+    if len(sources) < n:
+        scale *= n / len(sources)
+    return bc * scale
 
 
 # ---------------------------------------------------------------------------

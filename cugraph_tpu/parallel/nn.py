@@ -32,8 +32,8 @@ def _mg_spmm(mesh, pmaj, chunk):
                                pmaj=pmaj, chunk=chunk)
 
     es, vs = edge_spec(), vertex_spec()
-    return jax.shard_map(kernel, mesh=mesh,
-                         in_specs=(es, es, es, vs), out_specs=vs)
+    return jax.jit(jax.shard_map(kernel, mesh=mesh,
+                                 in_specs=(es, es, es, vs), out_specs=vs))
 
 
 def mg_aggregate_mean(g: DistGraph, mesh, x: jax.Array) -> jax.Array:

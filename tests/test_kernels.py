@@ -53,3 +53,24 @@ def test_spmv_self_loops_and_multi_edges():
     assert y[0] == pytest.approx(3 * 10)           # 0→0 w3
     assert y[1] == pytest.approx(1 * 10 + 2 * 10 + 6 * 20)
     assert y[2] == pytest.approx((4 + 5) * 30)
+
+
+def test_spmv_empty_y_block_is_zeroed():
+    # vertices span 2 y blocks (yb_rows=128 → 16384 vertices/block) but ALL
+    # edges land in block 0: block 1 must come back zero, not garbage
+    n = 40_000
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, n, 5000)
+    dst = rng.integers(0, 10_000, 5000)  # only low ids are destinations
+    plan = build_spmv_plan(src, dst, None, n, yb_rows=128)
+    assert plan.n_yblocks >= 2
+    # the plan must give EVERY y block at least one tile — on real hardware
+    # an unvisited output block would return uninitialized memory (the
+    # interpreter zero-fills, so this structural check is the load-bearing one)
+    assert set(np.asarray(plan.yblk).tolist()) == set(range(plan.n_yblocks))
+    x = rng.random(plan.pad_v).astype(np.float32)
+    y = np.asarray(spmv_onehot(plan, jnp.asarray(x), interpret=True))
+    expect = np.zeros(plan.pad_v, np.float64)
+    np.add.at(expect, dst, x[src].astype(np.float64))
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+    assert np.all(y[16384:] == 0)  # blocks past the edge range stay zero

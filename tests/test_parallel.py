@@ -534,3 +534,58 @@ def test_mg_k_truss_matches_networkx(mesh):
     got = set(zip(ks.tolist(), kd.tolist()))
     expect = {tuple(sorted(e)) for e in H.edges()}
     assert got == expect
+
+
+def test_mg_core_number_weighted_graph(mesh):
+    # small weights must not shrink the h-index threshold cap
+    src = np.array([0, 1, 2, 0, 1, 2])
+    dst = np.array([1, 2, 0, 2, 0, 1])  # triangle, both directions
+    w = np.full(6, 0.1, np.float32)
+    g = build_dist_graph(src, dst, w, 3, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_core_number
+
+    core = np.asarray(mg_core_number(g, mesh, degree_type="incoming"))[:3]
+    np.testing.assert_array_equal(core, [2, 2, 2])
+
+
+def test_mg_similarity_weighted_graph_counts(mesh):
+    # jaccard must use neighbor-SET sizes even when weights != 1
+    src = np.array([0, 1])
+    dst = np.array([2, 2])
+    w = np.array([2.0, 3.0], np.float32)
+    g = build_dist_graph(src, dst, w, 3, 4, 2, store_push=False)
+    from cugraph_tpu.parallel import mg_jaccard_coefficients
+
+    c = mg_jaccard_coefficients(g, mesh, [0], [1])
+    np.testing.assert_allclose(c, [1.0])  # N(0)=N(1)={2}
+
+
+def test_mg_random_walks_independent_duplicates(mesh):
+    # duplicate walkers at the same start must not move in lockstep
+    src = np.zeros(8, np.int64)
+    dst = np.arange(1, 9)
+    n = 9
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_uniform_random_walks
+
+    paths = mg_uniform_random_walks(g, mesh, [0] * 12, 1, seed=1)
+    firsts = paths[:, 1]
+    assert len(np.unique(firsts[firsts >= 0])) > 1
+
+
+def test_mg_betweenness_unnormalized_matches_networkx(mesh):
+    src, dst, _ = _random_coo(n=30, m=120, seed=19, weighted=False)
+    n = 30
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_betweenness_centrality
+
+    bc = mg_betweenness_centrality(g, mesh, normalized=False)[:n]
+
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    expect = nx.betweenness_centrality(Gx, normalized=False)
+    np.testing.assert_allclose(bc, [expect[v] for v in range(n)],
+                               rtol=1e-4, atol=1e-6)
