@@ -78,7 +78,10 @@ def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
         dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
         return dst, eidx, valid
 
-    # without replacement: Gumbel top-k over the (masked) neighbor tile
+    # without replacement: Gumbel top-k over the (masked) neighbor tile.
+    # k is clamped to max_deg (the reference caps at the degree and returns
+    # every neighbor when the fanout exceeds it).
+    k = min(k, max_deg)
     nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg)
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
@@ -151,6 +154,8 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
             "hop_id": np.int32(hop),
             "batch_id": bats[flat_val],
         })
+        if with_edge_properties:
+            fr = _attach_edge_props(G, fr, flat_eidx[flat_val])
         frames.append(fr)
         # next frontier: unique sampled destinations (dedupe like
         # prepare_next_frontier_impl.cuh); batch routing keeps first batch
@@ -176,7 +181,8 @@ def uniform_neighbor_sample(G, start_list, fanout_vals,
     homogeneous_uniform_neighbor_sample, sampling_functions.hpp:505).
     Returns ['sources','destinations','weight','hop_id','batch_id']."""
     return _neighbor_sample(G, start_list, fanout_vals, with_replacement,
-                            biased=False, random_state=random_state)
+                            biased=False, random_state=random_state,
+                            with_edge_properties=with_edge_properties)
 
 
 def homogeneous_uniform_neighbor_sample(G, start_list, fanout_vals, **kw):
@@ -361,24 +367,37 @@ def negative_sampling(G, num_samples: int, vertices=None, src_bias=None,
     biases not given (uniform if src_bias/dst_bias None)."""
     g = G.structure
     n = G.number_of_vertices()
-    rng_key = jax.random.PRNGKey(random_state if random_state is not None else 0)
+    seed0 = int(random_state) if random_state is not None else 0
+    rng_key = jax.random.PRNGKey(seed0)
     want = int(num_samples)
     out_s, out_d = [], []
     have = 0
     attempt = 0
     sb = None if src_bias is None else np.asarray(src_bias, np.float64)
     db = None if dst_bias is None else np.asarray(dst_bias, np.float64)
+    cand = None if vertices is None else np.asarray(
+        G.lookup_internal_vertex_id(np.asarray(vertices)), np.int32)
     while have < want and attempt < 16:
         rng_key, k1, k2 = jax.random.split(rng_key, 3)
         m = max(2 * (want - have), 1024)
         if sb is None:
-            s = np.asarray(jax.random.randint(k1, (m,), 0, n), np.int32)
+            if cand is None:
+                s = np.asarray(jax.random.randint(k1, (m,), 0, n), np.int32)
+            else:
+                pick = np.asarray(jax.random.randint(k1, (m,), 0, len(cand)))
+                s = cand[pick]
         else:
-            s = np.random.default_rng(attempt).choice(n, m, p=sb / sb.sum()).astype(np.int32)
+            s = np.random.default_rng((seed0, attempt)).choice(
+                n, m, p=sb / sb.sum()).astype(np.int32)
         if db is None:
-            d = np.asarray(jax.random.randint(k2, (m,), 0, n), np.int32)
+            if cand is None:
+                d = np.asarray(jax.random.randint(k2, (m,), 0, n), np.int32)
+            else:
+                pick = np.asarray(jax.random.randint(k2, (m,), 0, len(cand)))
+                d = cand[pick]
         else:
-            d = np.random.default_rng(attempt + 99).choice(n, m, p=db / db.sum()).astype(np.int32)
+            d = np.random.default_rng((seed0, attempt, 99)).choice(
+                n, m, p=db / db.sum()).astype(np.int32)
         if remove_existing_edges:
             found, _ = lower_bound_rows(g.csr, jnp.asarray(s), jnp.asarray(d))
             mask = ~np.asarray(found)
@@ -396,6 +415,10 @@ def negative_sampling(G, num_samples: int, vertices=None, src_bias=None,
             have = len(out_s[0])
     ss = np.concatenate(out_s)[:want]
     dd = np.concatenate(out_d)[:want]
+    if exact_number_of_samples and len(ss) < want:
+        raise RuntimeError(
+            f"could not draw {want} negative samples (got {len(ss)}) — "
+            "candidate space too small after dedup/exclusion")
     return pd.DataFrame({
         "src": G.number_map.to_external(ss),
         "dst": G.number_map.to_external(dd),
@@ -450,7 +473,7 @@ def _sample_neighbors_masked(g: GraphStructure, frontier: jax.Array,
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
     score = jnp.where(ok, gumbel, -jnp.inf)
-    _, top = jax.lax.top_k(score, k)
+    _, top = jax.lax.top_k(score, min(k, max_deg))
     picked = jnp.take_along_axis(score, top, axis=1) > -jnp.inf
     eidx = jnp.take_along_axis(eidx_tile, top, axis=1)
     dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
@@ -545,7 +568,7 @@ def _type_masks(G):
     et = _csr_prop(G, G.edge_types)
     types = np.unique(np.asarray(G.edge_types))
     pad_e = G.structure.csr.pad_e
-    m = G.number_of_edges()
+    m = G.structure.csr.num_edges  # INTERNAL count (symmetrized CSR slots)
     valid = np.zeros(pad_e, bool)
     valid[:m] = True
     return {int(t): jnp.asarray((et == t) & valid) for t in types}, types
@@ -558,12 +581,14 @@ def heterogeneous_uniform_neighbor_sample(G, start_list, fanout_vals,
     heterogeneous_uniform_neighbor_sample.pyx): ``fanout_vals`` is flattened
     [hop0_type0, hop0_type1, ..., hop1_type0, ...]."""
     masks, types = _type_masks(G)
-    ntypes = num_edge_types or len(types)
+    ntypes = num_edge_types or int(types.max()) + 1
     fv = list(fanout_vals)
     assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
     hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
+    # fanout slot t applies to edge-TYPE-ID t (reference contract:
+    # h_fanout[hop·num_edge_types + edge_type]); absent types are skipped
     fanouts_per_hop = [
-        [(int(types[t]), k) for t, k in enumerate(hop_fans) if int(types[t]) in masks]
+        [(t, k) for t, k in enumerate(hop_fans) if t in masks]
         for hop_fans in hops
     ]
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
@@ -590,7 +615,7 @@ def homogeneous_uniform_temporal_neighbor_sample(
     if G.edge_times is None:
         raise ValueError("temporal sampling requires edge_time on the graph")
     pad_e = G.structure.csr.pad_e
-    m = G.number_of_edges()
+    m = G.structure.csr.num_edges  # internal (symmetrized) edge count
     all_ok = np.zeros(pad_e, bool)
     all_ok[:m] = True
     masks = {0: jnp.asarray(all_ok)}
@@ -605,11 +630,12 @@ def heterogeneous_uniform_temporal_neighbor_sample(
         G, start_list, fanout_vals, num_edge_types: int | None = None,
         seed_time=0.0, strict: bool = True, random_state=None, **kw):
     masks, types = _type_masks(G)
-    ntypes = num_edge_types or len(types)
+    ntypes = num_edge_types or int(types.max()) + 1
     fv = list(fanout_vals)
+    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
     hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
     fanouts_per_hop = [
-        [(int(types[t]), k) for t, k in enumerate(hop_fans)]
+        [(t, k) for t, k in enumerate(hop_fans) if t in masks]
         for hop_fans in hops
     ]
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,

@@ -29,22 +29,25 @@ def renumber_sampled_edgelist(df: pd.DataFrame, batch_col: str = "batch_id"):
     out_src = np.empty(len(df), np.int64)
     out_dst = np.empty(len(df), np.int64)
     maps = {}
+    pos = np.arange(len(df))
     for b, grp in df.groupby(batch_col, sort=True):
-        order = np.argsort(grp["hop_id"].to_numpy(), kind="stable")
-        idx = grp.index.to_numpy()[order]
-        seen = {}
-        renum = []
-        for hop in np.unique(grp["hop_id"].to_numpy()):
-            hop_rows = grp[grp["hop_id"] == hop]
-            for col in ("sources", "destinations"):
-                for v in hop_rows[col].to_numpy():
-                    if v not in seen:
-                        seen[v] = len(seen)
-        maps[b] = np.array(sorted(seen, key=seen.get))
-        lut = seen
-        sel = df[batch_col].to_numpy() == b
-        out_src[sel] = [lut[v] for v in df.loc[sel, "sources"].to_numpy()]
-        out_dst[sel] = [lut[v] for v in df.loc[sel, "destinations"].to_numpy()]
+        rows = grp.index.to_numpy()
+        # first-appearance order walking hops: ALL sources of hop h before
+        # any destination of hop h (vectorized via a (hop, src/dst) sort key)
+        hops = grp["hop_id"].to_numpy()
+        allv = np.concatenate([grp["sources"].to_numpy(),
+                               grp["destinations"].to_numpy()])
+        keys = np.concatenate([hops * 2, hops * 2 + 1])
+        stream = allv[np.argsort(keys, kind="stable")]
+        uniq, first = np.unique(stream, return_index=True)
+        appearance = np.argsort(first, kind="stable")
+        vmap = uniq[appearance]                       # id → original vertex
+        lut = {int(v): i for i, v in enumerate(vmap)}
+        maps[b] = vmap
+        sel = pos[df.index.get_indexer(rows)] if not df.index.equals(
+            pd.RangeIndex(len(df))) else rows
+        out_src[sel] = [lut[int(v)] for v in df["sources"].to_numpy()[sel]]
+        out_dst[sel] = [lut[int(v)] for v in df["destinations"].to_numpy()[sel]]
     out = df.copy()
     out["sources"] = out_src
     out["destinations"] = out_dst

@@ -88,14 +88,15 @@ def bfs(resource_handle, graph, sources, direction_optimizing=False, depth_limit
         dist, pred = mg_bfs(graph.graph(), graph.mesh, s,
                             None if depth_limit in (-1, None) else depth_limit)
         n = graph.graph().num_vertices
-        return (np.asarray(dist)[:n], np.arange(n, dtype=np.int32),
-                np.asarray(pred)[:n])
+        return (np.asarray(dist)[:n], np.asarray(pred)[:n],
+                np.arange(n, dtype=np.int32))
     s = np.asarray(sources).reshape(-1)[0]
     df = ct.bfs(_sg(graph), start=s,
                 depth_limit=None if depth_limit in (-1, None) else depth_limit)
     df = df.sort_values("vertex")
-    return (df["distance"].to_numpy(), df["vertex"].to_numpy(),
-            df["predecessor"].to_numpy())
+    # reference order: (distances, predecessors, vertices) — bfs.pyx:196
+    return (df["distance"].to_numpy(), df["predecessor"].to_numpy(),
+            df["vertex"].to_numpy())
 
 
 def sssp(resource_handle, graph, source, cutoff=np.inf,
@@ -480,7 +481,7 @@ def node2vec_random_walks(resource_handle, graph, start_vertices, max_length,
     import cugraph_tpu as ct
 
     return ct.node2vec_random_walks(_sg(graph), start_vertices, max_length,
-                                    p=p, q=q)
+                                    p=p, q=q, random_state=random_state)
 
 
 def uniform_neighbor_sample(resource_handle, graph, start_list, fanout_vals,

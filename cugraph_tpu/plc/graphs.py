@@ -50,12 +50,17 @@ class SGGraph:
                  weight_array=None, *, store_transposed=False, renumber=True,
                  do_expensive_check=False, edge_id_array=None,
                  edge_type_array=None, edge_start_time_array=None,
-                 input_array_format="COO", vertices_array=None, **kwargs):
+                 input_array_format="COO", vertices_array=None,
+                 symmetrize=False, **kwargs):
         from cugraph_tpu.api.graph import Graph, MultiGraph
 
         props = graph_properties or GraphProperties()
         cls = MultiGraph if props.is_multigraph else Graph
-        g = cls(directed=not props.is_symmetric)
+        # reference contract (graphs.pyx:133,169): a symmetric graph's COO
+        # already holds both directions UNLESS symmetrize=True is passed.
+        # Build in as-is (directed) mode when not symmetrizing so multigraph
+        # parallel edges survive; flag undirected afterwards.
+        g = cls(directed=not symmetrize)
         if input_array_format != "COO":
             raise ValueError("only COO input is supported")
         g.from_edgelist(
@@ -68,6 +73,8 @@ class SGGraph:
             edge_type=edge_type_array,
             edge_time=edge_start_time_array,
         )
+        if props.is_symmetric and not symmetrize:
+            g._directed = False  # semantic flag only; edges stored as-is
         self._graph = g
         self.properties = props
         self.weighted = weight_array is not None

@@ -20,7 +20,7 @@ def karate(rh):
     dst = np.array([v for u, v in Gx.edges()], np.int32)
     return plc.SGGraph(
         rh, plc.GraphProperties(is_symmetric=True),
-        src, dst, None, renumber=False), Gx
+        src, dst, None, renumber=False, symmetrize=True), Gx
 
 
 def test_sg_graph_basics(karate, rh):
@@ -41,7 +41,7 @@ def test_plc_pagerank(karate, rh):
 
 def test_plc_bfs_sssp(karate, rh):
     g, Gx = karate
-    dist, verts, pred = plc.bfs(rh, g, np.array([0]))
+    dist, pred, verts = plc.bfs(rh, g, np.array([0]))
     assert dist[0] == 0 and dist.max() <= 5
     v, d, p = plc.sssp(rh, g, 0)
     np.testing.assert_array_equal(np.sort(v), np.arange(34))

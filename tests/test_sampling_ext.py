@@ -112,3 +112,56 @@ def test_hypergraph():
     assert G.number_of_vertices() == len(nodes)
     nodes2, edges2, G2 = ct.hypergraph(df, columns=["user", "item"], direct=True)
     assert G2.number_of_vertices() == 4  # a,b,x,y entities only
+
+
+def test_fanout_exceeding_degree_returns_all_neighbors():
+    # fanout > max degree must not crash (clamped to the degree)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([0, 0]), np.array([1, 2]), None, renumber=False)
+    df = ct.uniform_neighbor_sample(G, [0], [10], with_replacement=False,
+                                    random_state=0)
+    assert set(df["destinations"]) == {1, 2}
+
+
+def test_heterogeneous_fanout_positional_type_ids():
+    # non-contiguous type ids: fanout slot t targets TYPE ID t
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([0, 0]), np.array([1, 2]), None,
+                    edge_type=np.array([0, 2], np.int32), renumber=False)
+    df = ct.heterogeneous_uniform_neighbor_sample(
+        G, [0], [1, 1, 1], num_edge_types=3, random_state=0)
+    assert set(df["destinations"]) == {1, 2}  # slot 1 (absent type) skipped
+
+
+def test_heterogeneous_sampling_undirected_graph():
+    # undirected graphs: the mask must cover the SYMMETRIZED edge slots
+    G = ct.Graph()  # undirected
+    G.from_edgelist(np.array([0, 1, 2]), np.array([1, 2, 0]), None,
+                    edge_type=np.array([0, 0, 0], np.int32), renumber=False)
+    df = ct.heterogeneous_uniform_neighbor_sample(
+        G, [1], [2], num_edge_types=1, random_state=0)
+    assert set(df["destinations"]) == {0, 2}  # both of vertex 1's neighbors
+
+
+def test_negative_sampling_respects_seed_and_vertices():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 40, 200)
+    dst = rng.integers(0, 40, 200)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, None, renumber=False)
+    b = np.ones(40)
+    a1 = ct.negative_sampling(G, 12, src_bias=b, dst_bias=b, random_state=1)
+    a2 = ct.negative_sampling(G, 12, src_bias=b, dst_bias=b, random_state=999)
+    assert not a1.equals(a2)  # seed must matter for biased draws
+    sub = ct.negative_sampling(G, 10, vertices=np.arange(5), random_state=0)
+    assert sub["src"].max() < 5 and sub["dst"].max() < 5
+
+
+def test_uniform_sample_with_edge_properties():
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([0, 0, 1]), np.array([1, 2, 2]), None,
+                    edge_id=np.arange(3), edge_type=np.zeros(3, np.int32),
+                    renumber=False)
+    df = ct.uniform_neighbor_sample(G, [0, 1], [2], random_state=0,
+                                    with_edge_properties=True)
+    assert {"edge_id", "edge_type"} <= set(df.columns)
