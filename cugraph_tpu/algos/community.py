@@ -374,7 +374,10 @@ def _kmeans(X, k, seed=0, iters=50):
     centers = [X[rng.integers(len(X))]]
     for _ in range(k - 1):
         d2 = np.min([((X - c) ** 2).sum(1) for c in centers], axis=0)
-        p = d2 / max(d2.sum(), 1e-30)
+        if d2.sum() <= 0:  # fewer distinct rows than clusters: fall back
+            centers.append(X[rng.integers(len(X))])
+            continue
+        p = d2 / d2.sum()
         centers.append(X[rng.choice(len(X), p=p)])
     C = np.stack(centers)
     for _ in range(iters):

@@ -127,8 +127,8 @@ def _two_hop_pairs(G):
 def _all_pairs(G, kind: str, use_weight: bool, vertices, topk):
     us, vs = _two_hop_pairs(G)
     if vertices is not None:
-        keep_ids = set(G.lookup_internal_vertex_id(np.asarray(vertices)).tolist())
-        keep = np.array([u in keep_ids or v in keep_ids for u, v in zip(us, vs)])
+        ids = G.lookup_internal_vertex_id(np.asarray(vertices))
+        keep = np.isin(us, ids) | np.isin(vs, ids)
         us, vs = us[keep], vs[keep]
     vp = pd.DataFrame({"first": G.number_map.to_external(us),
                        "second": G.number_map.to_external(vs)})

@@ -212,13 +212,18 @@ def extract_bfs_paths(G, distances_df: pd.DataFrame, destinations) -> pd.DataFra
     lut_pred = dict(zip(vertices.tolist(), pred.tolist()))
     lut_dist = dict(zip(vertices.tolist(), dist.tolist()))
 
+    def _reachable(dv):
+        # BFS encodes unreachable as INT32_MAX, SSSP as FLT_MAX (the
+        # reference C API conventions) — treat both like infinity
+        return (dv is not None and np.isfinite(dv) and 0 <= dv < INT32_INF
+                and dv < np.float64(F32_INF) / 2)
+
     destinations = np.asarray(destinations).reshape(-1)
-    finite = [d for d in destinations
-              if lut_dist.get(d, np.inf) not in (np.inf,) and lut_dist[d] >= 0]
+    finite = [d for d in destinations if _reachable(lut_dist.get(d))]
     max_len = int(max((lut_dist[d] for d in finite), default=0)) + 1
     paths = np.full((len(destinations), max_len), -1, dtype=np.int64)
     for r, d in enumerate(destinations):
-        if d not in lut_dist or lut_dist[d] < 0 or not np.isfinite(lut_dist[d]):
+        if not _reachable(lut_dist.get(d)):
             continue
         cur, chain = d, []
         while cur is not None and cur != -1 and len(chain) <= max_len:

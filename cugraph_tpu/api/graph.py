@@ -52,11 +52,14 @@ class Graph:
 
     # -- construction ---------------------------------------------------------
 
+    _WEIGHT_COL_NAMES = ("weight", "weights", "wgt", "w", "value")
+
     def from_edgelist(
         self,
         source,
         destination=None,
         weight=None,
+        weight_col=None,
         *,
         vertices=None,
         renumber: bool = True,
@@ -77,15 +80,21 @@ class Graph:
             df = source
             src_col = destination if destination is not None else "src"
             dst_col = weight if weight is not None else "dst"
-            if isinstance(src_col, str):
-                src = df[src_col].to_numpy()
-                dst = df[dst_col].to_numpy()
-                w = None
-            else:  # (df, 'src', 'dst') misuse guard
+            if not isinstance(src_col, str) or not isinstance(dst_col, str):
                 raise InvalidInputError("column names must be strings")
-            wcols = [c for c in df.columns if c not in (src_col, dst_col)]
-            if len(wcols) == 1:
-                w = df[wcols[0]].to_numpy().astype(np.float32)
+            src = df[src_col].to_numpy()
+            dst = df[dst_col].to_numpy()
+            w = None
+            if weight_col is not None:
+                w = df[weight_col].to_numpy().astype(np.float32)
+            else:
+                # only infer a weight column by a conventional name — grabbing
+                # an arbitrary leftover column would silently corrupt weights
+                wcols = [c for c in df.columns
+                         if c not in (src_col, dst_col)
+                         and str(c).lower() in self._WEIGHT_COL_NAMES]
+                if len(wcols) == 1:
+                    w = df[wcols[0]].to_numpy().astype(np.float32)
         else:
             src = np.asarray(source)
             dst = np.asarray(destination)
@@ -129,29 +138,41 @@ class Graph:
         else:
             if not np.issubdtype(np.asarray(src).dtype, np.integer):
                 raise InvalidInputError("renumber=False requires integer ids")
+            if src.size and (src.min(initial=0) < 0 or dst.min(initial=0) < 0):
+                raise InvalidInputError("renumber=False requires non-negative ids")
             n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1 if src.size else 0
             if vertices is not None:  # explicit vertex set may add isolated ids
                 n = max(n, int(np.asarray(vertices).max(initial=-1)) + 1)
             src_i, dst_i = src.astype(np.int32), dst.astype(np.int32)
             nmap = NumberMap(np.arange(n))
 
-        if extras and (not self._multi or not self._directed):
-            # edge properties require keeping every edge as-is; mirror the
-            # reference, which attaches edge_id/type to directed multigraph
-            # construction paths (graphs.pyx SGGraph edge_id_array)
+        if extras or self._multi:
+            # edge properties / multigraphs require keeping every edge; the
+            # reference likewise attaches edge_id/type only on paths that
+            # store edges as-is (graphs.pyx SGGraph edge_id_array)
             if not self._multi:
-                key = (src_i.astype(np.int64) << 32) | dst_i.astype(np.int64)
+                # dedupe on UNORDERED pairs so an input already holding both
+                # directions doesn't get double-stored after symmetrization
+                a = np.minimum(src_i, dst_i).astype(np.int64)
+                b = np.maximum(src_i, dst_i).astype(np.int64)
+                key = ((a << 32) | b.astype(np.uint32).astype(np.int64)
+                       if not self._directed
+                       else (src_i.astype(np.int64) << 32)
+                       | dst_i.astype(np.uint32).astype(np.int64))
                 _, idx = np.unique(key, return_index=True)
                 idx.sort()
                 src_i, dst_i = src_i[idx], dst_i[idx]
                 weight = None if weight is None else weight[idx]
                 extras = {k: v[idx] for k, v in extras.items()}
             if not self._directed:
-                src_i, dst_i = (np.concatenate([src_i, dst_i]),
-                                np.concatenate([dst_i, src_i]))
-                weight = None if weight is None else np.concatenate([weight, weight])
-                extras = {k: np.concatenate([v, v]) for k, v in extras.items()}
-        elif not extras:
+                # store the reverse of every non-self-loop edge
+                rev = src_i != dst_i
+                src_i, dst_i = (np.concatenate([src_i, dst_i[rev]]),
+                                np.concatenate([dst_i, src_i[rev]]))
+                if weight is not None:
+                    weight = np.concatenate([weight, weight[rev]])
+                extras = {k: np.concatenate([v, v[rev]]) for k, v in extras.items()}
+        else:
             if not self._multi:
                 src_i, dst_i, weight = preprocess.remove_multi_edges(src_i, dst_i, weight)
             if not self._directed:
@@ -290,7 +311,9 @@ class Graph:
     def degree(self, vertex_subset=None) -> pd.DataFrame:
         d = self.degrees(vertex_subset)
         # NetworkX-style degree = in + out for directed; for undirected the
-        # symmetrized list already double-counts, matching nx.degree.
+        # symmetrized list already double-counts non-loop edges.  Known
+        # divergence: an undirected self-loop is stored once, so it adds 1
+        # here where nx.degree adds 2.
         if self._directed:
             deg = d["in_degree"] + d["out_degree"]
         else:
@@ -346,5 +369,5 @@ class MultiGraph(Graph):
 
 
 class DiGraph(Graph):
-    def __init__(self):
+    def __init__(self, directed: bool = True):  # arg accepted so clear() works
         super().__init__(directed=True)

@@ -89,3 +89,56 @@ def test_padding_invariants():
     for v in range(g.num_vertices):
         row = idx[offs[v]:offs[v + 1]]
         assert (np.diff(row) >= 0).all()
+
+
+def test_multigraph_undirected_keeps_parallel_edges():
+    import cugraph_tpu as ct
+
+    G = ct.MultiGraph(directed=False)
+    G.from_edgelist(np.array([0, 0]), np.array([1, 1]), None, renumber=False)
+    # two parallel undirected edges → 4 stored directed slots → count 2
+    src, dst, _ = G.edgelist_arrays()
+    assert len(src) == 4
+
+
+def test_undirected_extras_no_double_store():
+    import cugraph_tpu as ct
+
+    G = ct.Graph(directed=False)
+    G.from_edgelist(np.array([0, 1]), np.array([1, 0]), None,
+                    edge_id=np.array([10, 11]), renumber=False)
+    src, dst, _ = G.edgelist_arrays()
+    # (0,1) and (1,0) are ONE undirected edge → 2 stored directions
+    assert len(src) == 2
+
+
+def test_weight_column_not_inferred_from_arbitrary_name():
+    import cugraph_tpu as ct
+    import pandas as pd
+
+    df = pd.DataFrame({"src": [0, 1], "dst": [1, 2], "timestamp": [5.0, 6.0]})
+    G = ct.Graph(directed=True)
+    G.from_edgelist(df, "src", "dst")
+    assert not G.is_weighted()  # timestamps must NOT become weights
+    G2 = ct.Graph(directed=True)
+    G2.from_edgelist(df, "src", "dst", weight_col="timestamp")
+    assert G2.is_weighted()  # but an explicit column name works
+
+
+def test_digraph_clear():
+    import cugraph_tpu as ct
+
+    g = ct.DiGraph()
+    g.from_edgelist(np.array([0]), np.array([1]), None)
+    g.clear()
+    assert g._src is None
+
+
+def test_renumber_false_rejects_negative_ids():
+    import cugraph_tpu as ct
+    import pytest
+    from cugraph_tpu.api.exceptions import InvalidInputError
+
+    G = ct.Graph(directed=True)
+    with pytest.raises(InvalidInputError):
+        G.from_edgelist(np.array([-1]), np.array([0]), None, renumber=False)

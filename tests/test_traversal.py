@@ -100,3 +100,17 @@ def test_k_hop_neighbors():
     df = ctpu.algos.traversal.k_hop_neighbors(G, [0], 2)
     ref = set(nx.single_source_shortest_path_length(Gnx, 0, cutoff=2)) - {0}
     assert set(df["vertex"]) == ref
+
+
+def test_extract_bfs_paths_unreachable_destination():
+    import cugraph_tpu as ct
+
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([0, 3]), np.array([1, 4]), None,
+                    vertices=np.arange(5), renumber=False)
+    df = ct.bfs(G, 0)
+    # vertex 4 is unreachable from 0: must not blow up max_len
+    offs, paths, max_len = ct.extract_bfs_paths(G, df, [1, 4])
+    assert max_len <= 3
+    row4 = paths[max_len: 2 * max_len]
+    assert np.all(row4 == -1)
