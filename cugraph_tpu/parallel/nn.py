@@ -97,3 +97,29 @@ def replicate(mesh, tree):
     """Replicate a parameter pytree across the mesh."""
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def mg_aggregate_sum(g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+    """Sum of in-neighbor features, owner-sharded [pad_v, F] → [pad_v, F]."""
+    return _mg_spmm(mesh, g.pmaj, g.chunk)(
+        g.pull.src_loc, g.pull.dst_loc, g.pull.weight, x)
+
+
+def mg_gcn_conv(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+    """Symmetric-normalized GCN propagation with implicit self loops
+    (distributed mirror of nn.layers.gcn_conv): H' = D̂^-1/2 Â D̂^-1/2 H W."""
+    deg = g.in_degree + 1.0  # +1: self loop
+    inv_sqrt = jax.lax.rsqrt(deg)
+    h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+    h = h * inv_sqrt[:, None]
+    agg = mg_aggregate_sum(g, mesh, h) + h  # Â = A + I
+    return agg * inv_sqrt[:, None] + params["b"]
+
+
+def mg_gcn_apply(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+    h = x
+    for i, p in enumerate(params):
+        h = mg_gcn_conv(p, g, mesh, h)
+        if i + 1 < len(params):
+            h = jax.nn.relu(h)
+    return h
