@@ -46,4 +46,6 @@ from cugraph_tpu.parallel.algos import (
     mg_strongly_connected_components,
     mg_triangle_count,
     mg_k_truss,
+    mg_k_hop_nbrs,
+    mg_egonet,
 )

@@ -1078,3 +1078,35 @@ def mg_k_truss(g: DistGraph, mesh, k: int, batch: int = 1024,
         cur = build_dist_graph(ss, dd, ww, g.num_vertices, g.pmaj, g.pmin,
                                store_push=False)
     return su[alive], du[alive], wu[alive]
+
+
+def mg_k_hop_nbrs(g: DistGraph, mesh, start: int, k: int):
+    """Vertices within k hops of `start` (reference k_hop_nbrs_impl.cuh:220):
+    a depth-limited distributed BFS."""
+    dist, _ = mg_bfs(g, mesh, int(start), depth_limit=int(k))
+    d = np.asarray(dist)[: g.num_vertices]
+    return np.nonzero((d > 0) & (d <= k))[0]
+
+
+def mg_egonet(g: DistGraph, mesh, seeds, radius: int = 1):
+    """Induced ego subgraphs around each seed (reference
+    community/egonet_impl.cuh:212: BFS within radius + induced extract).
+    Returns (src, dst, w, offsets) — concatenated per-seed edge lists in
+    global ids with CSR-style offsets per seed."""
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    src, dst, w = _gather_edges_host(g)
+    outs, outd, outw, offsets = [], [], [], [0]
+    for s in np.asarray(seeds).reshape(-1):
+        dist, _ = mg_bfs(g, mesh, int(s), depth_limit=int(radius))
+        d = np.asarray(dist)[: g.num_vertices]
+        inside = (d <= radius)
+        keep = inside[src] & inside[dst]
+        outs.append(src[keep])
+        outd.append(dst[keep])
+        outw.append(w[keep])
+        offsets.append(offsets[-1] + int(keep.sum()))
+    return (np.concatenate(outs) if outs else np.empty(0, np.int64),
+            np.concatenate(outd) if outd else np.empty(0, np.int64),
+            np.concatenate(outw) if outw else np.empty(0, np.float32),
+            np.asarray(offsets))

@@ -616,3 +616,18 @@ def test_mg_gcn_matches_sg(mesh):
     sg_out = np.asarray(gcn_apply(params_host, sg_struct,
                                   jnp.asarray(x_sg)))[:n]
     np.testing.assert_allclose(mg_out, sg_out, rtol=2e-4, atol=2e-4)
+
+
+def test_mg_k_hop_and_egonet(mesh):
+    src = np.array([0, 1, 2, 3], np.int64)
+    dst = np.array([1, 2, 3, 4], np.int64)
+    n = 6
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=False)
+    from cugraph_tpu.parallel import mg_egonet, mg_k_hop_nbrs
+
+    nbrs = mg_k_hop_nbrs(g, mesh, 0, 2)
+    np.testing.assert_array_equal(nbrs, [1, 2])
+
+    es, ed, ew, offs = mg_egonet(g, mesh, [0], radius=2)
+    assert set(zip(es.tolist(), ed.tolist())) == {(0, 1), (1, 2)}
+    assert list(offs) == [0, 2]
