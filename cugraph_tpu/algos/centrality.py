@@ -320,7 +320,8 @@ def betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
     else:
         sources = normalize_start(G, k)
     bc, _ = _betweenness_accumulate(G, sources)
-    nsrc = len(sources) if (k is not None and np.isscalar(k)) else None
+    # list-form k gets the same n/|sources| extrapolation as scalar k
+    nsrc = len(sources) if (k is not None and len(sources) < n) else None
     scale = _bc_scale(G, nsrc, normalized, n)
     if endpoints:
         # add (number of reachable pairs) endpoint contributions — follow nx:
@@ -350,7 +351,11 @@ def edge_betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
         if not G.is_directed():
             scale *= 2.0
     else:
-        scale = 1.0 if G.is_directed() else 0.5
+        # undirected double-counting is handled by the /2 after the groupby
+        # below — no extra 0.5 here (it would halve the nx value twice)
+        scale = 1.0
+    if k is not None and not np.isscalar(k):
+        k = len(np.asarray(k).reshape(-1))
     if k is not None and k < n:
         scale *= n / len(sources)
 

@@ -13,6 +13,8 @@ all static shapes, no sorting.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,28 +24,38 @@ from cugraph_tpu.core.structure import GraphStructure
 from cugraph_tpu.prims.vertex_edge import gather_minor, segment_reduce_by_major
 
 
-@jax.jit
-def _core_number_kernel(g: GraphStructure):
-    """Undirected ("bidirectional" in reference terms) core numbers over the
-    out-adjacency of the symmetrized graph."""
-    adj = g.csr
+@partial(jax.jit, static_argnames=("use_out", "use_in"))
+def _core_number_kernel(g: GraphStructure, use_out: bool = True,
+                        use_in: bool = False):
+    """Core numbers over the selected adjacency direction(s): out (csr),
+    in (csc), or both ("bidirectional" counts in+out like the reference)."""
     pad_v = g.pad_v
     n = g.num_vertices
     real = jnp.arange(pad_v) < n
-    deg = (adj.offsets[1:] - adj.offsets[:-1]).astype(jnp.int32)
+    deg = jnp.zeros(pad_v, jnp.int32)
+    if use_out:
+        deg = deg + (g.csr.offsets[1:] - g.csr.offsets[:-1]).astype(jnp.int32)
+    if use_in:
+        deg = deg + (g.csc.offsets[1:] - g.csc.offsets[:-1]).astype(jnp.int32)
     c0 = jnp.where(real, deg, 0)
 
+    def count_ge(adj, c, h):
+        ge = (gather_minor(adj, c) >= jnp.take(h, adj.majors)).astype(jnp.int32)
+        valid = adj.majors < n
+        return segment_reduce_by_major(adj, jnp.where(valid, ge, 0))
+
     def h_index(c):
-        """H({c[u] : u in N(v)}) per v, via binary search on h:
-        largest h with |{u in N(v): c[u] >= h}| >= h."""
         lo = jnp.zeros(pad_v, jnp.int32)
-        hi = deg  # h can never exceed degree
+        hi = deg
 
         def body(_, state):
             lo, hi = state
-            mid = (lo + hi + 1) >> 1  # upper-mid so lo strictly increases
-            ge = (gather_minor(adj, c) >= jnp.take(mid, adj.majors)).astype(jnp.int32)
-            cnt = segment_reduce_by_major(adj, ge, "sum")
+            mid = (lo + hi + 1) >> 1
+            cnt = jnp.zeros(pad_v, jnp.int32)
+            if use_out:
+                cnt = cnt + count_ge(g.csr, c, mid)
+            if use_in:
+                cnt = cnt + count_ge(g.csc, c, mid)
             ok = cnt >= mid
             active = lo < hi
             lo = jnp.where(active & ok, mid, lo)
@@ -71,7 +83,17 @@ def core_number(G, degree_type: str = "bidirectional"):
     if degree_type not in ("bidirectional", "incoming", "outgoing"):
         raise ValueError(f"invalid degree_type {degree_type!r}")
     g = G.structure
-    c = np.asarray(_core_number_kernel(g))[: G.number_of_vertices()]
+    if not G.is_directed():
+        # symmetrized storage already holds both directions: every
+        # degree_type reduces to the classic undirected core number
+        # (networkx semantics; note the reference's bidirectional doubles
+        # counts on symmetric inputs instead)
+        use_out, use_in = True, False
+    else:
+        use_out = degree_type in ("outgoing", "bidirectional")
+        use_in = degree_type in ("incoming", "bidirectional")
+    c = np.asarray(_core_number_kernel(g, use_out, use_in))[
+        : G.number_of_vertices()]
     return vertex_frame(G, {"core_number": c})
 
 
@@ -79,13 +101,18 @@ def k_core(G, k=None, core_number_df=None, degree_type: str = "bidirectional"):
     """Extract the k-core subgraph (reference k_core_impl.cuh:23).
     Returns a new Graph on the vertices with core_number >= k."""
     df = core_number_df if core_number_df is not None else core_number(G, degree_type)
-    cn = dict(zip(df["vertex"], df["core_number"]))
+    dfs = df.sort_values("vertex")
     if k is None:
         k = int(df["core_number"].max())
+    # core values indexed by INTERNAL id for vectorized edge filtering
+    core_arr = np.zeros(G.number_of_vertices(), np.int64)
+    core_arr[G.lookup_internal_vertex_id(dfs["vertex"].to_numpy())] = \
+        dfs["core_number"].to_numpy()
+    cn = dict(zip(df["vertex"], df["core_number"]))
     src, dst, w = G.edgelist_arrays()
     ext_src = G.number_map.to_external(src)
     ext_dst = G.number_map.to_external(dst)
-    keep = np.array([cn[s] >= k and cn[d] >= k for s, d in zip(ext_src, ext_dst)])
+    keep = (core_arr[src] >= k) & (core_arr[dst] >= k)
     from cugraph_tpu.api.graph import Graph
     out = Graph(directed=G.is_directed())
     if keep.any():

@@ -38,9 +38,9 @@ def induced_subgraph(G, vertices):
     """Edges of the subgraph induced by ``vertices`` (reference
     induced_subgraph_impl.cuh).  Returns (DataFrame ['src','dst','weight'],
     offsets)."""
-    ids = set(G.lookup_internal_vertex_id(np.asarray(vertices)).tolist())
+    ids = G.lookup_internal_vertex_id(np.asarray(vertices))
     src, dst, w = G.edgelist_arrays()
-    keep = np.array([s in ids and d in ids for s, d in zip(src, dst)])
+    keep = np.isin(src, ids) & np.isin(dst, ids)  # vectorized, dtype-safe
     if not G.is_directed():
         keep &= src <= dst
     out = pd.DataFrame({
@@ -191,6 +191,8 @@ def hypergraph(df: pd.DataFrame, columns=None, *, categorical_metadata=True,
         vals = df[c].astype(str)
         ents.append(c + "::" + vals)
     if direct:
+        if len(columns) < 2:
+            raise ValueError("direct hypergraph needs at least two columns")
         # clique among the entity nodes of each row
         srcs, dsts = [], []
         for i in range(len(columns)):

@@ -18,7 +18,10 @@ def read_csv_edgelist(path: str, *, delimiter=None, names=("src", "dst", "wgt"),
     """Read a whitespace/CSV edge list into ['src', 'dst'(, 'wgt')]."""
     df = pd.read_csv(path, sep=delimiter if delimiter is not None else r"\s+",
                      header=header, comment=comment, engine="python")
-    df.columns = list(names)[: df.shape[1]]
+    cols = list(names)[: df.shape[1]]
+    # extra columns beyond the given names keep positional names (col_3, ...)
+    cols += [f"col_{i}" for i in range(len(cols), df.shape[1])]
+    df.columns = cols
     if dtype:
         df = df.astype(dtype)
     return df

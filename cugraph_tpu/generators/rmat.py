@@ -4,11 +4,9 @@ Reference: cpp/src/generators/generate_rmat_edgelist.cuh (Chakrabarti et al.
 R-MAT, Graph500 parameters a=0.57 b=0.19 c=0.19) + scramble.cuh vertex id
 scrambler; python wrapper python/cugraph/cugraph/generators/rmat.py.
 
-TPU design: all ``scale`` bit-levels for all edges are drawn in one
-[n_edges, scale] uniform tensor and reduced with bit-shifts — one fused VPU
-pass, no per-edge loops.  The draws are stateless threefry, so the edge list
-is reproducible for a given seed across any device count (MG parity comes
-free: shard the edge index range)."""
+Generation is host-side NumPy (graph construction is host work on a TPU
+system; drawing on-device costs a pointless round-trip of the
+[edges × scale] uniform tensor).  Deterministic for a given seed."""
 
 from __future__ import annotations
 
@@ -17,31 +15,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-@partial(jax.jit, static_argnames=("scale", "num_edges", "clip_and_flip"))
-def _rmat_kernel(key, scale: int, num_edges: int, a, b, c, clip_and_flip: bool):
-    ka, kb = jax.random.split(key)
-    # quadrant probabilities: P(src_bit=1) depends on dst_bit draw jointly;
-    # draw u ~ U[0,1) per (edge, level) and pick quadrant by thresholds
-    u = jax.random.uniform(ka, (num_edges, scale))
-    d = a + b
-    src_bit = (u >= (a + b)).astype(jnp.uint32)          # quadrants c,d
-    thresh_dst = jnp.where(src_bit == 1,
-                           a + b + c,                    # within {c,d}: c then d
-                           a)                            # within {a,b}: a then b
-    dst_bit = (u >= thresh_dst).astype(jnp.uint32)
-    # Build ids MSB-first.  Note: using the same u for both bits correlates
-    # them exactly per the 4-way quadrant split:
-    #   u in [0,a) -> (0,0); [a,a+b) -> (0,1); [a+b,a+b+c) -> (1,0); else (1,1)
-    weights = (jnp.uint32(1) << (scale - 1 - jnp.arange(scale, dtype=jnp.uint32)))
-    src = jnp.sum(src_bit * weights[None, :], axis=1).astype(jnp.uint32)
-    dst = jnp.sum(dst_bit * weights[None, :], axis=1).astype(jnp.uint32)
-    if clip_and_flip:
-        lo = jnp.minimum(src, dst)
-        hi = jnp.maximum(src, dst)
-        src, dst = lo, hi
-    return src.astype(jnp.int32), dst.astype(jnp.int32)
 
 
 def _rmat_host(scale: int, num_edges: int, a: float, b: float, c: float,
@@ -96,7 +69,6 @@ def rmat(scale: int, num_edges: int, a: float = 0.57, b: float = 0.19,
     ['src','dst'(, 'weights')]; pass a Graph class to get a built graph."""
     if a + b + c > 1.0:
         raise ValueError("a + b + c must be <= 1.0")
-    key = jax.random.PRNGKey(seed)
     src, dst = _rmat_host(int(scale), int(num_edges), float(a), float(b),
                           float(c), int(seed), bool(clip_and_flip))
     if scramble_vertex_ids:

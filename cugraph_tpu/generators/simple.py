@@ -44,6 +44,23 @@ def mesh_3d_graph(x: int, y: int, z: int):
     return pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
 
 
+def _sample_distinct(rng, total: int, m: int) -> np.ndarray:
+    """m distinct uniform draws from [0, total) in O(m) memory.
+
+    numpy's choice(total, replace=False) materializes a permutation of the
+    whole domain — fatal for total ~ n²/2.  Oversample-and-dedupe instead
+    (coupon-collector expansion keeps the loop to a couple of rounds)."""
+    if m >= total:
+        return np.arange(total, dtype=np.int64)
+    if total <= 4 * m or total < 1 << 20:
+        return rng.choice(total, size=m, replace=False).astype(np.int64)
+    out = np.unique(rng.integers(0, total, int(m * 1.2) + 16, dtype=np.int64))
+    while len(out) < m:
+        extra = rng.integers(0, total, m, dtype=np.int64)
+        out = np.unique(np.concatenate([out, extra]))
+    return rng.permutation(out)[:m]
+
+
 def erdos_renyi_gnp(n: int, p: float, seed: int = 42, directed: bool = False):
     """G(n, p) via per-block binomial sampling (reference
     erdos_renyi_generator.cuh samples the same way on GPU)."""
@@ -54,7 +71,7 @@ def erdos_renyi_gnp(n: int, p: float, seed: int = 42, directed: bool = False):
     else:
         total = n * (n - 1) // 2
     m = rng.binomial(total, p)
-    picks = rng.choice(total, size=m, replace=False)
+    picks = _sample_distinct(rng, total, m)
     if directed:
         src = picks // (n - 1)
         off = picks % (n - 1)
@@ -72,7 +89,7 @@ def erdos_renyi_gnp(n: int, p: float, seed: int = 42, directed: bool = False):
 def erdos_renyi_gnm(n: int, m: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     total = n * (n - 1) // 2
-    picks = rng.choice(total, size=min(m, total), replace=False)
+    picks = _sample_distinct(rng, total, min(m, total))
     i = (n - 2 - np.floor(np.sqrt(-8 * picks + 4 * n * (n - 1) - 7) / 2.0
                           - 0.5)).astype(np.int64)
     j = (picks + i + 1 - n * (n - 1) // 2

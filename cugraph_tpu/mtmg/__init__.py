@@ -123,6 +123,10 @@ class PerThreadEdgelist:
         src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
         dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
         w = np.concatenate(ws) if ws else None
+        if w is not None and len(w) != len(src):
+            raise ValueError(
+                "mixed weighted/unweighted appends: every append must either "
+                f"include wgt or none may ({len(w)} weights for {len(src)} edges)")
         return src, dst, w
 
 

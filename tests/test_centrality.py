@@ -79,3 +79,23 @@ def test_edge_betweenness_directed():
     got = {(r.src, r.dst): r.betweenness_centrality for r in df.itertuples()}
     for (u, v), val in ref.items():
         assert abs(got[(u, v)] - val) < 1e-5
+
+
+def test_edge_betweenness_unnormalized_matches_networkx():
+    G, Gnx = karate()
+    df = ctpu.edge_betweenness_centrality(G, normalized=False)
+    ref = nx.edge_betweenness_centrality(Gnx, normalized=False)
+    got = {(r.src, r.dst): r.betweenness_centrality for r in df.itertuples()}
+    for (u, v), val in ref.items():
+        key = (min(u, v), max(u, v))
+        assert abs(got[key] - val) < 1e-3, (key, got[key], val)
+
+
+def test_betweenness_list_k_extrapolates():
+    G, Gnx = karate()
+    full = ctpu.betweenness_centrality(G, normalized=False)
+    sub = ctpu.betweenness_centrality(G, k=[0, 1, 2], normalized=False)
+    # extrapolated magnitudes should be the same order as the full run,
+    # not n/k times smaller
+    assert sub["betweenness_centrality"].sum() > \
+        0.2 * full["betweenness_centrality"].sum()

@@ -163,3 +163,35 @@ def test_file_readers_roundtrip(tmp_path):
     assert len(dfm) == 5  # two off-diagonal edges doubled + one self loop
     assert dfm["src"].min() == 0
     assert set(dfm.columns) == {"src", "dst", "wgt"}
+
+
+def test_er_generator_large_sparse_domain():
+    from cugraph_tpu.generators.simple import erdos_renyi_gnp
+
+    # total pair domain ~ 8.6e9 — must not materialize a permutation of it
+    df = erdos_renyi_gnp(131072, 1e-7, seed=1)
+    assert len(df) < 5000
+    assert df["src"].max() < 131072 and (df["src"] < df["dst"]).all()
+
+
+def test_core_number_degree_types_differ_on_directed():
+    import cugraph_tpu as ct
+
+    # directed chain: 0→1→2; in/out degrees differ per vertex
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([0, 1]), np.array([1, 2]), None, renumber=False)
+    ci = ct.core_number(G, degree_type="incoming")
+    cb = ct.core_number(G, degree_type="bidirectional")
+    # in-coreness of a DAG peels to zero; bidirectional keeps the 1-core
+    assert list(ci["core_number"]) == [0, 0, 0]
+    assert list(cb["core_number"]) == [1, 1, 1]
+
+
+def test_induced_subgraph_empty_edge_graph():
+    import cugraph_tpu as ct
+
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([], np.int64), np.array([], np.int64), None,
+                    vertices=np.arange(3), renumber=False)
+    df, offs = ct.induced_subgraph(G, [0, 1])
+    assert len(df) == 0
