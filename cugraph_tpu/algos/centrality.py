@@ -339,9 +339,12 @@ def edge_betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
     n = G.number_of_vertices()
     if k is None:
         sources = np.arange(n, dtype=np.int32)
-    else:
+    elif np.isscalar(k):
         rng = np.random.default_rng(seed)
         sources = rng.choice(n, size=int(k), replace=False).astype(np.int32)
+    else:
+        # list-form k = explicit source vertices (reference accepts both)
+        sources = normalize_start(G, k)
     _, ebc = _betweenness_accumulate(G, sources)
     g = G.structure
     E = g.num_edges

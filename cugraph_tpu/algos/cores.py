@@ -108,7 +108,6 @@ def k_core(G, k=None, core_number_df=None, degree_type: str = "bidirectional"):
     core_arr = np.zeros(G.number_of_vertices(), np.int64)
     core_arr[G.lookup_internal_vertex_id(dfs["vertex"].to_numpy())] = \
         dfs["core_number"].to_numpy()
-    cn = dict(zip(df["vertex"], df["core_number"]))
     src, dst, w = G.edgelist_arrays()
     ext_src = G.number_map.to_external(src)
     ext_dst = G.number_map.to_external(dst)
@@ -119,6 +118,7 @@ def k_core(G, k=None, core_number_df=None, degree_type: str = "bidirectional"):
         out.from_edgelist(ext_src[keep], ext_dst[keep],
                           None if w is None else w[keep])
     else:
+        cn = dict(zip(df["vertex"], df["core_number"]))
         out.from_edgelist(np.array([], dtype=ext_src.dtype),
                           np.array([], dtype=ext_dst.dtype), None,
                           vertices=np.array([v for v in cn if cn[v] >= k]))

@@ -49,6 +49,10 @@ class Graph:
         self._number_map: NumberMap | None = None
         self._structure: GraphStructure | None = None
         self._renumbered = False
+        # Pallas SpMV plan caches (kernels/dispatch.py) — reset here so
+        # clear() + from_edgelist never serves a stale plan for the old graph
+        self._spmv_plan_pull = None
+        self._spmv_plan_push = None
 
     # -- construction ---------------------------------------------------------
 

@@ -84,7 +84,9 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     w = np.ones(m, np.float32) if weight is None else np.asarray(weight, np.float32)
 
     n_rows = max(_round_up(num_vertices, 128) // 128, 1)
-    # y blocks must hold whole dst windows
+    # y blocks must hold whole dst windows (64 rows each): a non-multiple
+    # would let the in-kernel 64-row scatter straddle y-block boundaries
+    yb_rows = _round_up(yb_rows, 64)
     yb_rows = min(_round_up(n_rows, 64), yb_rows)
     ybv = yb_rows * 128                      # vertices per y block
     n_yblocks = max(_round_up(n_rows, yb_rows) // yb_rows, 1)

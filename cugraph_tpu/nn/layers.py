@@ -43,19 +43,22 @@ def _glorot(key, shape, dtype=jnp.float32):
 def aggregate_neighbors(
     g: GraphStructure, x: jax.Array, *, mode: str = "mean"
 ) -> jax.Array:
-    """Per-vertex reduce of in-neighbor features: out[v] = op_{(u,v)∈E} x[u].
+    """Per-vertex reduce of in-neighbor features: out[v] = op_{(u,v)∈E} w·x[u].
 
     x: [pad_v, F] → out: [pad_v, F].  Padding edges source from the sink row;
     we zero the sink row first so "sum"/"mean" stay exact without masks.
+    "sum"/"mean" are EDGE-WEIGHTED (mean normalizes by the weighted in-degree)
+    to match the distributed layers in parallel/nn.py; unweighted graphs carry
+    1.0 weights so counts and weight sums coincide.  "max" ignores weights.
     """
     adj = g.csc  # major = dst, minor = src
     x = x.at[adj.sink].set(0.0)
     msgs = gather_minor(adj, x)  # [pad_e, F]
     if mode in ("sum", "mean"):
-        agg = segment_reduce_by_major(adj, msgs, "sum")
+        agg = segment_reduce_by_major(adj, msgs * adj.weights[:, None], "sum")
         if mode == "mean":
-            deg = adj.degrees().astype(x.dtype)
-            agg = agg / jnp.maximum(deg, 1.0)[:, None]
+            deg = segment_reduce_by_major(adj, adj.weights, "sum").astype(x.dtype)
+            agg = agg / jnp.maximum(deg, 1e-12)[:, None]
         return agg
     if mode == "max":
         big = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
@@ -101,8 +104,9 @@ def gcn_init(key, in_dim: int, out_dim: int):
 
 
 def gcn_conv(params, g: GraphStructure, x: jax.Array) -> jax.Array:
-    """Symmetric-normalized propagation with implicit self loops."""
-    deg = (g.in_degrees() + 1).astype(x.dtype)  # +1: self loop
+    """Symmetric-normalized propagation with implicit self loops.
+    Edge-weighted (deg = weighted in-degree), matching parallel/nn.mg_gcn_conv."""
+    deg = (g.in_weight_sums() + 1).astype(x.dtype)  # +1: self loop
     inv_sqrt = jax.lax.rsqrt(deg)
     h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
     h = h * inv_sqrt[:, None]

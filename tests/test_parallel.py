@@ -591,16 +591,17 @@ def test_mg_betweenness_unnormalized_matches_networkx(mesh):
                                rtol=1e-4, atol=1e-6)
 
 
-def test_mg_gcn_matches_sg(mesh):
+@pytest.mark.parametrize("weighted", [False, True])
+def test_mg_gcn_matches_sg(mesh, weighted):
     from cugraph_tpu.nn import gcn_model_init, gcn_apply
     from cugraph_tpu.parallel.nn import mg_gcn_apply, replicate, \
         shard_vertex_data
     from cugraph_tpu.parallel.mesh import shard_dist_graph
 
-    src, dst, _ = _random_coo(n=60, m=400, seed=20, weighted=False)
+    src, dst, w = _random_coo(n=60, m=400, seed=20, weighted=weighted)
     n = 60
     g = shard_dist_graph(
-        build_dist_graph(src, dst, None, n, 4, 2, store_push=False), mesh)
+        build_dist_graph(src, dst, w, n, 4, 2, store_push=False), mesh)
 
     rng = np.random.default_rng(0)
     F, H, C = 6, 12, 3
@@ -609,7 +610,7 @@ def test_mg_gcn_matches_sg(mesh):
     xd = shard_vertex_data(mesh, jnp.asarray(x))
     mg_out = np.asarray(mg_gcn_apply(params, g, mesh, xd))[:n]
 
-    sg_struct = build_structure_host(src, dst, None, n)
+    sg_struct = build_structure_host(src, dst, w, n)
     x_sg = np.zeros((sg_struct.pad_v, F), np.float32)
     x_sg[:n] = x[:n]
     params_host = jax.tree.map(np.asarray, params)
