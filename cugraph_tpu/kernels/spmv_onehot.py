@@ -45,6 +45,11 @@ SRC_WIN = 16384        # vertices per x window  (= 128 rows of 128 lanes)
 DST_WIN = 8192         # vertices per dst window (= 64 y rows)
 DEFAULT_YB_ROWS = 8192  # y rows per VMEM-resident block (= 1M vertices, 4 MB)
 
+# finite "infinity" for the min/max semirings: large enough to dominate any
+# real distance, small enough that the split-bf16 trick stays exact-ish
+# (true ±inf would make d_lo = inf - inf = NaN in the split)
+SEMIRING_BIG = np.float32(1e30)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -82,6 +87,9 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     dst = np.asarray(dst, np.int64)
     m = src.shape[0]
     w = np.ones(m, np.float32) if weight is None else np.asarray(weight, np.float32)
+    if m and not np.isfinite(w).all():
+        raise ValueError("spmv plan requires finite edge weights "
+                         "(NaN marks padding lanes)")
 
     n_rows = max(_round_up(num_vertices, 128) // 128, 1)
     # y blocks must hold whole dst windows (64 rows each): a non-multiple
@@ -97,7 +105,7 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         return SpmvPlan(
             src_rel=jnp.zeros((t * 8, 128), jnp.int32),
             dst_full=jnp.zeros((t * 8, 128), jnp.int32),
-            weight=jnp.zeros((t * 8, 128), jnp.float32),
+            weight=jnp.full((t * 8, 128), np.nan, jnp.float32),
             xwin_blk=jnp.zeros((t,), jnp.int32),
             yblk=jnp.arange(t, dtype=jnp.int32),
             num_vertices=num_vertices, n_rows=n_rows, yb_rows=yb_rows,
@@ -151,11 +159,13 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     sub_tile = rg_tile_off[rg_id] + tile_in_rg
     T = int(rg_tile_off[-1])
 
-    # per-edge placement
+    # per-edge placement.  Padding lanes carry weight = NaN: the in-kernel
+    # validity mask is ~isnan(w), letting min/max semirings exclude padding
+    # exactly (the sum path maps NaN → 0, same effect as before).
     e_row = sub_tile[sub_id] * 8 + slot[sub_id]
     src_rel = np.zeros((T * 8, 128), np.int32)
     dst_full = np.zeros((T * 8, 128), np.int32)
-    weight_a = np.zeros((T * 8, 128), np.float32)
+    weight_a = np.full((T * 8, 128), np.nan, np.float32)
     src_rel[e_row, lane] = src - group * SRC_WIN
     dst_full[e_row, lane] = dst - yblock * ybv
     weight_a[e_row, lane] = w
@@ -194,7 +204,8 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         dst_full = np.concatenate([dst_full,
                                    np.zeros((pad_tiles * 8, 128), np.int32)])
         weight_a = np.concatenate([weight_a,
-                                   np.zeros((pad_tiles * 8, 128), np.float32)])
+                                   np.full((pad_tiles * 8, 128), np.nan,
+                                           np.float32)])
         xwin_blk = np.concatenate([xwin_blk, np.zeros(pad_tiles, np.int32)])
         yblk_arr = np.concatenate([yblk_arr, missing.astype(np.int32)])
         order_t = np.argsort(yblk_arr, kind="stable")
@@ -221,21 +232,25 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
 
 
 def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
-            *, precision):
+            *, precision, reduce, combine):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     split = precision == "split"
     i = pl.program_id(0)
+    BIG = SEMIRING_BIG
+    init = {"sum": 0.0, "min": BIG, "max": -BIG}[reduce]
 
     @pl.when(jnp.logical_or(i == 0,
                             yblk_ref[i] != yblk_ref[jnp.maximum(i - 1, 0)]))
     def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
+        y_ref[:] = jnp.full_like(y_ref, init)
 
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     sub64 = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     dn_hh = (((0,), (0,)), ((), ()))
     dn_ee = (((1,), (1,)), ((), ()))
     odt = jnp.bfloat16 if split else jnp.float32
@@ -270,24 +285,74 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
 
     # -- scatter per subtile (each has its own 64-row dst window)
     for j in range(8):
-        v_row = xe_all[:, j * 128:(j + 1) * 128] * w_ref[j:j + 1, :]
+        xe = xe_all[:, j * 128:(j + 1) * 128]
+        w_raw = w_ref[j:j + 1, :]
+        valid = jnp.logical_not(jnp.isnan(w_raw))    # NaN marks padding lanes
+        if combine == "mul":
+            v_row = xe * jnp.where(valid, w_raw, 0.0)
+        elif combine == "add":
+            v_row = xe + jnp.where(valid, w_raw, 0.0)
+        else:  # "left": edge value is just the gathered src value
+            v_row = xe
         d_row = dst_ref[j:j + 1, :]
         d13 = jnp.min(d_row[0, :]) >> 13         # subtile dst-window id
         d_rel = d_row - (d13 << 13)
         D_hiT = (sub64 == (d_rel >> 7)).astype(jnp.float32)
         D_loT = (sub128 == (d_rel & 127)).astype(odt)
-        A = D_hiT * v_row
-        contrib = _sel(A, D_loT, dn_ee)
         off = d13 * 64
-        y_ref[pl.ds(off, 64), :] += contrib
+
+        if reduce == "sum":
+            A = D_hiT * jnp.where(valid, v_row, 0.0)
+            contrib = _sel(A, D_loT, dn_ee)
+            y_ref[pl.ds(off, 64), :] += contrib
+            continue
+
+        # -- min/max scatter.  Edges within a subtile are dst-sorted, so each
+        # dst forms one contiguous lane run; a 7-step shifted scan reduces the
+        # run to its head lane, and the one-contributor-per-dst sum matmul is
+        # then an EXACT selection.  A 0/1 indicator matmul flags touched dsts
+        # (untouched ones must keep the reduce identity, not pick up the 0 the
+        # value matmul produces).  This replaces the reference's atomic-min
+        # scatter (prims/detail/per_v_transform_reduce_e.cuh reduce_op::min).
+        if reduce == "min":
+            red, ident = jnp.minimum, BIG
+        else:
+            red, ident = jnp.maximum, -BIG
+        vv = jnp.where(valid, jnp.clip(v_row, -BIG, BIG), ident)
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            d_sh = pltpu.roll(d_row, 128 - s, 1)   # lane l ← lane l+s (cyclic)
+            v_sh = pltpu.roll(vv, 128 - s, 1)
+            ok = (lane < 128 - s) & (d_sh == d_row)
+            vv = red(vv, jnp.where(ok, v_sh, ident))
+        d_prev = pltpu.roll(d_row, 1, 1)
+        head = ((lane == 0) | (d_prev != d_row)) & valid
+        A_val = D_hiT * jnp.where(head, vv, 0.0)
+        A_ind = D_hiT * jnp.where(head, 1.0, 0.0)
+        contrib_v = _sel(A_val, D_loT, dn_ee)
+        contrib_c = jax.lax.dot_general(
+            A_ind.astype(odt), D_loT, dn_ee,
+            preferred_element_type=jnp.float32)
+        win = y_ref[pl.ds(off, 64), :]
+        y_ref[pl.ds(off, 64), :] = red(
+            win, jnp.where(contrib_c > 0.5, contrib_v, ident))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision",
+                                             "reduce", "combine"))
 def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
-                precision: str = "highest"):
-    """y = Aᵀ-style reduce: y[dst] = Σ w·x[src] per the plan's edge set.
+                precision: str = "highest", reduce: str = "sum",
+                combine: str = "mul"):
+    """Semiring SpMV: y[dst] = REDUCE_{(src,dst)} COMBINE(x[src], w).
 
     x: [pad_v] f32 (pad_v = plan.n_rows·128).  Returns y with the same shape.
+
+    reduce ∈ {"sum","min","max"}, combine ∈ {"mul","add","left"} ("left"
+    ignores the weight).  Untouched destinations get the reduce identity
+    (0 / SEMIRING_BIG / −SEMIRING_BIG).  The (min,add) pair is the SSSP
+    relaxation, (max,left) the BFS parent-select, (min,left) WCC label
+    propagation — the reference's reduce_op library (prims/reduce_op.cuh:285)
+    realized as MXU one-hot products.  For min/max with combine="mul", x must
+    be finite (0·±inf = NaN would poison the scan).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -312,7 +377,8 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
         out_specs=pl.BlockSpec((yb, 128), lambda i, xw, yb_: (yb_[i], 0)),
     )
     y = pl.pallas_call(
-        functools.partial(_kernel, precision=precision),
+        functools.partial(_kernel, precision=precision, reduce=reduce,
+                          combine=combine),
         out_shape=jax.ShapeDtypeStruct((yb_pad_rows, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

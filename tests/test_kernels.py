@@ -74,3 +74,50 @@ def test_spmv_empty_y_block_is_zeroed():
     np.add.at(expect, dst, x[src].astype(np.float64))
     np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
     assert np.all(y[16384:] == 0)  # blocks past the edge range stay zero
+
+
+@pytest.mark.parametrize("reduce,combine", [
+    ("min", "add"),    # SSSP relaxation
+    ("min", "left"),   # WCC label propagation
+    ("max", "left"),   # BFS parent select
+    ("max", "mul"),
+    ("sum", "add"),
+    ("sum", "left"),
+])
+@pytest.mark.parametrize("n,m", [(300, 2000), (40_000, 120_000), (9, 4)])
+def test_spmv_semirings_match_numpy(reduce, combine, n, m):
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
+
+    rng = np.random.default_rng(n + m + len(reduce))
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)
+    plan = build_spmv_plan(src, dst, w, n,
+                           yb_rows=128 if n > 20_000 else 8192)
+    x = (rng.random(plan.pad_v) * 10).astype(np.float32)
+
+    y = np.asarray(spmv_onehot(plan, jnp.asarray(x), interpret=True,
+                               reduce=reduce, combine=combine))
+    v = {"mul": x[src] * w, "add": x[src] + w, "left": x[src]}[combine]
+    ident = {"sum": 0.0, "min": SEMIRING_BIG, "max": -SEMIRING_BIG}[reduce]
+    expect = np.full(plan.pad_v, ident, np.float64)
+    op = {"sum": np.add, "min": np.minimum, "max": np.maximum}[reduce]
+    op.at(expect, dst, v.astype(np.float64))
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_spmv_min_add_with_big_distances():
+    """Unreached sources carry SEMIRING_BIG; they must never win the min."""
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
+
+    src = np.array([0, 1, 2, 2])
+    dst = np.array([3, 3, 3, 4])
+    w = np.array([1.0, 2.0, 5.0, 1.5], np.float32)
+    plan = build_spmv_plan(src, dst, w, 5)
+    x = np.full(plan.pad_v, SEMIRING_BIG, np.float32)
+    x[0] = 4.0  # only vertex 0 reached
+    y = np.asarray(spmv_onehot(plan, jnp.asarray(x), interpret=True,
+                               reduce="min", combine="add"))
+    assert y[3] == pytest.approx(5.0)          # 4.0 + 1.0 via src 0
+    assert y[4] >= SEMIRING_BIG / 2            # only unreached src 2
+    assert y[0] >= SEMIRING_BIG / 2            # untouched dst
