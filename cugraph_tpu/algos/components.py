@@ -18,6 +18,8 @@ TPU design:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,13 +55,43 @@ def _wcc_kernel(g: GraphStructure):
     return label
 
 
+@partial(jax.jit, static_argnames=("interpret",))
+def _wcc_kernel_pallas(plan, n: jax.Array, interpret: bool = False):
+    """Min-label propagation over (min, left) one-hot sweeps + pointer
+    jumping; labels ride f32 (exact for ids < 2^24)."""
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG, spmv_onehot
+
+    pad_v = plan.pad_v
+    ids = jnp.arange(pad_v)
+    real = ids < n
+    label0 = jnp.where(real, ids, pad_v - 1).astype(jnp.float32)
+
+    def body(state):
+        label, _ = state
+        y = spmv_onehot(plan, label, reduce="min", combine="left",
+                        precision="split", interpret=interpret)
+        new = jnp.minimum(label, jnp.where(real, y, SEMIRING_BIG))
+        new = jnp.minimum(new, jnp.take(new, new.astype(jnp.int32)))
+        new = jnp.where(real, new, pad_v - 1)
+        return new, jnp.any(new != label)
+
+    label, _ = jax.lax.while_loop(lambda s: s[1], body,
+                                  (label0, jnp.bool_(True)))
+    return label.astype(jnp.int32)
+
+
 def weakly_connected_components(G, directed=None, connection=None, return_labels=None):
     """WCC; returns ['vertex', 'labels'] — label = smallest internal vertex id
     in the component, mapped back to its external id (the reference returns
     arbitrary roots, weakly_connected_components_impl.cuh:1037)."""
-    g = G.structure
+    from cugraph_tpu.kernels.dispatch import get_sym_pull_plan, use_pallas
+
     n = G.number_of_vertices()
-    label = np.asarray(_wcc_kernel(g))[:n]
+    if use_pallas(G) and n < (1 << 24):
+        label = np.asarray(
+            _wcc_kernel_pallas(get_sym_pull_plan(G), jnp.int32(n)))[:n]
+    else:
+        label = np.asarray(_wcc_kernel(G.structure))[:n]
     return vertex_frame(G, {"labels": G.number_map.to_external(label)})
 
 

@@ -74,6 +74,42 @@ def _core_number_kernel(g: GraphStructure, use_out: bool = True,
     return jnp.where(real, c, 0)
 
 
+@partial(jax.jit, static_argnames=("interpret",))
+def _core_number_kernel_pallas(plan, n: jax.Array, interpret: bool = False):
+    """k-core peeling with one counting SpMV per removal sweep (the classic
+    peel, reference core_number_impl.cuh:59, but each "count alive
+    neighbors" pass is a dense one-hot MXU product).  0/1 values are exact
+    in bf16 and the matmuls accumulate in f32, so counts are exact."""
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    pad_v = plan.pad_v
+    ids = jnp.arange(pad_v)
+    real = ids < n
+
+    def count_alive(alive):
+        y = spmv_onehot(plan, alive.astype(jnp.float32), reduce="sum",
+                        combine="left", interpret=interpret)
+        return jnp.where(real, y, 0.0)
+
+    def inner(state):
+        alive, core, k, _ = state
+        cnt = count_alive(alive)
+        drop = alive & (cnt < k.astype(jnp.float32) - 0.5)
+        core = jnp.where(drop, k - 1, core)
+        return alive & ~drop, core, k, jnp.any(drop)
+
+    def outer(state):
+        alive, core, k = state
+        alive, core, _, _ = jax.lax.while_loop(
+            lambda s: s[3], inner, (alive, core, k, jnp.bool_(True)))
+        return alive, core, k + 1
+
+    alive, core, _ = jax.lax.while_loop(
+        lambda s: jnp.any(s[0]), outer,
+        (real, jnp.zeros(pad_v, jnp.int32), jnp.int32(1)))
+    return core
+
+
 def core_number(G, degree_type: str = "bidirectional"):
     """Core number per vertex; returns ['vertex', 'core_number'].
 
@@ -82,6 +118,14 @@ def core_number(G, degree_type: str = "bidirectional"):
     """
     if degree_type not in ("bidirectional", "incoming", "outgoing"):
         raise ValueError(f"invalid degree_type {degree_type!r}")
+    from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
+
+    n = G.number_of_vertices()
+    if not G.is_directed() and use_pallas(G):
+        # symmetrized storage: one counting plan covers the undirected peel
+        c = np.asarray(_core_number_kernel_pallas(
+            get_pull_plan(G), jnp.int32(n)))[:n]
+        return vertex_frame(G, {"core_number": c})
     g = G.structure
     if not G.is_directed():
         # symmetrized storage already holds both directions: every

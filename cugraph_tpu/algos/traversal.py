@@ -62,6 +62,48 @@ def _bfs_kernel(g: GraphStructure, source: jax.Array, depth_limit: int):
     return dist, pred
 
 
+@partial(jax.jit, static_argnames=("depth_limit", "n", "interpret"))
+def _bfs_kernel_pallas(plan, source: jax.Array, depth_limit: int, n: int,
+                       interpret: bool = False):
+    """BFS levels + parents in one (max, left) one-hot sweep per level.
+
+    The frontier indicator carries (id+1) for frontier sources and 0
+    otherwise; the max-reduce over in-edges then returns, per destination,
+    a valid frontier parent (+1) or ≤ 0 if none — the Pallas analog of
+    transform_reduce_v_frontier_outgoing_e_by_dst with reduce_op::any
+    (bfs_impl.cuh:449-466).  Requires pad_v < 2^24 (ids exact in f32).
+    """
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    pad_v = plan.pad_v
+    ids = jnp.arange(pad_v)
+    real = ids < n
+    idf = (ids + 1).astype(jnp.float32)
+
+    dist0 = jnp.where(ids == source, 0, INT32_INF).astype(jnp.int32)
+    pred0 = jnp.full((pad_v,), -1, dtype=jnp.int32)
+    frontier0 = ids == source
+
+    def body(state):
+        dist, pred, frontier, level = state
+        y = spmv_onehot(plan, jnp.where(frontier, idf, 0.0),
+                        reduce="max", combine="left", precision="split",
+                        interpret=interpret)
+        reached = (y > 0.5) & (dist == INT32_INF) & real
+        dist = jnp.where(reached, level + 1, dist)
+        pred = jnp.where(reached, (y - 1.0).astype(jnp.int32), pred)
+        return dist, pred, reached, level + 1
+
+    def cond(state):
+        _, _, frontier, level = state
+        return jnp.any(frontier) & (level < depth_limit)
+
+    dist, pred, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, pred0, frontier0, jnp.int32(0))
+    )
+    return dist, pred
+
+
 def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
         i_start=None):
     """BFS from ``start``; returns ['distance', 'vertex', 'predecessor'].
@@ -69,15 +111,20 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
     Unreachable vertices get distance 2**31-1 and predecessor -1, matching the
     reference C API convention (bfs_impl.cuh / bfs.pyx).
     """
+    from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
+
     if start is None:
         start = source if source is not None else i_start
     if start is None:
         raise ValueError("bfs requires a start vertex")
     s = int(normalize_start(G, start)[0])
-    g = G.structure
     n = G.number_of_vertices()
     dl = int(depth_limit) if depth_limit is not None else n
-    dist, pred = _bfs_kernel(g, jnp.int32(s), dl)
+    if use_pallas(G) and n < (1 << 24):  # f32-exact vertex ids
+        plan = get_pull_plan(G)
+        dist, pred = _bfs_kernel_pallas(plan, jnp.int32(s), dl, n)
+    else:
+        dist, pred = _bfs_kernel(G.structure, jnp.int32(s), dl)
     dist = np.asarray(dist)[:n]
     pred = np.asarray(pred)[:n]
     return pd.DataFrame({
@@ -125,20 +172,80 @@ def _sssp_kernel(g: GraphStructure, source: jax.Array):
     return dist, pred
 
 
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def _sssp_kernel_pallas(plan, source: jax.Array, n: int,
+                        interpret: bool = False):
+    """Bellman-Ford relaxation sweeps as (min, +) one-hot SpMVs.
+    SEMIRING_BIG plays infinity (the kernel's min identity)."""
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG, spmv_onehot
+
+    pad_v = plan.pad_v
+    ids = jnp.arange(pad_v)
+    real = ids < n
+    dist0 = jnp.where(ids == source, 0.0, SEMIRING_BIG).astype(jnp.float32)
+
+    def body(state):
+        dist, _, it = state
+        y = spmv_onehot(plan, dist, reduce="min", combine="add",
+                        precision="split", interpret=interpret)
+        new = jnp.minimum(dist, jnp.where(real, y, SEMIRING_BIG))
+        return new, jnp.any(new < dist), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
+
+    dist, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, jnp.bool_(True), jnp.int32(0))
+    )
+    return dist
+
+
+def _sssp_pred_host(G, dist32: np.ndarray, source: int, n: int) -> np.ndarray:
+    """Predecessors from converged f32 distances, vectorized on host: any
+    in-neighbor u with dist[u] + w ≈ dist[v].  The kernel's split-bf16
+    selection reconstructs values to ~2^-17 relative, so matching uses a
+    small relative tolerance rather than exact equality."""
+    src, dst, w = G.edgelist_arrays()
+    w = np.ones(len(src), np.float32) if w is None else w.astype(np.float32)
+    ds = dist32[src]
+    dd = dist32[dst]
+    reach_e = (ds < F32_INF / 2) & (dd < F32_INF / 2)
+    tol = 1e-4 * np.maximum(1.0, np.abs(dd))
+    match = reach_e & (np.abs(ds + w - dd) <= tol)
+    pred = np.full(n, -1, np.int64)
+    np.maximum.at(pred, dst[match], src[match])
+    pred[source] = -1
+    pred[dist32[:n] >= F32_INF / 2] = -1
+    return pred
+
+
 def sssp(G, source, cutoff=None, method=None):
     """Single-source shortest paths (nonnegative weights).
     Returns ['distance', 'vertex', 'predecessor']; unreachable = FLT_MAX.
     Reference: sssp_impl.cuh:571."""
+    from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
+
     s = int(normalize_start(G, source)[0])
-    g = G.structure
     n = G.number_of_vertices()
     if G.is_weighted():
-        w = np.asarray(g.csr.weights)[: g.num_edges]
-        if np.any(w < 0):
+        src_, dst_, w_ = G.edgelist_arrays()
+        if w_ is not None and np.any(w_ < 0):
             raise ValueError("sssp requires non-negative weights")
-    dist, pred = _sssp_kernel(g, jnp.int32(s))
-    dist = np.asarray(dist)[:n].astype(np.float64)
-    pred = np.array(pred)[:n]  # writable copy (np.asarray of a jax array is readonly)
+    if use_pallas(G):
+        from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
+
+        plan = get_pull_plan(G)
+        dist32 = np.asarray(_sssp_kernel_pallas(plan, jnp.int32(s), n))
+        dist32 = np.where(dist32 >= SEMIRING_BIG / 2, F32_INF,
+                          dist32).astype(np.float32)
+        pred = _sssp_pred_host(G, dist32, s, n)
+        dist = dist32[:n].astype(np.float64)
+    else:
+        g = G.structure
+        dist, pred = _sssp_kernel(g, jnp.int32(s))
+        dist = np.asarray(dist)[:n].astype(np.float64)
+        pred = np.array(pred)[:n]  # writable copy
     if cutoff is not None:
         over = dist > cutoff
         dist[over] = np.float64(F32_INF)

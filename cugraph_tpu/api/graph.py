@@ -53,6 +53,7 @@ class Graph:
         # clear() + from_edgelist never serves a stale plan for the old graph
         self._spmv_plan_pull = None
         self._spmv_plan_push = None
+        self._spmv_plan_sym = None
 
     # -- construction ---------------------------------------------------------
 

@@ -46,6 +46,27 @@ def get_push_plan(G):
     return plan
 
 
+def get_sym_pull_plan(G):
+    """Pull plan over the symmetrized edge set (for WCC/undirected sweeps).
+    Undirected graphs already store both directions, so this is the pull plan;
+    directed graphs get a dedicated both-ways plan (cached separately)."""
+    if not G.is_directed():
+        return get_pull_plan(G)
+    plan = getattr(G, "_spmv_plan_sym", None)
+    if plan is None:
+        import numpy as np
+
+        from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
+
+        src, dst, w = G.edgelist_arrays()
+        s2 = np.concatenate([src, dst])
+        d2 = np.concatenate([dst, src])
+        w2 = None if w is None else np.concatenate([w, w])
+        plan = build_spmv_plan(s2, d2, w2, G.number_of_vertices())
+        G._spmv_plan_sym = plan
+    return plan
+
+
 def out_weight_vectors(G, pad_v: int):
     """(inv_out_weight, is_dangling) host vectors sized to the plan."""
     src, dst, w = G.edgelist_arrays()

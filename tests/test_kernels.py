@@ -121,3 +121,108 @@ def test_spmv_min_add_with_big_distances():
     assert y[3] == pytest.approx(5.0)          # 4.0 + 1.0 via src 0
     assert y[4] >= SEMIRING_BIG / 2            # only unreached src 2
     assert y[0] >= SEMIRING_BIG / 2            # untouched dst
+
+
+# ---------------------------------------------------------------------------
+# Pallas algorithm fast paths (interpret mode) vs the XLA slow paths
+# ---------------------------------------------------------------------------
+
+def _rand_graph(n, m, seed, weighted=False):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.1, 2.0, len(src)).astype(np.float32) if weighted else None
+    return src, dst, w
+
+
+def test_bfs_pallas_matches_xla():
+    import cugraph_tpu
+    from cugraph_tpu.algos.traversal import _bfs_kernel_pallas
+
+    src, dst, _ = _rand_graph(120, 500, 1)
+    G = cugraph_tpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    slow = cugraph_tpu.bfs(G, int(src[0])).sort_values("vertex")
+
+    s = int(G.lookup_internal_vertex_id(np.array([src[0]]))[0])
+    n = G.number_of_vertices()
+    plan = build_spmv_plan(*G.edgelist_arrays()[:2], None, n)
+    dist, pred = _bfs_kernel_pallas(plan, jnp.int32(s), n, n, interpret=True)
+    dist, pred = np.asarray(dist)[:n], np.asarray(pred)[:n]
+
+    order = np.argsort(G.number_map.to_external(np.arange(n)))
+    np.testing.assert_array_equal(np.sort(G.number_map.to_external(
+        np.arange(n))), slow["vertex"].to_numpy())
+    np.testing.assert_array_equal(dist[order], slow["distance"].to_numpy())
+    # predecessors: any valid parent is acceptable — check distance property
+    reach = dist < np.iinfo(np.int32).max
+    has_p = reach & (pred >= 0)
+    assert np.array_equal(dist[pred[has_p]] + 1, dist[has_p])
+
+
+def test_sssp_pallas_matches_xla():
+    import cugraph_tpu
+    from cugraph_tpu.algos.traversal import _sssp_kernel_pallas, \
+        _sssp_pred_host, F32_INF
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
+
+    src, dst, w = _rand_graph(100, 420, 2, weighted=True)
+    G = cugraph_tpu.Graph(directed=True)
+    G.from_edgelist(src, dst, w)
+    slow = cugraph_tpu.sssp(G, int(src[0])).sort_values("vertex")
+
+    s = int(G.lookup_internal_vertex_id(np.array([src[0]]))[0])
+    n = G.number_of_vertices()
+    isrc, idst, iw = G.edgelist_arrays()
+    plan = build_spmv_plan(isrc, idst, iw, n)
+    dist = np.asarray(_sssp_kernel_pallas(plan, jnp.int32(s), n,
+                                          interpret=True))
+    dist = np.where(dist >= SEMIRING_BIG / 2, F32_INF, dist).astype(np.float32)
+    pred = _sssp_pred_host(G, dist, s, n)
+
+    order = np.argsort(G.number_map.to_external(np.arange(n)))
+    np.testing.assert_allclose(dist[:n][order], slow["distance"].to_numpy(),
+                               rtol=1e-5, atol=1e-6)
+    # predecessor validity: dist[pred] + w(pred->v) == dist[v]
+    reach = (dist[:n] < F32_INF / 2) & (np.arange(n) != s)
+    assert (pred[reach] >= 0).all()
+
+
+def test_wcc_pallas_matches_xla():
+    import cugraph_tpu
+    from cugraph_tpu.algos.components import _wcc_kernel_pallas
+
+    src, dst, _ = _rand_graph(150, 200, 3)  # sparse → several components
+    G = cugraph_tpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    slow = cugraph_tpu.weakly_connected_components(G).sort_values("vertex")
+
+    n = G.number_of_vertices()
+    isrc, idst, _ = G.edgelist_arrays()
+    s2, d2 = np.concatenate([isrc, idst]), np.concatenate([idst, isrc])
+    plan = build_spmv_plan(s2, d2, None, n)
+    label = np.asarray(_wcc_kernel_pallas(plan, jnp.int32(n),
+                                          interpret=True))[:n]
+    order = np.argsort(G.number_map.to_external(np.arange(n)))
+    np.testing.assert_array_equal(
+        G.number_map.to_external(label)[order], slow["labels"].to_numpy())
+
+
+def test_core_number_pallas_matches_xla():
+    import cugraph_tpu
+    from cugraph_tpu.algos.cores import _core_number_kernel_pallas
+
+    src, dst, _ = _rand_graph(90, 500, 4)
+    G = cugraph_tpu.Graph(directed=False)
+    G.from_edgelist(src, dst, None)
+    slow = cugraph_tpu.core_number(G).sort_values("vertex")
+
+    n = G.number_of_vertices()
+    isrc, idst, _ = G.edgelist_arrays()  # already symmetrized (undirected)
+    plan = build_spmv_plan(isrc, idst, None, n)
+    c = np.asarray(_core_number_kernel_pallas(plan, jnp.int32(n),
+                                              interpret=True))[:n]
+    order = np.argsort(G.number_map.to_external(np.arange(n)))
+    np.testing.assert_array_equal(c[order], slow["core_number"].to_numpy())
