@@ -14,12 +14,17 @@ import numpy as np
 PALLAS_MIN_EDGES = 200_000
 
 
+def pallas_min_edges() -> int:
+    return int(os.environ.get("CUGRAPH_TPU_PALLAS_MIN_EDGES",
+                              PALLAS_MIN_EDGES))
+
+
 def use_pallas(G) -> bool:
     from cugraph_tpu.kernels.spmv_onehot import spmv_available
 
     if os.environ.get("CUGRAPH_TPU_DISABLE_PALLAS"):
         return False
-    return spmv_available() and G.number_of_edges() >= PALLAS_MIN_EDGES
+    return spmv_available() and G.number_of_edges() >= pallas_min_edges()
 
 
 def get_pull_plan(G):

@@ -1,0 +1,343 @@
+"""One-hot-matmul SpMM: Y[dst, :] += w · X[src, :] without gathers.
+
+The multi-feature companion of spmv_onehot (same motivation: XLA lowers
+gather/segment ops to ~0.12 G elem/s scalar loops on this TPU).  Layout
+differs from the SpMV kernel: FEATURES ride the lane axis and VERTICES the
+sublane axis, so both gather and scatter are single direct one-hot products:
+
+    gather:  XE[e, f]   = Σ_v  (w[e]·1[src[e]=v]) · Xwin[v, f]
+    scatter: Y[d, f]   += Σ_e  1[dst[e]=d] · XE[e, f]
+
+with one-hots built by comparing an index ROW [1, 128] against a sublane
+iota (the cheap broadcast direction, same trick as spmv_onehot).  Per-edge
+cost is (W_src + W_dst) MACs per feature, so windows are chosen per graph by
+a host-side cost model trading MXU MACs against subtile padding.
+
+This is the TPU replacement for the reference's per_v_transform_reduce_e SpMM
+role in GNN aggregation (prims/detail/per_v_transform_reduce_e.cuh:252-688,
+SpMM shape per pagerank_impl.cuh:262-275) — degree segmentation is
+irrelevant because every edge costs identical dense work.
+"""
+
+from __future__ import annotations
+
+import functools
+import weakref
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_WINDOW_CHOICES = (512, 1024, 2048, 4096)
+DEFAULT_YBV = 8192          # vertices per VMEM-resident y block
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SpmmPlan:
+    """Static tiling of one (graph, orientation) for the one-hot SpMM."""
+
+    src_rel: jax.Array   # int32 [T*8, 128]  src − xwin·w_src   (0 padding)
+    dst_rel: jax.Array   # int32 [T*8, 128]  dst − yblk·ybv
+    weight: jax.Array    # f32   [T*8, 128]  NaN on padding lanes
+    xwin: jax.Array      # int32 [T]   x window index (= src // w_src)
+    yblk: jax.Array      # int32 [T]   y block index
+    num_vertices: int = field(metadata=dict(static=True))
+    pad_v: int = field(metadata=dict(static=True))
+    w_src: int = field(metadata=dict(static=True))
+    w_dst: int = field(metadata=dict(static=True))
+    ybv: int = field(metadata=dict(static=True))
+    n_yblocks: int = field(metadata=dict(static=True))
+    num_tiles: int = field(metadata=dict(static=True))
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _count_tiles(src, dst, n, w_src, w_dst, ybv):
+    """Host cost model: number of packed tiles for a window choice."""
+    yb = dst // ybv
+    grp = src // w_src
+    dwin = dst // w_dst
+    key = (yb.astype(np.int64) * (grp.max() + 1) + grp) * (dwin.max() + 1) + dwin
+    _, counts = np.unique(key, return_counts=True)
+    n_sub = int(np.sum((counts + 127) // 128))
+    # subtiles grouped by (yb, grp) then packed 8 per tile
+    key_rg = yb.astype(np.int64) * (grp.max() + 1) + grp
+    order = np.argsort(key, kind="stable")
+    # per-rg subtile counts: regroup unique (rg) over subtiles
+    uk, idx = np.unique(key, return_index=True)
+    rg_of_run = key_rg[order][np.searchsorted(key[order], uk)]
+    sub_per_run = (counts + 127) // 128
+    _, inv = np.unique(rg_of_run, return_inverse=True)
+    per_rg = np.bincount(inv, weights=sub_per_run)
+    tiles = int(np.sum((per_rg + 7) // 8))
+    return max(tiles, 1), n_sub
+
+
+def choose_windows(src, dst, n, ybv=DEFAULT_YBV):
+    """Pick (w_src, w_dst) minimizing tiles·(w_src + w_dst)."""
+    best, best_cost = None, None
+    for w in _WINDOW_CHOICES:
+        if w > max(ybv, 512):
+            continue
+        tiles, _ = _count_tiles(src, dst, n, w, w, ybv)
+        cost = tiles * 2 * w
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (w, w), cost
+    return best
+
+
+def build_spmm_plan(src, dst, weight, num_vertices: int, *,
+                    w_src: int | None = None, w_dst: int | None = None,
+                    ybv: int = DEFAULT_YBV) -> SpmmPlan:
+    """Host-side tiling (vectorized NumPy, mirrors build_spmv_plan)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    m = src.shape[0]
+    w = np.ones(m, np.float32) if weight is None else np.asarray(weight, np.float32)
+    if m and not np.isfinite(w).all():
+        raise ValueError("spmm plan requires finite edge weights")
+
+    ybv = max(_round_up(min(ybv, _round_up(num_vertices, 512)), 512), 512)
+    if w_src is None or w_dst is None:
+        if m:
+            w_src, w_dst = choose_windows(src, dst, num_vertices, ybv)
+        else:
+            w_src = w_dst = 512
+    ybv = _round_up(ybv, w_dst)
+    pad_v = _round_up(max(num_vertices, 1), max(ybv, w_src))
+    n_yblocks = pad_v // ybv
+
+    if m == 0:
+        t = n_yblocks
+        return SpmmPlan(
+            src_rel=jnp.zeros((t * 8, 128), jnp.int32),
+            dst_rel=jnp.zeros((t * 8, 128), jnp.int32),
+            weight=jnp.full((t * 8, 128), np.nan, jnp.float32),
+            xwin=jnp.zeros((t,), jnp.int32),
+            yblk=jnp.arange(t, dtype=jnp.int32),
+            num_vertices=num_vertices, pad_v=pad_v, w_src=w_src,
+            w_dst=w_dst, ybv=ybv, n_yblocks=n_yblocks, num_tiles=t,
+        )
+
+    yblock = dst // ybv
+    group = src // w_src
+    dwin = dst // w_dst
+    n_groups = int(group.max()) + 1
+
+    order = np.lexsort((dst, dwin, group, yblock))
+    src, dst, w = src[order], dst[order], w[order]
+    yblock, group, dwin = yblock[order], group[order], dwin[order]
+
+    key = (yblock * n_groups + group) * (int(dwin.max()) + 1) + dwin
+    run_start = np.empty(m, bool)
+    run_start[0] = True
+    np.not_equal(key[1:], key[:-1], out=run_start[1:])
+    run_id = np.cumsum(run_start) - 1
+    run_first = np.flatnonzero(run_start)
+    pos_in_run = np.arange(m) - run_first[run_id]
+
+    lane = pos_in_run & 127
+    sub_start = run_start | (lane == 0)
+    sub_id = np.cumsum(sub_start) - 1
+    n_sub = int(sub_id[-1]) + 1
+
+    sub_first = np.flatnonzero(sub_start)
+    sub_yb = yblock[sub_first]
+    sub_grp = group[sub_first]
+    sub_rg = sub_yb * n_groups + sub_grp
+    rg_start = np.empty(n_sub, bool)
+    rg_start[0] = True
+    np.not_equal(sub_rg[1:], sub_rg[:-1], out=rg_start[1:])
+    rg_id = np.cumsum(rg_start) - 1
+    rg_first_sub = np.flatnonzero(rg_start)
+    sub_seq = np.arange(n_sub) - rg_first_sub[rg_id]
+    tile_in_rg = sub_seq >> 3
+    slot = sub_seq & 7
+    rg_sub_counts = np.diff(np.append(rg_first_sub, n_sub))
+    rg_tiles = (rg_sub_counts + 7) >> 3
+    rg_tile_off = np.concatenate([[0], np.cumsum(rg_tiles)])
+    sub_tile = rg_tile_off[rg_id] + tile_in_rg
+    T = int(rg_tile_off[-1])
+
+    e_row = sub_tile[sub_id] * 8 + slot[sub_id]
+    src_rel = np.zeros((T * 8, 128), np.int32)
+    dst_rel = np.zeros((T * 8, 128), np.int32)
+    weight_a = np.full((T * 8, 128), np.nan, np.float32)
+    src_rel[e_row, lane] = src - group * w_src
+    dst_rel[e_row, lane] = dst - yblock * ybv
+    weight_a[e_row, lane] = w
+
+    # padding lanes carry the subtile's dst-window base (for in-kernel
+    # window recovery via min), weight NaN (validity mask)
+    sub_dwin_rel = (dwin[sub_first] - sub_yb * (ybv // w_dst)).astype(np.int64)
+    row_base = np.zeros(T * 8, np.int64)
+    row_of_sub = sub_tile * 8 + slot
+    row_base[row_of_sub] = sub_dwin_rel * w_dst
+    dst_col = np.broadcast_to(row_base[:, None], (T * 8, 128)).copy()
+    filled = np.zeros((T * 8, 128), bool)
+    filled[e_row, lane] = True
+    dst_rel = np.where(filled, dst_rel, dst_col).astype(np.int32)
+
+    xwin = np.zeros(T, np.int32)
+    yblk_arr = np.zeros(T, np.int32)
+    tile_of_rg = np.repeat(np.arange(len(rg_tiles)), rg_tiles)
+    rg_yb = sub_yb[rg_first_sub]
+    rg_grp = sub_grp[rg_first_sub]
+    xwin[:] = rg_grp[tile_of_rg]
+    yblk_arr[:] = rg_yb[tile_of_rg]
+
+    # every y block needs >= 1 tile (first-visit zero-init, as in spmv)
+    missing = np.setdiff1d(np.arange(n_yblocks), np.unique(yblk_arr))
+    if len(missing):
+        pt = len(missing)
+        src_rel = np.concatenate([src_rel, np.zeros((pt * 8, 128), np.int32)])
+        dst_rel = np.concatenate([dst_rel, np.zeros((pt * 8, 128), np.int32)])
+        weight_a = np.concatenate(
+            [weight_a, np.full((pt * 8, 128), np.nan, np.float32)])
+        xwin = np.concatenate([xwin, np.zeros(pt, np.int32)])
+        yblk_arr = np.concatenate([yblk_arr, missing.astype(np.int32)])
+        order_t = np.argsort(yblk_arr, kind="stable")
+        yblk_arr, xwin = yblk_arr[order_t], xwin[order_t]
+        rows = (order_t[:, None] * 8 + np.arange(8)).reshape(-1)
+        src_rel, dst_rel, weight_a = src_rel[rows], dst_rel[rows], weight_a[rows]
+        T += pt
+
+    return SpmmPlan(
+        src_rel=jnp.asarray(src_rel), dst_rel=jnp.asarray(dst_rel),
+        weight=jnp.asarray(weight_a), xwin=jnp.asarray(xwin),
+        yblk=jnp.asarray(yblk_arr), num_vertices=num_vertices, pad_v=pad_v,
+        w_src=w_src, w_dst=w_dst, ybv=ybv, n_yblocks=n_yblocks, num_tiles=T,
+    )
+
+
+def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
+            *, w_src, w_dst, precision):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(jnp.logical_or(i == 0,
+                            yblk_ref[i] != yblk_ref[jnp.maximum(i - 1, 0)]))
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    sub_s = jax.lax.broadcasted_iota(jnp.int32, (w_src, 128), 0)
+    sub_d = jax.lax.broadcasted_iota(jnp.int32, (w_dst, 128), 0)
+    odt = jnp.float32 if precision == "highest" else jnp.bfloat16
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    dn_vv = (((0,), (0,)), ((), ()))   # contract sublane (vertex) axes
+    dn_ed = (((1,), (0,)), ((), ()))   # contract edge axes
+
+    for j in range(8):
+        s_row = src_ref[j:j + 1, :]
+        w_raw = w_ref[j:j + 1, :]
+        w_clean = jnp.where(jnp.isnan(w_raw), 0.0, w_raw)
+        # weight folded into the src one-hot: one matmul does gather × w
+        O_w = jnp.where(sub_s == s_row, w_clean, 0.0).astype(odt)
+        xe = jax.lax.dot_general(O_w, x_ref[:].astype(odt), dn_vv,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)            # [128e, F]
+        d_row = dst_ref[j:j + 1, :]
+        base = jnp.min(d_row[0, :]) // w_dst * w_dst
+        d_rel = d_row - base
+        O_d = (sub_d == d_rel).astype(odt)
+        contrib = jax.lax.dot_general(O_d, xe.astype(odt), dn_ed,
+                                      preferred_element_type=jnp.float32,
+                                      precision=prec)       # [W_d, F]
+        y_ref[pl.ds(base, w_dst), :] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
+                precision: str = "default"):
+    """Y[dst, :] = Σ w·X[src, :] per the plan's edge set.
+
+    x: [pad_v, F] f32 (pad_v = plan.pad_v, F a multiple of 128 — or the
+    exact array width).  Returns y of the same shape.  precision="default"
+    runs bf16 matmuls with f32 accumulation (GNN-grade, ~1e-3); "highest"
+    keeps f32 operands.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cugraph_tpu.kernels.spmv_onehot import _interpret_forced
+
+    interpret = interpret or _interpret_forced()
+    F = x.shape[1]
+    if x.shape[0] != plan.pad_v:
+        raise ValueError(f"x rows {x.shape[0]} != plan pad_v {plan.pad_v}")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, xw, yb: (i, 0)),
+            pl.BlockSpec((8, 128), lambda i, xw, yb: (i, 0)),
+            pl.BlockSpec((8, 128), lambda i, xw, yb: (i, 0)),
+            pl.BlockSpec((plan.w_src, F), lambda i, xw, yb: (xw[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((plan.ybv, F), lambda i, xw, yb: (yb[i], 0)),
+    )
+    y = pl.pallas_call(
+        functools.partial(_kernel, w_src=plan.w_src, w_dst=plan.w_dst,
+                          precision=precision),
+        out_shape=jax.ShapeDtypeStruct((plan.n_yblocks * plan.ybv, F),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(plan.xwin, plan.yblk, plan.src_rel, plan.dst_rel, plan.weight, x)
+    return y[: plan.pad_v]
+
+
+def _fit_rows(a: jax.Array, rows: int) -> jax.Array:
+    if a.shape[0] < rows:
+        return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0)))
+    return a[:rows]
+
+
+def make_spmm_pair(plan_fwd: SpmmPlan, plan_bwd: SpmmPlan):
+    """Differentiable SpMM: forward = plan_fwd, VJP = plan_bwd (the transpose
+    orientation — for y = A·x, dx = Aᵀ·dy).  Plans are closed over (pallas
+    calls are not auto-differentiable); pad_v mismatches between the two
+    plans' window-aligned paddings are reconciled by row fit."""
+
+    @jax.custom_vjp
+    def f(x):
+        return spmm_onehot(plan_fwd, _fit_rows(x, plan_fwd.pad_v))
+
+    def fwd(x):
+        return f(x), x.shape[0]
+
+    def bwd(rows, gy):
+        gx = spmm_onehot(plan_bwd, _fit_rows(gy, plan_bwd.pad_v))
+        return (_fit_rows(gx, rows),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+# -- plan cache keyed by GraphStructure identity (weakref'd) -----------------
+
+_plan_cache: list = []
+
+
+def get_structure_spmm_plan(g) -> SpmmPlan:
+    """Cached pull-orientation SpMM plan for a GraphStructure (csc: in-edge
+    aggregation, the GNN direction).  Entries die with the structure."""
+    global _plan_cache
+    _plan_cache = [(r, p) for (r, p) in _plan_cache if r() is not None]
+    for r, p in _plan_cache:
+        if r() is g:
+            return p
+    e = g.csc.num_edges
+    src = np.asarray(g.csc.indices)[:e]
+    dst = np.asarray(g.csc.majors)[:e]
+    w = np.asarray(g.csc.weights)[:e]
+    plan = build_spmm_plan(src, dst, w, g.num_vertices)
+    _plan_cache.append((weakref.ref(g), plan))
+    return plan

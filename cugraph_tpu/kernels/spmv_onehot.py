@@ -357,6 +357,7 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    interpret = interpret or _interpret_forced()
     n_rows, yb = plan.n_rows, plan.yb_rows
     x2 = x.reshape(n_rows, 128)
     # pad x rows to full windows so the x BlockSpec never over-reads
@@ -387,8 +388,20 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
 
 
 def spmv_available() -> bool:
-    """True when running on a real TPU backend (the kernel needs Mosaic)."""
+    """True when running on a real TPU backend (the kernel needs Mosaic).
+    CUGRAPH_TPU_PALLAS_INTERPRET=1 forces availability with the interpreter
+    (CPU test path for the Pallas algorithm routes)."""
+    import os
+
+    if os.environ.get("CUGRAPH_TPU_PALLAS_INTERPRET"):
+        return True
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+def _interpret_forced() -> bool:
+    import os
+
+    return bool(os.environ.get("CUGRAPH_TPU_PALLAS_INTERPRET"))

@@ -40,6 +40,48 @@ def _glorot(key, shape, dtype=jnp.float32):
 # aggregation primitives (SpMM-shaped)
 # ---------------------------------------------------------------------------
 
+# edge count above which the Pallas one-hot SpMM pays for plan + compile
+_SPMM_MIN_EDGES = 200_000
+
+
+def _spmm_fast_path_ok(g: GraphStructure) -> bool:
+    import os
+
+    from cugraph_tpu.kernels.spmv_onehot import spmv_available
+
+    from cugraph_tpu.kernels.dispatch import pallas_min_edges
+
+    if os.environ.get("CUGRAPH_TPU_DISABLE_PALLAS"):
+        return False
+    if isinstance(g.csc.indices, jax.core.Tracer):
+        # under jit/grad the host-side plan builder can't see the arrays;
+        # jitted train steps use the XLA path (or the MG layers, which close
+        # over precomputed plans outside the trace)
+        return False
+    return spmv_available() and g.num_edges >= pallas_min_edges()
+
+
+def _aggregate_pallas(g: GraphStructure, x: jax.Array) -> jax.Array:
+    """Weighted-sum in-neighbor aggregation via the one-hot SpMM kernel
+    (kernels/spmm_onehot.py); handles pad_v mismatch between the graph's
+    128-aligned padding and the plan's window-aligned padding."""
+    from cugraph_tpu.kernels.spmm_onehot import (
+        get_structure_spmm_plan,
+        spmm_onehot,
+    )
+
+    plan = get_structure_spmm_plan(g)
+    pv = plan.pad_v
+    if x.shape[0] < pv:
+        xp = jnp.pad(x, ((0, pv - x.shape[0]), (0, 0)))
+    else:
+        xp = x[:pv]
+    agg = spmm_onehot(plan, xp)
+    if agg.shape[0] < x.shape[0]:
+        agg = jnp.pad(agg, ((0, x.shape[0] - agg.shape[0]), (0, 0)))
+    return agg[: x.shape[0]]
+
+
 def aggregate_neighbors(
     g: GraphStructure, x: jax.Array, *, mode: str = "mean"
 ) -> jax.Array:
@@ -52,6 +94,12 @@ def aggregate_neighbors(
     1.0 weights so counts and weight sums coincide.  "max" ignores weights.
     """
     adj = g.csc  # major = dst, minor = src
+    if mode in ("sum", "mean") and _spmm_fast_path_ok(g):
+        agg = _aggregate_pallas(g, x)
+        if mode == "mean":
+            deg = segment_reduce_by_major(adj, adj.weights, "sum").astype(x.dtype)
+            agg = agg / jnp.maximum(deg, 1e-12)[:, None]
+        return agg
     x = x.at[adj.sink].set(0.0)
     msgs = gather_minor(adj, x)  # [pad_e, F]
     if mode in ("sum", "mean"):

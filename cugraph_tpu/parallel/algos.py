@@ -85,6 +85,49 @@ def _mg_pagerank_kernel(mesh, pmaj, pmin, chunk, n, max_iter):
     return _shard_wrap(mesh, kernel, 4, 4, 2, (vertex_spec(), P(), P()))
 
 
+@lru_cache(maxsize=32)
+def _mg_pagerank_kernel_pl(mesh, pmaj, pmin, chunk, n, max_iter):
+    """Pallas variant: per-device one-hot SpMV plans instead of edge arrays
+    (the multi_gpu per_v_transform_reduce_e fast path,
+    detail/per_v_transform_reduce_e.cuh:3397-3489)."""
+
+    def kernel(plan, out_deg, reset, dang, p0, alpha, tol):
+        lp = plan.local()
+        gidx = prims.global_vertex_ids(chunk)
+        real = gidx < n
+        inv_out = jnp.where(out_deg > 0, 1.0 / out_deg, 0.0)
+        is_dangling = real & (out_deg <= 0)
+
+        def body(state):
+            p, _, it = state
+            scaled = p * inv_out
+            dang_sum = prims.psum_all(jnp.sum(jnp.where(is_dangling, p, 0.0)))
+            pulled = prims.pull_spmv(None, None, None, scaled,
+                                     pmaj=pmaj, chunk=chunk, plan=lp)
+            p_new = alpha * (pulled + dang_sum * dang) + (1.0 - alpha) * reset
+            p_new = jnp.where(real, p_new, 0.0)
+            err = prims.psum_all(jnp.sum(jnp.abs(p_new - p)))
+            return p_new, err, it + 1
+
+        def cond(state):
+            _, err, it = state
+            return (err >= tol) & (it < max_iter)
+
+        p, err, iters = jax.lax.while_loop(
+            cond, body,
+            (p0, jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0, jnp.int32)),
+        )
+        return p, err, iters
+
+    es, vs = edge_spec(), vertex_spec()
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, which the vma checker rejects inside shard_map
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(es, vs, vs, vs, vs, P(), P()),
+        out_specs=(vs, P(), P()), check_vma=False))
+
+
 def mg_pagerank(g: DistGraph, mesh, alpha: float = 0.85, tol: float = 1e-5,
                 max_iter: int = 100, personalization=None, nstart=None):
     """Distributed PageRank.  Returns (p [pad_v] owner-sharded, err, iters)."""
@@ -102,6 +145,14 @@ def mg_pagerank(g: DistGraph, mesh, alpha: float = 0.85, tol: float = 1e-5,
 
     reset = vec(personalization, 1.0 / n)
     p0 = vec(nstart, 1.0 / n)
+    from cugraph_tpu.parallel.kernels import get_stacked_spmv_plan, mg_use_pallas
+
+    if mg_use_pallas(g):
+        plan = get_stacked_spmv_plan(g, mesh, "pull")
+        kern = _mg_pagerank_kernel_pl(mesh, g.pmaj, g.pmin, g.chunk, n,
+                                      int(max_iter))
+        return kern(plan, g.out_degree, reset, reset, p0,
+                    jnp.float32(alpha), jnp.float32(tol))
     kern = _mg_pagerank_kernel(mesh, g.pmaj, g.pmin, g.chunk, n, int(max_iter))
     return kern(*_edge_args(g.pull), g.out_degree, reset, reset, p0,
                 jnp.float32(alpha), jnp.float32(tol))

@@ -213,27 +213,125 @@ def mg_louvain_move_phase(g: DistGraph, mesh, resolution: float = 1.0,
     return cluster, best_q
 
 
+@lru_cache(maxsize=16)
+def _coarsen_aggregate_kernel(mesh, pmaj, pmin, chunk):
+    """Per-device (cluster[src], cluster[dst]) edge-weight aggregation over
+    the pull blocks — the distributed contraction's compression step (the
+    reference's coarsen_graph groupby, structure/coarsen_graph_impl.cuh).
+    Output per device: distinct (c_src, c_dst) runs with summed weights;
+    everything else is −1/0 padding."""
+    B = pmin * chunk
+
+    def kernel(gath, red, w, valid, labels_full):
+        gath_, red_, w_, valid_ = (a[0, 0] for a in (gath, red, w, valid))
+        i = jax.lax.axis_index(prims.MAJOR)
+        j = jax.lax.axis_index(prims.MINOR)
+        E = gath_.shape[0]
+
+        src_glob = i * B + gath_
+        dst_glob = ((red_ // chunk) * pmin + j) * chunk + red_ % chunk
+        nl = labels_full.shape[0]
+        cu = jnp.take(labels_full, jnp.clip(src_glob, 0, nl - 1))
+        cd = jnp.take(labels_full, jnp.clip(dst_glob, 0, nl - 1))
+
+        su, sc, sw = jax.lax.sort(
+            (jnp.where(valid_, cu, jnp.int32(2 ** 30)), cd,
+             jnp.where(valid_, w_, 0.0)), num_keys=2)
+        first = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_),
+            (su[1:] != su[:-1]) | (sc[1:] != sc[:-1])])
+        run = jnp.cumsum(first.astype(jnp.int32)) - 1
+        W = jax.ops.segment_sum(sw, run, num_segments=E, indices_are_sorted=True)
+        run_u = jax.ops.segment_max(su, run, num_segments=E,
+                                    indices_are_sorted=True)
+        run_c = jax.ops.segment_max(sc, run, num_segments=E,
+                                    indices_are_sorted=True)
+        nruns = run[-1] + 1
+        is_run = (jnp.arange(E) < nruns) & (run_u < 2 ** 30)
+        keys = jnp.where(is_run, run_u, -1)
+        payload = jnp.stack([run_c.astype(jnp.float32), W], axis=1)
+        payload = jnp.where(is_run[:, None], payload, 0.0)
+        return keys, payload
+
+    es = edge_spec()
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(es, es, es, es, P()),
+        out_specs=(vertex_spec(), vertex_spec())))
+
+
+def mg_coarsen(g: DistGraph, mesh, labels_full: np.ndarray):
+    """Distributed graph contraction: labels (compact, [pad_v]) → coarse COO.
+
+    Each device compresses its edge block to distinct (c_src, c_dst, ΣW)
+    runs on device; only these aggregates — orders of magnitude fewer than
+    the edges — reach the host for the final cross-device merge.  The full
+    edge list is never materialized on one host (the reference coarsens
+    distributed too, structure/coarsen_graph_impl.cuh)."""
+    agg = _coarsen_aggregate_kernel(mesh, g.pmaj, g.pmin, g.chunk)
+    keys, payload = agg(g.pull.src_loc, g.pull.dst_loc, g.pull.weight,
+                        g.pull.valid, jnp.asarray(labels_full, jnp.int32))
+    k = np.asarray(keys)
+    p = np.asarray(payload)
+    sel = k >= 0
+    cu = k[sel].astype(np.int64)
+    cd = p[sel, 0].astype(np.int64)
+    w = p[sel, 1].astype(np.float64)
+    nc = int(labels_full.max()) + 1
+    pair = cu * nc + cd
+    uniq, inv = np.unique(pair, return_inverse=True)
+    cw = np.zeros(len(uniq), np.float64)
+    np.add.at(cw, inv, w)
+    return (uniq // nc).astype(np.int64), (uniq % nc).astype(np.int64), \
+        cw.astype(np.float32), nc
+
+
+# distributed levels below this edge count drop to the single-device cascade
+_SG_CASCADE_EDGES = 2_000_000
+
+
 def mg_louvain(g: DistGraph, mesh, max_level: int = 100,
-               resolution: float = 1.0, threshold: float = 1e-7):
+               resolution: float = 1.0, threshold: float = 1e-7,
+               sg_threshold_edges: int = _SG_CASCADE_EDGES):
     """Distributed Louvain.  Returns (labels [num_vertices], modularity).
 
-    Level 1 (the full-scale graph) runs distributed; the contracted graph —
-    orders of magnitude smaller — cascades through the single-device engine
-    (coarsen_graph's role; the reference also re-runs the same machinery on
-    the shrunken graph)."""
-    cluster, q1 = mg_louvain_move_phase(g, mesh, resolution)
-    n = g.num_vertices
-    labels = np.asarray(cluster)[:n]
-
-    # contract on host from the pull blocks (decompress → relabel → aggregate)
-    src, dst, w = _gather_edges_host(g)
+    Every level runs the distributed move phase and the DISTRIBUTED
+    contraction (mg_coarsen) while the coarse graph still has more than
+    ``sg_threshold_edges`` edges; the final (small) cascade runs the
+    single-device engine.  The full-resolution edge list never lands on one
+    host (reference: louvain_impl.cuh:339 + coarsen_graph_impl.cuh)."""
     from cugraph_tpu.algos.community import _coarsen, _louvain_one_level
+    from cugraph_tpu.parallel.partition import build_dist_graph
 
-    uniq, compact = np.unique(labels, return_inverse=True)
+    n = g.num_vertices
+    cluster, q_prev = mg_louvain_move_phase(g, mesh, resolution)
+    _, compact = np.unique(np.asarray(cluster)[:n], return_inverse=True)
     cur = compact.astype(np.int32)
-    csrc, cdst, cw, nc, _ = _coarsen(src, dst, w, cur)
-    q_prev = q1
-    for level in range(1, max_level):
+
+    g_cur, n_cur = g, n
+    cur_full = np.zeros(g_cur.pad_v, np.int32)
+    cur_full[:n] = cur
+    level = 1
+    # distributed cascade
+    csrc, cdst, cw, nc = mg_coarsen(g_cur, mesh, cur_full)
+    while level < max_level and len(csrc) > sg_threshold_edges and nc > 1:
+        g_c = build_dist_graph(csrc, cdst, cw, nc, g.pmaj, g.pmin,
+                               store_push=True)
+        cl_c, q = mg_louvain_move_phase(g_c, mesh, resolution)
+        if q <= q_prev + threshold:
+            return cur, q_prev
+        _, cc = np.unique(np.asarray(cl_c)[:nc], return_inverse=True)
+        cur = cc.astype(np.int32)[cur]
+        q_prev = q
+        g_cur, n_cur = g_c, nc
+        cur_full = np.zeros(g_cur.pad_v, np.int32)
+        cur_full[:nc] = cc
+        level += 1
+        csrc, cdst, cw, nc = mg_coarsen(g_cur, mesh, cur_full)
+
+    # small-graph cascade on one device (same machinery as the reference's
+    # re-run on the shrunken graph)
+    for _ in range(level, max_level):
         cl, q = _louvain_one_level(csrc, cdst, cw, nc, resolution)
         if q <= q_prev + threshold:
             break
@@ -313,14 +411,22 @@ def mg_leiden(g: DistGraph, mesh, max_level: int = 100,
     _, refined = np.unique(cc, return_inverse=True)
     refined = refined.astype(np.int32)
 
-    # modularity of the refined partition (host; edges already gathered once
-    # inside mg_louvain's coarsening — reuse the same decompression)
-    src, dst, w = _gather_edges_host(g)
-    m2 = float(w.sum())
-    intra = float(w[refined[src] == refined[dst]].sum())
-    k = np.zeros(n, np.float64)
-    np.add.at(k, src, w)
-    sigma = np.zeros(refined.max() + 1, np.float64)
-    np.add.at(sigma, refined, k)
-    q_ref = intra / m2 - resolution * float(np.sum((sigma / m2) ** 2))
+    # modularity of the refined partition, computed DISTRIBUTED (intra-weight
+    # from the per-device aggregate kernel, σ via the key shuffle) — the full
+    # edge list never lands on one host
+    part = g.part
+    k = np.asarray(g.out_degree).astype(np.float64)
+    m2 = float(k.sum())
+    ref_full = np.zeros(pad_v, np.int32)
+    ref_full[:n] = refined
+    agg = _local_aggregate_kernel(mesh, g.pmaj, g.pmin, g.chunk)
+    _, _, intra = agg(g.push.src_loc, g.push.dst_loc, g.push.weight,
+                      g.push.valid, jnp.asarray(ref_full))
+    keys = jax.device_put(
+        jnp.asarray(np.where(np.arange(pad_v) < n, ref_full, -1), np.int32),
+        NamedSharding(mesh, vertex_spec()))
+    vals = jax.device_put(jnp.asarray(k, jnp.float32),
+                          NamedSharding(mesh, vertex_spec()))
+    sigma = np.asarray(shuffle_reduce_by_key(mesh, part, keys, vals, "sum"))
+    q_ref = float(intra) / m2 - resolution * float(np.sum((sigma / m2) ** 2))
     return refined, q_ref

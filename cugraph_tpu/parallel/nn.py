@@ -36,10 +36,69 @@ def _mg_spmm(mesh, pmaj, chunk):
                                  in_specs=(es, es, es, vs), out_specs=vs))
 
 
+def mg_spmm_pallas_fn(mesh, pmaj: int, pmin: int, chunk: int, fwd, bwd):
+    """Differentiable MG SpMM through the one-hot Pallas kernel.
+
+    ``fwd``/``bwd`` are CONCRETE StackedSpmmPlans (parallel.kernels) — the
+    custom VJP closes over them outside any trace (custom_vjp forbids traced
+    closures).  Forward: all_gather minor → local Pallas SpMM → psum_scatter
+    major.  Backward = the exact transpose: all_gather major → local Pallas
+    SpMM on the transpose plan → psum_scatter minor.
+    """
+    from cugraph_tpu.kernels.spmm_onehot import spmm_onehot
+
+    es, vs = edge_spec(), vertex_spec()
+    nseg = pmaj * chunk
+    B = pmin * chunk
+
+    def k_fwd(fp, x_own):
+        lp = fp.local()
+        x_blk = prims.gather_minor_block(x_own)            # [B, F]
+        xp = jnp.pad(x_blk, ((0, lp.pad_v - B), (0, 0)))
+        part = spmm_onehot(lp, xp)[:nseg]
+        return prims.scatter_reduce_major_sum(part)
+
+    def k_bwd(bp, gy_own):
+        lp = bp.local()
+        gy_blk = prims.gather_major_block(gy_own)          # [nseg, F]
+        gp = jnp.pad(gy_blk, ((0, lp.pad_v - nseg), (0, 0)))
+        part = spmm_onehot(lp, gp)[:B]
+        return prims.scatter_reduce_minor_sum(part)
+
+    sm_f = jax.jit(jax.shard_map(k_fwd, mesh=mesh, in_specs=(es, vs),
+                                 out_specs=vs, check_vma=False))
+    sm_b = jax.jit(jax.shard_map(k_bwd, mesh=mesh, in_specs=(es, vs),
+                                 out_specs=vs, check_vma=False))
+
+    @jax.custom_vjp
+    def f(x):
+        return sm_f(fwd, x)
+
+    def f_fwd(x):
+        return sm_f(fwd, x), None
+
+    def f_bwd(_, gy):
+        return (sm_b(bwd, gy),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _spmm_call(g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+    from cugraph_tpu.parallel.kernels import (
+        get_mg_spmm_fn,
+        mg_use_pallas,
+    )
+
+    if mg_use_pallas(g) and not isinstance(g.pull.src_loc, jax.core.Tracer):
+        return get_mg_spmm_fn(g, mesh)(x)
+    return _mg_spmm(mesh, g.pmaj, g.chunk)(
+        g.pull.src_loc, g.pull.dst_loc, g.pull.weight, x)
+
+
 def mg_aggregate_mean(g: DistGraph, mesh, x: jax.Array) -> jax.Array:
     """Mean of in-neighbor features, owner-sharded [pad_v, F] → [pad_v, F]."""
-    agg = _mg_spmm(mesh, g.pmaj, g.chunk)(
-        g.pull.src_loc, g.pull.dst_loc, g.pull.weight, x)
+    agg = _spmm_call(g, mesh, x)
     deg = jnp.maximum(g.in_degree, 1.0)
     return agg / deg[:, None]
 
@@ -101,8 +160,7 @@ def replicate(mesh, tree):
 
 def mg_aggregate_sum(g: DistGraph, mesh, x: jax.Array) -> jax.Array:
     """Sum of in-neighbor features, owner-sharded [pad_v, F] → [pad_v, F]."""
-    return _mg_spmm(mesh, g.pmaj, g.chunk)(
-        g.pull.src_loc, g.pull.dst_loc, g.pull.weight, x)
+    return _spmm_call(g, mesh, x)
 
 
 def mg_gcn_conv(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:

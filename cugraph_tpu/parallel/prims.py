@@ -53,6 +53,12 @@ def scatter_reduce_major_sum(part: jax.Array) -> jax.Array:
     return jax.lax.psum_scatter(part, MAJOR, scatter_dimension=0, tiled=True)
 
 
+def scatter_reduce_minor_sum(part: jax.Array) -> jax.Array:
+    """Row-block partials [pmin·Vc, ...] → summed owner slices [Vc, ...]
+    (the transpose of gather_minor_block — used by the SpMM backward pass)."""
+    return jax.lax.psum_scatter(part, MINOR, scatter_dimension=0, tiled=True)
+
+
 def _slice_own_major(red: jax.Array, chunk: int) -> jax.Array:
     i = jax.lax.axis_index(MAJOR)
     return jax.lax.dynamic_slice_in_dim(red, i * chunk, chunk, axis=0)
@@ -93,22 +99,34 @@ def psum_all(x):
     return jax.lax.psum(x, (MAJOR, MINOR))
 
 
-def pull_spmv(src_loc, dst_loc, w, x_own, *, pmaj: int, chunk: int) -> jax.Array:
+def pull_spmv(src_loc, dst_loc, w, x_own, *, pmaj: int, chunk: int,
+              plan=None) -> jax.Array:
     """y[dst] = Σ_{(src,dst)} w · x[src], all operands owner-sharded.
 
-    One gather + one local sorted segment-sum + one reduce-scatter: the
-    distributed analog of per_v_transform_reduce_incoming_e (SpMV).
-    Padding lanes carry w = 0, so no masks are needed.
+    One gather + one local reduce + one reduce-scatter: the distributed
+    analog of per_v_transform_reduce_incoming_e (SpMV).  With ``plan`` (a
+    per-device SpmvPlan from parallel.kernels, already .local()'d) the local
+    reduce runs the one-hot MXU kernel instead of XLA take+segment_sum (which
+    scalarizes on TPU); padding lanes carry w = 0 / NaN respectively, so no
+    masks are needed either way.
     """
     x_blk = gather_minor_block(x_own)
-    vals = w * jnp.take(x_blk, src_loc, axis=0)
-    part = block_segment_reduce(vals, dst_loc, pmaj * chunk, "sum")
+    if plan is not None:
+        from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+        xp = jnp.pad(x_blk, (0, plan.pad_v - x_blk.shape[0]))
+        part = spmv_onehot(plan, xp, precision="split")[: pmaj * chunk]
+    else:
+        vals = w * jnp.take(x_blk, src_loc, axis=0)
+        part = block_segment_reduce(vals, dst_loc, pmaj * chunk, "sum")
     return scatter_reduce_major_sum(part)
 
 
 def pull_spmm(src_loc, dst_loc, w, x_own, *, pmaj: int, chunk: int) -> jax.Array:
     """Feature-matrix version: x_own [Vc, F] → y_own [Vc, F] (the GNN
-    aggregation SpMM; same collective structure, trailing dim rides along)."""
+    aggregation SpMM; same collective structure, trailing dim rides along).
+    The Pallas fast path lives in parallel.nn (mg_spmm_pallas_fn) because its
+    custom VJP must close over concrete plans outside the shard_map trace."""
     x_blk = gather_minor_block(x_own)                      # [B, F]
     vals = jnp.take(x_blk, src_loc, axis=0) * w[:, None]   # [E, F]
     part = block_segment_reduce(vals, dst_loc, pmaj * chunk, "sum")

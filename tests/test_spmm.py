@@ -1,0 +1,107 @@
+"""One-hot SpMM kernel: interpret-mode correctness vs a NumPy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cugraph_tpu.kernels.spmm_onehot import (
+    build_spmm_plan,
+    choose_windows,
+    make_spmm_pair,
+    spmm_onehot,
+)
+
+
+@pytest.mark.parametrize("n,m,F", [
+    (300, 2000, 16),
+    (300, 2000, 128),
+    (5000, 20000, 8),
+    (7, 5, 4),
+    (1, 0, 8),
+])
+def test_spmm_onehot_matches_numpy(n, m, F):
+    rng = np.random.default_rng(n + m + F)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)
+    plan = build_spmm_plan(src, dst, w, n)
+    x = rng.normal(size=(plan.pad_v, F)).astype(np.float32)
+
+    y = np.asarray(spmm_onehot(plan, jnp.asarray(x), interpret=True,
+                               precision="highest"))
+    expect = np.zeros((plan.pad_v, F), np.float64)
+    np.add.at(expect, dst, w[:, None].astype(np.float64) * x[src])
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_multi_yblock():
+    rng = np.random.default_rng(0)
+    n, m, F = 40_000, 60_000, 8
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    plan = build_spmm_plan(src, dst, None, n, ybv=8192)
+    assert plan.n_yblocks >= 2
+    x = rng.normal(size=(plan.pad_v, F)).astype(np.float32)
+    y = np.asarray(spmm_onehot(plan, jnp.asarray(x), interpret=True,
+                               precision="highest"))
+    expect = np.zeros((plan.pad_v, F), np.float64)
+    np.add.at(expect, dst, x[src].astype(np.float64))
+    np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_choose_windows_returns_valid():
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 10_000, 50_000)
+    dst = rng.integers(0, 10_000, 50_000)
+    ws, wd = choose_windows(src, dst, 10_000)
+    assert ws in (512, 1024, 2048, 4096) and wd in (512, 1024, 2048, 4096)
+
+
+def test_spmm_vjp_is_transpose():
+    rng = np.random.default_rng(2)
+    n, m, F = 200, 1200, 8
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)
+    fwd_plan = build_spmm_plan(src, dst, w, n)
+    bwd_plan = build_spmm_plan(dst, src, w, n)
+
+    # interpret-mode closures (CPU)
+    import functools
+    from cugraph_tpu.kernels import spmm_onehot as mod
+    orig = mod.spmm_onehot
+    mod_spmm = functools.partial(orig, interpret=True, precision="highest")
+    mod.spmm_onehot, real = mod_spmm, orig
+    try:
+        f = make_spmm_pair(fwd_plan, bwd_plan)
+        x = rng.normal(size=(fwd_plan.pad_v, F)).astype(np.float32)
+        gy = rng.normal(size=(fwd_plan.pad_v, F)).astype(np.float32)
+        y, vjp = jax.vjp(f, jnp.asarray(x))
+        (gx,) = vjp(jnp.asarray(gy))
+    finally:
+        mod.spmm_onehot = real
+
+    expect_y = np.zeros((fwd_plan.pad_v, F), np.float64)
+    np.add.at(expect_y, dst, w[:, None].astype(np.float64) * x[src])
+    np.testing.assert_allclose(np.asarray(y), expect_y, rtol=1e-4, atol=1e-4)
+
+    expect_gx = np.zeros((fwd_plan.pad_v, F), np.float64)
+    np.add.at(expect_gx, src, w[:, None].astype(np.float64) * gy[dst])
+    np.testing.assert_allclose(np.asarray(gx)[:n], expect_gx[:n],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_structure_plan_cache():
+    from cugraph_tpu.core.structure import build_structure_host
+    from cugraph_tpu.kernels.spmm_onehot import get_structure_spmm_plan
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 50, 200)
+    dst = rng.integers(0, 50, 200)
+    g = build_structure_host(src, dst, None, 50)
+    p1 = get_structure_spmm_plan(g)
+    p2 = get_structure_spmm_plan(g)
+    assert p1 is p2
+    g2 = build_structure_host(src, dst, None, 50)
+    assert get_structure_spmm_plan(g2) is not p1
