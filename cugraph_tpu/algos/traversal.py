@@ -62,45 +62,108 @@ def _bfs_kernel(g: GraphStructure, source: jax.Array, depth_limit: int):
     return dist, pred
 
 
-@partial(jax.jit, static_argnames=("depth_limit", "n", "interpret"))
-def _bfs_kernel_pallas(plan, source: jax.Array, depth_limit: int, n: int,
+# direction-optimizing regime caps: a level goes top-down when the frontier
+# fits K vertices and its out-edge count fits E_TD slots — then the sparse
+# expansion costs O(E_TD) gathers instead of the dense O(E) sweep (the
+# reference's m_f/m_u switch, bfs_impl.cuh:291-300, host-free on TPU)
+_TD_K = 4096
+_TD_E = 65536
+
+
+@partial(jax.jit, static_argnames=("depth_limit", "n", "use_plan",
+                                   "interpret"))
+def _bfs_kernel_diropt(g: GraphStructure, plan, source: jax.Array,
+                       depth_limit: int, n: int, use_plan: bool,
                        interpret: bool = False):
-    """BFS levels + parents in one (max, left) one-hot sweep per level.
+    """Direction-optimizing BFS: lax.cond between a sparse top-down level
+    (static-budget frontier expansion over CSR out-edges) and the dense
+    bottom-up-shaped sweep (Pallas one-hot when use_plan, XLA otherwise).
 
-    The frontier indicator carries (id+1) for frontier sources and 0
-    otherwise; the max-reduce over in-edges then returns, per destination,
-    a valid frontier parent (+1) or ≤ 0 if none — the Pallas analog of
-    transform_reduce_v_frontier_outgoing_e_by_dst with reduce_op::any
-    (bfs_impl.cuh:449-466).  Requires pad_v < 2^24 (ids exact in f32).
+    Reference: traversal/bfs_impl.cuh:291-300,490-602 — the same two regimes,
+    chosen per level, with the heuristic evaluated on device (no host sync).
     """
-    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
-
-    pad_v = plan.pad_v
+    pad_v = g.pad_v if not use_plan else plan.pad_v
     ids = jnp.arange(pad_v)
     real = ids < n
-    idf = (ids + 1).astype(jnp.float32)
+    K = min(_TD_K, pad_v)
+    E_TD = min(_TD_E, int(g.csr.pad_e))
+    offsets = g.csr.offsets
+    indices = g.csr.indices
 
     dist0 = jnp.where(ids == source, 0, INT32_INF).astype(jnp.int32)
     pred0 = jnp.full((pad_v,), -1, dtype=jnp.int32)
-    frontier0 = ids == source
+    mask0 = ids == source
+
+    deg_all = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    if pad_v > g.pad_v:
+        deg_all = jnp.pad(deg_all, (0, pad_v - g.pad_v))
+    elif pad_v < g.pad_v:
+        deg_all = deg_all[:pad_v]
+
+    def sparse_level(state):
+        dist, pred, mask, level = state
+        flist = jnp.nonzero(mask, size=K, fill_value=pad_v - 1)[0]
+        fvalid = jnp.arange(K) < jnp.sum(mask)
+        fdeg = jnp.where(fvalid, jnp.take(deg_all, flist), 0)
+        cum = jnp.cumsum(fdeg)
+        total = cum[-1]
+        e = jnp.arange(E_TD)
+        i = jnp.searchsorted(cum, e, side="right")
+        i_c = jnp.clip(i, 0, K - 1)
+        srcv = jnp.take(flist, i_c)
+        base = jnp.take(offsets, jnp.clip(srcv, 0, g.pad_v - 1))
+        prev = jnp.take(cum, i_c) - jnp.take(fdeg, i_c)
+        eidx = base + (e - prev)
+        live = e < total
+        dstv = jnp.take(indices, jnp.clip(eidx, 0, indices.shape[0] - 1))
+        dstv = jnp.where(live, dstv, pad_v - 1).astype(jnp.int32)
+        fresh = live & (jnp.take(dist, dstv) == INT32_INF) & \
+            jnp.take(real, dstv)
+        sink = pad_v - 1
+        idx = jnp.where(fresh, dstv, sink)
+        newmask = jnp.zeros(pad_v, jnp.bool_).at[idx].max(fresh)
+        newmask = newmask & real & (dist == INT32_INF)
+        pred = pred.at[idx].max(jnp.where(fresh, srcv, -1))
+        pred = jnp.where(newmask, pred, jnp.where(dist == INT32_INF, -1, pred))
+        dist = jnp.where(newmask, level + 1, dist)
+        return dist, pred, newmask, level + 1
+
+    if use_plan:
+        from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+        idf = (ids + 1).astype(jnp.float32)
+
+        def dense_level(state):
+            dist, pred, mask, level = state
+            y = spmv_onehot(plan, jnp.where(mask, idf, 0.0),
+                            reduce="max", combine="left", precision="split",
+                            interpret=interpret)
+            reached = (y > 0.5) & (dist == INT32_INF) & real
+            dist = jnp.where(reached, level + 1, dist)
+            pred = jnp.where(reached, (y - 1.0).astype(jnp.int32), pred)
+            return dist, pred, reached, level + 1
+    else:
+        def dense_level(state):
+            dist, pred, mask, level = state
+            nxt, p = frontier_expand_by_dst(g, mask,
+                                            (dist == INT32_INF) & real)
+            dist = jnp.where(nxt, level + 1, dist)
+            pred = jnp.where(nxt, p, pred)
+            return dist, pred, nxt, level + 1
 
     def body(state):
-        dist, pred, frontier, level = state
-        y = spmv_onehot(plan, jnp.where(frontier, idf, 0.0),
-                        reduce="max", combine="left", precision="split",
-                        interpret=interpret)
-        reached = (y > 0.5) & (dist == INT32_INF) & real
-        dist = jnp.where(reached, level + 1, dist)
-        pred = jnp.where(reached, (y - 1.0).astype(jnp.int32), pred)
-        return dist, pred, reached, level + 1
+        dist, pred, mask, level = state
+        fcount = jnp.sum(mask)
+        m_f = jnp.sum(jnp.where(mask, deg_all, 0))
+        top_down = (fcount <= K) & (m_f <= E_TD)
+        return jax.lax.cond(top_down, sparse_level, dense_level, state)
 
     def cond(state):
-        _, _, frontier, level = state
-        return jnp.any(frontier) & (level < depth_limit)
+        _, _, mask, level = state
+        return jnp.any(mask) & (level < depth_limit)
 
-    dist, pred, _, _ = jax.lax.while_loop(
-        cond, body, (dist0, pred0, frontier0, jnp.int32(0))
-    )
+    dist, pred, _, _ = jax.lax.while_loop(cond, body,
+                                          (dist0, pred0, mask0, jnp.int32(0)))
     return dist, pred
 
 
@@ -122,9 +185,11 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
     dl = int(depth_limit) if depth_limit is not None else n
     if use_pallas(G) and n < (1 << 24):  # f32-exact vertex ids
         plan = get_pull_plan(G)
-        dist, pred = _bfs_kernel_pallas(plan, jnp.int32(s), dl, n)
+        dist, pred = _bfs_kernel_diropt(G.structure, plan, jnp.int32(s), dl,
+                                        n, True)
     else:
-        dist, pred = _bfs_kernel(G.structure, jnp.int32(s), dl)
+        dist, pred = _bfs_kernel_diropt(G.structure, None, jnp.int32(s), dl,
+                                        n, False)
     dist = np.asarray(dist)[:n]
     pred = np.asarray(pred)[:n]
     return pd.DataFrame({

@@ -139,7 +139,7 @@ def _rand_graph(n, m, seed, weighted=False):
 
 def test_bfs_pallas_matches_xla():
     import cugraph_tpu
-    from cugraph_tpu.algos.traversal import _bfs_kernel_pallas
+    from cugraph_tpu.algos.traversal import _bfs_kernel_diropt
 
     src, dst, _ = _rand_graph(120, 500, 1)
     G = cugraph_tpu.Graph(directed=True)
@@ -149,7 +149,8 @@ def test_bfs_pallas_matches_xla():
     s = int(G.lookup_internal_vertex_id(np.array([src[0]]))[0])
     n = G.number_of_vertices()
     plan = build_spmv_plan(*G.edgelist_arrays()[:2], None, n)
-    dist, pred = _bfs_kernel_pallas(plan, jnp.int32(s), n, n, interpret=True)
+    dist, pred = _bfs_kernel_diropt(G.structure, plan, jnp.int32(s), n, n,
+                                    True, interpret=True)
     dist, pred = np.asarray(dist)[:n], np.asarray(pred)[:n]
 
     order = np.argsort(G.number_map.to_external(np.arange(n)))
@@ -226,3 +227,38 @@ def test_core_number_pallas_matches_xla():
                                               interpret=True))[:n]
     order = np.argsort(G.number_map.to_external(np.arange(n)))
     np.testing.assert_array_equal(c[order], slow["core_number"].to_numpy())
+
+
+def test_bfs_diropt_sparse_regime_on_path_graph():
+    """High-diameter path graph: every level should take the sparse top-down
+    branch (frontier of 1); distances must be exact."""
+    import cugraph_tpu
+    from cugraph_tpu.algos.traversal import _bfs_kernel_diropt
+
+    n = 300
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    G = cugraph_tpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None, renumber=False)
+    dist, pred = _bfs_kernel_diropt(G.structure, None, jnp.int32(0), n, n,
+                                    False)
+    dist, pred = np.asarray(dist)[:n], np.asarray(pred)[:n]
+    np.testing.assert_array_equal(dist, np.arange(n))
+    np.testing.assert_array_equal(pred[1:], np.arange(n - 1))
+    assert pred[0] == -1
+
+
+def test_bfs_diropt_mixed_regimes():
+    """Star + tail: first level dense-ish (hub fanout), tail levels sparse."""
+    import cugraph_tpu
+
+    hub_children = np.arange(1, 200)
+    src = np.concatenate([np.zeros(199, np.int64), np.arange(200, 260),
+                          [0]])
+    dst = np.concatenate([hub_children, np.arange(201, 261), [200]])
+    G = cugraph_tpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None, renumber=False)
+    df = cugraph_tpu.bfs(G, 0).sort_values("vertex")
+    d = df["distance"].to_numpy()
+    assert d[0] == 0 and (d[1:200] == 1).all()
+    assert d[200] == 1 and d[210] == 11
