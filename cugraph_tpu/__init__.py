@@ -103,6 +103,8 @@ from cugraph_tpu.algos.sampling import (
     heterogeneous_biased_neighbor_sample,
     homogeneous_uniform_temporal_neighbor_sample,
     heterogeneous_uniform_temporal_neighbor_sample,
+    homogeneous_biased_temporal_neighbor_sample,
+    heterogeneous_biased_temporal_neighbor_sample,
     random_walks,
     uniform_random_walks,
     biased_random_walks,

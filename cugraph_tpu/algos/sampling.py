@@ -451,16 +451,19 @@ def _csr_prop(G, prop):
     return out
 
 
-@partial(jax.jit, static_argnames=("k", "max_deg", "strict"))
+@partial(jax.jit, static_argnames=("k", "max_deg", "strict", "biased"))
 def _sample_neighbors_masked(g: GraphStructure, frontier: jax.Array,
                              key: jax.Array, k: int, max_deg: int,
                              edge_ok: jax.Array,
                              seed_times: jax.Array | None,
                              edge_times: jax.Array | None,
-                             strict: bool = True):
-    """Gumbel top-k uniform sampling restricted to an eligibility mask —
-    the masked analog of per_v_random_select_transform_outgoing_e used by
-    the heterogeneous (per-edge-type) and temporal variants."""
+                             strict: bool = True, biased: bool = False):
+    """Gumbel top-k sampling restricted to an eligibility mask — the masked
+    analog of per_v_random_select_transform_outgoing_e used by the
+    heterogeneous (per-edge-type) and temporal variants.  ``biased`` adds
+    log(edge weight) to the Gumbel scores (exact weighted sampling without
+    replacement — the biased-variant semantics of
+    temporal_sampling_impl.cuh)."""
     adj = g.csr
     F = frontier.shape[0]
     nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg)
@@ -472,6 +475,10 @@ def _sample_neighbors_masked(g: GraphStructure, frontier: jax.Array,
         ok = ok & (t > lim if strict else t >= lim)
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
+    if biased:
+        wts = jnp.take(adj.weights, safe)
+        ok = ok & (wts > 0)
+        gumbel = gumbel + jnp.log(jnp.maximum(wts, 1e-30))
     score = jnp.where(ok, gumbel, -jnp.inf)
     _, top = jax.lax.top_k(score, min(k, max_deg))
     picked = jnp.take_along_axis(score, top, axis=1) > -jnp.inf
@@ -491,7 +498,8 @@ def _attach_edge_props(G, frame, eidx):
 
 
 def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
-                            random_state=None, seed_time=None, strict=True):
+                            random_state=None, seed_time=None, strict=True,
+                            biased=False):
     """Shared driver: per hop, per (type, fanout) masked sampling.
 
     fanouts_per_hop: list of lists [(type_key, k), ...] per hop.
@@ -525,7 +533,7 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
                 g, jnp.asarray(frontier), sub, int(k), max_deg,
                 masks_by_type[type_key],
                 jnp.asarray(times) if times is not None else None,
-                edge_times, strict)
+                edge_times, strict, biased)
             dst = np.asarray(dst); eidx = np.asarray(eidx)
             valid = np.asarray(valid)
             kk = dst.shape[1]
@@ -580,6 +588,12 @@ def heterogeneous_uniform_neighbor_sample(G, start_list, fanout_vals,
     """Per-edge-type fanouts (reference
     heterogeneous_uniform_neighbor_sample.pyx): ``fanout_vals`` is flattened
     [hop0_type0, hop0_type1, ..., hop1_type0, ...]."""
+    masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
+    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
+                                   masks_by_type=masks, random_state=random_state)
+
+
+def _het_fanouts(G, fanout_vals, num_edge_types):
     masks, types = _type_masks(G)
     ntypes = num_edge_types or int(types.max()) + 1
     fv = list(fanout_vals)
@@ -587,22 +601,64 @@ def heterogeneous_uniform_neighbor_sample(G, start_list, fanout_vals,
     hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
     # fanout slot t applies to edge-TYPE-ID t (reference contract:
     # h_fanout[hop·num_edge_types + edge_type]); absent types are skipped
-    fanouts_per_hop = [
+    return masks, [
         [(t, k) for t, k in enumerate(hop_fans) if t in masks]
         for hop_fans in hops
     ]
-    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
-                                   masks_by_type=masks, random_state=random_state)
 
 
 def heterogeneous_biased_neighbor_sample(G, start_list, fanout_vals,
                                          num_edge_types: int | None = None,
                                          random_state=None, **kw):
-    """Biased variant: eligibility ∧ weight-proportional Gumbel trick would
-    need per-type weights; currently weights bias is approximated by uniform
-    sampling within type (documented limitation)."""
-    return heterogeneous_uniform_neighbor_sample(
-        G, start_list, fanout_vals, num_edge_types, random_state, **kw)
+    """Per-edge-type fanouts with edge-weight-biased selection within each
+    type (reference heterogeneous_biased_neighbor_sample.pyx — the weighted
+    Gumbel top-k over the type-eligible edges)."""
+    if not G.is_weighted():
+        raise ValueError("biased sampling requires edge weights")
+    masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
+    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
+                                   masks_by_type=masks,
+                                   random_state=random_state, biased=True)
+
+
+def homogeneous_biased_temporal_neighbor_sample(
+        G, start_list, fanout_vals, seed_time=0.0, strict: bool = True,
+        random_state=None, **kw):
+    """Weight-biased temporal sampling: eligibility by time monotonicity,
+    selection ∝ edge weight (reference temporal_sampling_impl.cuh biased
+    instantiation, sampling_functions.hpp:505+)."""
+    if not G.is_weighted():
+        raise ValueError("biased sampling requires edge weights")
+    if G.edge_times is None:
+        raise ValueError("temporal sampling requires edge_time on the graph")
+    pad_e = G.structure.csr.pad_e
+    m = G.structure.csr.num_edges
+    all_ok = np.zeros(pad_e, bool)
+    all_ok[:m] = True
+    masks = {0: jnp.asarray(all_ok)}
+    fanouts_per_hop = [[(0, k)] for k in fanout_vals]
+    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
+                                   masks_by_type=masks,
+                                   random_state=random_state,
+                                   seed_time=seed_time, strict=strict,
+                                   biased=True)
+
+
+def heterogeneous_biased_temporal_neighbor_sample(
+        G, start_list, fanout_vals, num_edge_types: int | None = None,
+        seed_time=0.0, strict: bool = True, random_state=None, **kw):
+    """Per-type fanouts × weight bias × temporal eligibility — the 8th
+    reference sampling variant (heterogeneous_biased_temporal pyx)."""
+    if not G.is_weighted():
+        raise ValueError("biased sampling requires edge weights")
+    if G.edge_times is None:
+        raise ValueError("temporal sampling requires edge_time on the graph")
+    masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
+    return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
+                                   masks_by_type=masks,
+                                   random_state=random_state,
+                                   seed_time=seed_time, strict=strict,
+                                   biased=True)
 
 
 def homogeneous_uniform_temporal_neighbor_sample(
@@ -629,15 +685,9 @@ def homogeneous_uniform_temporal_neighbor_sample(
 def heterogeneous_uniform_temporal_neighbor_sample(
         G, start_list, fanout_vals, num_edge_types: int | None = None,
         seed_time=0.0, strict: bool = True, random_state=None, **kw):
-    masks, types = _type_masks(G)
-    ntypes = num_edge_types or int(types.max()) + 1
-    fv = list(fanout_vals)
-    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
-    hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
-    fanouts_per_hop = [
-        [(t, k) for t, k in enumerate(hop_fans) if t in masks]
-        for hop_fans in hops
-    ]
+    if G.edge_times is None:
+        raise ValueError("temporal sampling requires edge_time on the graph")
+    masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
                                    masks_by_type=masks,
                                    random_state=random_state,

@@ -35,6 +35,14 @@ from cugraph_tpu.parallel.algos import (
     mg_sample_one_hop,
     mg_uniform_neighbor_sample,
     mg_biased_neighbor_sample,
+    mg_heterogeneous_neighbor_sample,
+    mg_temporal_neighbor_sample,
+    mg_all_pairs_similarity,
+    mg_negative_sampling,
+    mg_ecg,
+    mg_biased_random_walks,
+    mg_node2vec_random_walks,
+    mg_edge_betweenness_centrality,
     mg_uniform_random_walks,
     mg_jaccard_coefficients,
     mg_sorensen_coefficients,

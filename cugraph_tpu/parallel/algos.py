@@ -489,12 +489,13 @@ def mg_eigenvector_centrality(g: DistGraph, mesh, tol: float = 1e-6,
 
 @lru_cache(maxsize=32)
 def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
-                            biased=False):
+                            biased=False, temporal=False, strict=True):
     B = pmin * chunk
     nseg = pmaj * chunk
     NEG = jnp.float32(-jnp.inf) if biased else jnp.float32(-1.0)
+    F32_BIG = jnp.float32(3.0e38)
 
-    def kernel(src_loc, dst_loc, valid, f_own, seed, w):
+    def kernel(src_loc, dst_loc, valid, f_own, seed, w, etime, f_time):
         # push blocks: the GATHERED role (EdgeBlocks.src_loc) is the dst
         # endpoint in row-block space [0, B); the REDUCED role
         # (EdgeBlocks.dst_loc) is the src endpoint in slot space [0, pmaj·Vc)
@@ -508,11 +509,18 @@ def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
 
         f_seg = prims.gather_major_block(f_own)  # frontier flags by src slot
         elig0 = valid_ & f_seg[red]
+        et_ = _sq(etime)
+        if temporal:
+            # edge time must advance past the frontier vertex's arrival time
+            # (reference temporal comparison, sampling_functions.hpp:75)
+            t_seg = prims.gather_major_block(f_time)   # times by src slot
+            lim = t_seg[red]
+            elig0 = elig0 & (et_ > lim if strict else et_ >= lim)
 
         w_ = _sq(w)
 
         def round_body(r, carry):
-            taken, out_dst = carry
+            taken, out_dst, out_time = carry
             key = jax.random.fold_in(jax.random.fold_in(
                 jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
             if biased:
@@ -537,38 +545,62 @@ def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
             out_dst = out_dst.at[:, r].set(jnp.where(sel == INT_INF, -1, sel))
             chosen = win & (gdst == jnp.clip(prims.gather_major_block(sel)[red],
                                              0, INT_INF))
-            return taken | chosen, out_dst
+            # traversed edge's time (min over multi-edge ties)
+            tc = jnp.where(chosen, et_, F32_BIG)
+            part3 = prims.block_segment_reduce(tc, red, nseg, "min")
+            t_sel = prims.scatter_reduce_major(
+                jnp.minimum(part3, F32_BIG), chunk, "min")
+            out_time = out_time.at[:, r].set(
+                jnp.where(t_sel >= F32_BIG / 2, 0.0, t_sel))
+            return taken | chosen, out_dst, out_time
 
         taken0 = jax.lax.pcast(jnp.zeros((E,), bool),
                                (prims.MAJOR, prims.MINOR), to="varying")
         out0 = jax.lax.pcast(jnp.full((chunk, k), -1, jnp.int32),
                              (prims.MAJOR, prims.MINOR), to="varying")
-        _, out_dst = jax.lax.fori_loop(0, k, round_body, (taken0, out0))
-        return out_dst
+        outt0 = jax.lax.pcast(jnp.zeros((chunk, k), jnp.float32),
+                              (prims.MAJOR, prims.MINOR), to="varying")
+        _, out_dst, out_time = jax.lax.fori_loop(
+            0, k, round_body, (taken0, out0, outt0))
+        return out_dst, out_time
 
     es, vs = edge_spec(), vertex_spec()
     return jax.jit(jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(es, es, es, vs, P(), es),
-        out_specs=vs))
+        in_specs=(es, es, es, vs, P(), es, es, vs),
+        out_specs=(vs, vs)))
 
 
 def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
                       seed: int = 0, with_replacement: bool = False,
-                      biased: bool = False):
+                      biased: bool = False, edge_ok=None,
+                      frontier_times: np.ndarray | None = None,
+                      strict: bool = True):
     """One hop of distributed uniform/biased sampling: k out-neighbors per
-    frontier vertex.  Returns int32 [pad_v, k] owner-sharded (−1 = none).
-    ``biased`` samples ∝ edge weight via the Gumbel-max trick (the
-    per_v_random_select biased variant)."""
+    frontier vertex.  Returns (dst int32 [pad_v, k], time f32 [pad_v, k])
+    owner-sharded (−1 dst = none).  ``biased`` samples ∝ edge weight via the
+    Gumbel-max trick; ``edge_ok`` restricts eligibility (heterogeneous
+    sampling); ``frontier_times`` enables the temporal regime (edge time must
+    exceed the frontier vertex's time)."""
     assert g.push is not None, "sampling needs push blocks"
+    temporal = frontier_times is not None
+    if temporal and g.push.etime is None:
+        raise ValueError("temporal sampling requires edge_time blocks "
+                         "(build_dist_graph(edge_time=...))")
     f = np.zeros(g.pad_v, bool)
     f[frontier] = True
     vsh = NamedSharding(mesh, vertex_spec())
     f = jax.device_put(jnp.asarray(f), vsh)
+    ft = (jax.device_put(jnp.asarray(frontier_times, jnp.float32), vsh)
+          if temporal
+          else jax.device_put(jnp.zeros(g.pad_v, jnp.float32), vsh))
+    etime = g.push.etime if g.push.etime is not None else g.push.weight
+    valid = g.push.valid if edge_ok is None else edge_ok
     kern = _mg_sample_round_kernel(mesh, g.pmaj, g.pmin, g.chunk, int(k),
-                                   bool(with_replacement), bool(biased))
-    return kern(g.push.src_loc, g.push.dst_loc, g.push.valid, f,
-                jnp.int32(seed), g.push.weight)
+                                   bool(with_replacement), bool(biased),
+                                   temporal, bool(strict))
+    return kern(g.push.src_loc, g.push.dst_loc, valid, f,
+                jnp.int32(seed), g.push.weight, etime, ft)
 
 
 def mg_biased_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
@@ -597,9 +629,9 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     for hop, k in enumerate(fanout_vals):
         if len(frontier) == 0:
             break
-        samp = np.asarray(mg_sample_one_hop(g, mesh, frontier, int(k),
-                                            seed + hop, with_replacement,
-                                            biased))
+        samp, _ = mg_sample_one_hop(g, mesh, frontier, int(k),
+                                    seed + hop, with_replacement, biased)
+        samp = np.asarray(samp)
         srcs, dsts = np.nonzero(samp >= 0)
         keep = np.isin(srcs, frontier)
         s, d = srcs[keep], samp[srcs[keep], dsts[keep]]
@@ -621,13 +653,214 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     return pd.concat(frames, ignore_index=True)
 
 
+def mg_heterogeneous_neighbor_sample(g: DistGraph, mesh, start_list,
+                                     fanout_vals, num_edge_types=None,
+                                     seed: int = 0, biased: bool = False,
+                                     with_replacement: bool = False):
+    """Distributed per-edge-type neighbor sampling (the reference's MG
+    heterogeneous_{uniform,biased}_neighbor_sample): ``fanout_vals`` is
+    flattened [hop0_type0, hop0_type1, ...]; eligibility per type comes from
+    masking the push blocks' valid flags with etype == t."""
+    import pandas as pd
+
+    if g.push is None or g.push.etype is None:
+        raise ValueError("heterogeneous MG sampling requires push blocks "
+                         "built with edge_type")
+    et = np.asarray(g.push.etype)
+    valid = np.asarray(g.push.valid)
+    types = np.unique(et[valid]) if valid.any() else np.array([], np.int32)
+    ntypes = num_edge_types or (int(types.max()) + 1 if len(types) else 1)
+    fv = list(fanout_vals)
+    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
+    hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
+    masks = {int(t): jnp.asarray(valid & (et == t)) for t in types}
+
+    frontier = np.asarray(start_list, np.int64)
+    batch_of = {int(v): b for b, v in enumerate(frontier)}
+    frames = []
+    for hop, hop_fans in enumerate(hops):
+        if len(frontier) == 0:
+            break
+        hop_frames = []
+        for t, k in enumerate(hop_fans):
+            if int(k) <= 0 or t not in masks:
+                continue
+            samp, _ = mg_sample_one_hop(
+                g, mesh, frontier, int(k), seed + hop * 101 + t,
+                with_replacement, biased, edge_ok=masks[t])
+            samp = np.asarray(samp)
+            srcs, cols = np.nonzero(samp >= 0)
+            keep = np.isin(srcs, frontier)
+            s, d = srcs[keep], samp[srcs[keep], cols[keep]]
+            hop_frames.append(pd.DataFrame({
+                "sources": s, "destinations": d,
+                "edge_type": np.int32(t), "hop_id": np.int32(hop),
+                "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
+            }))
+        if not hop_frames:
+            break
+        hf = pd.concat(hop_frames, ignore_index=True)
+        frames.append(hf)
+        fb = hf.groupby("destinations")["batch_id"].min()
+        for v, b in fb.items():
+            batch_of.setdefault(int(v), int(b))
+        frontier = np.unique(hf["destinations"].to_numpy())
+    cols = ["sources", "destinations", "edge_type", "hop_id", "batch_id"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(frames, ignore_index=True)
+
+
+def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
+                                seed_time: float = 0.0, strict: bool = True,
+                                seed: int = 0, biased: bool = False,
+                                with_replacement: bool = False):
+    """Distributed temporal neighbor sampling (reference MG
+    homogeneous_{uniform,biased}_temporal): eligible edges have time past the
+    frontier vertex's arrival time; sampled vertices inherit the traversed
+    edge's time."""
+    import pandas as pd
+
+    if g.push is None or g.push.etime is None:
+        raise ValueError("temporal MG sampling requires push blocks built "
+                         "with edge_time")
+    frontier = np.asarray(start_list, np.int64)
+    vtimes = np.zeros(g.pad_v, np.float32)
+    vtimes[frontier] = np.float32(seed_time)
+    batch_of = {int(v): b for b, v in enumerate(frontier)}
+    frames = []
+    for hop, k in enumerate(fanout_vals):
+        if len(frontier) == 0:
+            break
+        samp, st = mg_sample_one_hop(
+            g, mesh, frontier, int(k), seed + hop, with_replacement, biased,
+            frontier_times=vtimes, strict=strict)
+        samp, st = np.asarray(samp), np.asarray(st)
+        srcs, cols = np.nonzero(samp >= 0)
+        keep = np.isin(srcs, frontier)
+        s = srcs[keep]
+        d = samp[srcs[keep], cols[keep]]
+        tt = st[srcs[keep], cols[keep]]
+        frames.append(pd.DataFrame({
+            "sources": s, "destinations": d, "edge_time": tt,
+            "hop_id": np.int32(hop),
+            "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
+        }))
+        hf = frames[-1]
+        fb = hf.groupby("destinations")["batch_id"].min()
+        for v, b in fb.items():
+            batch_of.setdefault(int(v), int(b))
+        # next frontier inherits the traversed edge's time (min over ties)
+        ft = hf.groupby("destinations")["edge_time"].min()
+        frontier = ft.index.to_numpy().astype(np.int64)
+        vtimes = np.zeros(g.pad_v, np.float32)
+        vtimes[frontier] = ft.to_numpy().astype(np.float32)
+    cols = ["sources", "destinations", "edge_time", "hop_id", "batch_id"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(frames, ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # Distributed random walks — one mg_sample_one_hop(k=1) per step
 # (reference sampling/random_walks_impl.cuh:894 MG path).
 # ---------------------------------------------------------------------------
 
+def mg_biased_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
+                           seed: int = 0):
+    """Edge-weight-biased distributed walks (reference
+    dask/sampling/biased_random_walks.py): same stepping machinery, Gumbel
+    weighted argmax per step."""
+    return mg_uniform_random_walks(g, mesh, start_vertices, max_depth,
+                                   seed=seed, biased=True)
+
+
+def mg_node2vec_random_walks(g: DistGraph, mesh, start_vertices,
+                             max_depth: int, p: float = 1.0, q: float = 1.0,
+                             seed: int = 0, max_reject_rounds: int = 8):
+    """Distributed node2vec (Grover & Leskovec) via bounded rejection
+    sampling (the PyG-style scheme): per step, propose a uniform neighbor,
+    accept with probability bias/max_bias where bias is 1/p (return), 1
+    (prev-neighbor), or 1/q (explore); rejected walkers re-propose.  The
+    prev-neighbor test is a batched indicator SpMM over the mesh — no host
+    edge list.  Reference: sampling/random_walks_impl.cuh:933 (node2vec)."""
+    from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
+
+    starts = np.asarray(start_vertices, np.int64)
+    W = len(starts)
+    paths = np.full((W, max_depth + 1), -1, np.int64)
+    paths[:, 0] = starts
+    rng = np.random.default_rng(seed)
+    spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
+    max_bias = max(1.0, 1.0 / p, 1.0 / q)
+    prev = np.full(W, -1, np.int64)
+    cur = starts.copy()
+
+    def _is_edge(ss, dd):
+        """Distributed membership test for candidate (ss → dd) pairs."""
+        exists = np.zeros(len(ss), bool)
+        live = (ss >= 0) & (dd >= 0)
+        idx = np.nonzero(live)[0]
+        for lo in range(0, len(idx), 2048):
+            sel = idx[lo:lo + 2048]
+            P_ = len(sel)
+            onehot = np.zeros((g.pad_v, P_), np.float32)
+            onehot[ss[sel], np.arange(P_)] = 1.0
+            X = shard_vertex_data(mesh, jnp.asarray(onehot))
+            Z = np.asarray(spmm(g.pull.src_loc, g.pull.dst_loc,
+                                g.pull.valid.astype(jnp.float32), X))
+            exists[sel] = Z[dd[sel], np.arange(P_)] > 0
+        return exists
+
+    for step in range(max_depth):
+        alive = cur >= 0
+        if not alive.any():
+            break
+        accepted = np.full(W, -1, np.int64)
+        cand = np.full(W, -1, np.int64)
+        pending = alive.copy()
+        for r in range(max_reject_rounds):
+            if not pending.any():
+                break
+            frontier, inv, counts = np.unique(cur[pending],
+                                              return_inverse=True,
+                                              return_counts=True)
+            k_step = int(counts.max())
+            samp, _ = mg_sample_one_hop(
+                g, mesh, frontier, k_step,
+                seed * 1000003 + step * 131 + r, with_replacement=True)
+            samp = np.asarray(samp)
+            order = np.argsort(inv, kind="stable")
+            col = np.empty(len(inv), np.int64)
+            col[order] = np.arange(len(inv)) - np.concatenate(
+                [[0], np.cumsum(counts)])[inv[order]]
+            cand = np.full(W, -1, np.int64)
+            cand[pending] = samp[cur[pending], col]
+            # bias: 1/p if cand == prev; 1 if (prev → cand) edge; else 1/q
+            bias = np.full(W, 1.0 / q)
+            has_prev = prev >= 0
+            back = has_prev & (cand == prev)
+            nbr = has_prev & ~back & _is_edge(prev, cand)
+            bias[back] = 1.0 / p
+            bias[nbr] = 1.0
+            bias[~has_prev] = 1.0   # first step: plain uniform
+            acc = pending & (cand >= 0) & \
+                (rng.random(W) < bias / max_bias)
+            accepted[acc] = cand[acc]
+            dead = pending & (cand < 0)     # no out-neighbor: walk ends
+            pending &= ~acc & ~dead
+        # walkers still pending after the round cap keep their last proposal
+        # (bounded-bias approximation; exact for p = q = 1)
+        still = pending & (cand >= 0)
+        accepted[still] = cand[still]
+        prev = np.where(accepted >= 0, cur, -1)
+        cur = accepted
+        paths[:, step + 1] = cur
+    return paths
+
+
 def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
-                            seed: int = 0):
+                            seed: int = 0, biased: bool = False):
     """Uniform random walks over the 2D partition.  Returns an int64 array
     [n_walks, max_depth + 1] padded with -1 after termination.
 
@@ -645,9 +878,10 @@ def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
         frontier, inv, counts = np.unique(cur[alive], return_inverse=True,
                                           return_counts=True)
         k_step = int(counts.max())
-        samp = np.asarray(mg_sample_one_hop(g, mesh, frontier, k_step,
-                                            seed * 1000003 + step,
-                                            with_replacement=True))
+        samp, _ = mg_sample_one_hop(g, mesh, frontier, k_step,
+                                    seed * 1000003 + step,
+                                    with_replacement=True, biased=biased)
+        samp = np.asarray(samp)
         # walker i at vertex v takes column (rank of i among v's walkers)
         order = np.argsort(inv, kind="stable")
         col = np.empty(len(inv), np.int64)
@@ -737,6 +971,227 @@ def mg_cosine_coefficients(g: DistGraph, mesh, firsts, seconds):
     deg = _mg_out_degree_counts(g)
     denom = np.sqrt(deg[np.asarray(firsts)] * deg[np.asarray(seconds)])
     return np.divide(cn, denom, out=np.zeros_like(cn), where=denom > 0)
+
+
+def _mg_cn_rows(g: DistGraph, mesh, u_batch):
+    """CN(u, ·) for a batch of u against ALL vertices: two binary SpMMs
+    (Z = out-adjacency indicators of the batch, then Y = A·Zᵀ-shaped push
+    SpMM) — the all-pairs chunking of similarity_impl.cuh as dense mesh
+    products.  Returns float32 [pad_v, P]."""
+    from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
+
+    assert g.push is not None, "all-pairs similarity needs push blocks"
+    spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
+    P_ = len(u_batch)
+    onehot = np.zeros((g.pad_v, P_), np.float32)
+    onehot[np.asarray(u_batch), np.arange(P_)] = 1.0
+    X = shard_vertex_data(mesh, jnp.asarray(onehot))
+    Z = spmm(g.pull.src_loc, g.pull.dst_loc,
+             g.pull.valid.astype(jnp.float32), X)       # [pad_v, P]: u→w
+    Zb = shard_vertex_data(mesh, (Z > 0).astype(jnp.float32))
+    # push orientation: y[src] = Σ_{src→w} x[w]  →  CN(v, u_p)
+    Y = spmm(g.push.src_loc, g.push.dst_loc,
+             g.push.valid.astype(jnp.float32), Zb)
+    return np.asarray(Y)
+
+
+def mg_all_pairs_similarity(g: DistGraph, mesh, kind: str = "jaccard",
+                            vertices=None, topk: int | None = None,
+                            batch: int = 128):
+    """All-pairs similarity with optional global top-k (reference
+    link_prediction/detail/similarity_impl.cuh all-pairs chunking +
+    all_pairs_*_coefficients.pyx).  Returns a DataFrame
+    ['first','second','<kind>_coeff'] sorted descending."""
+    import pandas as pd
+
+    n = g.num_vertices
+    deg = _mg_out_degree_counts(g)
+    verts = (np.arange(n, dtype=np.int64) if vertices is None
+             else np.asarray(vertices, np.int64))
+    rows = []
+    for lo in range(0, len(verts), batch):
+        u = verts[lo: lo + batch]
+        Y = _mg_cn_rows(g, mesh, u)[:n]                 # [n, P]
+        for p, up in enumerate(u):
+            cn = Y[:, p]
+            sel = np.nonzero(cn > 0)[0]
+            sel = sel[sel != up]
+            if not len(sel):
+                continue
+            c = cn[sel].astype(np.float64)
+            du, dv = deg[up], deg[sel]
+            if kind == "jaccard":
+                denom = du + dv - c
+            elif kind == "sorensen":
+                c, denom = 2 * c, du + dv
+            elif kind == "overlap":
+                denom = np.minimum(du, dv)
+            elif kind == "cosine":
+                denom = np.sqrt(du * dv)
+            else:
+                raise ValueError(kind)
+            coeff = np.divide(c, denom, out=np.zeros_like(c),
+                              where=denom > 0)
+            rows.append(pd.DataFrame({"first": up, "second": sel,
+                                      "coefficient": coeff}))
+        # keep the running set bounded when topk is requested
+        if topk is not None and len(rows) > 1:
+            acc = pd.concat(rows, ignore_index=True)
+            rows = [acc.nlargest(int(topk), "coefficient")]
+    if not rows:
+        return pd.DataFrame(columns=["first", "second",
+                                     f"{kind}_coeff"])
+    out = pd.concat(rows, ignore_index=True).sort_values(
+        "coefficient", ascending=False, kind="stable").reset_index(drop=True)
+    if topk is not None:
+        out = out.head(int(topk)).reset_index(drop=True)
+    return out.rename(columns={"coefficient": f"{kind}_coeff"})
+
+
+def mg_negative_sampling(g: DistGraph, mesh, num_samples: int,
+                         seed: int = 0, remove_duplicates: bool = True,
+                         remove_existing_edges: bool = True,
+                         src_bias=None, dst_bias=None, batch: int = 4096):
+    """Distributed negative sampling (reference
+    sampling/negative_sampling_impl.cuh:270): degree-biased endpoint draws,
+    dedup, existing-edge exclusion — the exclusion test is a batched
+    indicator SpMM over the mesh (no host edge list)."""
+    from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
+
+    n = g.num_vertices
+    rng = np.random.default_rng(seed)
+    deg_s = (np.asarray(src_bias, np.float64) if src_bias is not None
+             else np.asarray(g.out_degree, np.float64)[:n])
+    deg_d = (np.asarray(dst_bias, np.float64) if dst_bias is not None
+             else np.asarray(g.in_degree, np.float64)[:n])
+    ps = deg_s / deg_s.sum() if deg_s.sum() > 0 else None
+    pd_ = deg_d / deg_d.sum() if deg_d.sum() > 0 else None
+
+    spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
+    out_s, out_d = [], []
+    have = 0
+    for _ in range(8):   # capacity-retry rounds
+        want = max(num_samples - have, 0)
+        if want == 0:
+            break
+        draw = int(want * 1.5) + 16
+        s = rng.choice(n, size=draw, p=ps)
+        d = rng.choice(n, size=draw, p=pd_)
+        ok = s != d
+        s, d = s[ok], d[ok]
+        if remove_existing_edges and len(s):
+            exists = np.zeros(len(s), bool)
+            for lo in range(0, len(s), batch):
+                sb, db = s[lo:lo + batch], d[lo:lo + batch]
+                P_ = len(sb)
+                onehot = np.zeros((g.pad_v, P_), np.float32)
+                onehot[sb, np.arange(P_)] = 1.0
+                X = shard_vertex_data(mesh, jnp.asarray(onehot))
+                Z = np.asarray(spmm(g.pull.src_loc, g.pull.dst_loc,
+                                    g.pull.valid.astype(jnp.float32), X))
+                exists[lo:lo + batch] = Z[db, np.arange(P_)] > 0
+            s, d = s[~exists], d[~exists]
+        out_s.append(s)
+        out_d.append(d)
+        ss = np.concatenate(out_s)
+        dd = np.concatenate(out_d)
+        if remove_duplicates:
+            uniq = np.unique(ss.astype(np.int64) * n + dd)
+            ss, dd = uniq // n, uniq % n
+        out_s, out_d = [ss], [dd]
+        have = len(ss)
+    ss, dd = out_s[0][:num_samples], out_d[0][:num_samples]
+    import pandas as pd
+
+    return pd.DataFrame({"src": ss, "dst": dd})
+
+
+def mg_ecg(g: DistGraph, mesh, min_weight: float = 0.05,
+           ensemble_size: int = 8, max_level: int = 10,
+           resolution: float = 1.0, threshold: float = 1e-7, seed: int = 0):
+    """Distributed ECG (reference community/ecg_impl.cuh:148 / dask ecg.py):
+    ensemble of distributed one-level Louvains diversified by deterministic
+    per-edge weight jitter (hash of the undirected endpoints × member — the
+    permuted-vertex-order role), per-edge co-cluster votes computed on the
+    blocks, reweighted graph, final distributed Louvain."""
+    from cugraph_tpu.parallel.louvain import mg_louvain, mg_louvain_move_phase
+    from cugraph_tpu.parallel.partition import DistGraph as DG, EdgeBlocks
+
+    assert g.push is not None, "mg_ecg needs push blocks"
+    n, pad_v = g.num_vertices, g.pad_v
+    pmaj, pmin, chunk = g.pmaj, g.pmin, g.chunk
+    B = pmin * chunk
+
+    def _block_endpoints(blocks, pull: bool):
+        gth = np.asarray(blocks.src_loc)
+        red = np.asarray(blocks.dst_loc)
+        i_idx = np.arange(pmaj)[:, None, None]
+        j_idx = np.arange(pmin)[None, :, None]
+        g_glob = i_idx * B + gth
+        r_glob = ((red // chunk) * pmin + j_idx) * chunk + red % chunk
+        # pull: gathered = src, reduced = dst; push: swapped
+        return (g_glob, r_glob) if pull else (r_glob, g_glob)
+
+    def _jitter(blocks, pull, member):
+        s_g, d_g = _block_endpoints(blocks, pull)
+        lo = np.minimum(s_g, d_g).astype(np.uint64)
+        hi = np.maximum(s_g, d_g).astype(np.uint64)
+        h = (lo * np.uint64(0x9E3779B97F4A7C15)
+             ^ hi * np.uint64(0xC2B2AE3D27D4EB4F)
+             ^ np.uint64(member * 0x165667B1 + 0x27D4EB2F))
+        u = ((h >> np.uint64(11)).astype(np.float64)
+             / float(1 << 53))             # uniform [0,1)
+        factor = np.exp((u - 0.5) * 0.6).astype(np.float32)
+        w = np.asarray(blocks.weight) * factor
+        return EdgeBlocks(src_loc=blocks.src_loc, dst_loc=blocks.dst_loc,
+                          weight=jnp.asarray(w), valid=blocks.valid)
+
+    ps_g, pd_g = _block_endpoints(g.pull, True)
+    qs_g, qd_g = _block_endpoints(g.push, False)
+    votes_pull = np.zeros(np.asarray(g.pull.weight).shape, np.float64)
+    votes_push = np.zeros(np.asarray(g.push.weight).shape, np.float64)
+    vq = np.asarray(g.push.valid)
+    for e in range(ensemble_size):
+        pull_j = _jitter(g.pull, True, seed * 131 + e)
+        push_j = _jitter(g.push, False, seed * 131 + e)
+        # degrees must match the jittered weights for modularity gains
+        wq = np.asarray(push_j.weight)
+        k_j = np.zeros(pad_v, np.float64)
+        np.add.at(k_j, qs_g[vq], wq[vq])
+        gj = DG(pull=pull_j, push=push_j,
+                out_degree=jnp.asarray(k_j.astype(np.float32)),
+                in_degree=g.in_degree, num_vertices=n,
+                num_edges=g.num_edges, pmaj=pmaj, pmin=pmin, chunk=chunk)
+        lab, _ = mg_louvain_move_phase(gj, mesh, resolution, max_sweeps=2)
+        lab_full = np.asarray(lab)
+        votes_pull += lab_full[np.clip(ps_g, 0, pad_v - 1)] == \
+            lab_full[np.clip(pd_g, 0, pad_v - 1)]
+        votes_push += lab_full[np.clip(qs_g, 0, pad_v - 1)] == \
+            lab_full[np.clip(qd_g, 0, pad_v - 1)]
+
+    def _reweight(blocks, votes):
+        vv = np.asarray(blocks.valid)
+        frac = min_weight + (1.0 - min_weight) * votes / ensemble_size
+        w = np.where(vv, frac * np.asarray(blocks.weight), 0.0)
+        return EdgeBlocks(src_loc=blocks.src_loc, dst_loc=blocks.dst_loc,
+                          weight=jnp.asarray(w.astype(np.float32)),
+                          valid=blocks.valid)
+
+    pull_w = _reweight(g.pull, votes_pull)
+    push_w = _reweight(g.push, votes_push)
+    wq = np.asarray(push_w.weight)
+    k_new = np.zeros(pad_v, np.float64)
+    np.add.at(k_new, qs_g[vq], wq[vq])
+    k_in = np.zeros(pad_v, np.float64)
+    np.add.at(k_in, qd_g[vq], wq[vq])
+    new_dg = DG(pull=pull_w, push=push_w,
+                out_degree=jnp.asarray(k_new.astype(np.float32)),
+                in_degree=jnp.asarray(k_in.astype(np.float32)),
+                num_vertices=n, num_edges=g.num_edges,
+                pmaj=pmaj, pmin=pmin, chunk=chunk)
+    labels, q = mg_louvain(new_dg, mesh, max_level=max_level,
+                           resolution=resolution, threshold=threshold)
+    return labels, q
 
 
 # ---------------------------------------------------------------------------
@@ -854,7 +1309,7 @@ def mg_k_core(g: DistGraph, mesh, k: int | None = None,
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=32)
-def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n):
+def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
     B = pmin * chunk
     nseg = pmaj * chunk
 
@@ -894,9 +1349,11 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n):
         # -- backward: delta accumulation, levels descending ---------------
         delta0 = jax.lax.pcast(jnp.zeros((chunk,), jnp.float32),
                                (prims.MAJOR, prims.MINOR), to="varying")
+        eacc0 = jax.lax.pcast(jnp.zeros(qg.shape, jnp.float32),
+                              (prims.MAJOR, prims.MINOR), to="varying")
 
         def bwd(state):
-            delta, level = state
+            delta, eacc, level = state
             # per-edge (u → v with dist[v] == dist[u]+1):
             #   contribution to u: (1 + delta[v]) / sigma[v]
             d_blk = prims.gather_minor_block(dist)        # dst values (push)
@@ -906,22 +1363,30 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n):
             dist_seg = prims.gather_major_block(dist)     # src by slot
             ok = qv & (d_blk[qg] == dist_seg[qr] + 1) & \
                 (dist_seg[qr] == level)
-            part = prims.block_segment_reduce(
-                jnp.where(ok, contrib_v[qg], 0.0), qr, nseg, "sum")
+            e_val = jnp.where(ok, contrib_v[qg], 0.0)
+            part = prims.block_segment_reduce(e_val, qr, nseg, "sum")
             acc = prims.scatter_reduce_major_sum(part)
+            if accumulate_edges:
+                # edge betweenness: δ(u→v) = σ[u]·(1+δ[v])/σ[v]
+                sig_seg = prims.gather_major_block(sigma)
+                eacc = eacc + e_val * sig_seg[qr]
             delta = jnp.where(dist == level, sigma * acc, delta)
-            return delta, level - 1
+            return delta, eacc, level - 1
 
         def bwd_cond(state):
-            _, level = state
+            _, _, level = state
             return level >= 0
 
-        delta, _ = jax.lax.while_loop(
-            bwd_cond, bwd, (delta0, max_level - 1))
+        delta, eacc, _ = jax.lax.while_loop(
+            bwd_cond, bwd, (delta0, eacc0, max_level - 1))
         bc = jnp.where((gidx != source) & (dist < INT_INF), delta, 0.0)
+        if accumulate_edges:
+            return bc, eacc[None, None]
         return bc
 
-    return _shard_wrap(mesh, kernel, 6, 0, 1, vertex_spec())
+    out = ((vertex_spec(), edge_spec()) if accumulate_edges
+           else vertex_spec())
+    return _shard_wrap(mesh, kernel, 6, 0, 1, out)
 
 
 def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
@@ -953,6 +1418,64 @@ def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
     if len(sources) < n:
         scale *= n / len(sources)
     return bc * scale
+
+
+def mg_edge_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
+                                   sources=None, normalized: bool = True,
+                                   directed: bool = True, seed: int = 0):
+    """Distributed edge betweenness (reference
+    centrality/betweenness_centrality_impl.cuh:1649 MG path): the Brandes
+    backward sweeps accumulate per-edge δ values directly on the push
+    blocks.  Returns a DataFrame ['src','dst','betweenness_centrality']."""
+    import pandas as pd
+
+    assert g.push is not None, "mg_edge_betweenness needs push blocks"
+    n = g.num_vertices
+    pmaj, pmin, chunk = g.pmaj, g.pmin, g.chunk
+    B = pmin * chunk
+    if sources is None:
+        if k is None:
+            sources = np.arange(n)
+        else:
+            sources = np.random.default_rng(seed).choice(n, size=min(k, n),
+                                                         replace=False)
+    kern = _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n,
+                              accumulate_edges=True)
+    eacc = np.zeros(np.asarray(g.push.weight).shape, np.float64)
+    for s in np.asarray(sources):
+        _, e = kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
+                    g.push.src_loc, g.push.dst_loc, g.push.valid,
+                    jnp.asarray(int(s), jnp.int32))
+        eacc += np.asarray(e, np.float64)
+
+    if normalized:
+        scale = 1.0 / (n * (n - 1)) if n > 1 else 1.0
+        if not directed:
+            scale *= 2.0
+    else:
+        scale = 1.0
+    if len(sources) < n:
+        scale *= n / len(sources)
+
+    # push endpoints → global (src, dst)
+    qg = np.asarray(g.push.src_loc)   # gathered role = dst
+    qr = np.asarray(g.push.dst_loc)   # reduced role = src slot
+    vv = np.asarray(g.push.valid)
+    i_idx = np.arange(pmaj)[:, None, None]
+    j_idx = np.arange(pmin)[None, :, None]
+    dst_g = (i_idx * B + qg)[vv]
+    src_g = (((qr // chunk) * pmin + j_idx) * chunk + qr % chunk)[vv]
+    vals = eacc[vv] * scale
+    df = pd.DataFrame({"src": src_g, "dst": dst_g,
+                       "betweenness_centrality": vals})
+    if not directed:
+        lo = np.minimum(df["src"], df["dst"])
+        hi = np.maximum(df["src"], df["dst"])
+        df = pd.DataFrame({"src": lo, "dst": hi,
+                           "betweenness_centrality": vals})
+        df = df.groupby(["src", "dst"], as_index=False).sum()
+        df["betweenness_centrality"] /= 2.0
+    return df
 
 
 # ---------------------------------------------------------------------------

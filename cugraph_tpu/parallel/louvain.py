@@ -335,9 +335,13 @@ def mg_louvain(g: DistGraph, mesh, max_level: int = 100,
         cl, q = _louvain_one_level(csrc, cdst, cw, nc, resolution)
         if q <= q_prev + threshold:
             break
-        cur = cl[cur]
+        # _coarsen compacts cl; its `compact` maps current-level vertex →
+        # coarse id, which is what `cur` must be composed with (raw cl values
+        # are NOT contiguous — indexing the next level's labels with them
+        # would go out of bounds, cf. algos/community._louvain_levels)
+        csrc, cdst, cw, nc, compact = _coarsen(csrc, cdst, cw, cl)
+        cur = compact[cur]
         q_prev = q
-        csrc, cdst, cw, nc, _ = _coarsen(csrc, cdst, cw, cl)
         if nc <= 1:
             break
     return cur, q_prev

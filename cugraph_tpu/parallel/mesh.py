@@ -65,6 +65,8 @@ def shard_dist_graph(g, mesh: Mesh):
             dst_loc=jax.device_put(b.dst_loc, ee),
             weight=jax.device_put(b.weight, ee),
             valid=jax.device_put(b.valid, ee),
+            etype=None if b.etype is None else jax.device_put(b.etype, ee),
+            etime=None if b.etime is None else jax.device_put(b.etime, ee),
         )
 
     return DistGraph(

@@ -110,6 +110,8 @@ class EdgeBlocks:
     dst_loc: jax.Array  # int32 [pmaj, pmin, E_loc], ∈ [0, pmaj·Vc), sorted
     weight: jax.Array   # float32 [pmaj, pmin, E_loc]
     valid: jax.Array    # bool  [pmaj, pmin, E_loc]
+    etype: jax.Array | None = None  # int32, per-edge type (het sampling)
+    etime: jax.Array | None = None  # float32, per-edge time (temporal)
 
     @property
     def e_local(self) -> int:
@@ -146,13 +148,16 @@ class DistGraph:
 
 
 def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarray,
-                  weight: np.ndarray) -> EdgeBlocks:
+                  weight: np.ndarray, etype: np.ndarray | None = None,
+                  etime: np.ndarray | None = None) -> EdgeBlocks:
     """Bucket edges to devices and build padded, dst-sorted local blocks.
 
     ``minor_end`` plays the gathered role (cuGraph "src"), ``major_end`` the
     reduced role ("dst").  Host-side NumPy: this is the construction path, the
     analog of the reference's shuffle + CSR compression (all-to-all #1 in
-    SURVEY.md §3.2) executed as one pass over the COO list.
+    SURVEY.md §3.2) executed as one pass over the COO list.  ``etype``/
+    ``etime`` (heterogeneous/temporal sampling properties) ride along when
+    given (the numpy path; the native builder covers the property-free case).
     """
     pmaj, pmin = part.pmaj, part.pmin
     i, j = part.edge_device(minor_end, major_end)
@@ -163,8 +168,10 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
                     E_ALIGN)
     from cugraph_tpu.core import native
 
-    res = native.build_blocks_2d_native(minor_end, major_end, weight,
-                                        pmaj, pmin, part.chunk, e_local_n)
+    res = None
+    if etype is None and etime is None:
+        res = native.build_blocks_2d_native(minor_end, major_end, weight,
+                                            pmaj, pmin, part.chunk, e_local_n)
     if res is not None:
         sl, dl, ww, vv = res
         shape = (pmaj, pmin, e_local_n)
@@ -182,6 +189,8 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
     order = np.lexsort((src_loc, dst_loc, dev))
     dev, src_loc, dst_loc = dev[order], src_loc[order], dst_loc[order]
     w = weight[order]
+    et = None if etype is None else np.asarray(etype, np.int32)[order]
+    tm = None if etime is None else np.asarray(etime, np.float32)[order]
 
     counts = np.bincount(dev, minlength=part.num_devices)
     e_local = max(int(round_up(max(counts.max(), 1), E_ALIGN)), E_ALIGN)
@@ -191,6 +200,8 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
     dl = np.full((n_dev, e_local), part.pmaj * part.chunk - 1, np.int32)
     ww = np.zeros((n_dev, e_local), np.float32)
     vv = np.zeros((n_dev, e_local), bool)
+    ee = np.zeros((n_dev, e_local), np.int32) if et is not None else None
+    tt = np.zeros((n_dev, e_local), np.float32) if tm is not None else None
     starts = np.concatenate([[0], np.cumsum(counts)])
     for d in range(n_dev):
         c = counts[d]
@@ -200,12 +211,20 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
             dl[d, :c] = dst_loc[s : s + c]
             ww[d, :c] = w[s : s + c]
             vv[d, :c] = True
+            if ee is not None:
+                ee[d, :c] = et[s : s + c]
+            if tt is not None:
+                tt[d, :c] = tm[s : s + c]
     # keep dst_loc sorted including the padding tail (pad dst = last segment)
     resort = np.argsort(dl, axis=1, kind="stable")
     sl = np.take_along_axis(sl, resort, axis=1)
     dl = np.take_along_axis(dl, resort, axis=1)
     ww = np.take_along_axis(ww, resort, axis=1)
     vv = np.take_along_axis(vv, resort, axis=1)
+    if ee is not None:
+        ee = np.take_along_axis(ee, resort, axis=1)
+    if tt is not None:
+        tt = np.take_along_axis(tt, resort, axis=1)
 
     shape = (pmaj, pmin, e_local)
     return EdgeBlocks(
@@ -213,6 +232,8 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
         dst_loc=jnp.asarray(dl.reshape(shape)),
         weight=jnp.asarray(ww.reshape(shape)),
         valid=jnp.asarray(vv.reshape(shape)),
+        etype=None if ee is None else jnp.asarray(ee.reshape(shape)),
+        etime=None if tt is None else jnp.asarray(tt.reshape(shape)),
     )
 
 
@@ -226,6 +247,8 @@ def build_dist_graph(
     *,
     store_push: bool = True,
     symmetrize: bool = False,
+    edge_type: np.ndarray | None = None,
+    edge_time: np.ndarray | None = None,
 ) -> DistGraph:
     """COO edge list → 2D-partitioned DistGraph (host-side build)."""
     src = np.asarray(src, np.int64)
@@ -235,10 +258,16 @@ def build_dist_graph(
     if symmetrize:
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         w = np.concatenate([w, w])
+        if edge_type is not None:
+            edge_type = np.concatenate([edge_type, edge_type])
+        if edge_time is not None:
+            edge_time = np.concatenate([edge_time, edge_time])
 
     part = Partition2D.create(num_vertices, pmaj, pmin)
-    pull = _build_blocks(part, major_end=dst, minor_end=src, weight=w)
-    push = _build_blocks(part, major_end=src, minor_end=dst, weight=w) if store_push else None
+    pull = _build_blocks(part, major_end=dst, minor_end=src, weight=w,
+                         etype=edge_type, etime=edge_time)
+    push = _build_blocks(part, major_end=src, minor_end=dst, weight=w,
+                         etype=edge_type, etime=edge_time) if store_push else None
 
     out_deg = np.zeros(part.pad_v, np.float32)
     in_deg = np.zeros(part.pad_v, np.float32)

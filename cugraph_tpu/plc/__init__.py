@@ -57,6 +57,10 @@ from cugraph_tpu.plc.algorithms import (
     homogeneous_biased_neighbor_sample,
     heterogeneous_uniform_neighbor_sample,
     heterogeneous_biased_neighbor_sample,
+    homogeneous_uniform_temporal_neighbor_sample,
+    homogeneous_biased_temporal_neighbor_sample,
+    heterogeneous_uniform_temporal_neighbor_sample,
+    heterogeneous_biased_temporal_neighbor_sample,
     negative_sampling,
     generate_rmat_edgelist,
     generate_rmat_edgelists,

@@ -533,6 +533,46 @@ def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
         _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types, **kw)
 
 
+def homogeneous_uniform_temporal_neighbor_sample(
+        resource_handle, graph, start_list, fanout_vals, seed_time=0.0,
+        **kw):
+    """Temporal variant (reference homogeneous_uniform_temporal_neighbor_
+    sample.pyx / temporal_sampling_impl.cuh)."""
+    import cugraph_tpu as ct
+
+    return ct.homogeneous_uniform_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, seed_time=seed_time, **kw)
+
+
+def homogeneous_biased_temporal_neighbor_sample(
+        resource_handle, graph, start_list, fanout_vals, seed_time=0.0,
+        **kw):
+    import cugraph_tpu as ct
+
+    return ct.homogeneous_biased_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, seed_time=seed_time, **kw)
+
+
+def heterogeneous_uniform_temporal_neighbor_sample(
+        resource_handle, graph, start_list, fanout_vals, num_edge_types=None,
+        seed_time=0.0, **kw):
+    import cugraph_tpu as ct
+
+    return ct.heterogeneous_uniform_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types,
+        seed_time=seed_time, **kw)
+
+
+def heterogeneous_biased_temporal_neighbor_sample(
+        resource_handle, graph, start_list, fanout_vals, num_edge_types=None,
+        seed_time=0.0, **kw):
+    import cugraph_tpu as ct
+
+    return ct.heterogeneous_biased_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types,
+        seed_time=seed_time, **kw)
+
+
 def negative_sampling(resource_handle, graph, num_samples, vertices=None,
                       src_bias=None, dst_bias=None, remove_duplicates=True,
                       remove_false_negatives=True, exact_number_of_samples=False,

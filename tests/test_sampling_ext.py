@@ -165,3 +165,137 @@ def test_uniform_sample_with_edge_properties():
     df = ct.uniform_neighbor_sample(G, [0, 1], [2], random_state=0,
                                     with_edge_properties=True)
     assert {"edge_id", "edge_type"} <= set(df.columns)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: biased-temporal SG variants + MG heterogeneous/temporal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+    from cugraph_tpu.parallel import make_mesh_2d
+    assert jax.device_count() >= 8
+    return make_mesh_2d(4, 2, jax.devices()[:8])
+
+
+def _temporal_graph(seed=0, n=40, m=300):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 3.0, len(src)).astype(np.float32)
+    t = rng.uniform(0.0, 10.0, len(src)).astype(np.float32)
+    et = rng.integers(0, 3, len(src)).astype(np.int32)
+    return src, dst, w, t, et, n
+
+
+def test_homogeneous_biased_temporal_sample():
+    import cugraph_tpu as ct
+
+    src, dst, w, t, et, n = _temporal_graph(1)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, w, edge_time=t, renumber=False)
+    df = ct.homogeneous_biased_temporal_neighbor_sample(
+        G, [int(src[0])], [5, 5], seed_time=2.0, random_state=0)
+    assert len(df) > 0
+    # every sampled edge exists and satisfies monotone time
+    eset = {(int(s), int(d)): float(tt)
+            for s, d, tt in zip(src, dst, t)}
+    emax = {}
+    for s, d, tt in zip(src, dst, t):
+        emax[(int(s), int(d))] = max(emax.get((int(s), int(d)), -1), tt)
+    for _, r in df.iterrows():
+        assert (int(r["sources"]), int(r["destinations"])) in eset
+        assert r["edge_time"] > 2.0 or r["hop_id"] > 0
+
+
+def test_heterogeneous_biased_temporal_sample():
+    import cugraph_tpu as ct
+
+    src, dst, w, t, et, n = _temporal_graph(2)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, w, edge_time=t, edge_type=et, renumber=False)
+    df = ct.heterogeneous_biased_temporal_neighbor_sample(
+        G, [int(src[0]), int(src[1])], [3, 3, 3, 2, 2, 2],
+        num_edge_types=3, seed_time=1.0, random_state=0)
+    if len(df):
+        # sampled edges respect their per-type fanout slots
+        assert set(df["hop_id"].unique()) <= {0, 1}
+        assert df["edge_time"].min() > 1.0 or df["hop_id"].max() > 0
+
+
+def test_plc_temporal_entry_points():
+    from cugraph_tpu import plc
+
+    src, dst, w, t, et, n = _temporal_graph(3)
+    rh = plc.ResourceHandle()
+    g = plc.SGGraph(rh, None, np.asarray(src), np.asarray(dst),
+                    weight_array=w, edge_start_time_array=t,
+                    edge_type_array=et)
+    for fn in (plc.homogeneous_uniform_temporal_neighbor_sample,
+               plc.homogeneous_biased_temporal_neighbor_sample):
+        df = fn(rh, g, [int(src[0])], [4], seed_time=0.5, random_state=0)
+        assert df is not None
+    for fn in (plc.heterogeneous_uniform_temporal_neighbor_sample,
+               plc.heterogeneous_biased_temporal_neighbor_sample):
+        df = fn(rh, g, [int(src[0])], [2, 2, 2], num_edge_types=3,
+                seed_time=0.5, random_state=0)
+        assert df is not None
+
+
+def test_mg_heterogeneous_sample_matches_structure(mesh8):
+    from cugraph_tpu.parallel import build_dist_graph, \
+        mg_heterogeneous_neighbor_sample
+
+    src, dst, w, t, et, n = _temporal_graph(4, n=60, m=500)
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=True,
+                         edge_type=et, edge_time=t)
+    df = mg_heterogeneous_neighbor_sample(
+        g, mesh8, [int(src[0]), int(src[5])], [2, 2, 2, 1, 1, 1],
+        num_edge_types=3, seed=0)
+    assert len(df) > 0
+    typed = {}
+    for s, d, tp in zip(src, dst, et):
+        typed.setdefault((int(s), int(d)), set()).add(int(tp))
+    for _, r in df.iterrows():
+        key = (int(r["sources"]), int(r["destinations"]))
+        assert key in typed and int(r["edge_type"]) in typed[key]
+
+
+def test_mg_temporal_sample_monotone(mesh8):
+    from cugraph_tpu.parallel import build_dist_graph, \
+        mg_temporal_neighbor_sample
+
+    src, dst, w, t, et, n = _temporal_graph(5, n=60, m=500)
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=True,
+                         edge_time=t)
+    df = mg_temporal_neighbor_sample(g, mesh8, [int(src[0]), int(src[1])],
+                                     [4, 4], seed_time=2.0, seed=0)
+    eset = set(zip(src.tolist(), dst.tolist()))
+    hop0_t = {}
+    for _, r in df.iterrows():
+        assert (int(r["sources"]), int(r["destinations"])) in eset
+        if r["hop_id"] == 0:
+            assert r["edge_time"] > 2.0
+            hop0_t.setdefault(int(r["destinations"]), set()).add(
+                float(r["edge_time"]))
+    # hop-1 edges must advance past SOME hop-0 arrival time of their source
+    for _, r in df[df["hop_id"] == 1].iterrows():
+        s = int(r["sources"])
+        if s in hop0_t:
+            assert any(r["edge_time"] > tt for tt in hop0_t[s])
+
+
+def test_mg_biased_temporal_sample(mesh8):
+    from cugraph_tpu.parallel import build_dist_graph, \
+        mg_temporal_neighbor_sample
+
+    src, dst, w, t, et, n = _temporal_graph(6, n=50, m=400)
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=True,
+                         edge_time=t)
+    df = mg_temporal_neighbor_sample(g, mesh8, [int(src[0])], [4],
+                                     seed_time=0.0, seed=1, biased=True)
+    if len(df):
+        assert (df["edge_time"] > 0.0).all()
