@@ -141,7 +141,8 @@ class Graph:
         if renumber:
             src_i, dst_i, nmap = renumber_edgelist(src, dst, vertices=vertices)
         else:
-            if not np.issubdtype(np.asarray(src).dtype, np.integer):
+            if (not np.issubdtype(np.asarray(src).dtype, np.integer)
+                    or not np.issubdtype(np.asarray(dst).dtype, np.integer)):
                 raise InvalidInputError("renumber=False requires integer ids")
             if src.size and (src.min(initial=0) < 0 or dst.min(initial=0) < 0):
                 raise InvalidInputError("renumber=False requires non-negative ids")

@@ -39,21 +39,8 @@ int coo_to_csr(const int32_t* major, const int32_t* minor, const float* weight,
     for (int64_t v = sink + 1; v <= pad_v; ++v) offsets[v] = (int32_t)pad_e;
   }
 
-  // scatter minors/weights by major (stable)
-  std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
-  std::vector<int32_t> tmp_minor(m);
-  std::vector<float> tmp_weight(weight ? m : 0);
-  std::vector<int64_t> pos(m);
-  for (int64_t e = 0; e < m; ++e) pos[e] = cur[major[e]]++;
-  for (int64_t e = 0; e < m; ++e) tmp_minor[pos[e]] = minor[e];
-  if (weight)
-    for (int64_t e = 0; e < m; ++e) tmp_weight[pos[e]] = weight[e];
-
-  // pass 2: sort minors within each row (counting sort over the whole minor
-  // domain amortized: radix by minor first would change stability; rows are
-  // short on average — use per-row insertion via a second global counting
-  // sort keyed by (minor) then stable re-scatter by major):
-  // equivalent trick: stable-sort by minor globally, then stable by major.
+  // pass 2: lexicographic (major, minor) order via two stable counting
+  // sorts — stable-sort by minor globally, then stable by major.
   std::vector<int64_t> cnt2(pad_v + 1, 0);
   for (int64_t e = 0; e < m; ++e) cnt2[minor[e] + 1]++;
   for (int64_t v = 0; v < pad_v; ++v) cnt2[v + 1] += cnt2[v];
@@ -61,8 +48,7 @@ int coo_to_csr(const int32_t* major, const int32_t* minor, const float* weight,
   std::vector<int64_t> order1(m);  // positions after sort-by-minor
   for (int64_t e = 0; e < m; ++e) order1[cur2[minor[e]]++] = e;
   // now stable counting sort those by major
-  std::fill(cur.begin(), cur.end(), 0);
-  for (int64_t v = 0; v < pad_v; ++v) cur[v] = cnt[v];
+  std::vector<int64_t> cur(cnt.begin(), cnt.end() - 1);
   for (int64_t i = 0; i < m; ++i) {
     int64_t e = order1[i];
     int64_t p = cur[major[e]]++;

@@ -136,6 +136,25 @@ def renumber_native(src, dst):
     return uniq[:n].copy(), so, do
 
 
+def degrees_native(src, dst, weight, num_vertices):
+    """Native weighted out/in degree accumulation (one pass, ~10× faster than
+    np.add.at); returns (out_deg, in_deg) float32[num_vertices] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    m = src.shape[0]
+    w = None if weight is None else np.ascontiguousarray(weight, np.float32)
+    out_deg = np.empty(num_vertices, np.float32)
+    in_deg = np.empty(num_vertices, np.float32)
+    lib.degrees(_ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+                _ptr(w, ctypes.c_float) if w is not None else None,
+                m, num_vertices,
+                _ptr(out_deg, ctypes.c_float), _ptr(in_deg, ctypes.c_float))
+    return out_deg, in_deg
+
+
 def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,
                            chunk, e_local):
     """Native 2D-partition bucketing; returns (src_loc, dst_loc, w, valid)

@@ -56,8 +56,10 @@ def symmetrize_edgelist(src, dst, weight=None):
     Matches the reference's symmetrize-on-construction for undirected graphs
     (python/cugraph/cugraph/structure/graph_classes.py from_cudf_edgelist with
     symmetrize=True; C++ cpp/src/structure/symmetrize_graph_impl.cuh).
+    Duplicate weights coalesce with MIN, matching symmetrize_df's
+    ``groupby(...).min()`` (structure/symmetrize.py:75).
     """
     s2 = np.concatenate([src, dst])
     d2 = np.concatenate([dst, src])
     w2 = None if weight is None else np.concatenate([weight, weight])
-    return remove_multi_edges(s2, d2, w2, keep="first" if weight is None else "max")
+    return remove_multi_edges(s2, d2, w2, keep="first" if weight is None else "min")

@@ -31,6 +31,10 @@ class NumberMap:
 
     def to_internal(self, external: np.ndarray) -> np.ndarray:
         external = np.asarray(external)
+        if self._sorted_ext.shape[0] == 0:
+            if external.size:
+                raise ValueError(f"vertex ids not in graph: {external[:10]!r}")
+            return np.empty(0, np.int32)
         pos = np.searchsorted(self._sorted_ext, external)
         pos = np.clip(pos, 0, self._sorted_ext.shape[0] - 1)
         found = self._sorted_ext[pos] == external
@@ -44,6 +48,8 @@ class NumberMap:
 
     def contains(self, external: np.ndarray) -> np.ndarray:
         external = np.asarray(external)
+        if self._sorted_ext.shape[0] == 0:
+            return np.zeros(external.shape, bool)
         pos = np.searchsorted(self._sorted_ext, external)
         pos = np.clip(pos, 0, self._sorted_ext.shape[0] - 1)
         return self._sorted_ext[pos] == external

@@ -269,10 +269,16 @@ def build_dist_graph(
     push = _build_blocks(part, major_end=src, minor_end=dst, weight=w,
                          etype=edge_type, etime=edge_time) if store_push else None
 
-    out_deg = np.zeros(part.pad_v, np.float32)
-    in_deg = np.zeros(part.pad_v, np.float32)
-    np.add.at(out_deg, src, w)
-    np.add.at(in_deg, dst, w)
+    from cugraph_tpu.core import native
+
+    res = native.degrees_native(src, dst, w, part.pad_v)
+    if res is not None:
+        out_deg, in_deg = res
+    else:
+        out_deg = np.zeros(part.pad_v, np.float32)
+        in_deg = np.zeros(part.pad_v, np.float32)
+        np.add.at(out_deg, src, w)
+        np.add.at(in_deg, dst, w)
 
     return DistGraph(
         pull=pull,

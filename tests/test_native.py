@@ -113,3 +113,22 @@ def test_build_blocks_2d_native_matches_numpy():
         tb = sorted(zip(sb[d], np.asarray(b.src_loc).reshape(8, -1)[d],
                         np.asarray(b.weight).reshape(8, -1)[d]))
         assert ta == tb
+
+
+def test_degrees_native_matches_numpy():
+    rng = np.random.default_rng(4)
+    n, m = 400, 3000
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.random(m).astype(np.float32)
+    res = native.degrees_native(src, dst, w, n)
+    assert res is not None
+    out_deg, in_deg = res
+    eo = np.zeros(n, np.float32); np.add.at(eo, src, w)
+    ei = np.zeros(n, np.float32); np.add.at(ei, dst, w)
+    np.testing.assert_allclose(out_deg, eo, rtol=1e-6)
+    np.testing.assert_allclose(in_deg, ei, rtol=1e-6)
+    # unweighted
+    out_deg, in_deg = native.degrees_native(src, dst, None, n)
+    np.testing.assert_array_equal(out_deg, np.bincount(src, minlength=n))
+    np.testing.assert_array_equal(in_deg, np.bincount(dst, minlength=n))
