@@ -3,13 +3,13 @@
 Reference: cpp/src/traversal/{bfs_impl.cuh:133-875, sssp_impl.cuh:571,
 k_hop_nbrs_impl.cuh:220}; Python wrappers python/cugraph/cugraph/traversal/.
 
-TPU design: dense bitmap frontiers (see prims/frontier.py) inside a jitted
-``lax.while_loop`` — the equivalent of the reference's bottom-up
-direction-optimizing regime (bfs_impl.cuh:291-300) run unconditionally.  SSSP
-is Bellman-Ford-style full-edge relaxation to a fixpoint (the TPU analog of
-the reference's near/far delta-stepping buckets, sssp_impl.cuh:75-153:
-data-dependent bucketing buys nothing when a full dense sweep saturates HBM
-bandwidth).
+TPU design: both BFS and SSSP pick a per-iteration regime ON DEVICE inside a
+jitted ``lax.while_loop`` — a sparse frontier-packed expansion (static gather
+budget) when the active set is small, a dense one-hot-MXU sweep otherwise.
+BFS mirrors the reference's m_f/m_u direction-optimizing switch
+(bfs_impl.cuh:291-300); SSSP mirrors the near/far delta-stepping buckets
+(sssp_impl.cuh:75-153) with a pending-bitmap + moving threshold instead of
+device-side bucket queues.
 """
 
 from __future__ import annotations
@@ -199,71 +199,134 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
     })
 
 
-@jax.jit
-def _sssp_kernel(g: GraphStructure, source: jax.Array):
-    """Fixpoint edge relaxation; converges in <= n-1 sweeps.
-    Predecessors recovered with a second masked pass per sweep."""
-    pad_v = g.pad_v
-    n = g.num_vertices
-    real = jnp.arange(pad_v) < n
-    ids = jnp.arange(pad_v)
-    csc = g.csc
+@partial(jax.jit, static_argnames=("n", "use_plan", "interpret"))
+def _sssp_kernel_nearfar(g: GraphStructure, plan, source: jax.Array,
+                         delta: jax.Array, n: int, use_plan: bool,
+                         interpret: bool = False):
+    """Near/far delta-stepping SSSP (reference sssp_impl.cuh:75-153,246-247).
 
-    dist0 = jnp.where(ids == source, 0.0, F32_INF).astype(jnp.float32)
-
-    def body(state):
-        dist, _, it = state
-        du = gather_minor(csc, dist)                       # src distances per in-edge
-        cand = jnp.where(du < F32_INF, du + csc.weights, F32_INF)
-        best = segment_reduce_by_major(csc, cand, "min")
-        new_dist = jnp.minimum(dist, jnp.where(real, best, F32_INF))
-        changed = jnp.any(new_dist < dist)
-        return new_dist, changed, it + 1
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < n)
-
-    dist, _, _ = jax.lax.while_loop(
-        cond, body, (dist0, jnp.bool_(True), jnp.int32(0))
-    )
-
-    # predecessor: any in-neighbor u with dist[u] + w == dist[v]
-    du = gather_minor(csc, dist)
-    match = (du + csc.weights == gather_major(csc, dist)) & (du < F32_INF)
-    cand_pred = jnp.where(match, csc.indices, -1)
-    pred = segment_reduce_by_major(csc, cand_pred, "max")
-    pred = jnp.where((dist < F32_INF) & (ids != source) & real, pred, -1)
-    return dist, pred
-
-
-@partial(jax.jit, static_argnames=("n", "interpret"))
-def _sssp_kernel_pallas(plan, source: jax.Array, n: int,
-                        interpret: bool = False):
-    """Bellman-Ford relaxation sweeps as (min, +) one-hot SpMVs.
-    SEMIRING_BIG plays infinity (the kernel's min identity)."""
+    TPU adaptation: instead of device-side bucket queues, a ``pending``
+    bitmap (vertices whose out-edges still need relaxing) and a moving
+    threshold T.  Per iteration, the active set = pending ∩ {dist < T}:
+    * empty       → advance T to min(pending dist) + delta (never an
+                    empty bucket, unlike fixed-stride bucket walks);
+    * small       → sparse relaxation of just the active vertices'
+                    out-edges (frontier-packed CSR gather, static budget —
+                    the same regime machinery as _bfs_kernel_diropt);
+    * large       → dense masked (min,+) sweep: sources outside the
+                    active set contribute the semiring identity.
+    Each relaxation that improves a vertex re-marks it pending, so labels
+    are corrected exactly; the bucket order only reduces wasted sweeps.
+    """
     from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG, spmv_onehot
 
-    pad_v = plan.pad_v
+    pad_v = plan.pad_v if use_plan else g.pad_v
     ids = jnp.arange(pad_v)
     real = ids < n
-    dist0 = jnp.where(ids == source, 0.0, SEMIRING_BIG).astype(jnp.float32)
+    BIG = jnp.float32(SEMIRING_BIG)
+    K = min(_TD_K, pad_v)
+    E_TD = min(_TD_E, int(g.csr.pad_e))
+    offsets = g.csr.offsets
+    indices = g.csr.indices
+    weights = g.csr.weights
+
+    deg_all = (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+    if pad_v > g.pad_v:
+        deg_all = jnp.pad(deg_all, (0, pad_v - g.pad_v))
+    elif pad_v < g.pad_v:
+        deg_all = deg_all[:pad_v]
+
+    dist0 = jnp.where(ids == source, 0.0, BIG).astype(jnp.float32)
+    pending0 = ids == source
+    T0 = jnp.maximum(delta, jnp.float32(1e-30))
+
+    def advance(state):
+        dist, pending, T, it = state
+        lo = jnp.min(jnp.where(pending, dist, BIG))
+        return dist, pending, lo + delta, it + 1
+
+    def sparse_relax(state):
+        dist, pending, T, it = state
+        active = pending & (dist < T)
+        flist = jnp.nonzero(active, size=K, fill_value=pad_v - 1)[0]
+        fvalid = jnp.arange(K) < jnp.sum(active)
+        fdeg = jnp.where(fvalid, jnp.take(deg_all, flist), 0)
+        cum = jnp.cumsum(fdeg)
+        total = cum[-1]
+        e = jnp.arange(E_TD)
+        i = jnp.searchsorted(cum, e, side="right")
+        i_c = jnp.clip(i, 0, K - 1)
+        srcv = jnp.take(flist, i_c)
+        base = jnp.take(offsets, jnp.clip(srcv, 0, g.pad_v - 1))
+        prev = jnp.take(cum, i_c) - jnp.take(fdeg, i_c)
+        eidx = jnp.clip(base + (e - prev), 0, indices.shape[0] - 1)
+        live = e < total
+        dstv = jnp.where(live, jnp.take(indices, eidx), pad_v - 1)
+        cand = jnp.where(live, jnp.take(dist, srcv) + jnp.take(weights, eidx),
+                         BIG)
+        new_dist = dist.at[jnp.clip(dstv, 0, pad_v - 1)].min(cand)
+        new_dist = jnp.where(real, new_dist, BIG)
+        improved = new_dist < dist
+        pending = (pending & ~active) | improved
+        return new_dist, pending, T, it + 1
+
+    if use_plan:
+        def dense_relax(state):
+            dist, pending, T, it = state
+            active = pending & (dist < T)
+            x = jnp.where(active, dist, BIG)
+            y = spmv_onehot(plan, x, reduce="min", combine="add",
+                            precision="split", interpret=interpret)
+            new_dist = jnp.minimum(dist, jnp.where(real, y, BIG))
+            improved = new_dist < dist
+            pending = (pending & ~active) | improved
+            return new_dist, pending, T, it + 1
+    else:
+        csc = g.csc
+
+        def dense_relax(state):
+            dist, pending, T, it = state
+            active = pending & (dist < T)
+            x = jnp.where(active, dist, BIG)
+            du = gather_minor(csc, x)
+            cand = jnp.where(du < BIG, du + csc.weights, BIG)
+            best = segment_reduce_by_major(csc, cand, "min")
+            new_dist = jnp.minimum(dist, jnp.where(real, best, BIG))
+            improved = new_dist < dist
+            pending = (pending & ~active) | improved
+            return new_dist, pending, T, it + 1
 
     def body(state):
-        dist, _, it = state
-        y = spmv_onehot(plan, dist, reduce="min", combine="add",
-                        precision="split", interpret=interpret)
-        new = jnp.minimum(dist, jnp.where(real, y, SEMIRING_BIG))
-        return new, jnp.any(new < dist), it + 1
+        dist, pending, T, it = state
+        active = pending & (dist < T)
+        n_act = jnp.sum(active)
+        m_f = jnp.sum(jnp.where(active, deg_all, 0))
+        branch = jnp.where(n_act == 0, 0,
+                           jnp.where((n_act <= K) & (m_f <= E_TD), 1, 2))
+        return jax.lax.switch(branch, [advance, sparse_relax, dense_relax],
+                              state)
 
     def cond(state):
-        _, changed, it = state
-        return changed & (it < n)
+        _, pending, _, it = state
+        return jnp.any(pending) & (it < 4 * n + 16)
 
-    dist, _, _ = jax.lax.while_loop(
-        cond, body, (dist0, jnp.bool_(True), jnp.int32(0))
-    )
+    dist, _, _, _ = jax.lax.while_loop(
+        cond, body, (dist0, pending0, T0, jnp.int32(0)))
     return dist
+
+
+def _sssp_delta(G) -> float:
+    """Reference delta heuristic (sssp_impl.cuh:233-247):
+    delta = 32 · average_edge_weight / average_vertex_degree."""
+    src, _, w = G.edgelist_arrays()
+    m = len(src)
+    n = G.number_of_vertices()
+    if m == 0 or n == 0:
+        return 1.0
+    avg_w = 1.0 if w is None else float(np.mean(w))
+    avg_deg = m / n
+    d = 32.0 * avg_w / max(avg_deg, 1e-30)
+    return d if d > 0 else 1.0
 
 
 def _sssp_pred_host(G, dist32: np.ndarray, source: int, n: int) -> np.ndarray:
@@ -297,20 +360,19 @@ def sssp(G, source, cutoff=None, method=None):
         src_, dst_, w_ = G.edgelist_arrays()
         if w_ is not None and np.any(w_ < 0):
             raise ValueError("sssp requires non-negative weights")
-    if use_pallas(G):
-        from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
 
+    delta = jnp.float32(_sssp_delta(G))
+    if use_pallas(G):
         plan = get_pull_plan(G)
-        dist32 = np.asarray(_sssp_kernel_pallas(plan, jnp.int32(s), n))
-        dist32 = np.where(dist32 >= SEMIRING_BIG / 2, F32_INF,
-                          dist32).astype(np.float32)
-        pred = _sssp_pred_host(G, dist32, s, n)
-        dist = dist32[:n].astype(np.float64)
+        d32 = np.asarray(_sssp_kernel_nearfar(G.structure, plan, jnp.int32(s),
+                                              delta, n, True))
     else:
-        g = G.structure
-        dist, pred = _sssp_kernel(g, jnp.int32(s))
-        dist = np.asarray(dist)[:n].astype(np.float64)
-        pred = np.array(pred)[:n]  # writable copy
+        d32 = np.asarray(_sssp_kernel_nearfar(G.structure, None, jnp.int32(s),
+                                              delta, n, False))
+    dist32 = np.where(d32 >= SEMIRING_BIG / 2, F32_INF, d32).astype(np.float32)
+    pred = _sssp_pred_host(G, dist32, s, n)
+    dist = dist32[:n].astype(np.float64)
     if cutoff is not None:
         over = dist > cutoff
         dist[over] = np.float64(F32_INF)

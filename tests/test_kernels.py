@@ -165,8 +165,8 @@ def test_bfs_pallas_matches_xla():
 
 def test_sssp_pallas_matches_xla():
     import cugraph_tpu
-    from cugraph_tpu.algos.traversal import _sssp_kernel_pallas, \
-        _sssp_pred_host, F32_INF
+    from cugraph_tpu.algos.traversal import _sssp_kernel_nearfar, \
+        _sssp_pred_host, _sssp_delta, F32_INF
     from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
 
     src, dst, w = _rand_graph(100, 420, 2, weighted=True)
@@ -178,8 +178,9 @@ def test_sssp_pallas_matches_xla():
     n = G.number_of_vertices()
     isrc, idst, iw = G.edgelist_arrays()
     plan = build_spmv_plan(isrc, idst, iw, n)
-    dist = np.asarray(_sssp_kernel_pallas(plan, jnp.int32(s), n,
-                                          interpret=True))
+    dist = np.asarray(_sssp_kernel_nearfar(
+        G.structure, plan, jnp.int32(s), jnp.float32(_sssp_delta(G)), n,
+        True, interpret=True))
     dist = np.where(dist >= SEMIRING_BIG / 2, F32_INF, dist).astype(np.float32)
     pred = _sssp_pred_host(G, dist, s, n)
 
