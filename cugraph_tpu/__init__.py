@@ -13,7 +13,7 @@ class built from edge lists plus one function per algorithm.
 
 from cugraph_tpu.api.graph import Graph, MultiGraph, DiGraph
 from cugraph_tpu.api import exceptions
-from cugraph_tpu.api.exceptions import FailedToConvergeError
+from cugraph_tpu.api.exceptions import (CugraphTpuError, FailedToConvergeError, InvalidInputError)
 
 from cugraph_tpu import algos
 from cugraph_tpu import datasets

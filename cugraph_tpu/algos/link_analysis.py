@@ -106,6 +106,36 @@ def _pagerank_kernel_pallas(
     )
 
 
+def _pagerank_spilled(plan, inv_out, is_dangling, reset, dangling_w, p0,
+                      alpha, tol, max_iter: int, n: int,
+                      interpret: bool = False):
+    """Power iteration with the HOST-SPILLED plan (kernels/spill.py): the
+    edge tiles stream through HBM chunk by chunk, so graphs whose plan
+    exceeds device memory still run (large_buffer_manager.hpp:28-60 analog).
+    The loop lives on host — one spmv_spilled per iteration — because the
+    chunk stream itself is a host loop."""
+    from cugraph_tpu.kernels.spill import spmv_spilled
+
+    real = jnp.arange(plan.pad_v) < n
+    p = jnp.asarray(p0)
+    err = jnp.asarray(jnp.inf, p.dtype)
+    it = 0
+    while it < max_iter:
+        scaled = p * inv_out
+        dangling_sum = jnp.sum(jnp.where(is_dangling, p, 0.0))
+        pulled = spmv_spilled(plan, scaled, precision="split",
+                              interpret=interpret)
+        p_new = alpha * (pulled + dangling_sum * dangling_w) \
+            + (1.0 - alpha) * reset
+        p_new = jnp.where(real, p_new, 0.0)
+        err = jnp.sum(jnp.abs(p_new - p))
+        p = p_new
+        it += 1
+        if float(err) < float(tol):
+            break
+    return p, err, it
+
+
 def _get_pull_plan(G):
     from cugraph_tpu.kernels.dispatch import get_pull_plan
 
@@ -137,8 +167,13 @@ def pagerank(
     """
     n = G.number_of_vertices()
     use_pallas = _use_pallas(G)
+    spilled = False
     if use_pallas:
-        plan = _get_pull_plan(G)
+        from cugraph_tpu.kernels.dispatch import (get_pull_plan_spilled,
+                                                  plan_needs_spill)
+
+        spilled = plan_needs_spill(G)
+        plan = get_pull_plan_spilled(G) if spilled else _get_pull_plan(G)
         pad_v = plan.pad_v
     else:
         g = G.structure
@@ -171,7 +206,8 @@ def pagerank(
         from cugraph_tpu.kernels.dispatch import out_weight_vectors
 
         inv_out, is_dang = out_weight_vectors(G, pad_v)
-        p, err, iters = _pagerank_kernel_pallas(
+        kern = _pagerank_spilled if spilled else _pagerank_kernel_pallas
+        p, err, iters = kern(
             plan, jnp.asarray(inv_out), jnp.asarray(is_dang),
             jnp.asarray(reset), jnp.asarray(dang), jnp.asarray(p0),
             jnp.float32(alpha), jnp.float32(tol), int(max_iter), n,

@@ -54,6 +54,7 @@ class Graph:
         self._spmv_plan_pull = None
         self._spmv_plan_push = None
         self._spmv_plan_sym = None
+        self._spmv_plan_pull_spilled = None
 
     # -- construction ---------------------------------------------------------
 

@@ -27,6 +27,46 @@ def use_pallas(G) -> bool:
     return spmv_available() and G.number_of_edges() >= pallas_min_edges()
 
 
+def spill_budget_bytes():
+    """Per-invocation HBM budget for edge-tile plans.  Above it the plan
+    spills to host and streams (kernels/spill.py — the large_buffer_manager
+    analog, reference large_buffer_manager.hpp:28-60).  Explicit via
+    CUGRAPH_TPU_SPILL_BYTES; else half the device limit when known."""
+    v = os.environ.get("CUGRAPH_TPU_SPILL_BYTES")
+    if v:
+        return int(v)
+    from cugraph_tpu.utils.memory import device_memory_stats
+
+    limit = device_memory_stats()["bytes_limit"]
+    if limit and limit > 0:
+        return int(limit * 0.5)
+    return None
+
+
+def plan_needs_spill(G) -> bool:
+    budget = spill_budget_bytes()
+    if budget is None:
+        return False
+    src, _, _ = G.edgelist_arrays()
+    est = int(len(src) * 12 * 1.3)  # 3 f32/i32 lanes per edge + tile padding
+    return est > budget
+
+
+def get_pull_plan_spilled(G):
+    """Host-resident chunked pull plan (cached)."""
+    plan = getattr(G, "_spmv_plan_pull_spilled", None)
+    if plan is None:
+        from cugraph_tpu.kernels.spill import build_spilled_spmv_plan
+
+        budget = spill_budget_bytes() or (256 << 20)
+        src, dst, w = G.edgelist_arrays()
+        plan = build_spilled_spmv_plan(
+            src, dst, w, G.number_of_vertices(),
+            max_chunk_bytes=max(budget // 4, 1 << 20))
+        G._spmv_plan_pull_spilled = plan
+    return plan
+
+
 def get_pull_plan(G):
     """Plan computing y[dst] = Σ w·x[src] (the pull SpMV)."""
     plan = getattr(G, "_spmv_plan_pull", None)

@@ -77,11 +77,14 @@ def _round_up(x, m):
 
 
 def build_spmv_plan(src, dst, weight, num_vertices: int,
-                    yb_rows: int = DEFAULT_YB_ROWS) -> SpmvPlan:
+                    yb_rows: int = DEFAULT_YB_ROWS,
+                    device_arrays: bool = True) -> SpmvPlan:
     """Host-side tiling.  src/dst int arrays, weight float or None.
 
     Pure vectorized NumPy; the analog of the reference's one-time CSR
     compression + segment bookkeeping (create_graph_from_edgelist_impl.cuh).
+    ``device_arrays=False`` keeps the tile arrays as host NumPy (for the
+    spill path, kernels/spill.py, where the plan exceeds HBM).
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -99,15 +102,17 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     ybv = yb_rows * 128                      # vertices per y block
     n_yblocks = max(_round_up(n_rows, yb_rows) // yb_rows, 1)
 
+    conv = jnp.asarray if device_arrays else np.asarray
+
     if m == 0:
         # one empty tile PER y block so every output block gets zero-inited
         t = n_yblocks
         return SpmvPlan(
-            src_rel=jnp.zeros((t * 8, 128), jnp.int32),
-            dst_full=jnp.zeros((t * 8, 128), jnp.int32),
-            weight=jnp.full((t * 8, 128), np.nan, jnp.float32),
-            xwin_blk=jnp.zeros((t,), jnp.int32),
-            yblk=jnp.arange(t, dtype=jnp.int32),
+            src_rel=conv(np.zeros((t * 8, 128), np.int32)),
+            dst_full=conv(np.zeros((t * 8, 128), np.int32)),
+            weight=conv(np.full((t * 8, 128), np.nan, np.float32)),
+            xwin_blk=conv(np.zeros((t,), np.int32)),
+            yblk=conv(np.arange(t, dtype=np.int32)),
             num_vertices=num_vertices, n_rows=n_rows, yb_rows=yb_rows,
             n_yblocks=n_yblocks, num_tiles=t,
         )
@@ -218,11 +223,11 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         T += pad_tiles
 
     return SpmvPlan(
-        src_rel=jnp.asarray(src_rel),
-        dst_full=jnp.asarray(dst_full),
-        weight=jnp.asarray(weight_a),
-        xwin_blk=jnp.asarray(xwin_blk),
-        yblk=jnp.asarray(yblk_arr),
+        src_rel=conv(src_rel),
+        dst_full=conv(dst_full),
+        weight=conv(weight_a),
+        xwin_blk=conv(xwin_blk),
+        yblk=conv(yblk_arr),
         num_vertices=num_vertices,
         n_rows=n_rows,
         yb_rows=yb_rows,
@@ -359,11 +364,14 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
 
     interpret = interpret or _interpret_forced()
     n_rows, yb = plan.n_rows, plan.yb_rows
-    x2 = x.reshape(n_rows, 128)
+    # x rows come from x itself (≥ plan.n_rows·128): a spilled/chunked plan
+    # (kernels/spill.py) writes only its own y-block span but reads the FULL
+    # x, so the two row counts are deliberately decoupled
+    x2 = x.reshape(-1, 128)
     # pad x rows to full windows so the x BlockSpec never over-reads
-    xw_rows = _round_up(n_rows, 128)
-    if xw_rows != n_rows:
-        x2 = jnp.pad(x2, ((0, xw_rows - n_rows), (0, 0)))
+    xw_rows = _round_up(x2.shape[0], 128)
+    if xw_rows != x2.shape[0]:
+        x2 = jnp.pad(x2, ((0, xw_rows - x2.shape[0]), (0, 0)))
     yb_pad_rows = plan.n_yblocks * yb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
