@@ -195,3 +195,100 @@ def test_induced_subgraph_empty_edge_graph():
                     vertices=np.arange(3), renumber=False)
     df, offs = ct.induced_subgraph(G, [0, 1])
     assert len(df) == 0
+
+
+def test_pm_repulsion_matches_exact():
+    """Particle-mesh far-field repulsion tracks the exact pairwise force."""
+    import jax.numpy as jnp
+    from cugraph_tpu.algos.layout import _exact_repulsion, _pm_repulsion
+
+    rng = np.random.default_rng(7)
+    n = 768
+    # clustered positions — the hard case for centroid approximations
+    centers = rng.uniform(-100, 100, (8, 2))
+    pos = (centers[rng.integers(0, 8, n)]
+           + rng.normal(0, 5.0, (n, 2))).astype(np.float32)
+    deg = rng.integers(1, 20, n).astype(np.float32)
+    real = np.ones(n, np.float32)
+    exact = np.asarray(_exact_repulsion(
+        jnp.asarray(pos), jnp.asarray(deg), jnp.asarray(real),
+        jnp.float32(2.0)))
+    pm = np.asarray(_pm_repulsion(
+        jnp.asarray(pos), jnp.asarray(deg), jnp.asarray(real), 64,
+        jnp.float32(2.0)))
+    num = np.linalg.norm(pm - exact, axis=1)
+    den = np.linalg.norm(exact, axis=1) + 1e-6
+    # per-vertex relative error is ill-conditioned where exact forces nearly
+    # cancel; judge by the median and the magnitude-weighted total error
+    assert np.median(num / den) < 0.02
+    assert num.sum() / den.sum() < 0.03
+
+
+def test_pm_repulsion_window_overflow_degrades_gracefully():
+    """A single dense blob larger than the Morton window must fall back to
+    the residual-mass centroid path, not double-count or explode."""
+    import jax.numpy as jnp
+    from cugraph_tpu.algos.layout import _exact_repulsion, _pm_repulsion
+
+    rng = np.random.default_rng(3)
+    n = 2048  # chunk + 2*halo == 2048: same-cell members can overflow
+    pos = rng.normal(0, 1.0, (n, 2)).astype(np.float32)
+    pos[:1500] = rng.normal(0, 0.01, (1500, 2))  # blob in one fine cell
+    deg = np.ones(n, np.float32)
+    real = np.ones(n, np.float32)
+    exact = np.asarray(_exact_repulsion(
+        jnp.asarray(pos), jnp.asarray(deg), jnp.asarray(real),
+        jnp.float32(2.0)))
+    pm = np.asarray(_pm_repulsion(
+        jnp.asarray(pos), jnp.asarray(deg), jnp.asarray(real), 16,
+        jnp.float32(2.0)))
+    assert np.isfinite(pm).all()
+    num = np.linalg.norm(pm - exact, axis=1)
+    den = np.linalg.norm(exact, axis=1) + 1e-6
+    assert num.sum() / den.sum() < 0.5  # approximate but bounded
+
+
+def test_force_atlas2_pm_layout_quality():
+    """PM path produces a layout equivalent to the exact path: pairwise
+    distance structure must correlate (rotation/reflection invariant)."""
+    Gnx = nx.connected_caveman_graph(6, 8)
+    G, _ = build_pair(Gnx)
+    df_ex = ctpu.force_atlas2(G, max_iter=150, random_state=11)
+    df_pm = ctpu.force_atlas2(G, max_iter=150, random_state=11,
+                              barnes_hut_optimize=True)
+    assert np.isfinite(df_pm[["x", "y"]].to_numpy()).all()
+
+    def pdists(df):
+        p = df.sort_values("vertex")[["x", "y"]].to_numpy()
+        d = np.sqrt(((p[:, None] - p[None, :]) ** 2).sum(-1))
+        return d[np.triu_indices(len(p), 1)]
+
+    a, b = pdists(df_ex), pdists(df_pm)
+    r = np.corrcoef(a, b)[0, 1]
+    assert r > 0.7, r
+
+
+def test_force_atlas2_pm_scale_smoke():
+    """PM path runs on a graph the exact path would need a 64M-entry
+    pairwise matrix for, and keeps clusters coherent."""
+    rng = np.random.default_rng(0)
+    n_comm, sz = 40, 50  # 2000 vertices, auto threshold not hit: force PM
+    src, dst = [], []
+    for c in range(n_comm):
+        base = c * sz
+        s = rng.integers(0, sz, 300) + base
+        d = rng.integers(0, sz, 300) + base
+        src.append(s); dst.append(d)
+    src, dst = np.concatenate(src), np.concatenate(dst)
+    keep = src != dst
+    G = ctpu.Graph()
+    G.from_edgelist(src[keep], dst[keep], None)
+    df = ctpu.force_atlas2(G, max_iter=60, barnes_hut_optimize=True)
+    assert np.isfinite(df[["x", "y"]].to_numpy()).all()
+    pos = df.sort_values("vertex")[["x", "y"]].to_numpy()
+    # mean intra-community distance well under the global spread
+    intra = np.mean([np.linalg.norm(pos[c * sz:(c + 1) * sz]
+                                    - pos[c * sz:(c + 1) * sz].mean(0), axis=1).mean()
+                     for c in range(n_comm)])
+    spread = np.mean(np.linalg.norm(pos - pos.mean(0), axis=1))
+    assert intra < spread * 0.8
