@@ -14,6 +14,7 @@ reference's MG tests gather-to-one-GPU and re-run SG
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import lru_cache, partial
 
 import jax
@@ -897,9 +898,13 @@ def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
 
 # ---------------------------------------------------------------------------
 # Distributed similarity (Jaccard/Sørensen/overlap/cosine) for vertex pairs.
-# Common-neighbor counts via one batched SpMM: cn(u,v) = (A·1_u)[v] summed
-# over the batch — the dense analog of the reference's MG nbr_intersection
-# adjacency gathers (prims/detail/nbr_intersection.cuh).
+# Common-neighbor counts via a distributed sorted-adjacency intersection:
+# the neighbor space is partitioned over devices (k % P — hub adjacency
+# lists split across ALL devices, inherent load balance), each device
+# binary-searches its sorted block for every pair, and counts psum over the
+# mesh.  O(E·local_max_deg·log) total work — the distributed analog of the
+# reference's nbr_intersection (prims/detail/nbr_intersection.cuh), replacing
+# the earlier O(E²/batch) whole-graph SpMM sweeps.
 # ---------------------------------------------------------------------------
 
 def _mg_out_degree_counts(g: DistGraph):
@@ -916,28 +921,123 @@ def _mg_out_degree_counts(g: DistGraph):
     return counts
 
 
-def _mg_common_neighbors(g: DistGraph, mesh, firsts, seconds, batch: int = 512):
-    """Out-neighbor intersections |N(u) ∩ N(v)| per pair, computed as ONE
-    [pad_v, 2·batch]-wide binary SpMM over the mesh (u-indicators in the
-    first half of the columns, v-indicators in the second)."""
-    from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
+@dataclass(frozen=True)
+class _IntersectCtx:
+    """Per-DistGraph distributed intersection context: each device's slice of
+    the (u, k)-sorted out-adjacency restricted to its neighbor shard."""
 
+    nbr: jax.Array        # int32 [pmaj, pmin, e_blk]  k, sorted by (u, k)
+    offsets: jax.Array    # int32 [pmaj, pmin, pad_v+1] per-u segment bounds
+    alive_all: jax.Array  # bool  [pmaj, pmin, e_blk]  real (non-padding) slots
+    pair_key: np.ndarray  # int64 host [P, e_blk] min(u,k)·pad_v+max(u,k); -1 pad
+    max_deg: int
+    e_blk: int
+
+
+def _mg_intersect_ctx(g: DistGraph) -> _IntersectCtx:
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    cached = getattr(g, "_isect_ctx", None)
+    if cached is not None:
+        return cached
+    src, dst, _ = _gather_edges_host(g)
+    P_n = g.pmaj * g.pmin
+    pad_v = g.pad_v
+    dev = dst % P_n
+    order = np.lexsort((dst, src, dev))
+    s, d_, dv = src[order], dst[order], dev[order]
+    counts = np.bincount(dv, minlength=P_n)
+    e_blk = max(int(counts.max()), 1)
+    nbr = np.full((P_n, e_blk), -1, np.int32)
+    off = np.zeros((P_n, pad_v + 1), np.int32)
+    pk = np.full((P_n, e_blk), -1, np.int64)
+    start = np.concatenate([[0], np.cumsum(counts)])
+    maxdeg = 1
+    for p in range(P_n):
+        ss = s[start[p]:start[p + 1]]
+        dd = d_[start[p]:start[p + 1]]
+        nbr[p, :len(ss)] = dd
+        off[p] = np.searchsorted(ss, np.arange(pad_v + 1))
+        if len(ss):
+            maxdeg = max(maxdeg, int(np.diff(off[p]).max()))
+        lo = np.minimum(ss, dd)
+        hi = np.maximum(ss, dd)
+        pk[p, :len(ss)] = lo * np.int64(pad_v) + hi
+    ctx = _IntersectCtx(
+        nbr=jnp.asarray(nbr.reshape(g.pmaj, g.pmin, e_blk)),
+        offsets=jnp.asarray(off.reshape(g.pmaj, g.pmin, pad_v + 1)),
+        alive_all=jnp.asarray((pk >= 0).reshape(g.pmaj, g.pmin, e_blk)),
+        pair_key=pk, max_deg=maxdeg, e_blk=e_blk)
+    object.__setattr__(g, "_isect_ctx", ctx)
+    return ctx
+
+
+@lru_cache(maxsize=32)
+def _mg_isect_kernel(mesh, max_deg: int):
+    """Pair-intersection counts: each device intersects within its neighbor
+    shard (32-step branch-free binary search, prims/intersection.py design),
+    psum over the mesh."""
+
+    def kernel(nbr_a, off_a, alive_a, us, vs):
+        nbr = nbr_a[0, 0]
+        off = off_a[0, 0]
+        alive = alive_a[0, 0]
+        last = nbr.shape[0] - 1
+        base_u = jnp.take(off, us)
+        deg_u = jnp.take(off, us + 1) - base_u
+        k = jnp.arange(max_deg, dtype=jnp.int32)
+        eidx = base_u[:, None] + k[None, :]
+        valid = k[None, :] < deg_u[:, None]
+        eidx_c = jnp.clip(eidx, 0, last)
+        ks = jnp.take(nbr, eidx_c)
+        a_u = jnp.take(alive, eidx_c) & valid
+
+        lo = jnp.broadcast_to(jnp.take(off, vs)[:, None], ks.shape)
+        hi0 = jnp.broadcast_to(jnp.take(off, vs + 1)[:, None], ks.shape)
+
+        def body(_, st):
+            lo, hi = st
+            mid = (lo + hi) >> 1
+            val = jnp.take(nbr, jnp.clip(mid, 0, last))
+            right = (val < ks) & (lo < hi)
+            lo = jnp.where(right, mid + 1, lo)
+            hi = jnp.where(right | (lo >= hi), hi, mid)
+            return lo, hi
+
+        lo, _ = jax.lax.fori_loop(0, 32, body, (lo, hi0))
+        val = jnp.take(nbr, jnp.clip(lo, 0, last))
+        found = (lo < hi0) & (val == ks)
+        a_v = jnp.take(alive, jnp.clip(lo, 0, last))
+        cnt = jnp.sum((found & a_u & a_v).astype(jnp.int32), axis=1)
+        return jax.lax.psum(cnt, ("major", "minor"))
+
+    es = edge_spec()
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh, in_specs=(es, es, es, P(), P()), out_specs=P()))
+
+
+def _mg_common_neighbors(g: DistGraph, mesh, firsts, seconds,
+                         batch: int = 4096, alive=None):
+    """Out-neighbor intersections |N(u) ∩ N(v)| per pair via the distributed
+    sorted-adjacency context.  ``alive`` optionally masks edges (k-truss
+    peeling) — shape [pmaj, pmin, e_blk] bool."""
+    ctx = _mg_intersect_ctx(g)
+    kern = _mg_isect_kernel(mesh, ctx.max_deg)
+    if alive is None:
+        alive = ctx.alive_all
     firsts = np.asarray(firsts, np.int64)
     seconds = np.asarray(seconds, np.int64)
     out = np.zeros(len(firsts), np.float64)
-    spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
-    binary_w = g.pull.valid.astype(jnp.float32)  # hoisted, loop-invariant
     for lo in range(0, len(firsts), batch):
         u = firsts[lo: lo + batch]
         v = seconds[lo: lo + batch]
         P_ = len(u)
-        onehot = np.zeros((g.pad_v, 2 * P_), np.float32)
-        onehot[u, np.arange(P_)] = 1.0
-        onehot[v, P_ + np.arange(P_)] = 1.0
-        X = shard_vertex_data(mesh, jnp.asarray(onehot))
-        # Z[w, p] > 0  ⟺  w has an in-edge from the p-th indicator vertex
-        Z = np.asarray(spmm(g.pull.src_loc, g.pull.dst_loc, binary_w, X))
-        out[lo: lo + batch] = np.sum((Z[:, :P_] > 0) & (Z[:, P_:] > 0), axis=0)
+        if P_ < batch:  # pad to the jitted batch shape
+            u = np.concatenate([u, np.zeros(batch - P_, np.int64)])
+            v = np.concatenate([v, np.zeros(batch - P_, np.int64)])
+        cnt = kern(ctx.nbr, ctx.offsets, alive,
+                   jnp.asarray(u, jnp.int32), jnp.asarray(v, jnp.int32))
+        out[lo: lo + batch] = np.asarray(cnt)[:P_]
     return out
 
 
@@ -1596,15 +1696,15 @@ def mg_strongly_connected_components(g: DistGraph, mesh,
     return labels
 
 
-def mg_triangle_count(g: DistGraph, mesh, batch: int = 1024):
+def mg_triangle_count(g: DistGraph, mesh, batch: int = 4096):
     """Distributed per-vertex triangle counts on a symmetrized graph.
 
-    t(v) = ½ Σ_{(v,u)∈E} |N(v) ∩ N(u)| with intersections computed as
-    batched one-hot SpMMs over the mesh (the dense analog of the reference's
-    MG nbr_intersection gathers, community/triangle_count_impl.cuh:124).
-    Cost: O(E/batch) SpMM passes of width `batch` — quadratic-ish in E/V, so
-    suited to moderate edge counts; the SG path is cheaper per edge when the
-    graph fits one chip."""
+    t(v) = ½ Σ_{(v,u)∈E} |N(v) ∩ N(u)| with intersections computed by the
+    distributed sorted-adjacency context (_mg_intersect_ctx): neighbor space
+    sharded over devices, binary-search membership per device, psum — the
+    analog of the reference's MG nbr_intersection
+    (community/triangle_count_impl.cuh:124), at O(E·local_max_deg·log V)
+    total work instead of the earlier O(E²/batch) SpMM sweeps."""
     from cugraph_tpu.parallel.louvain import _gather_edges_host
 
     src, dst, _ = _gather_edges_host(g)
@@ -1617,40 +1717,45 @@ def mg_triangle_count(g: DistGraph, mesh, batch: int = 1024):
     return counts // 2
 
 
-def mg_k_truss(g: DistGraph, mesh, k: int, batch: int = 1024,
+def mg_k_truss(g: DistGraph, mesh, k: int, batch: int = 4096,
                max_rounds: int = 50):
     """Distributed k-truss subgraph: iteratively drop edges whose triangle
     support < k−2 (reference community/k_truss_impl.cuh:166 peeling).
 
-    Support is recomputed per round with the batched one-hot SpMM
-    intersections restricted to the surviving edge set — O(rounds · E/batch)
-    SpMM passes, suited to moderate edge counts (the reference's MG path pays
-    the same asymptotics through nbr_intersection gathers).
+    Peeling updates a per-device ALIVE mask over the intersection context —
+    no graph rebuild between rounds: support is recounted with surviving
+    edges only (a common neighbor k counts iff both {u,k} and {v,k} pairs
+    survive), matching the reference's edge-masked nbr_intersection.
     Returns (src, dst, w) of the k-truss in global ids."""
     from cugraph_tpu.parallel.louvain import _gather_edges_host
-    from cugraph_tpu.parallel.partition import build_dist_graph
 
     src, dst, w = _gather_edges_host(g)
     keep_pair = src < dst
     su, du, wu = src[keep_pair], dst[keep_pair], w[keep_pair]
+    ctx = _mg_intersect_ctx(g)
+    # local edge slot -> undirected pair index (self-loops & padding -> -1)
+    pair_keys = su * np.int64(g.pad_v) + du
+    order = np.argsort(pair_keys)
+    sorted_keys = pair_keys[order]
+    pos = np.searchsorted(sorted_keys, ctx.pair_key)
+    pos_c = np.clip(pos, 0, len(sorted_keys) - 1)
+    matched = (len(sorted_keys) > 0) & (sorted_keys[pos_c] == ctx.pair_key)
+    slot_pair = np.where(matched, order[pos_c], -1)
+
     alive = np.ones(len(su), bool)
-    cur = g
     for _ in range(max_rounds):
         if not alive.any():
             break
+        alive_ext = np.concatenate([alive, [False]])  # slot_pair=-1 -> dead
+        alive_dev = jnp.asarray(
+            alive_ext[slot_pair].reshape(g.pmaj, g.pmin, ctx.e_blk))
         cn = np.zeros(len(su))
-        cn[alive] = _mg_common_neighbors(cur, mesh, su[alive], du[alive],
-                                         batch=batch)
+        cn[alive] = _mg_common_neighbors(g, mesh, su[alive], du[alive],
+                                         batch=batch, alive=alive_dev)
         drop = alive & (cn < (k - 2))
         if not drop.any():
             break
         alive &= ~drop
-        # rebuild the surviving symmetric graph for the next support pass
-        ss = np.concatenate([su[alive], du[alive]])
-        dd = np.concatenate([du[alive], su[alive]])
-        ww = np.concatenate([wu[alive], wu[alive]])
-        cur = build_dist_graph(ss, dd, ww, g.num_vertices, g.pmaj, g.pmin,
-                               store_push=False)
     return su[alive], du[alive], wu[alive]
 
 
