@@ -67,6 +67,21 @@ def get_pull_plan_spilled(G):
     return plan
 
 
+AUTOTUNE_MIN_EDGES = 1_000_000  # below this the default windows are fine
+
+
+def _plan_windows(src, dst, n):
+    """Autotuned (src_win, dst_win) for big graphs (estimate_windows cost
+    model); defaults otherwise.  CUGRAPH_TPU_AUTOTUNE=0 disables."""
+    from cugraph_tpu.kernels.spmv_onehot import (DST_WIN, SRC_WIN,
+                                                 estimate_windows)
+
+    if (len(src) < AUTOTUNE_MIN_EDGES
+            or os.environ.get("CUGRAPH_TPU_AUTOTUNE") == "0"):
+        return SRC_WIN, DST_WIN
+    return estimate_windows(src, dst, n)
+
+
 def get_pull_plan(G):
     """Plan computing y[dst] = Σ w·x[src] (the pull SpMV)."""
     plan = getattr(G, "_spmv_plan_pull", None)
@@ -74,7 +89,9 @@ def get_pull_plan(G):
         from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
 
         src, dst, w = G.edgelist_arrays()
-        plan = build_spmv_plan(src, dst, w, G.number_of_vertices())
+        n = G.number_of_vertices()
+        sw, dw = _plan_windows(src, dst, n)
+        plan = build_spmv_plan(src, dst, w, n, src_win=sw, dst_win=dw)
         G._spmv_plan_pull = plan
     return plan
 
@@ -86,7 +103,9 @@ def get_push_plan(G):
         from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
 
         src, dst, w = G.edgelist_arrays()
-        plan = build_spmv_plan(dst, src, w, G.number_of_vertices())
+        n = G.number_of_vertices()
+        sw, dw = _plan_windows(dst, src, n)
+        plan = build_spmv_plan(dst, src, w, n, src_win=sw, dst_win=dw)
         G._spmv_plan_push = plan
     return plan
 

@@ -115,6 +115,8 @@ def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
             yb_rows=yb,
             n_yblocks=bpc,
             num_tiles=chunk_tiles,
+            src_win=full.src_win,
+            dst_win=full.dst_win,
         ))
     return SpilledSpmvPlan(
         chunks=tuple(chunks),

@@ -41,9 +41,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SRC_WIN = 16384        # vertices per x window  (= 128 rows of 128 lanes)
-DST_WIN = 8192         # vertices per dst window (= 64 y rows)
+SRC_WIN = 16384        # default vertices per x window (= 128 rows of 128 lanes)
+DST_WIN = 8192         # default vertices per dst window (= 64 y rows)
 DEFAULT_YB_ROWS = 8192  # y rows per VMEM-resident block (= 1M vertices, 4 MB)
+
+# autotune candidates: (src_win, dst_win) pairs the cost model may pick from.
+# Smaller windows cut MACs/edge linearly but fragment tiles (padding); the
+# sweet spot depends on the graph's degree structure.
+AUTOTUNE_WINDOWS = [(32768, 8192), (16384, 8192), (16384, 4096),
+                    (8192, 8192), (8192, 4096), (4096, 4096), (4096, 2048)]
 
 # finite "infinity" for the min/max semirings: large enough to dominate any
 # real distance, small enough that the split-bf16 trick stays exact-ish
@@ -56,16 +62,18 @@ SEMIRING_BIG = np.float32(1e30)
 class SpmvPlan:
     """Static tiling of one (graph, orientation) for the one-hot SpMV."""
 
-    src_rel: jax.Array   # int32 [T*8, 128]  src − xwin·SRC_WIN   (0 padding)
+    src_rel: jax.Array   # int32 [T*8, 128]  src − xwin·src_win   (0 padding)
     dst_full: jax.Array  # int32 [T*8, 128]  dst − yblk·yb_rows·128
     weight: jax.Array    # f32   [T*8, 128]  0 on padding lanes
-    xwin_blk: jax.Array  # int32 [T]   x block index (= src // SRC_WIN)
+    xwin_blk: jax.Array  # int32 [T]   x block index (= src // src_win)
     yblk: jax.Array      # int32 [T]   y block index
     num_vertices: int = field(metadata=dict(static=True))
     n_rows: int = field(metadata=dict(static=True))      # padded x rows
     yb_rows: int = field(metadata=dict(static=True))     # y rows per block
     n_yblocks: int = field(metadata=dict(static=True))
     num_tiles: int = field(metadata=dict(static=True))
+    src_win: int = field(default=SRC_WIN, metadata=dict(static=True))
+    dst_win: int = field(default=DST_WIN, metadata=dict(static=True))
 
     @property
     def pad_v(self) -> int:
@@ -76,16 +84,83 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def estimate_windows(src, dst, num_vertices: int,
+                     yb_rows: int = DEFAULT_YB_ROWS,
+                     candidates=None):
+    """Pick (src_win, dst_win) minimizing a MAC+tile cost model.
+
+    One finest-granularity bucket count (a single np.unique sort) yields the
+    tile counts of EVERY candidate window pair by aggregation — no device
+    work, no per-candidate edge sorts.  The cost model charges each tile its
+    split-precision MXU MACs (gather ∝ src_win rows, scatter ∝ dst_win rows)
+    plus a VPU term for the one-hot builds; constants calibrated on v5e
+    (see benchmarks/bench_kernel_windows.py).
+    """
+    candidates = candidates or AUTOTUNE_WINDOWS
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    m = src.shape[0]
+    if m == 0:
+        return SRC_WIN, DST_WIN
+    fine_s = min(c[0] for c in candidates)
+    fine_d = min(c[1] for c in candidates)
+    n_rows = max(_round_up(num_vertices, 128) // 128, 1)
+    # y-block span is identical across candidates in practice (yb_rows is a
+    # multiple of every dw//128); compute it from the coarsest dst window
+    dwr_max = max(c[1] for c in candidates) // 128
+    ybr = min(_round_up(n_rows, dwr_max), _round_up(yb_rows, dwr_max))
+    ybv = ybr * 128
+
+    # ONE sort at finest granularity; every candidate aggregates these buckets
+    fine_key = ((dst // ybv) << 42) | ((src // fine_s) << 21) | (dst // fine_d)
+    fkey, fcnt = np.unique(fine_key, return_counts=True)
+    f_yb = fkey >> 42
+    f_sg = (fkey >> 21) & ((1 << 21) - 1)
+    f_dw = fkey & ((1 << 21) - 1)
+
+    best, best_cost = None, np.inf
+    for sw, dw in candidates:
+        dwr = dw // 128
+        ck = ((f_yb << 42) | ((f_sg // (sw // fine_s)) << 21)
+              | (f_dw // (dw // fine_d)))
+        bk, pos = np.unique(ck, return_inverse=True)
+        bc = np.zeros(len(bk), np.int64)
+        np.add.at(bc, pos, fcnt)
+        b_subs = -(-bc // 128)
+        b_rg = bk >> 21
+        rg_ids, rg_pos = np.unique(b_rg, return_inverse=True)
+        rg_subs = np.zeros(len(rg_ids), np.int64)
+        np.add.at(rg_subs, rg_pos, b_subs)
+        T = int(np.sum(-(-rg_subs // 8)))
+        xw_rows = sw // 128
+        mxu = T * (2 * xw_rows * 128 * 1024) + T * 8 * (2 * dwr * 128 * 128)
+        vpu = T * (xw_rows * 1024 + 4 * 128 * 1024 + 8 * dwr * 128 * 3)
+        cost = mxu / 80e12 + vpu / 4e12  # v5e-ish MXU MAC/s and VPU op/s
+        if cost < best_cost:
+            best, best_cost = (sw, dw), cost
+    return best
+
+
 def build_spmv_plan(src, dst, weight, num_vertices: int,
                     yb_rows: int = DEFAULT_YB_ROWS,
-                    device_arrays: bool = True) -> SpmvPlan:
+                    device_arrays: bool = True,
+                    src_win: int = SRC_WIN,
+                    dst_win: int = DST_WIN) -> SpmvPlan:
     """Host-side tiling.  src/dst int arrays, weight float or None.
 
     Pure vectorized NumPy; the analog of the reference's one-time CSR
     compression + segment bookkeeping (create_graph_from_edgelist_impl.cuh).
     ``device_arrays=False`` keeps the tile arrays as host NumPy (for the
     spill path, kernels/spill.py, where the plan exceeds HBM).
+    ``src_win``/``dst_win`` set the gather/scatter window sizes (powers of
+    two; see estimate_windows for the autotuned choice).
     """
+    SRC_WIN_, DST_WIN_ = int(src_win), int(dst_win)
+    if SRC_WIN_ & (SRC_WIN_ - 1) or DST_WIN_ & (DST_WIN_ - 1):
+        raise ValueError("src_win/dst_win must be powers of two")
+    if SRC_WIN_ % 128 or DST_WIN_ % 128:
+        raise ValueError("src_win/dst_win must be multiples of 128")
+    dw_rows = DST_WIN_ // 128
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     m = src.shape[0]
@@ -95,10 +170,10 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
                          "(NaN marks padding lanes)")
 
     n_rows = max(_round_up(num_vertices, 128) // 128, 1)
-    # y blocks must hold whole dst windows (64 rows each): a non-multiple
-    # would let the in-kernel 64-row scatter straddle y-block boundaries
-    yb_rows = _round_up(yb_rows, 64)
-    yb_rows = min(_round_up(n_rows, 64), yb_rows)
+    # y blocks must hold whole dst windows: a non-multiple would let the
+    # in-kernel dst-window scatter straddle y-block boundaries
+    yb_rows = _round_up(yb_rows, dw_rows)
+    yb_rows = min(_round_up(n_rows, dw_rows), yb_rows)
     ybv = yb_rows * 128                      # vertices per y block
     n_yblocks = max(_round_up(n_rows, yb_rows) // yb_rows, 1)
 
@@ -115,11 +190,12 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
             yblk=conv(np.arange(t, dtype=np.int32)),
             num_vertices=num_vertices, n_rows=n_rows, yb_rows=yb_rows,
             n_yblocks=n_yblocks, num_tiles=t,
+            src_win=SRC_WIN_, dst_win=DST_WIN_,
         )
 
     yblock = dst // ybv
-    group = src // SRC_WIN
-    dwin = dst // DST_WIN
+    group = src // SRC_WIN_
+    dwin = dst // DST_WIN_
     n_groups = int(group.max()) + 1
 
     # sort by (yblock, group, dst) → dst windows form contiguous runs
@@ -171,16 +247,16 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     src_rel = np.zeros((T * 8, 128), np.int32)
     dst_full = np.zeros((T * 8, 128), np.int32)
     weight_a = np.full((T * 8, 128), np.nan, np.float32)
-    src_rel[e_row, lane] = src - group * SRC_WIN
+    src_rel[e_row, lane] = src - group * SRC_WIN_
     dst_full[e_row, lane] = dst - yblock * ybv
     weight_a[e_row, lane] = w
 
     # padding lanes must carry the subtile's dst window (for >>13 recovery):
     # fill each used row's padding lanes with the row's window base.
-    sub_dwin_rel = (dwin[sub_first] - sub_yb * (ybv // DST_WIN)).astype(np.int64)
+    sub_dwin_rel = (dwin[sub_first] - sub_yb * (ybv // DST_WIN_)).astype(np.int64)
     row_base = np.zeros(T * 8, np.int64)  # unused rows → window 0 (harmless)
     row_of_sub = sub_tile * 8 + slot
-    row_base[row_of_sub] = sub_dwin_rel * DST_WIN
+    row_base[row_of_sub] = sub_dwin_rel * DST_WIN_
     dst_col = np.broadcast_to(row_base[:, None], (T * 8, 128)).copy()
     filled = np.zeros((T * 8, 128), bool)
     filled[e_row, lane] = True
@@ -233,11 +309,13 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         yb_rows=yb_rows,
         n_yblocks=n_yblocks,
         num_tiles=T,
+        src_win=SRC_WIN_,
+        dst_win=DST_WIN_,
     )
 
 
 def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
-            *, precision, reduce, combine):
+            *, precision, reduce, combine, src_win=SRC_WIN, dst_win=DST_WIN):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -247,6 +325,9 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
     i = pl.program_id(0)
     BIG = SEMIRING_BIG
     init = {"sum": 0.0, "min": BIG, "max": -BIG}[reduce]
+    xw_rows = src_win // 128
+    dw_rows = dst_win // 128
+    log2dw = dst_win.bit_length() - 1
 
     @pl.when(jnp.logical_or(i == 0,
                             yblk_ref[i] != yblk_ref[jnp.maximum(i - 1, 0)]))
@@ -254,7 +335,8 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
         y_ref[:] = jnp.full_like(y_ref, init)
 
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    sub64 = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 0)
+    subX = jax.lax.broadcasted_iota(jnp.int32, (xw_rows, 128), 0)
+    subD = jax.lax.broadcasted_iota(jnp.int32, (dw_rows, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     dn_hh = (((0,), (0,)), ((), ()))
     dn_ee = (((1,), (1,)), ((), ()))
@@ -281,7 +363,7 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
     O_hi_cols, O_lo_cols = [], []
     for j in range(8):
         s_row = src_ref[j:j + 1, :]
-        O_hi_cols.append((sub128 == (s_row >> 7)).astype(odt))
+        O_hi_cols.append((subX == (s_row >> 7)).astype(odt))
         O_lo_cols.append((sub128 == (s_row & 127)).astype(jnp.float32))
     O_hiT = jnp.concatenate(O_hi_cols, axis=1)       # [h, 8·128]
     O_loT = jnp.concatenate(O_lo_cols, axis=1)
@@ -300,16 +382,16 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
         else:  # "left": edge value is just the gathered src value
             v_row = xe
         d_row = dst_ref[j:j + 1, :]
-        d13 = jnp.min(d_row[0, :]) >> 13         # subtile dst-window id
-        d_rel = d_row - (d13 << 13)
-        D_hiT = (sub64 == (d_rel >> 7)).astype(jnp.float32)
+        d13 = jnp.min(d_row[0, :]) >> log2dw     # subtile dst-window id
+        d_rel = d_row - (d13 << log2dw)
+        D_hiT = (subD == (d_rel >> 7)).astype(jnp.float32)
         D_loT = (sub128 == (d_rel & 127)).astype(odt)
-        off = d13 * 64
+        off = d13 * dw_rows
 
         if reduce == "sum":
             A = D_hiT * jnp.where(valid, v_row, 0.0)
             contrib = _sel(A, D_loT, dn_ee)
-            y_ref[pl.ds(off, 64), :] += contrib
+            y_ref[pl.ds(off, dw_rows), :] += contrib
             continue
 
         # -- min/max scatter.  Edges within a subtile are dst-sorted, so each
@@ -337,8 +419,8 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
         contrib_c = jax.lax.dot_general(
             A_ind.astype(odt), D_loT, dn_ee,
             preferred_element_type=jnp.float32)
-        win = y_ref[pl.ds(off, 64), :]
-        y_ref[pl.ds(off, 64), :] = red(
+        win = y_ref[pl.ds(off, dw_rows), :]
+        y_ref[pl.ds(off, dw_rows), :] = red(
             win, jnp.where(contrib_c > 0.5, contrib_v, ident))
 
 
@@ -364,12 +446,13 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
 
     interpret = interpret or _interpret_forced()
     n_rows, yb = plan.n_rows, plan.yb_rows
+    xwin_rows = plan.src_win // 128
     # x rows come from x itself (≥ plan.n_rows·128): a spilled/chunked plan
     # (kernels/spill.py) writes only its own y-block span but reads the FULL
     # x, so the two row counts are deliberately decoupled
     x2 = x.reshape(-1, 128)
     # pad x rows to full windows so the x BlockSpec never over-reads
-    xw_rows = _round_up(x2.shape[0], 128)
+    xw_rows = _round_up(x2.shape[0], xwin_rows)
     if xw_rows != x2.shape[0]:
         x2 = jnp.pad(x2, ((0, xw_rows - x2.shape[0]), (0, 0)))
     yb_pad_rows = plan.n_yblocks * yb
@@ -381,13 +464,14 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
             pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
             pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
             pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
-            pl.BlockSpec((128, 128), lambda i, xw, yb_: (xw[i], 0)),
+            pl.BlockSpec((xwin_rows, 128), lambda i, xw, yb_: (xw[i], 0)),
         ],
         out_specs=pl.BlockSpec((yb, 128), lambda i, xw, yb_: (yb_[i], 0)),
     )
     y = pl.pallas_call(
         functools.partial(_kernel, precision=precision, reduce=reduce,
-                          combine=combine),
+                          combine=combine, src_win=plan.src_win,
+                          dst_win=plan.dst_win),
         out_shape=jax.ShapeDtypeStruct((yb_pad_rows, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
