@@ -117,11 +117,19 @@ def _pad_coo(src, dst, w, n):
     return jnp.asarray(s), jnp.asarray(d), jnp.asarray(ww), pad_v
 
 
-def _louvain_one_level(src, dst, w, n, resolution, max_sweeps=20, threshold=1e-7):
+def _louvain_one_level(src, dst, w, n, resolution, max_sweeps=20, threshold=1e-7,
+                       init=None):
     """Local-moving until the sweep stops improving modularity.
-    Host-controlled sweep loop, jitted sweeps."""
+    Host-controlled sweep loop, jitted sweeps.  ``init`` optionally seeds the
+    assignment (Leiden level loop: coarse vertices start in their parent
+    communities, leiden_impl.cuh level state)."""
     s, d, ww, pad_v = _pad_coo(src, dst, w, n)
-    cluster = jnp.arange(pad_v, dtype=jnp.int32)
+    if init is None:
+        cluster = jnp.arange(pad_v, dtype=jnp.int32)
+    else:
+        c0 = np.arange(pad_v, dtype=np.int32)
+        c0[:n] = np.asarray(init, np.int32)
+        cluster = jnp.asarray(c0)
     best_q = float(_modularity(s, d, ww, cluster, resolution, pad_v))
     up_down = True
     for sweep in range(max_sweeps):
@@ -190,39 +198,159 @@ def louvain(G, max_level: int = 100, max_iter=None, resolution: float = 1.0,
     return df, q
 
 
+@partial(jax.jit, static_argnames=("pad_v",))
+def _leiden_refine_sweep(src, dst, w, comm_v, refined, key, theta, resolution,
+                         pad_v: int):
+    """One parallel randomized-refinement sweep (reference refine_impl.cuh):
+    singleton vertices merge into sub-communities WITHIN their community,
+    targets sampled ∝ exp(gain/θ) via the Gumbel-max trick (stateless —
+    jax.random per sweep), gated on the Leiden well-connectedness conditions
+    for both the vertex and the target sub-community.  Moves go to smaller
+    sub-community ids only, so concurrent merges form decreasing pointer
+    chains the caller resolves by path compression."""
+    m2 = jnp.sum(w)
+    ids = jnp.arange(pad_v)
+    k = jax.ops.segment_sum(w, src, num_segments=pad_v)
+    K_C = jax.ops.segment_sum(k, comm_v, num_segments=pad_v)
+    sigma_r = jax.ops.segment_sum(k, refined, num_segments=pad_v)
+    cnt_r = jax.ops.segment_sum(jnp.ones_like(k), refined, num_segments=pad_v)
+
+    same = (jnp.take(comm_v, src) == jnp.take(comm_v, dst)) & (src != dst)
+    wi = jnp.where(same, w, 0.0)
+    cut_v = jax.ops.segment_sum(wi, src, num_segments=pad_v)
+    KC_v = jnp.take(K_C, comm_v)
+    wc_v = cut_v >= resolution * k * (KC_v - k) / jnp.maximum(m2, 1e-30)
+
+    # sub-community well-connectedness within its community
+    cross = same & (jnp.take(refined, src) != jnp.take(refined, dst))
+    cut_R = jax.ops.segment_sum(jnp.where(cross, w, 0.0),
+                                jnp.take(refined, src), num_segments=pad_v)
+    comm_R = jax.ops.segment_max(comm_v, refined, num_segments=pad_v)
+    wc_R = cut_R >= resolution * sigma_r * \
+        (jnp.take(K_C, jnp.clip(comm_R, 0, pad_v - 1)) - sigma_r) \
+        / jnp.maximum(m2, 1e-30)
+
+    singleton = (refined == ids) & (cnt_r <= 1.5)
+
+    # group intra-community edges by (src, refined[dst])
+    rd = jnp.where(same, jnp.take(refined, dst), pad_v - 1)
+    s_s, rd_s, w_s = jax.lax.sort((src, rd, wi), num_keys=2)
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (s_s[1:] != s_s[:-1]) | (rd_s[1:] != rd_s[:-1]),
+    ])
+    run = jnp.cumsum(first.astype(jnp.int32)) - 1
+    E = src.shape[0]
+    W = jax.ops.segment_sum(w_s, run, num_segments=E, indices_are_sorted=True)
+    run_v = jax.ops.segment_max(s_s, run, num_segments=E,
+                                indices_are_sorted=True)
+    run_c = jax.ops.segment_max(rd_s, run, num_segments=E,
+                                indices_are_sorted=True)
+    nruns = run[-1] + 1
+    run_v_c = jnp.clip(run_v, 0, pad_v - 1)
+    run_c_c = jnp.clip(run_c, 0, pad_v - 1)
+    valid = (jnp.arange(E) < nruns) & (run_v < pad_v - 1) & (run_c < pad_v - 1)
+
+    kv = jnp.take(k, run_v_c)
+    gain = W - resolution * kv * jnp.take(sigma_r, run_c_c) \
+        / jnp.maximum(m2, 1e-30)
+    cand = valid & (gain > 1e-12) \
+        & jnp.take(singleton, run_v_c) & jnp.take(wc_v, run_v_c) \
+        & jnp.take(wc_R, run_c_c) & (run_c < run_v)
+
+    NEG = jnp.float32(-1e30)
+    score = gain / jnp.maximum(theta, 1e-6) + jax.random.gumbel(key, (E,))
+    sc = jnp.where(cand, score, NEG)
+    best = jax.ops.segment_max(sc, run_v_c, num_segments=pad_v)
+    is_best = cand & (sc >= jnp.take(best, run_v_c))
+    BIG = jnp.int32(2 ** 30)
+    best_c = jax.ops.segment_min(jnp.where(is_best, run_c, BIG), run_v_c,
+                                 num_segments=pad_v)
+    moved = (best > NEG / 2) & (best_c < BIG)
+    return jnp.where(moved, best_c, refined).astype(jnp.int32)
+
+
+def _leiden_refine(src, dst, w, n, comm, resolution, theta, rng_key,
+                   sweeps: int = 4):
+    """Randomized refinement of `comm` (per-vertex community ids [n]).
+    Returns refined sub-community labels [n] (each a vertex id root)."""
+    s, d, ww, pad_v = _pad_coo(src, dst, w, n)
+    comm_full = np.arange(pad_v, dtype=np.int32)
+    comm_full[:n] = comm
+    comm_d = jnp.asarray(comm_full)
+    refined = jnp.arange(pad_v, dtype=jnp.int32)
+    for i in range(sweeps):
+        key = jax.random.fold_in(rng_key, i)
+        refined = _leiden_refine_sweep(s, d, ww, comm_d, refined, key,
+                                       jnp.float32(theta),
+                                       jnp.float32(resolution), pad_v)
+        # resolve decreasing pointer chains (moved-into-moved targets)
+        r = np.asarray(refined)
+        while True:
+            r2 = r[r]
+            if np.array_equal(r2, r):
+                break
+            r = r2
+        refined = jnp.asarray(r)
+    return np.asarray(refined)[:n]
+
+
 def leiden(G, max_iter: int = 100, resolution: float = 1.0,
            random_state=None, theta: float = 1.0):
-    """Leiden (reference leiden_impl.cuh:694).  v1 approach: Louvain levels
-    plus the Leiden refinement *guarantee* — communities are split into their
-    connected components after each level so no disconnected community can
-    survive (refine_impl.cuh's purpose); full randomized refinement is future
-    work."""
+    """Leiden (reference leiden_impl.cuh:694): per level, Louvain local
+    moving → randomized refinement (_leiden_refine_sweep — singleton merges
+    sampled ∝ exp(gain/θ), well-connectedness gates) → coarsen by the REFINED
+    partition with the next level seeded from parent communities.  A final
+    connected-components split enforces the Leiden guarantee exactly.
+    Returns (DataFrame ['vertex','partition'], modularity)."""
     if G.is_directed():
         raise ValueError("leiden requires an undirected graph")
-    df, q = louvain(G, max_level=max_iter, resolution=resolution)
-    part = df["partition"].to_numpy()
-    src, dst, w = G.edgelist_arrays()
-    # split disconnected communities: run CC on the partition-induced subgraph
+    src0, dst0, w0 = G.edgelist_arrays()
+    n0 = G.number_of_vertices()
+    src, dst = src0, dst0
+    w = np.ones(len(src), np.float32) if w0 is None else w0.astype(np.float32)
+    w = np.where(src == dst, 2.0 * w, w)
+    n = n0
+    rng_key = jax.random.key(0 if random_state is None else int(random_state))
+
+    vmap = np.arange(n0, dtype=np.int32)   # original -> current-level vertex
+    comm_init = None
+    best_labels = np.arange(n0, dtype=np.int64)
+    q_prev = -np.inf
+    for level in range(max_iter):
+        lab, q = _louvain_one_level(src, dst, w, n, resolution,
+                                    init=comm_init)
+        if q <= q_prev + 1e-7 and level > 0:
+            break
+        q_prev = q
+        best_labels = lab.astype(np.int64)[vmap]
+        refined = _leiden_refine(src, dst, w, n, lab, resolution, theta,
+                                 jax.random.fold_in(rng_key, level))
+        src, dst, w, n, compact = _coarsen(src, dst, w, refined)
+        # parent community of each coarse vertex (all members share lab)
+        comm_coarse = np.zeros(n, np.int64)
+        comm_coarse[compact] = lab
+        _, comm_init = np.unique(comm_coarse, return_inverse=True)
+        vmap = compact[vmap]
+        if n <= 1:
+            break
+
+    # Leiden guarantee, enforced exactly: split disconnected communities
     import scipy.sparse as sp
     from scipy.sparse import csgraph
-    n = G.number_of_vertices()
-    internal = G.lookup_internal_vertex_id(df["vertex"].to_numpy())
-    part_int = np.empty(n, dtype=np.int64)
-    part_int[internal] = part
-    keep = part_int[src] == part_int[dst]
-    A = sp.csr_matrix((np.ones(int(keep.sum())), (src[keep], dst[keep])), shape=(n, n))
-    ncc, cc = csgraph.connected_components(A, directed=False)
-    refined = cc[internal]
-    _, compact = np.unique(refined, return_inverse=True)
-    df = vertex_frame(G, {"partition": compact.astype(np.int32)})
-    # recompute modularity on the refined partition
-    s, d, ww, pad_v = _pad_coo(src, dst,
-                               np.ones(len(src), np.float32) if w is None else w,
-                               n)
-    lab = np.zeros(pad_v, np.int32)
-    lab[internal] = compact
-    q = float(_modularity(s, d, ww, jnp.asarray(lab), jnp.float32(resolution),
-                          pad_v))
+    keep = best_labels[src0] == best_labels[dst0]
+    A = sp.csr_matrix((np.ones(int(keep.sum())), (src0[keep], dst0[keep])),
+                      shape=(n0, n0))
+    _, cc = csgraph.connected_components(A, directed=False)
+    _, compact_f = np.unique(cc, return_inverse=True)
+    df = vertex_frame(G, {"partition": compact_f.astype(np.int32)})
+    s, d, ww, pad_v = _pad_coo(
+        src0, dst0,
+        np.ones(len(src0), np.float32) if w0 is None else w0, n0)
+    lab_full = np.zeros(pad_v, np.int32)
+    lab_full[:n0] = compact_f
+    q = float(_modularity(s, d, ww, jnp.asarray(lab_full),
+                          jnp.float32(resolution), pad_v))
     return df, q
 
 

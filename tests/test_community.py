@@ -120,3 +120,41 @@ def test_analyze_clustering_modularity():
     df2 = df.rename(columns={"partition": "cluster"})
     q2 = ctpu.analyzeClustering_modularity(G, df["partition"].nunique(), df2)
     assert abs(q - q2) < 1e-4
+
+
+def test_leiden_refine_splits_disconnected_and_respects_communities():
+    """Randomized refinement invariants (refine_impl.cuh semantics): a
+    community containing two disconnected cliques must split; merges never
+    cross community boundaries."""
+    import jax.random as jr
+
+    from cugraph_tpu.algos.community import _leiden_refine
+
+    Gnx = nx.disjoint_union(nx.complete_graph(6), nx.complete_graph(6))
+    src = np.array([u for u, v in Gnx.edges()])
+    dst = np.array([v for u, v in Gnx.edges()])
+    ss = np.concatenate([src, dst]); dd = np.concatenate([dst, src])
+    w = np.ones(len(ss), np.float32)
+    ref = _leiden_refine(ss, dd, w, 12, np.zeros(12, np.int32), 1.0, 1.0,
+                         jr.key(0))
+    assert set(ref[:6]).isdisjoint(set(ref[6:]))
+
+    comm2 = np.array([0] * 6 + [1] * 6, np.int32)
+    ref2 = _leiden_refine(ss, dd, w, 12, comm2, 1.0, 1.0, jr.key(1))
+    assert set(ref2[:6]).isdisjoint(set(ref2[6:]))
+
+
+def test_leiden_deterministic_per_seed_and_quality():
+    Gnx = nx.planted_partition_graph(6, 25, 0.4, 0.03, seed=3)
+    src = np.array([u for u, v in Gnx.edges()])
+    dst = np.array([v for u, v in Gnx.edges()])
+    G = ctpu.Graph()
+    G.from_edgelist(np.concatenate([src, dst]), np.concatenate([dst, src]),
+                    None)
+    df1, q1 = ctpu.leiden(G, random_state=7)
+    df2, q2 = ctpu.leiden(G, random_state=7)
+    assert q1 == q2
+    assert (df1.sort_values("vertex")["partition"].to_numpy()
+            == df2.sort_values("vertex")["partition"].to_numpy()).all()
+    _, ql = ctpu.louvain(G)
+    assert q1 > ql - 0.02  # refinement must not cost meaningful modularity
