@@ -122,6 +122,37 @@ def pull_spmv(src_loc, dst_loc, w, x_own, *, pmaj: int, chunk: int,
     return scatter_reduce_major_sum(part)
 
 
+def pull_spmv_systolic(src_loc, dst_loc, w, x_own, *, pmaj: int, pmin: int,
+                       chunk: int) -> jax.Array:
+    """Streamed pull SpMV: instead of materializing the pmin·chunk minor
+    block (gather_minor_block), the owned slices ROTATE around the mesh row
+    (`ppermute` ring), and each step processes the edges whose sources the
+    arriving slice covers.  Gather memory is O(chunk) — the graph-size
+    scaling escape hatch when minor-block replication exceeds HBM — and XLA
+    overlaps each ppermute with the previous step's compute (the
+    stream-overlap role of SURVEY §2.3; reference analog: the chunked
+    update_edge_src_property staging of large_buffer_manager graphs).
+    Semantics identical to pull_spmv (weights carry 0 on padding lanes)."""
+    nseg = pmaj * chunk
+    me = jax.lax.axis_index(MINOR)
+    owner = src_loc // chunk
+    rel = src_loc % chunk
+    perm = [(i, (i - 1) % pmin) for i in range(pmin)]  # slice from j+s lands
+
+    def step(s, state):
+        part, x_rot = state
+        src_dev = (me + s) % pmin           # whose slice x_rot currently is
+        vals = jnp.where(owner == src_dev, w * jnp.take(x_rot, rel), 0.0)
+        part = part + block_segment_reduce(vals, dst_loc, nseg, "sum")
+        x_rot = jax.lax.ppermute(x_rot, MINOR, perm)
+        return part, x_rot
+
+    part0 = jax.lax.pcast(jnp.zeros((nseg,), x_own.dtype), (MAJOR, MINOR),
+                          to="varying")
+    part, _ = jax.lax.fori_loop(0, pmin, step, (part0, x_own))
+    return scatter_reduce_major_sum(part)
+
+
 def pull_spmm(src_loc, dst_loc, w, x_own, *, pmaj: int, chunk: int) -> jax.Array:
     """Feature-matrix version: x_own [Vc, F] → y_own [Vc, F] (the GNN
     aggregation SpMM; same collective structure, trailing dim rides along).

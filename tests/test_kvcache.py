@@ -66,3 +66,29 @@ def test_compressed_handles_empty_blocks(mesh):
     xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, vertex_spec()))
     y = np.asarray(pull_spmv_compressed(g, cache, mesh, xd))
     assert y[0] == 2.0 and y[1] == 1.0
+
+
+def test_systolic_pull_spmv_matches_oracle(mesh):
+    """Streamed (ppermute ring) pull SpMV — O(chunk) gather memory — must
+    match the replicated-gather semantics exactly."""
+    from cugraph_tpu.parallel import prims
+    from cugraph_tpu.parallel.mesh import edge_spec
+
+    rng = np.random.default_rng(2)
+    n, m = 300, 2500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.uniform(0.1, 1.0, m).astype(np.float32)
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=False)
+    x = rng.uniform(-1, 1, g.pad_v).astype(np.float32)
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, vertex_spec()))
+
+    def kernel(sl, dl, ww, xo):
+        return prims.pull_spmv_systolic(sl[0, 0], dl[0, 0], ww[0, 0], xo,
+                                        pmaj=4, pmin=2, chunk=g.chunk)
+
+    fn = jax.jit(jax.shard_map(
+        kernel, mesh=mesh, in_specs=(edge_spec(),) * 3 + (vertex_spec(),),
+        out_specs=vertex_spec()))
+    y = np.asarray(fn(g.pull.src_loc, g.pull.dst_loc, g.pull.weight, xd))
+    assert np.abs(y - _oracle(src, dst, w, x, g.pad_v)).max() < 1e-4
