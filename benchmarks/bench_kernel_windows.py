@@ -25,8 +25,8 @@ EDGE_FACTOR = 16
 ITERS = 50
 CACHE_DIR = os.path.expanduser("~/.cache/cugraph_tpu/bench")
 
-CONFIGS = [(32768, 8192), (16384, 8192), (16384, 4096), (8192, 8192),
-           (8192, 4096), (4096, 4096), (4096, 2048)]
+CONFIGS = [(16384, 8192), (16384, 4096), (16384, 2048), (32768, 4096),
+           (8192, 4096)]
 
 
 def main():
