@@ -64,7 +64,9 @@ def _plan_cache(src, dst, n):
     """Build (or load) the SpmvPlan; caching skips the ~30 s host sort."""
     from cugraph_tpu.kernels.spmv_onehot import SpmvPlan, build_spmv_plan
 
-    path = os.path.join(CACHE_DIR, f"plan{SCALE}_ef{EDGE_FACTOR}.npz")
+    # v2: uniform-dst-window tile packing (spmv_onehot).  The version tag
+    # keeps stale pre-format-change caches from being loaded silently.
+    path = os.path.join(CACHE_DIR, f"planv2_{SCALE}_ef{EDGE_FACTOR}.npz")
     if os.path.exists(path):
         import jax.numpy as jnp
 

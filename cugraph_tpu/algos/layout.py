@@ -59,7 +59,10 @@ def _pm_grid_dim(n: int, theta: float) -> int:
     import math
 
     target = math.sqrt(max(n, 1) / 16.0) * (0.5 / max(theta, 0.05))
-    return int(min(256, max(16, 2 ** round(math.log2(max(target, 1))))))
+    # cap at 128 (C = 16384 cells): the force pass materializes [chunk, C]
+    # tiles, and the 9-offset residual bookkeeping makes ~8 of them live at
+    # once — 256^2 cells would be multi-GB per chunk
+    return int(min(128, max(16, 2 ** round(math.log2(max(target, 1))))))
 
 
 _PM_HALO = 512  # Morton-window halo on each side of a chunk (near-field)
@@ -123,7 +126,8 @@ def _pm_repulsion(pos, deg, real, grid_dim: int, scaling_ratio):
     _, sx_, sy_, sm, scx, scy, sidx = jax.lax.sort(
         (key, pos[:, 0], pos[:, 1], m, cx, cy, idx), num_keys=1)
 
-    chunk = min(_PM_CHUNK, pad_v)
+    # bound live [chunk, C] tile memory: chunk·C ≤ 2^22 (16 MB f32 per tile)
+    chunk = min(_PM_CHUNK, pad_v, max(256, (1 << 22) // C))
     n_chunks = -(-pad_v // chunk)
     pad_to = n_chunks * chunk
     halo = _PM_HALO

@@ -47,9 +47,10 @@ def plan_needs_spill(G) -> bool:
     budget = spill_budget_bytes()
     if budget is None:
         return False
-    src, _, _ = G.edgelist_arrays()
-    est = int(len(src) * 12 * 1.3)  # 3 f32/i32 lanes per edge + tile padding
-    return est > budget
+    from cugraph_tpu.kernels.spmv_onehot import estimate_plan_bytes
+
+    src, dst, _ = G.edgelist_arrays()
+    return estimate_plan_bytes(src, dst, G.number_of_vertices()) > budget
 
 
 def get_pull_plan_spilled(G):

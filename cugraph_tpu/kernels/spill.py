@@ -110,7 +110,10 @@ def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
         chunks.append(SpmvPlan(
             src_rel=sr, dst_full=df, weight=ww, xwin_blk=xb,
             yblk=yk.astype(np.int32),
-            num_vertices=min(bpc * yb * 128, num_vertices - b0 * yb * 128),
+            # num_vertices is unused by the kernel; keep it UNIFORM across
+            # chunks — it is a static jit field, and a differing last chunk
+            # would force a second 30-90 s compile
+            num_vertices=bpc * yb * 128,
             n_rows=bpc * yb,       # uniform out rows -> one compilation
             yb_rows=yb,
             n_yblocks=bpc,

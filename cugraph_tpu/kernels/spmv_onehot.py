@@ -141,6 +141,28 @@ def estimate_windows(src, dst, num_vertices: int,
     return best
 
 
+def estimate_plan_bytes(src, dst, num_vertices: int,
+                        yb_rows: int = DEFAULT_YB_ROWS,
+                        src_win: int = SRC_WIN, dst_win: int = DST_WIN) -> int:
+    """Exact tile-array byte count of the plan build_spmv_plan would produce
+    (src_rel + dst_full + weight), via the same run/packing math — used by
+    the spill dispatcher; a per-edge heuristic badly underestimates plans
+    fragmented by run-level packing."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if src.shape[0] == 0:
+        return 8 * 128 * 12
+    n_rows = max(_round_up(num_vertices, 128) // 128, 1)
+    dwr = dst_win // 128
+    ybr = min(_round_up(n_rows, dwr), _round_up(yb_rows, dwr))
+    ybv = ybr * 128
+    key = ((dst // ybv) << 42) | ((src // src_win) << 21) | (dst // dst_win)
+    _, bc = np.unique(key, return_counts=True)
+    subs = -(-bc // 128)
+    T = int(np.sum(-(-subs // 8)))
+    return T * 8 * 128 * 12
+
+
 def build_spmv_plan(src, dst, weight, num_vertices: int,
                     yb_rows: int = DEFAULT_YB_ROWS,
                     device_arrays: bool = True,

@@ -943,6 +943,11 @@ def _mg_intersect_ctx(g: DistGraph) -> _IntersectCtx:
     src, dst, _ = _gather_edges_host(g)
     P_n = g.pmaj * g.pmin
     pad_v = g.pad_v
+    # set semantics: duplicate (multi-)edges must not inflate intersection
+    # counts (the reference's nbr_intersection also dedups via sorted-unique
+    # adjacency); dedupe before sharding
+    pair = np.unique(src * np.int64(pad_v) + dst)
+    src, dst = pair // pad_v, pair % pad_v
     dev = dst % P_n
     order = np.lexsort((dst, src, dev))
     s, d_, dv = src[order], dst[order], dev[order]

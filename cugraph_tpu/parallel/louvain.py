@@ -348,7 +348,13 @@ def mg_louvain(g: DistGraph, mesh, max_level: int = 100,
 
 
 def _gather_edges_host(g: DistGraph):
-    """Decompress the distributed pull blocks back to a host COO list."""
+    """Decompress the distributed pull blocks back to a host COO list.
+    Cached per DistGraph (frozen blocks) — several algorithms (triangle,
+    k-truss, the intersection context) would otherwise pay the O(E) python
+    block loop repeatedly."""
+    cached = getattr(g, "_host_coo", None)
+    if cached is not None:
+        return cached
     pmaj, pmin, chunk = g.pmaj, g.pmin, g.chunk
     B = pmin * chunk
     src_loc = np.asarray(g.pull.src_loc)
@@ -365,8 +371,10 @@ def _gather_edges_host(g: DistGraph):
             srcs.append(s)
             dsts.append(d)
             ws.append(w[i, j][v])
-    return (np.concatenate(srcs), np.concatenate(dsts),
-            np.concatenate(ws).astype(np.float32))
+    out = (np.concatenate(srcs), np.concatenate(dsts),
+           np.concatenate(ws).astype(np.float32))
+    object.__setattr__(g, "_host_coo", out)
+    return out
 
 
 def _mask_blocks_intra(blocks, labels, pmaj, pmin, chunk):

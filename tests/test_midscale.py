@@ -52,8 +52,6 @@ def test_pagerank_rmat14_vs_scipy(rmat14):
             p = p_new
             break
         p = p_new
-    got = np.zeros(n)
-    got[G.lookup_internal_vertex_id(pr["vertex"].to_numpy())] = 0  # noop map
     got = dict(zip(pr["vertex"], pr["pagerank"]))
     err = max(abs(got[v] - p[v]) for v in range(n) if v in got)
     assert err < 1e-5, err
