@@ -61,8 +61,10 @@ def _edge_cache():
 
 
 def _plan_cache(src, dst, n):
-    """Build (or load) the SpmvPlan; caching skips the ~30 s host sort."""
-    from cugraph_tpu.kernels.spmv_onehot import SpmvPlan, build_spmv_plan
+    """Build (or load) the autotuned SpmvPlan; caching skips the ~60 s of
+    host-side window estimation + tiling sort."""
+    from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
+                                                 estimate_windows)
 
     # v2: uniform-dst-window tile packing (spmv_onehot).  The version tag
     # keeps stale pre-format-change caches from being loaded silently.
@@ -77,14 +79,18 @@ def _plan_cache(src, dst, n):
             yblk=jnp.asarray(z["yblk"]), num_vertices=int(z["num_vertices"]),
             n_rows=int(z["n_rows"]), yb_rows=int(z["yb_rows"]),
             n_yblocks=int(z["n_yblocks"]), num_tiles=int(z["num_tiles"]),
+            src_win=int(z["src_win"]), dst_win=int(z["dst_win"]),
         )
-    plan = build_spmv_plan(src, dst, None, n)
+    sw, dw = estimate_windows(src, dst, n)
+    print(f"# windows: src={sw} dst={dw}", file=sys.stderr, flush=True)
+    plan = build_spmv_plan(src, dst, None, n, src_win=sw, dst_win=dw)
     np.savez(path, src_rel=np.asarray(plan.src_rel),
              dst_full=np.asarray(plan.dst_full), weight=np.asarray(plan.weight),
              xwin_blk=np.asarray(plan.xwin_blk), yblk=np.asarray(plan.yblk),
              num_vertices=plan.num_vertices, n_rows=plan.n_rows,
              yb_rows=plan.yb_rows, n_yblocks=plan.n_yblocks,
-             num_tiles=plan.num_tiles)
+             num_tiles=plan.num_tiles, src_win=plan.src_win,
+             dst_win=plan.dst_win)
     return plan
 
 
@@ -113,9 +119,11 @@ def child():
     alpha = jnp.float32(0.85)
 
     @jax.jit
-    def run(iters):
+    def run(iters, plan, inv_out, is_dang, reset_d):
         """Power iteration, TRACED iteration count → one compile for N and 2N.
-        Returns scalars only (tiny transfer through the tunnel)."""
+        Returns scalars only (tiny transfer through the tunnel).  The plan
+        rides as an argument — closure-captured arrays are embedded as HLO
+        constants and the tunnel rejects oversized compile bodies."""
 
         def body(state):
             p, _, it = state
@@ -138,13 +146,13 @@ def child():
         return err, it, p[0]
 
     # warm-up / compile (both shapes identical — one executable)
-    err, it, _ = run(jnp.int32(2))
+    err, it, _ = run(jnp.int32(2), plan, inv_out, is_dang, reset_d)
     assert int(it) == 2
     print(f"# warm ok, err={float(err):.3e}", file=sys.stderr, flush=True)
 
     def timed(k):
         t0 = time.perf_counter()
-        _, it, _ = jax.block_until_ready(run(jnp.int32(k)))
+        _, it, _ = jax.block_until_ready(run(jnp.int32(k), plan, inv_out, is_dang, reset_d))
         return time.perf_counter() - t0
 
     diffs, walls = [], []

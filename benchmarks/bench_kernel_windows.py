@@ -88,8 +88,9 @@ def main():
         alpha = jnp.float32(0.85)
 
         @jax.jit
-        def run(iters, plan=plan, inv_out=inv_out, reset_d=reset_d,
-                pad_v=pad_v):
+        def run(iters, plan, inv_out, reset_d):
+            # plan rides as an ARGUMENT: closure-captured arrays get embedded
+            # as HLO constants and the tunnel rejects >200 MB compile bodies
             def body(state):
                 p, it = state
                 pulled = spmv_onehot(plan, p * inv_out, precision="split")
@@ -104,12 +105,12 @@ def main():
             return it, p[0]
 
         t0 = time.perf_counter()
-        jax.block_until_ready(run(jnp.int32(2)))
+        jax.block_until_ready(run(jnp.int32(2), plan, inv_out, reset_d))
         compile_s = time.perf_counter() - t0
 
         def timed(k):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(jnp.int32(k)))
+            jax.block_until_ready(run(jnp.int32(k), plan, inv_out, reset_d))
             return time.perf_counter() - t0
 
         diffs = []

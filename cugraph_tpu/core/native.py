@@ -84,6 +84,16 @@ def get_lib():
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64,
                                         i32p, i32p, f32p, u8p]
+        lib.spmv_plan_count.restype = ctypes.c_int64
+        lib.spmv_plan_count.argtypes = [i64p, i64p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int64]
+        lib.spmv_plan_fill.restype = ctypes.c_int
+        lib.spmv_plan_fill.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, i32p, i32p, f32p,
+                                       i32p, i32p]
         _lib = lib
         return _lib
 
@@ -180,3 +190,39 @@ def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,
     if rc != 0:
         return None
     return src_loc, dst_loc, w_out, valid.astype(bool)
+
+
+def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win):
+    """Native tiling for the one-hot SpMV plan (kernels/spmv_onehot).
+
+    Returns (src_rel, dst_full, weight, xwin_blk, yblk, T) as NumPy arrays,
+    or None when the native library is unavailable (caller falls back to the
+    NumPy tiler, which produces identical arrays — tests/test_native.py).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    m = len(src)
+    T = lib.spmv_plan_count(_ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
+                            m, n_rows, yb_rows, src_win, dst_win)
+    if T <= 0:
+        return None
+    src_rel = np.empty((T * 8, 128), np.int32)
+    dst_full = np.empty((T * 8, 128), np.int32)
+    w_out = np.empty((T * 8, 128), np.float32)
+    xwin_blk = np.empty(T, np.int32)
+    yblk = np.empty(T, np.int32)
+    wp = (None if weight is None
+          else np.ascontiguousarray(weight, np.float32))
+    rc = lib.spmv_plan_fill(
+        _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
+        _ptr(wp, ctypes.c_float) if wp is not None else None,
+        m, n_rows, yb_rows, src_win, dst_win, T,
+        _ptr(src_rel, ctypes.c_int32), _ptr(dst_full, ctypes.c_int32),
+        _ptr(w_out, ctypes.c_float), _ptr(xwin_blk, ctypes.c_int32),
+        _ptr(yblk, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return src_rel, dst_full, w_out, xwin_blk, yblk, int(T)

@@ -35,6 +35,7 @@ dense work; load balance is inherent.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import jax
@@ -214,6 +215,23 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
             n_yblocks=n_yblocks, num_tiles=t,
             src_win=SRC_WIN_, dst_win=DST_WIN_,
         )
+
+    # native C++ tiler (counting sorts, core/_native/builder.cpp) — ~100×
+    # numpy's int64 lexsort + fancy-index scatter at RMAT-20 scale; produces
+    # bit-identical arrays (tests/test_native.py::test_native_spmv_plan)
+    if m >= 100_000 and not os.environ.get("CUGRAPH_TPU_NO_NATIVE"):
+        from cugraph_tpu.core.native import spmv_plan_native
+
+        res = spmv_plan_native(src, dst, None if weight is None else w,
+                               n_rows, yb_rows, SRC_WIN_, DST_WIN_)
+        if res is not None:
+            sr, df, wa, xb, yb_arr, T = res
+            return SpmvPlan(
+                src_rel=conv(sr), dst_full=conv(df), weight=conv(wa),
+                xwin_blk=conv(xb), yblk=conv(yb_arr),
+                num_vertices=num_vertices, n_rows=n_rows, yb_rows=yb_rows,
+                n_yblocks=n_yblocks, num_tiles=T,
+                src_win=SRC_WIN_, dst_win=DST_WIN_)
 
     yblock = dst // ybv
     group = src // SRC_WIN_

@@ -132,3 +132,44 @@ def test_degrees_native_matches_numpy():
     out_deg, in_deg = native.degrees_native(src, dst, None, n)
     np.testing.assert_array_equal(out_deg, np.bincount(src, minlength=n))
     np.testing.assert_array_equal(in_deg, np.bincount(dst, minlength=n))
+
+
+def test_native_spmv_plan_matches_numpy():
+    """Native C++ tiler must produce bit-identical plan arrays to the NumPy
+    path (same sort order, packing, padding conventions)."""
+    import os
+
+    from cugraph_tpu.core.native import spmv_plan_native
+    from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
+
+    if spmv_plan_native(np.array([0]), np.array([1]), None, 1, 64,
+                        16384, 8192) is None:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(5)
+    for n, m, sw, dw, ybr in [(3000, 150000, 16384, 8192, 8192),
+                              (20000, 200000, 8192, 4096, 64),
+                              (500, 120000, 4096, 2048, 8192)]:
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.uniform(0.1, 1.0, m).astype(np.float32)
+        os.environ["CUGRAPH_TPU_NO_NATIVE"] = "1"
+        try:
+            ref = build_spmv_plan(src, dst, w, n, yb_rows=ybr,
+                                  device_arrays=False, src_win=sw, dst_win=dw)
+        finally:
+            del os.environ["CUGRAPH_TPU_NO_NATIVE"]
+        got = build_spmv_plan(src, dst, w, n, yb_rows=ybr,
+                              device_arrays=False, src_win=sw, dst_win=dw)
+        assert got.num_tiles == ref.num_tiles
+        np.testing.assert_array_equal(np.asarray(got.src_rel),
+                                      np.asarray(ref.src_rel))
+        np.testing.assert_array_equal(np.asarray(got.dst_full),
+                                      np.asarray(ref.dst_full))
+        np.testing.assert_array_equal(np.asarray(got.xwin_blk),
+                                      np.asarray(ref.xwin_blk))
+        np.testing.assert_array_equal(np.asarray(got.yblk),
+                                      np.asarray(ref.yblk))
+        rw = np.asarray(ref.weight)
+        gw = np.asarray(got.weight)
+        assert ((rw == gw) | (np.isnan(rw) & np.isnan(gw))).all()
