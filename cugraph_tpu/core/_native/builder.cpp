@@ -208,7 +208,10 @@ static PlanDims plan_dims(const int64_t* src, const int64_t* dst, int64_t m,
 }  // namespace
 
 // Returns total tile count T (including one padding tile per edge-less
-// y block), or -1 when inputs are invalid.
+// y block), or -1 when inputs are invalid.  Tiles pack 8 subtiles per
+// (y block, x window) group; subtiles break at 128 edges and at dst-window
+// boundaries (mixed windows within a tile; the kernel recovers each
+// subtile's window from its dst values).
 int64_t spmv_plan_count(const int64_t* src, const int64_t* dst, int64_t m,
                         int64_t n_rows, int64_t yb_rows, int64_t src_win,
                         int64_t dst_win) {
@@ -232,16 +235,20 @@ int64_t spmv_plan_count(const int64_t* src, const int64_t* dst, int64_t m,
       int64_t b = (src[e] / src_win) * D.ndw + (dst[e] % D.ybv) / dst_win;
       bcnt[b]++;
     }
-    for (int64_t b = 0; b < (int64_t)bcnt.size(); ++b) {
-      if (!bcnt[b]) continue;
-      int64_t subs = (bcnt[b] + 127) >> 7;
+    for (int64_t g = 0; g < D.n_groups; ++g) {
+      int64_t subs = 0;
+      for (int64_t dw = 0; dw < D.ndw; ++dw) {
+        int64_t c = bcnt[g * D.ndw + dw];
+        subs += (c + 127) >> 7;
+      }
       T += (subs + 7) >> 3;
     }
   }
   return T;
 }
 
-// Fill a T-tile plan.  Outputs (caller-allocated):
+// Fill a T-tile plan (layout identical to the NumPy builder).  Outputs
+// (caller-allocated):
 //   src_rel  int32[T*8*128]   dst_full int32[T*8*128]  weight f32[T*8*128]
 //   xwin_blk int32[T]         yblk     int32[T]
 // weight==nullptr means unit weights.  Returns 0, or -1 on T mismatch.
@@ -253,6 +260,13 @@ int spmv_plan_fill(const int64_t* src, const int64_t* dst, const float* weight,
   if (m <= 0) return -1;
   PlanDims D = plan_dims(src, dst, m, n_rows, yb_rows, src_win, dst_win);
   const float NaN = __builtin_nanf("");
+
+  // global defaults: unused rows keep dst 0 / src 0 / weight NaN
+  for (int64_t k = 0; k < T * 8 * 128; ++k) {
+    src_rel[k] = 0;
+    dst_full[k] = 0;
+    w_out[k] = NaN;
+  }
 
   // y-block bucketing (stable)
   std::vector<int64_t> ycnt(D.n_yb + 1, 0);
@@ -270,20 +284,12 @@ int spmv_plan_fill(const int64_t* src, const int64_t* dst, const float* weight,
   for (int64_t y = 0; y < D.n_yb; ++y) {
     int64_t lo = ycnt[y], hi = ycnt[y + 1], cnt = hi - lo;
     if (cnt == 0) {
-      // padding tile: zero dst/src, NaN weights, window 0
-      int64_t base = t_next * 8 * 128;
-      for (int64_t k = 0; k < 8 * 128; ++k) {
-        src_rel[base + k] = 0;
-        dst_full[base + k] = 0;
-        w_out[base + k] = NaN;
-      }
       xwin_blk[t_next] = 0;
       yblk[t_next] = (int32_t)y;
-      t_next++;
+      t_next++;  // defaults already fill the padding tile
       continue;
     }
-    // stable sort the block's edges by dst (ties keep global-perm order),
-    // then stably by group -> (group, dst, original) order
+    // stable sort the block's edges by dst, then stably by group
     tmp1.resize(cnt);
     tmp2.resize(cnt);
     std::fill(dcnt.begin(), dcnt.end(), 0);
@@ -302,43 +308,58 @@ int spmv_plan_fill(const int64_t* src, const int64_t* dst, const float* weight,
       tmp2[gcnt[src[e] / src_win]++] = e;
     }
 
-    // walk runs: (group, dwin) change starts a new run
+    // walk group segments; subtiles break at 128 and at dwin boundaries;
+    // 8 subtiles (possibly mixed windows) pack into a tile
     int64_t i = 0;
     while (i < cnt) {
-      int64_t e0 = tmp2[i];
-      int64_t g = src[e0] / src_win;
-      int64_t dw = (dst[e0] % D.ybv) / dst_win;
-      int64_t j = i;
-      while (j < cnt) {
-        int64_t e = tmp2[j];
-        if (src[e] / src_win != g || (dst[e] % D.ybv) / dst_win != dw) break;
-        ++j;
-      }
-      int64_t len = j - i;
-      int64_t nsub = (len + 127) >> 7;
-      int64_t ntile = (nsub + 7) >> 3;
-      int64_t tile0 = t_next;
-      int32_t tbase = (int32_t)(dw * dst_win);
-      for (int64_t t = 0; t < ntile; ++t) {
-        int64_t base = (tile0 + t) * 8 * 128;
-        for (int64_t k = 0; k < 8 * 128; ++k) {
-          src_rel[base + k] = 0;
-          dst_full[base + k] = tbase;
-          w_out[base + k] = NaN;
+      int64_t g = src[tmp2[i]] / src_win;
+      // find the group segment [i, gj)
+      int64_t gj = i;
+      while (gj < cnt && src[tmp2[gj]] / src_win == g) ++gj;
+      // count subtiles in this group
+      int64_t subs = 0;
+      {
+        int64_t p = i;
+        while (p < gj) {
+          int64_t dw = (dst[tmp2[p]] % D.ybv) / dst_win;
+          int64_t q = p;
+          while (q < gj && (dst[tmp2[q]] % D.ybv) / dst_win == dw) ++q;
+          subs += (q - p + 127) >> 7;
+          p = q;
         }
+      }
+      int64_t ntile = (subs + 7) >> 3;
+      int64_t tile0 = t_next;
+      for (int64_t t = 0; t < ntile; ++t) {
         xwin_blk[tile0 + t] = (int32_t)g;
         yblk[tile0 + t] = (int32_t)y;
       }
-      for (int64_t p = 0; p < len; ++p) {
-        int64_t e = tmp2[i + p];
-        int64_t sub = p >> 7, lane = p & 127;
-        int64_t row = (tile0 + (sub >> 3)) * 8 + (sub & 7);
-        src_rel[row * 128 + lane] = (int32_t)(src[e] - g * src_win);
-        dst_full[row * 128 + lane] = (int32_t)(dst[e] - y * D.ybv);
-        w_out[row * 128 + lane] = weight ? weight[e] : 1.0f;
+      // fill: iterate dwin runs, then 128-edge subtiles within each run
+      int64_t sub_k = 0;  // subtile index within this group
+      int64_t p = i;
+      while (p < gj) {
+        int64_t dw = (dst[tmp2[p]] % D.ybv) / dst_win;
+        int64_t q = p;
+        while (q < gj && (dst[tmp2[q]] % D.ybv) / dst_win == dw) ++q;
+        int64_t len = q - p;
+        int32_t sbase = (int32_t)(dw * dst_win);
+        for (int64_t s0 = 0; s0 < len; s0 += 128, ++sub_k) {
+          int64_t row = (tile0 + (sub_k >> 3)) * 8 + (sub_k & 7);
+          int64_t nl = std::min<int64_t>(128, len - s0);
+          // padding lanes of a USED row carry the subtile's window base
+          for (int64_t l = 0; l < 128; ++l)
+            dst_full[row * 128 + l] = sbase;
+          for (int64_t l = 0; l < nl; ++l) {
+            int64_t e = tmp2[p + s0 + l];
+            src_rel[row * 128 + l] = (int32_t)(src[e] - g * src_win);
+            dst_full[row * 128 + l] = (int32_t)(dst[e] - y * D.ybv);
+            w_out[row * 128 + l] = weight ? weight[e] : 1.0f;
+          }
+        }
+        p = q;
       }
       t_next += ntile;
-      i = j;
+      i = gj;
     }
   }
   return t_next == T ? 0 : -1;

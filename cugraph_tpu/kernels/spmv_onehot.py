@@ -127,15 +127,20 @@ def estimate_windows(src, dst, num_vertices: int,
         bk, pos = np.unique(ck, return_inverse=True)
         bc = np.zeros(len(bk), np.int64)
         np.add.at(bc, pos, fcnt)
-        # tiles pack 8 subtiles within each (yblock, xwin, dwin) run
-        subs = -(-bc // 128)
-        T = int(np.sum(-(-subs // 8)))
+        b_subs = -(-bc // 128)
+        b_rg = bk >> 21
+        rg_ids, rg_pos = np.unique(b_rg, return_inverse=True)
+        rg_subs = np.zeros(len(rg_ids), np.int64)
+        np.add.at(rg_subs, rg_pos, b_subs)
+        T = int(np.sum(-(-rg_subs // 8)))
         xw_rows = sw // 128
-        # per-tile model calibrated on v5e RMAT-20 (bench_kernel_windows.py):
-        # a = dispatch/VPU constant, g = one 128-deep split gather matmul
-        # pair (pass-quantized: flat below 128 x-rows, MXU-peak above),
-        # c = scatter rows (batched matmul + y update, linear)
-        a, g, c = 0.20e-6, 0.30e-6, 2.4e-9
+        # per-tile model CALIBRATED on v5e RMAT-20 (benchmarks/
+        # bench_kernel_windows.py, within 2% on 5 measured configs):
+        # a — VPU one-hot build + elementwise constant; g — one 128-deep
+        # split gather matmul pair, PASS-QUANTIZED (flat below 128 x-rows,
+        # doubling at 256: the systolic array contracts ≤128 deep per pass);
+        # c — scatter rows (linear)
+        a, g, c = 0.40e-6, 0.30e-6, 2.3e-9
         cost = T * (a + g * -(-xw_rows // 128) + c * dwr)
         if cost < best_cost:
             best, best_cost = (sw, dw), cost
@@ -148,7 +153,7 @@ def estimate_plan_bytes(src, dst, num_vertices: int,
     """Exact tile-array byte count of the plan build_spmv_plan would produce
     (src_rel + dst_full + weight), via the same run/packing math — used by
     the spill dispatcher; a per-edge heuristic badly underestimates plans
-    fragmented by run-level packing."""
+    fragmented by window tiling."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     if src.shape[0] == 0:
@@ -158,9 +163,13 @@ def estimate_plan_bytes(src, dst, num_vertices: int,
     ybr = min(_round_up(n_rows, dwr), _round_up(yb_rows, dwr))
     ybv = ybr * 128
     key = ((dst // ybv) << 42) | ((src // src_win) << 21) | (dst // dst_win)
-    _, bc = np.unique(key, return_counts=True)
-    subs = -(-bc // 128)
-    T = int(np.sum(-(-subs // 8)))
+    bk, bc = np.unique(key, return_counts=True)
+    b_subs = -(-bc // 128)
+    b_rg = bk >> 21
+    rg_ids, rg_pos = np.unique(b_rg, return_inverse=True)
+    rg_subs = np.zeros(len(rg_ids), np.int64)
+    np.add.at(rg_subs, rg_pos, b_subs)
+    T = int(np.sum(-(-rg_subs // 8)))
     return T * 8 * 128 * 12
 
 
@@ -216,7 +225,7 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
             src_win=SRC_WIN_, dst_win=DST_WIN_,
         )
 
-    # native C++ tiler (counting sorts, core/_native/builder.cpp) — ~100×
+    # native C++ tiler (counting sorts, core/_native/builder.cpp) — ~4×
     # numpy's int64 lexsort + fancy-index scatter at RMAT-20 scale; produces
     # bit-identical arrays (tests/test_native.py::test_native_spmv_plan)
     if m >= 100_000 and not os.environ.get("CUGRAPH_TPU_NO_NATIVE"):
@@ -259,23 +268,21 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     sub_id = np.cumsum(sub_start) - 1
     n_sub = int(sub_id[-1]) + 1
 
-    # tiles pack 8 subtiles of the SAME run — one (yblock, xwindow, dst
-    # window) triple per tile — so the kernel batches all 8 scatters into a
-    # single matmul pair and a single y-buffer update (the per-tile dispatch
-    # constant, not MXU MACs, limits throughput; see bench_kernel_windows.py)
+    # per-subtile (yblock, group) for tile packing
     sub_first = np.flatnonzero(sub_start)
     sub_yb = yblock[sub_first]
     sub_grp = group[sub_first]
-    sub_run = run_id[sub_first]
+    sub_rg = sub_yb * n_groups + sub_grp
+    # subtiles are already grouped by rg (stream order); pack 8 per tile
     rg_start = np.empty(n_sub, bool)
     rg_start[0] = True
-    np.not_equal(sub_run[1:], sub_run[:-1], out=rg_start[1:])
+    np.not_equal(sub_rg[1:], sub_rg[:-1], out=rg_start[1:])
     rg_id = np.cumsum(rg_start) - 1
     rg_first_sub = np.flatnonzero(rg_start)
     sub_seq = np.arange(n_sub) - rg_first_sub[rg_id]
     tile_in_rg = sub_seq >> 3
     slot = sub_seq & 7
-    # tiles per run and tile offsets
+    # tiles per rg and tile offsets
     rg_sub_counts = np.diff(np.append(rg_first_sub, n_sub))
     rg_tiles = (rg_sub_counts + 7) >> 3
     rg_tile_off = np.concatenate([[0], np.cumsum(rg_tiles)])
@@ -293,15 +300,12 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     dst_full[e_row, lane] = dst - yblock * ybv
     weight_a[e_row, lane] = w
 
-    # padding lanes and unused rows must carry the TILE's dst window (the
-    # kernel recovers the window offset from the dst values themselves)
-    tile_of_rg = np.repeat(np.arange(len(rg_tiles)), rg_tiles)
-    rg_yb = sub_yb[rg_first_sub]
-    rg_grp = sub_grp[rg_first_sub]
-    rg_dwin_rel = (dwin[sub_first][rg_first_sub]
-                   - rg_yb * (ybv // DST_WIN_)).astype(np.int64)
-    tile_base = rg_dwin_rel[tile_of_rg] * DST_WIN_          # [T]
-    row_base = np.repeat(tile_base, 8)                      # [T*8]
+    # padding lanes must carry the subtile's dst window (for >>13 recovery):
+    # fill each used row's padding lanes with the row's window base.
+    sub_dwin_rel = (dwin[sub_first] - sub_yb * (ybv // DST_WIN_)).astype(np.int64)
+    row_base = np.zeros(T * 8, np.int64)  # unused rows → window 0 (harmless)
+    row_of_sub = sub_tile * 8 + slot
+    row_base[row_of_sub] = sub_dwin_rel * DST_WIN_
     dst_col = np.broadcast_to(row_base[:, None], (T * 8, 128)).copy()
     filled = np.zeros((T * 8, 128), bool)
     filled[e_row, lane] = True
@@ -311,6 +315,9 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     # per-tile scalars
     xwin_blk = np.zeros(T, np.int32)
     yblk_arr = np.zeros(T, np.int32)
+    tile_of_rg = np.repeat(np.arange(len(rg_tiles)), rg_tiles)
+    rg_yb = sub_yb[rg_first_sub]
+    rg_grp = sub_grp[rg_first_sub]
     xwin_blk[:] = rg_grp[tile_of_rg]
     yblk_arr[:] = rg_yb[tile_of_rg]
 
@@ -412,38 +419,7 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
     R_T = _sel(x_ref[:], O_hiT, dn_hh)               # [l, 8·128]
     xe_all = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
 
-    # -- scatter.  All 8 subtiles share the tile's dst window (the plan
-    # packs tiles within (yblock, xwindow, dwindow) runs), so the sum path
-    # batches the 8 scatter matmuls into ONE [dw, 1024] pair and ONE
-    # y-buffer update — per-tile dispatch constants, not MXU MACs, are the
-    # throughput limit (see benchmarks/bench_kernel_windows.py).
-    d13 = jnp.min(dst_ref[0:1, :]) >> log2dw     # tile dst-window id
-    off = d13 * dw_rows
-
-    if reduce == "sum":
-        A_cols, D_lo_cols = [], []
-        for j in range(8):
-            xe = xe_all[:, j * 128:(j + 1) * 128]
-            w_raw = w_ref[j:j + 1, :]
-            valid = jnp.logical_not(jnp.isnan(w_raw))
-            if combine == "mul":
-                v_row = xe * jnp.where(valid, w_raw, 0.0)
-            elif combine == "add":
-                v_row = jnp.where(valid, xe + w_raw, 0.0)
-            else:  # "left": edge value is just the gathered src value
-                v_row = jnp.where(valid, xe, 0.0)
-            d_rel = dst_ref[j:j + 1, :] - (d13 << log2dw)
-            D_hiT = (subD == (d_rel >> 7)).astype(jnp.float32)
-            D_lo_cols.append((sub128 == (d_rel & 127)).astype(odt))
-            A_cols.append(D_hiT * v_row)
-        A_all = jnp.concatenate(A_cols, axis=1)          # [dw, 1024]
-        D_loT_all = jnp.concatenate(D_lo_cols, axis=1)   # [128, 1024]
-        y_ref[pl.ds(off, dw_rows), :] += _sel(A_all, D_loT_all, dn_ee)
-        return
-
-    # min/max: per-subtile selects (batching would let a dst whose sorted
-    # run crosses a subtile boundary contribute two "heads" whose MATMUL
-    # SUM is wrong for a min/max select; sequential updates reduce them)
+    # -- scatter per subtile (each has its own 64-row dst window)
     for j in range(8):
         xe = xe_all[:, j * 128:(j + 1) * 128]
         w_raw = w_ref[j:j + 1, :]
@@ -455,9 +431,17 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
         else:  # "left": edge value is just the gathered src value
             v_row = xe
         d_row = dst_ref[j:j + 1, :]
+        d13 = jnp.min(d_row[0, :]) >> log2dw     # subtile dst-window id
         d_rel = d_row - (d13 << log2dw)
         D_hiT = (subD == (d_rel >> 7)).astype(jnp.float32)
         D_loT = (sub128 == (d_rel & 127)).astype(odt)
+        off = d13 * dw_rows
+
+        if reduce == "sum":
+            A = D_hiT * jnp.where(valid, v_row, 0.0)
+            contrib = _sel(A, D_loT, dn_ee)
+            y_ref[pl.ds(off, dw_rows), :] += contrib
+            continue
 
         # -- min/max scatter.  Edges within a subtile are dst-sorted, so each
         # dst forms one contiguous lane run; a 7-step shifted scan reduces the
