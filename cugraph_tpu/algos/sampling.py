@@ -114,6 +114,54 @@ def _row_cumweights(g: GraphStructure):
 # Neighbor sampling (cugraph uniform_neighbor_sample API)
 # --------------------------------------------------------------------------
 
+# bulk semiring route (per_v_random_select) kicks in when the enumerate-tile
+# F × max_deg footprint would exceed this
+_BULK_SAMPLE_TILE = 16_000_000
+
+
+def _eidx_lookup(g: GraphStructure, srcs, dsts):
+    """First CSR edge index of each (src, dst) pair — vectorized binary
+    search within row spans (host NumPy)."""
+    off = np.asarray(g.csr.offsets)
+    ind = np.asarray(g.csr.indices)
+    lo = off[srcs].astype(np.int64)
+    hi = off[srcs + 1].astype(np.int64)
+    last = max(len(ind) - 1, 0)
+    for _ in range(34):
+        mid = (lo + hi) >> 1
+        v = ind[np.clip(mid, 0, last)]
+        go = (v < dsts) & (lo < hi)
+        lo = np.where(go, mid + 1, lo)
+        hi = np.where(go | (lo >= hi), hi, mid)
+    return lo
+
+
+def _bulk_sample_with_replacement(G, g, frontier, key, k):
+    """Fanout-k uniform sampling WITH replacement via k rounds of the
+    semiring per_v_random_select prim (kernels/dispatch.py) — the TPU fast
+    path for huge frontiers, where the enumerate-neighbors tile
+    [F, max_deg] would not fit.  For parallel (multi-)edges the sampled
+    NEIGHBOR distribution is multiplicity-weighted like the gather path,
+    but edge attribution (weight/properties) takes the first parallel edge.
+    Returns (dst [F, k], eidx [F, k], valid [F, k])."""
+    import jax
+
+    from cugraph_tpu.kernels.dispatch import per_v_random_select
+
+    cols = []
+    for _ in range(int(k)):
+        key, sub = jax.random.split(key)
+        sel = np.asarray(per_v_random_select(G, sub))
+        cols.append(sel[frontier])
+    dst = np.stack(cols, axis=1)
+    valid = dst >= 0
+    srcs_rep = np.repeat(frontier, int(k)).reshape(len(frontier), int(k))
+    eidx = np.zeros_like(dst, dtype=np.int64)
+    if valid.any():
+        eidx[valid] = _eidx_lookup(g, srcs_rep[valid], dst[valid])
+    return dst, eidx, valid
+
+
 def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
                      random_state, with_edge_properties=False):
     g = G.structure
@@ -135,6 +183,20 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
             nbr, valid, eidx = enumerate_neighbors(g.csr, jnp.asarray(frontier),
                                                    max_deg)
             dst, eidx, valid = np.asarray(nbr), np.asarray(eidx), np.asarray(valid)
+        elif (with_replacement and not biased
+              and len(frontier) * max_deg > _BULK_SAMPLE_TILE):
+            from cugraph_tpu.kernels.dispatch import use_pallas
+
+            if use_pallas(G):
+                dst, eidx, valid = _bulk_sample_with_replacement(
+                    G, g, frontier, sub, int(k))
+            else:
+                dst, eidx, valid = _sample_neighbors(
+                    g, jnp.asarray(frontier), sub, int(k),
+                    bool(with_replacement), bool(biased), max_deg, cumw)
+                dst = np.asarray(dst)
+                eidx = np.asarray(eidx)
+                valid = np.asarray(valid)
         else:
             dst, eidx, valid = _sample_neighbors(
                 g, jnp.asarray(frontier), sub, int(k),

@@ -142,3 +142,42 @@ def out_weight_vectors(G, pad_v: int):
                         where=out_w > 0).astype(np.float32)
     is_dang = (np.arange(pad_v) < n) & (out_w <= 0)
     return inv_out, is_dang
+
+
+def per_v_random_select(G, key, *, interpret: bool = False):
+    """One uniformly-random OUT-neighbor per vertex (int32 [pad_v]; -1 where
+    a vertex has no out-edges) — the TPU fast path for the reference's
+    per_v_random_select_transform_outgoing_e sampling primitive
+    (prims/per_v_random_select_transform_outgoing_e.cuh).
+
+    Two semiring passes over the push plan, no gathers:
+      1. reduce=max / combine="right" over per-edge random priorities
+         (gather side skipped entirely — scatter-only cost);
+      2. reduce=max / combine="eqsel" at precision="highest": where the
+         gathered per-vertex maximum equals an edge's priority, the value is
+         the neighbor's absolute id, reconstructed in-kernel.
+    Exact-equality soundness requires the bit-exact 3-way-split gather, hence
+    "highest"; ids stay exact in f32 below 2^24 vertices.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG, spmv_onehot
+
+    plan = get_push_plan(G)  # kernel-src = graph-dst: selection per SOURCE
+    if plan.pad_v >= (1 << 24):
+        raise ValueError("per_v_random_select requires < 2^24 vertices "
+                         "(f32-exact id reconstruction)")
+    pri = jax.random.uniform(key, plan.weight.shape, jnp.float32,
+                             minval=1e-6, maxval=1.0)
+    w_pri = jnp.where(jnp.isnan(plan.weight), jnp.nan, pri)
+    p2 = dataclasses.replace(plan, weight=w_pri)
+    zeros = jnp.zeros((p2.pad_v,), jnp.float32)
+    y1 = spmv_onehot(p2, zeros, reduce="max", combine="right",
+                     precision="highest", interpret=interpret)
+    y2 = spmv_onehot(p2, y1, reduce="max", combine="eqsel", gather="dst",
+                     precision="highest", interpret=interpret)
+    has = y1 > -SEMIRING_BIG / 2
+    return jnp.where(has, y2.astype(jnp.int32), -1)

@@ -364,7 +364,8 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
 
 
 def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
-            *, precision, reduce, combine, src_win=SRC_WIN, dst_win=DST_WIN):
+            *, precision, reduce, combine, src_win=SRC_WIN, dst_win=DST_WIN,
+            gather="src"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -408,34 +409,61 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
                                       preferred_element_type=jnp.float32))
 
     # -- gather, batched across the tile's 8 subtiles: ONE wide [128, 1024]
-    # one-hot matmul keeps the MXU pipelined instead of 8 narrow dispatches
-    O_hi_cols, O_lo_cols = [], []
-    for j in range(8):
-        s_row = src_ref[j:j + 1, :]
-        O_hi_cols.append((subX == (s_row >> 7)).astype(odt))
-        O_lo_cols.append((sub128 == (s_row & 127)).astype(jnp.float32))
-    O_hiT = jnp.concatenate(O_hi_cols, axis=1)       # [h, 8·128]
-    O_loT = jnp.concatenate(O_lo_cols, axis=1)
-    R_T = _sel(x_ref[:], O_hiT, dn_hh)               # [l, 8·128]
-    xe_all = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
+    # one-hot matmul keeps the MXU pipelined instead of 8 narrow dispatches.
+    # combine="right" never reads x, and gather="dst" reads x inside the
+    # scatter loop (dst-side one-hots) — both skip the src-side gather.
+    if combine != "right" and gather == "src":
+        O_hi_cols, O_lo_cols = [], []
+        for j in range(8):
+            s_row = src_ref[j:j + 1, :]
+            O_hi_cols.append((subX == (s_row >> 7)).astype(odt))
+            O_lo_cols.append((sub128 == (s_row & 127)).astype(jnp.float32))
+        O_hiT = jnp.concatenate(O_hi_cols, axis=1)   # [h, 8·128]
+        O_loT = jnp.concatenate(O_lo_cols, axis=1)
+        R_T = _sel(x_ref[:], O_hiT, dn_hh)           # [l, 8·128]
+        xe_all = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
 
     # -- scatter per subtile (each has its own 64-row dst window)
     for j in range(8):
-        xe = xe_all[:, j * 128:(j + 1) * 128]
         w_raw = w_ref[j:j + 1, :]
         valid = jnp.logical_not(jnp.isnan(w_raw))    # NaN marks padding lanes
-        if combine == "mul":
-            v_row = xe * jnp.where(valid, w_raw, 0.0)
-        elif combine == "add":
-            v_row = xe + jnp.where(valid, w_raw, 0.0)
-        else:  # "left": edge value is just the gathered src value
-            v_row = xe
         d_row = dst_ref[j:j + 1, :]
         d13 = jnp.min(d_row[0, :]) >> log2dw     # subtile dst-window id
         d_rel = d_row - (d13 << log2dw)
         D_hiT = (subD == (d_rel >> 7)).astype(jnp.float32)
         D_loT = (sub128 == (d_rel & 127)).astype(odt)
         off = d13 * dw_rows
+
+        if gather == "dst":
+            # gather x at the REDUCE endpoint (x is y-block shaped): reuse
+            # the dst one-hots — R_D[l, e] = Σ_r x[off+r, l]·D_hiT[r, e]
+            x_slice = x_ref[pl.ds(off, dw_rows), :]
+            R_D = jax.lax.dot_general(x_slice, D_hiT, dn_hh,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+            xe = jnp.sum(R_D * D_loT.astype(jnp.float32), axis=0,
+                         keepdims=True)
+        elif combine != "right":
+            xe = xe_all[:, j * 128:(j + 1) * 128]
+
+        if combine == "mul":
+            v_row = xe * jnp.where(valid, w_raw, 0.0)
+        elif combine == "add":
+            v_row = xe + jnp.where(valid, w_raw, 0.0)
+        elif combine == "right":  # edge value is just the edge weight
+            v_row = jnp.where(valid, w_raw, 0.0)
+        elif combine == "eqsel":
+            # argmax-recovery pass (per_v_random_select, gather="dst"): where
+            # the reduce-side maximum equals this edge's priority, the value
+            # becomes the edge's ABSOLUTE source id (reconstructed in-kernel
+            # from the window base + relative id; exact in f32 below 2^24
+            # vertices).  Exact equality holds because the dst-side gather is
+            # a single-term selection at HIGHEST precision.
+            src_abs = (xwin_ref[i] * src_win
+                       + src_ref[j:j + 1, :]).astype(jnp.float32)
+            v_row = jnp.where(valid & (xe == w_raw), src_abs, -BIG)
+        else:  # "left": edge value is just the gathered src value
+            v_row = xe
 
         if reduce == "sum":
             A = D_hiT * jnp.where(valid, v_row, 0.0)
@@ -474,16 +502,20 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision",
-                                             "reduce", "combine"))
+                                             "reduce", "combine", "gather"))
 def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
                 precision: str = "highest", reduce: str = "sum",
-                combine: str = "mul"):
+                combine: str = "mul", gather: str = "src"):
     """Semiring SpMV: y[dst] = REDUCE_{(src,dst)} COMBINE(x[src], w).
 
     x: [pad_v] f32 (pad_v = plan.n_rows·128).  Returns y with the same shape.
 
-    reduce ∈ {"sum","min","max"}, combine ∈ {"mul","add","left"} ("left"
-    ignores the weight).  Untouched destinations get the reduce identity
+    reduce ∈ {"sum","min","max"}, combine ∈ {"mul","add","left","right",
+    "eqsel"} ("left" ignores the weight, "right" ignores x — and skips the
+    gather entirely; "eqsel" selects the edge whose weight equals the
+    reduce-side x and returns its absolute source id — see
+    dispatch.per_v_random_select).  gather ∈ {"src","dst"}: where x is read
+    ("dst" = the reduce endpoint, required by eqsel).  Untouched destinations get the reduce identity
     (0 / SEMIRING_BIG / −SEMIRING_BIG).  The (min,add) pair is the SSSP
     relaxation, (max,left) the BFS parent-select, (min,left) WCC label
     propagation — the reference's reduce_op library (prims/reduce_op.cuh:285)
@@ -495,16 +527,25 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
 
     interpret = interpret or _interpret_forced()
     n_rows, yb = plan.n_rows, plan.yb_rows
-    xwin_rows = plan.src_win // 128
-    # x rows come from x itself (≥ plan.n_rows·128): a spilled/chunked plan
-    # (kernels/spill.py) writes only its own y-block span but reads the FULL
-    # x, so the two row counts are deliberately decoupled
-    x2 = x.reshape(-1, 128)
-    # pad x rows to full windows so the x BlockSpec never over-reads
-    xw_rows = _round_up(x2.shape[0], xwin_rows)
-    if xw_rows != x2.shape[0]:
-        x2 = jnp.pad(x2, ((0, xw_rows - x2.shape[0]), (0, 0)))
     yb_pad_rows = plan.n_yblocks * yb
+    x2 = x.reshape(-1, 128)
+    if gather == "dst":
+        # x is read at the REDUCE endpoint (per_v_random_select eqsel pass):
+        # shape and indexing follow the y blocks, not the x windows
+        if x2.shape[0] < yb_pad_rows:
+            x2 = jnp.pad(x2, ((0, yb_pad_rows - x2.shape[0]), (0, 0)))
+        x_spec = pl.BlockSpec((yb, 128), lambda i, xw, yb_: (yb_[i], 0))
+    else:
+        xwin_rows = plan.src_win // 128
+        # x rows come from x itself (≥ plan.n_rows·128): a spilled/chunked
+        # plan (kernels/spill.py) writes only its own y-block span but reads
+        # the FULL x, so the two row counts are deliberately decoupled
+        # pad x rows to full windows so the x BlockSpec never over-reads
+        xw_rows = _round_up(x2.shape[0], xwin_rows)
+        if xw_rows != x2.shape[0]:
+            x2 = jnp.pad(x2, ((0, xw_rows - x2.shape[0]), (0, 0)))
+        x_spec = pl.BlockSpec((xwin_rows, 128),
+                              lambda i, xw, yb_: (xw[i], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -513,14 +554,14 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
             pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
             pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
             pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
-            pl.BlockSpec((xwin_rows, 128), lambda i, xw, yb_: (xw[i], 0)),
+            x_spec,
         ],
         out_specs=pl.BlockSpec((yb, 128), lambda i, xw, yb_: (yb_[i], 0)),
     )
     y = pl.pallas_call(
         functools.partial(_kernel, precision=precision, reduce=reduce,
                           combine=combine, src_win=plan.src_win,
-                          dst_win=plan.dst_win),
+                          dst_win=plan.dst_win, gather=gather),
         out_shape=jax.ShapeDtypeStruct((yb_pad_rows, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

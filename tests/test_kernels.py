@@ -8,6 +8,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+import cugraph_tpu as ctpu
 from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan, spmv_onehot
 
 
@@ -263,3 +264,73 @@ def test_bfs_diropt_mixed_regimes():
     d = df["distance"].to_numpy()
     assert d[0] == 0 and (d[1:200] == 1).all()
     assert d[200] == 1 and d[210] == 11
+
+
+def test_per_v_random_select_valid_and_uniform():
+    """Semiring neighbor selection (per_v_random_select_transform_outgoing_e
+    fast path): every selected id is a real out-neighbor, sinks get -1, and
+    the selection is uniform over neighbors (chi-square, loose)."""
+    import jax.random as jr
+
+    from cugraph_tpu.kernels.dispatch import per_v_random_select
+
+    rng = np.random.default_rng(0)
+    n, m = 300, 2400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    s2, d2, _ = G.edgelist_arrays()
+    adj = {}
+    for u, v in zip(s2, d2):
+        adj.setdefault(int(u), set()).add(int(v))
+
+    sel = np.asarray(per_v_random_select(G, jr.key(0), interpret=True))
+    for v in range(G.number_of_vertices()):
+        if v in adj:
+            assert sel[v] in adj[v]
+        else:
+            assert sel[v] == -1
+
+    deg = {u: len(s) for u, s in adj.items()}
+    u0 = max(deg, key=deg.get)
+    counts = {}
+    K = 200
+    for kk in range(K):
+        s = int(np.asarray(
+            per_v_random_select(G, jr.key(kk), interpret=True))[u0])
+        counts[s] = counts.get(s, 0) + 1
+    d0 = deg[u0]
+    exp = K / d0
+    chi2 = sum((c - exp) ** 2 / exp for c in counts.values()) \
+        + (d0 - len(counts)) * exp
+    assert chi2 < 4 * d0
+
+
+def test_bulk_sample_matches_gather_semantics(monkeypatch):
+    """The bulk semiring sampling route must return valid neighbors with
+    correct edge attribution, matching the gather route's frame schema."""
+    import jax.random as jr
+
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+
+    from cugraph_tpu.algos.sampling import _bulk_sample_with_replacement
+
+    rng = np.random.default_rng(3)
+    n, m = 500, 4000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.uniform(0.1, 1.0, m).astype(np.float32)
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, w)
+    g = G.structure
+    frontier = np.arange(G.number_of_vertices(), dtype=np.int32)
+    d, e, v = _bulk_sample_with_replacement(G, g, frontier, jr.key(1), 3)
+    assert d.shape == (len(frontier), 3)
+    ind = np.asarray(g.csr.indices)
+    maj = np.asarray(g.csr.majors)
+    ok = v.nonzero()
+    # edge attribution: eidx must point at a (src, dst) CSR slot
+    assert (ind[e[ok]] == d[ok]).all()
+    srcs_rep = np.repeat(frontier, 3).reshape(-1, 3)
+    assert (maj[e[ok]] == srcs_rep[ok]).all()
