@@ -114,8 +114,56 @@ small_rmat = Dataset("small_rmat", _rmat_loader(10), weighted=True,
 medium_rmat = Dataset("medium_rmat", _rmat_loader(14), weighted=True,
                       description="RMAT scale 14, ef 16 (synthetic)")
 
+def _from_csv(fname, weighted=True, sep=" "):
+    """Bundled public benchmark data (cugraph datasets/ ships the same CSVs;
+    the graphs are classic public datasets — dolphins, polbooks, netscience,
+    … — bundled here because this environment has no egress)."""
+    def load():
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", fname)
+        df = pd.read_csv(path, sep=sep, header=None,
+                         names=["src", "dst", "wgt"])
+        if not weighted:
+            df = df[["src", "dst"]]
+        return df
+    return load
+
+
+dolphins = Dataset("dolphins", _from_csv("dolphins.csv"), directed=True,
+                   weighted=True,
+                   description="Dolphin social network (62 v, 159 e)")
+polbooks = Dataset("polbooks", _from_csv("polbooks.csv"), directed=True,
+                   weighted=True,
+                   description="Political books co-purchase (105 v)")
+netscience = Dataset("netscience", _from_csv("netscience.csv"),
+                     weighted=True,
+                     description="Network-science co-authorship (1589 v)")
+email_Eu_core = Dataset("email-Eu-core", _from_csv("email-Eu-core.csv"),
+                        directed=True, weighted=True,
+                        description="EU research institution email (1005 v)")
+karate_asymmetric = Dataset("karate-asymmetric",
+                            _from_csv("karate-asymmetric.csv"),
+                            directed=True, weighted=True,
+                            description="Karate club, asymmetric direction")
+karate_disjoint = Dataset("karate-disjoint", _from_csv("karate-disjoint.csv"),
+                          weighted=True,
+                          description="Two disjoint karate clubs")
+small_line = Dataset("small_line", _from_csv("small_line.csv"), weighted=True,
+                     description="Path graph (10 v)")
+small_tree = Dataset("small_tree", _from_csv("small_tree.csv"), weighted=True,
+                     description="Small tree")
+toy_graph = Dataset("toy_graph", _from_csv("toy_graph.csv"), directed=True,
+                    weighted=True, description="6-vertex toy graph")
+toy_graph_undirected = Dataset("toy_graph_undirected",
+                               _from_csv("toy_graph_undirected.csv"),
+                               weighted=True,
+                               description="6-vertex toy graph, undirected")
+
 ALL_DATASETS = [karate, les_miserables, davis, florentine, petersen,
-                small_rmat, medium_rmat]
+                dolphins, polbooks, netscience, email_Eu_core,
+                karate_asymmetric, karate_disjoint, small_line, small_tree,
+                toy_graph, toy_graph_undirected, small_rmat, medium_rmat]
 
 
 def get_all_datasets():

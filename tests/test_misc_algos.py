@@ -292,3 +292,17 @@ def test_force_atlas2_pm_scale_smoke():
                      for c in range(n_comm)])
     spread = np.mean(np.linalg.norm(pos - pos.mean(0), axis=1))
     assert intra < spread * 0.8
+
+
+def test_bundled_public_datasets():
+    """Bundled benchmark datasets (reference datasets/*.csv parity) load and
+    run algorithms end-to-end."""
+    from cugraph_tpu import datasets
+
+    for name, nv in [("dolphins", 62), ("polbooks", 105),
+                     ("toy_graph", 6), ("small_line", 10)]:
+        ds = next(d for d in datasets.get_all_datasets() if d.name == name)
+        G = ds.get_graph()
+        assert G.number_of_vertices() == nv, (name, G.number_of_vertices())
+    pr = ctpu.pagerank(datasets.dolphins.get_graph())
+    assert len(pr) == 62 and np.isfinite(pr["pagerank"]).all()
