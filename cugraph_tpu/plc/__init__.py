@@ -20,7 +20,12 @@ from cugraph_tpu.plc.graphs import (
     SGGraph,
     MGGraph,
 )
+from cugraph_tpu.api import exceptions
+from cugraph_tpu.algos.lookup import EdgeIdLookupTable
 from cugraph_tpu.plc.algorithms import (
+    CuGraphRandomState,
+    ego_graph,
+    get_two_hop_neighbors,
     pagerank,
     personalized_pagerank,
     bfs,

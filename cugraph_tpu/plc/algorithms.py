@@ -733,3 +733,43 @@ def edge_id_lookup_table(resource_handle, graph):
     import cugraph_tpu as ct
 
     return ct.edge_id_lookup_table(_sg(graph))
+
+
+def ego_graph(resource_handle, graph, source_vertices, radius,
+              do_expensive_check=False):
+    """pylibcugraph.ego_graph (egonet.pyx:50) — induced subgraphs within
+    ``radius`` of each source.  Returns (srcs, dsts, weights, offsets)."""
+    return egonet(resource_handle, graph, source_vertices, radius,
+                  do_expensive_check)
+
+
+def get_two_hop_neighbors(resource_handle, graph, start_vertices,
+                          do_expensive_check=False):
+    """pylibcugraph.get_two_hop_neighbors (two_hop_neighbors.pyx:45).
+    Returns (first, second) sorted vertex-pair arrays two hops apart."""
+    import cugraph_tpu as ct
+
+    df = ct.two_hop_neighbors(_sg(graph))
+    if start_vertices is not None:
+        sv = set(np.asarray(start_vertices).tolist())
+        df = df[df["first"].isin(sv)]
+    df = df.sort_values(["first", "second"])
+    return df["first"].to_numpy(), df["second"].to_numpy()
+
+
+class CuGraphRandomState:
+    """pylibcugraph.CuGraphRandomState (random.pyx:53): a reusable RNG state
+    for sampling entry points.  Here it wraps a stateless jax threefry key
+    (advanced by fold_in per use — same role, deterministic)."""
+
+    def __init__(self, resource_handle, seed=None):
+        import jax
+
+        self._key = jax.random.key(0 if seed is None else int(seed))
+        self._uses = 0
+
+    def next_key(self):
+        import jax
+
+        self._uses += 1
+        return jax.random.fold_in(self._key, self._uses)
