@@ -13,6 +13,38 @@ class built from edge lists plus one function per algorithm.
 
 from cugraph_tpu.api.graph import Graph, MultiGraph, DiGraph
 from cugraph_tpu.api import exceptions
+from cugraph_tpu.api.bipartite import BiPartiteGraph
+from cugraph_tpu.api.convenience import (
+    bfs_edges,
+    concurrent_bfs,
+    cosine_coefficient,
+    ego_graph,
+    from_adjlist,
+    from_cudf_edgelist,
+    from_edgelist,
+    from_numpy_array,
+    from_numpy_matrix,
+    from_pandas_adjacency,
+    from_pandas_edgelist,
+    heterogeneous_neighbor_sample,
+    homogeneous_neighbor_sample,
+    is_bipartite,
+    is_directed,
+    is_multigraph,
+    is_multipartite,
+    is_weighted,
+    multi_source_bfs,
+    overlap_coefficient,
+    shortest_path,
+    sorensen_coefficient,
+    symmetrize_ddf,
+    symmetrize_df,
+    to_numpy_array,
+    to_numpy_matrix,
+    to_pandas_adjacency,
+    to_pandas_edgelist,
+)
+from cugraph_tpu import experimental
 from cugraph_tpu.api.exceptions import (CugraphTpuError, FailedToConvergeError, InvalidInputError)
 
 from cugraph_tpu import algos

@@ -306,3 +306,60 @@ def test_bundled_public_datasets():
         assert G.number_of_vertices() == nv, (name, G.number_of_vertices())
     pr = ctpu.pagerank(datasets.dolphins.get_graph())
     assert len(pr) == 62 and np.isfinite(pr["pagerank"]).all()
+
+
+def test_convenience_constructors_and_exports():
+    """Module-level constructor/exporter parity (cugraph convert_matrix.py)."""
+    df = pd.DataFrame({"source": [0, 1, 2], "destination": [1, 2, 0],
+                       "w": [1.0, 2.0, 3.0]})
+    G = ctpu.from_pandas_edgelist(df, edge_attr="w")
+    assert G.number_of_edges() == 3 and ctpu.is_weighted(G)
+
+    A = np.array([[0, 1.5, 0], [0, 0, 2.0], [1.0, 0, 0]])
+    Gd = ctpu.from_numpy_array(A, create_using=ctpu.Graph(directed=True))
+    assert Gd.number_of_edges() == 3
+    back = ctpu.to_numpy_array(Gd, nodelist=[0, 1, 2])
+    np.testing.assert_allclose(back, A)
+
+    Ga = ctpu.from_adjlist(np.array([0, 2, 3, 3]), np.array([1, 2, 0]),
+                           create_using=ctpu.Graph(directed=True))
+    assert Ga.number_of_edges() == 3
+
+    el = ctpu.to_pandas_edgelist(G)
+    assert {"src", "dst"} <= set(el.columns)
+
+    adj = ctpu.to_pandas_adjacency(Gd)
+    assert adj.shape == (3, 3)
+
+
+def test_convenience_bfs_variants_and_ego():
+    G, Gnx = karate()
+    df = ctpu.bfs_edges(G, 0)
+    assert "distance" in df.columns
+
+    ms = ctpu.multi_source_bfs(G, [0, 33])
+    assert {"distance_0", "distance_33",
+            "predecessor_0", "predecessor_33"} <= set(ms.columns)
+    ref0 = nx.single_source_shortest_path_length(Gnx, 0)
+    got = dict(zip(ms["vertex"], ms["distance_0"]))
+    assert all(got[v] == d for v, d in ref0.items())
+
+    [cf] = ctpu.concurrent_bfs([G], [[0]])
+    assert "distance_0" in cf.columns
+
+    ego = ctpu.ego_graph(G, 0, radius=1)
+    ref = nx.ego_graph(Gnx, 0, radius=1)
+    assert ego.number_of_vertices() == ref.number_of_nodes()
+
+    sp = ctpu.shortest_path(G, 0)
+    assert "distance" in sp.columns
+
+
+def test_bipartite_graph_and_predicates():
+    B = ctpu.BiPartiteGraph()
+    B.add_nodes_from([0, 1], bipartite=0)
+    B.add_nodes_from([2, 3], bipartite=1)
+    B.from_edgelist(np.array([0, 1]), np.array([2, 3]), None)
+    s0, s1 = B.sets()
+    assert ctpu.is_bipartite(B) and not ctpu.is_directed(B)
+    assert ctpu.experimental is not None
