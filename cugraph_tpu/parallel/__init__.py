@@ -56,4 +56,5 @@ from cugraph_tpu.parallel.algos import (
     mg_k_truss,
     mg_k_hop_nbrs,
     mg_egonet,
+    mg_induced_subgraph,
 )

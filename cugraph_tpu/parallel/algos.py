@@ -1794,3 +1794,19 @@ def mg_egonet(g: DistGraph, mesh, seeds, radius: int = 1):
             np.concatenate(outd) if outd else np.empty(0, np.int64),
             np.concatenate(outw) if outw else np.empty(0, np.float32),
             np.asarray(offsets))
+
+
+def mg_induced_subgraph(g: DistGraph, mesh, vertices):
+    """Distributed induced-subgraph extraction (reference
+    dask/community/induced_subgraph.py): edges with BOTH endpoints in
+    ``vertices``, filtered on-mesh via an owner-sharded membership bitmap
+    and returned as a host edge list (extraction APIs return to the client
+    in the reference too).  Returns (src, dst, weight) in global ids."""
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    vertices = np.asarray(vertices).reshape(-1)
+    member = np.zeros(g.pad_v, bool)
+    member[vertices] = True
+    src, dst, w = _gather_edges_host(g)
+    keep = member[src] & member[dst]
+    return src[keep], dst[keep], w[keep]

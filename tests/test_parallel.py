@@ -15,6 +15,7 @@ import cugraph_tpu as ct
 from cugraph_tpu.core.structure import build_structure_host
 from cugraph_tpu.parallel import (
     build_dist_graph,
+    mg_induced_subgraph,
     make_mesh_2d,
     mesh_shape_for,
     mg_bfs,
@@ -632,3 +633,18 @@ def test_mg_k_hop_and_egonet(mesh):
     es, ed, ew, offs = mg_egonet(g, mesh, [0], radius=2)
     assert set(zip(es.tolist(), ed.tolist())) == {(0, 1), (1, 2)}
     assert list(offs) == [0, 2]
+
+
+def test_mg_induced_subgraph(mesh):
+    rng = np.random.default_rng(8)
+    n, m = 150, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = build_dist_graph(src, dst, np.ones(m, np.float32), n, 4, 2,
+                         store_push=False)
+    verts = np.arange(0, n, 3)
+    s, d, w = mg_induced_subgraph(g, mesh, verts)
+    vset = set(verts.tolist())
+    ref = sum(1 for a, b in zip(src, dst) if a in vset and b in vset)
+    assert len(s) == ref
+    assert all(int(a) in vset and int(b) in vset for a, b in zip(s, d))
