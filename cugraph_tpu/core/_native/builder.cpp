@@ -214,7 +214,7 @@ static PlanDims plan_dims(const int64_t* src, const int64_t* dst, int64_t m,
 // subtile's window from its dst values).
 int64_t spmv_plan_count(const int64_t* src, const int64_t* dst, int64_t m,
                         int64_t n_rows, int64_t yb_rows, int64_t src_win,
-                        int64_t dst_win) {
+                        int64_t dst_win, int64_t tile_subs) {
   if (m <= 0) return -1;
   PlanDims D = plan_dims(src, dst, m, n_rows, yb_rows, src_win, dst_win);
   std::vector<int64_t> bcnt(D.n_groups * D.ndw);
@@ -241,7 +241,7 @@ int64_t spmv_plan_count(const int64_t* src, const int64_t* dst, int64_t m,
         int64_t c = bcnt[g * D.ndw + dw];
         subs += (c + 127) >> 7;
       }
-      T += (subs + 7) >> 3;
+      T += (subs + tile_subs - 1) / tile_subs;
     }
   }
   return T;
@@ -254,15 +254,17 @@ int64_t spmv_plan_count(const int64_t* src, const int64_t* dst, int64_t m,
 // weight==nullptr means unit weights.  Returns 0, or -1 on T mismatch.
 int spmv_plan_fill(const int64_t* src, const int64_t* dst, const float* weight,
                    int64_t m, int64_t n_rows, int64_t yb_rows,
-                   int64_t src_win, int64_t dst_win, int64_t T,
+                   int64_t src_win, int64_t dst_win, int64_t tile_subs,
+                   int64_t T,
                    int32_t* src_rel, int32_t* dst_full, float* w_out,
                    int32_t* xwin_blk, int32_t* yblk) {
   if (m <= 0) return -1;
   PlanDims D = plan_dims(src, dst, m, n_rows, yb_rows, src_win, dst_win);
   const float NaN = __builtin_nanf("");
 
+  const int64_t TS = tile_subs;
   // global defaults: unused rows keep dst 0 / src 0 / weight NaN
-  for (int64_t k = 0; k < T * 8 * 128; ++k) {
+  for (int64_t k = 0; k < T * TS * 128; ++k) {
     src_rel[k] = 0;
     dst_full[k] = 0;
     w_out[k] = NaN;
@@ -328,7 +330,7 @@ int spmv_plan_fill(const int64_t* src, const int64_t* dst, const float* weight,
           p = q;
         }
       }
-      int64_t ntile = (subs + 7) >> 3;
+      int64_t ntile = (subs + TS - 1) / TS;
       int64_t tile0 = t_next;
       for (int64_t t = 0; t < ntile; ++t) {
         xwin_blk[tile0 + t] = (int32_t)g;
@@ -344,7 +346,7 @@ int spmv_plan_fill(const int64_t* src, const int64_t* dst, const float* weight,
         int64_t len = q - p;
         int32_t sbase = (int32_t)(dw * dst_win);
         for (int64_t s0 = 0; s0 < len; s0 += 128, ++sub_k) {
-          int64_t row = (tile0 + (sub_k >> 3)) * 8 + (sub_k & 7);
+          int64_t row = (tile0 + sub_k / TS) * TS + (sub_k % TS);
           int64_t nl = std::min<int64_t>(128, len - s0);
           // padding lanes of a USED row carry the subtile's window base
           for (int64_t l = 0; l < 128; ++l)

@@ -87,13 +87,14 @@ def get_lib():
         lib.spmv_plan_count.restype = ctypes.c_int64
         lib.spmv_plan_count.argtypes = [i64p, i64p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64,
-                                        ctypes.c_int64, ctypes.c_int64]
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64]
         lib.spmv_plan_fill.restype = ctypes.c_int
         lib.spmv_plan_fill.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
-                                       ctypes.c_int64, i32p, i32p, f32p,
-                                       i32p, i32p]
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       i32p, i32p, f32p, i32p, i32p]
         _lib = lib
         return _lib
 
@@ -192,7 +193,8 @@ def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,
     return src_loc, dst_loc, w_out, valid.astype(bool)
 
 
-def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win):
+def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win,
+                     tile_subs=8):
     """Native tiling for the one-hot SpMV plan (kernels/spmv_onehot).
 
     Returns (src_rel, dst_full, weight, xwin_blk, yblk, T) as NumPy arrays,
@@ -206,12 +208,12 @@ def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win):
     dst = np.ascontiguousarray(dst, np.int64)
     m = len(src)
     T = lib.spmv_plan_count(_ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
-                            m, n_rows, yb_rows, src_win, dst_win)
+                            m, n_rows, yb_rows, src_win, dst_win, tile_subs)
     if T <= 0:
         return None
-    src_rel = np.empty((T * 8, 128), np.int32)
-    dst_full = np.empty((T * 8, 128), np.int32)
-    w_out = np.empty((T * 8, 128), np.float32)
+    src_rel = np.empty((T * tile_subs, 128), np.int32)
+    dst_full = np.empty((T * tile_subs, 128), np.int32)
+    w_out = np.empty((T * tile_subs, 128), np.float32)
     xwin_blk = np.empty(T, np.int32)
     yblk = np.empty(T, np.int32)
     wp = (None if weight is None
@@ -219,7 +221,7 @@ def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win):
     rc = lib.spmv_plan_fill(
         _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
         _ptr(wp, ctypes.c_float) if wp is not None else None,
-        m, n_rows, yb_rows, src_win, dst_win, T,
+        m, n_rows, yb_rows, src_win, dst_win, tile_subs, T,
         _ptr(src_rel, ctypes.c_int32), _ptr(dst_full, ctypes.c_int32),
         _ptr(w_out, ctypes.c_float), _ptr(xwin_blk, ctypes.c_int32),
         _ptr(yblk, ctypes.c_int32))

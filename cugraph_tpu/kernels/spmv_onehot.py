@@ -75,6 +75,7 @@ class SpmvPlan:
     num_tiles: int = field(metadata=dict(static=True))
     src_win: int = field(default=SRC_WIN, metadata=dict(static=True))
     dst_win: int = field(default=DST_WIN, metadata=dict(static=True))
+    tile_subs: int = field(default=8, metadata=dict(static=True))
 
     @property
     def pad_v(self) -> int:
@@ -177,7 +178,8 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
                     yb_rows: int = DEFAULT_YB_ROWS,
                     device_arrays: bool = True,
                     src_win: int = SRC_WIN,
-                    dst_win: int = DST_WIN) -> SpmvPlan:
+                    dst_win: int = DST_WIN,
+                    tile_subs: int | None = None) -> SpmvPlan:
     """Host-side tiling.  src/dst int arrays, weight float or None.
 
     Pure vectorized NumPy; the analog of the reference's one-time CSR
@@ -193,6 +195,16 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     if SRC_WIN_ % 128 or DST_WIN_ % 128:
         raise ValueError("src_win/dst_win must be multiples of 128")
     dw_rows = DST_WIN_ // 128
+    if tile_subs is None:
+        # amortize per-grid-step overhead (~0.25 µs/tile measured on v5e):
+        # grow tiles until ~2k remain, cap 64 (unroll/compile cost)
+        est_subs = max(len(np.asarray(src)) // 128, 1)
+        TS = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
+            max(est_subs / 2048, 1)))))))
+    else:
+        TS = int(tile_subs)
+    if TS & (TS - 1) or TS < 1:
+        raise ValueError("tile_subs must be a power of two")
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     m = src.shape[0]
@@ -215,14 +227,14 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         # one empty tile PER y block so every output block gets zero-inited
         t = n_yblocks
         return SpmvPlan(
-            src_rel=conv(np.zeros((t * 8, 128), np.int32)),
-            dst_full=conv(np.zeros((t * 8, 128), np.int32)),
-            weight=conv(np.full((t * 8, 128), np.nan, np.float32)),
+            src_rel=conv(np.zeros((t * TS, 128), np.int32)),
+            dst_full=conv(np.zeros((t * TS, 128), np.int32)),
+            weight=conv(np.full((t * TS, 128), np.nan, np.float32)),
             xwin_blk=conv(np.zeros((t,), np.int32)),
             yblk=conv(np.arange(t, dtype=np.int32)),
             num_vertices=num_vertices, n_rows=n_rows, yb_rows=yb_rows,
             n_yblocks=n_yblocks, num_tiles=t,
-            src_win=SRC_WIN_, dst_win=DST_WIN_,
+            src_win=SRC_WIN_, dst_win=DST_WIN_, tile_subs=TS,
         )
 
     # native C++ tiler (counting sorts, core/_native/builder.cpp) — ~4×
@@ -232,7 +244,7 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         from cugraph_tpu.core.native import spmv_plan_native
 
         res = spmv_plan_native(src, dst, None if weight is None else w,
-                               n_rows, yb_rows, SRC_WIN_, DST_WIN_)
+                               n_rows, yb_rows, SRC_WIN_, DST_WIN_, TS)
         if res is not None:
             sr, df, wa, xb, yb_arr, T = res
             return SpmvPlan(
@@ -240,7 +252,7 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
                 xwin_blk=conv(xb), yblk=conv(yb_arr),
                 num_vertices=num_vertices, n_rows=n_rows, yb_rows=yb_rows,
                 n_yblocks=n_yblocks, num_tiles=T,
-                src_win=SRC_WIN_, dst_win=DST_WIN_)
+                src_win=SRC_WIN_, dst_win=DST_WIN_, tile_subs=TS)
 
     yblock = dst // ybv
     group = src // SRC_WIN_
@@ -280,11 +292,11 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     rg_id = np.cumsum(rg_start) - 1
     rg_first_sub = np.flatnonzero(rg_start)
     sub_seq = np.arange(n_sub) - rg_first_sub[rg_id]
-    tile_in_rg = sub_seq >> 3
-    slot = sub_seq & 7
+    tile_in_rg = sub_seq // TS
+    slot = sub_seq % TS
     # tiles per rg and tile offsets
     rg_sub_counts = np.diff(np.append(rg_first_sub, n_sub))
-    rg_tiles = (rg_sub_counts + 7) >> 3
+    rg_tiles = -(-rg_sub_counts // TS)
     rg_tile_off = np.concatenate([[0], np.cumsum(rg_tiles)])
     sub_tile = rg_tile_off[rg_id] + tile_in_rg
     T = int(rg_tile_off[-1])
@@ -292,10 +304,10 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     # per-edge placement.  Padding lanes carry weight = NaN: the in-kernel
     # validity mask is ~isnan(w), letting min/max semirings exclude padding
     # exactly (the sum path maps NaN → 0, same effect as before).
-    e_row = sub_tile[sub_id] * 8 + slot[sub_id]
-    src_rel = np.zeros((T * 8, 128), np.int32)
-    dst_full = np.zeros((T * 8, 128), np.int32)
-    weight_a = np.full((T * 8, 128), np.nan, np.float32)
+    e_row = sub_tile[sub_id] * TS + slot[sub_id]
+    src_rel = np.zeros((T * TS, 128), np.int32)
+    dst_full = np.zeros((T * TS, 128), np.int32)
+    weight_a = np.full((T * TS, 128), np.nan, np.float32)
     src_rel[e_row, lane] = src - group * SRC_WIN_
     dst_full[e_row, lane] = dst - yblock * ybv
     weight_a[e_row, lane] = w
@@ -303,11 +315,11 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     # padding lanes must carry the subtile's dst window (for >>13 recovery):
     # fill each used row's padding lanes with the row's window base.
     sub_dwin_rel = (dwin[sub_first] - sub_yb * (ybv // DST_WIN_)).astype(np.int64)
-    row_base = np.zeros(T * 8, np.int64)  # unused rows → window 0 (harmless)
-    row_of_sub = sub_tile * 8 + slot
+    row_base = np.zeros(T * TS, np.int64)  # unused rows → window 0 (harmless)
+    row_of_sub = sub_tile * TS + slot
     row_base[row_of_sub] = sub_dwin_rel * DST_WIN_
-    dst_col = np.broadcast_to(row_base[:, None], (T * 8, 128)).copy()
-    filled = np.zeros((T * 8, 128), bool)
+    dst_col = np.broadcast_to(row_base[:, None], (T * TS, 128)).copy()
+    filled = np.zeros((T * TS, 128), bool)
     filled[e_row, lane] = True
     dst_full = np.where(filled, dst_full, dst_col).astype(np.int32)
     src_rel = np.where(filled, src_rel, 0).astype(np.int32)
@@ -330,18 +342,18 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     if len(missing):
         pad_tiles = len(missing)
         src_rel = np.concatenate([src_rel,
-                                  np.zeros((pad_tiles * 8, 128), np.int32)])
+                                  np.zeros((pad_tiles * TS, 128), np.int32)])
         dst_full = np.concatenate([dst_full,
-                                   np.zeros((pad_tiles * 8, 128), np.int32)])
+                                   np.zeros((pad_tiles * TS, 128), np.int32)])
         weight_a = np.concatenate([weight_a,
-                                   np.full((pad_tiles * 8, 128), np.nan,
+                                   np.full((pad_tiles * TS, 128), np.nan,
                                            np.float32)])
         xwin_blk = np.concatenate([xwin_blk, np.zeros(pad_tiles, np.int32)])
         yblk_arr = np.concatenate([yblk_arr, missing.astype(np.int32)])
         order_t = np.argsort(yblk_arr, kind="stable")
         yblk_arr = yblk_arr[order_t]
         xwin_blk = xwin_blk[order_t]
-        rows = (order_t[:, None] * 8 + np.arange(8)).reshape(-1)
+        rows = (order_t[:, None] * TS + np.arange(TS)).reshape(-1)
         src_rel = src_rel[rows]
         dst_full = dst_full[rows]
         weight_a = weight_a[rows]
@@ -360,12 +372,13 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         num_tiles=T,
         src_win=SRC_WIN_,
         dst_win=DST_WIN_,
+        tile_subs=TS,
     )
 
 
 def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
             *, precision, reduce, combine, src_win=SRC_WIN, dst_win=DST_WIN,
-            gather="src"):
+            gather="src", tile_subs=8):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -414,7 +427,7 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
     # scatter loop (dst-side one-hots) — both skip the src-side gather.
     if combine != "right" and gather == "src":
         O_hi_cols, O_lo_cols = [], []
-        for j in range(8):
+        for j in range(tile_subs):
             s_row = src_ref[j:j + 1, :]
             O_hi_cols.append((subX == (s_row >> 7)).astype(odt))
             O_lo_cols.append((sub128 == (s_row & 127)).astype(jnp.float32))
@@ -423,8 +436,8 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
         R_T = _sel(x_ref[:], O_hiT, dn_hh)           # [l, 8·128]
         xe_all = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
 
-    # -- scatter per subtile (each has its own 64-row dst window)
-    for j in range(8):
+    # -- scatter per subtile (each has its own dst window)
+    for j in range(tile_subs):
         w_raw = w_ref[j:j + 1, :]
         valid = jnp.logical_not(jnp.isnan(w_raw))    # NaN marks padding lanes
         d_row = dst_ref[j:j + 1, :]
@@ -547,13 +560,14 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
         x_spec = pl.BlockSpec((xwin_rows, 128),
                               lambda i, xw, yb_: (xw[i], 0))
 
+    ts = plan.tile_subs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(plan.num_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
-            pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
-            pl.BlockSpec((8, 128), lambda i, xw, yb_: (i, 0)),
+            pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
+            pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
+            pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
             x_spec,
         ],
         out_specs=pl.BlockSpec((yb, 128), lambda i, xw, yb_: (yb_[i], 0)),
@@ -561,7 +575,8 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
     y = pl.pallas_call(
         functools.partial(_kernel, precision=precision, reduce=reduce,
                           combine=combine, src_win=plan.src_win,
-                          dst_win=plan.dst_win, gather=gather),
+                          dst_win=plan.dst_win, gather=gather,
+                          tile_subs=ts),
         out_shape=jax.ShapeDtypeStruct((yb_pad_rows, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

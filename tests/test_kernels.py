@@ -334,3 +334,27 @@ def test_bulk_sample_matches_gather_semantics(monkeypatch):
     assert (ind[e[ok]] == d[ok]).all()
     srcs_rep = np.repeat(frontier, 3).reshape(-1, 3)
     assert (maj[e[ok]] == srcs_rep[ok]).all()
+
+
+def test_tile_subs_variants_match():
+    """tile_subs=16/32 packings must produce identical results to 8."""
+    rng = np.random.default_rng(4)
+    n, m = 2000, 15000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.uniform(0.5, 2.0, m).astype(np.float32)
+    x = rng.uniform(-1, 1, ((n + 127) // 128) * 128).astype(np.float32)
+    ref = None
+    for ts in (8, 16, 32):
+        plan = build_spmv_plan(src, dst, w, n, tile_subs=ts)
+        xp = jnp.asarray(np.pad(x, (0, plan.pad_v - len(x))))
+        y = np.asarray(spmv_onehot(plan, xp, interpret=True,
+                                   precision="split"))[: len(x)]
+        ym = np.asarray(spmv_onehot(plan, xp, interpret=True,
+                                    precision="split", reduce="max",
+                                    combine="left"))[: len(x)]
+        if ref is None:
+            ref = (y, ym)
+        else:
+            np.testing.assert_allclose(y, ref[0], atol=1e-4)
+            np.testing.assert_allclose(ym, ref[1], atol=1e-4)
