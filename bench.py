@@ -66,9 +66,9 @@ def _plan_cache(src, dst, n):
     from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
                                                  estimate_windows)
 
-    # v2: uniform-dst-window tile packing (spmv_onehot).  The version tag
-    # keeps stale pre-format-change caches from being loaded silently.
-    path = os.path.join(CACHE_DIR, f"planv2_{SCALE}_ef{EDGE_FACTOR}.npz")
+    # v3: multi-subtile tiles (tile_subs).  The version tag keeps stale
+    # pre-format-change caches from being loaded silently.
+    path = os.path.join(CACHE_DIR, f"planv3_{SCALE}_ef{EDGE_FACTOR}.npz")
     if os.path.exists(path):
         import jax.numpy as jnp
 
@@ -80,6 +80,7 @@ def _plan_cache(src, dst, n):
             n_rows=int(z["n_rows"]), yb_rows=int(z["yb_rows"]),
             n_yblocks=int(z["n_yblocks"]), num_tiles=int(z["num_tiles"]),
             src_win=int(z["src_win"]), dst_win=int(z["dst_win"]),
+            tile_subs=int(z["tile_subs"]),
         )
     sw, dw = estimate_windows(src, dst, n)
     print(f"# windows: src={sw} dst={dw}", file=sys.stderr, flush=True)
@@ -90,7 +91,7 @@ def _plan_cache(src, dst, n):
              num_vertices=plan.num_vertices, n_rows=plan.n_rows,
              yb_rows=plan.yb_rows, n_yblocks=plan.n_yblocks,
              num_tiles=plan.num_tiles, src_win=plan.src_win,
-             dst_win=plan.dst_win)
+             dst_win=plan.dst_win, tile_subs=plan.tile_subs)
     return plan
 
 

@@ -64,7 +64,7 @@ def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
     full = build_spmv_plan(src, dst, weight, num_vertices, yb_rows=yb_rows,
                            device_arrays=False)
     yb = full.yb_rows
-    tile_bytes = 8 * 128 * (4 + 4 + 4)  # src_rel + dst_full + weight
+    tile_bytes = full.tile_subs * 128 * (4 + 4 + 4)  # per-tile array bytes
     yblk = np.asarray(full.yblk)
 
     # tiles per y block (tiles are sorted by yblk; every block has >= 1)
@@ -93,17 +93,18 @@ def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
         t0, t1 = int(blk_start_tile[b0]), int(blk_start_tile[b1])
         nt = t1 - t0
         pad_t = chunk_tiles - nt
-        sr = np.asarray(full.src_rel)[t0 * 8: t1 * 8]
-        df = np.asarray(full.dst_full)[t0 * 8: t1 * 8]
-        ww = np.asarray(full.weight)[t0 * 8: t1 * 8]
+        TS = full.tile_subs
+        sr = np.asarray(full.src_rel)[t0 * TS: t1 * TS]
+        df = np.asarray(full.dst_full)[t0 * TS: t1 * TS]
+        ww = np.asarray(full.weight)[t0 * TS: t1 * TS]
         xb = np.asarray(full.xwin_blk)[t0:t1]
         yk = yblk[t0:t1] - b0
         if pad_t:
             # all-NaN padding tiles pinned to the chunk's LAST y block keep
             # yblk sorted and are masked out inside the kernel
-            sr = np.concatenate([sr, np.zeros((pad_t * 8, 128), np.int32)])
-            df = np.concatenate([df, np.zeros((pad_t * 8, 128), np.int32)])
-            ww = np.concatenate([ww, np.full((pad_t * 8, 128), np.nan,
+            sr = np.concatenate([sr, np.zeros((pad_t * TS, 128), np.int32)])
+            df = np.concatenate([df, np.zeros((pad_t * TS, 128), np.int32)])
+            ww = np.concatenate([ww, np.full((pad_t * TS, 128), np.nan,
                                              np.float32)])
             xb = np.concatenate([xb, np.zeros(pad_t, np.int32)])
             yk = np.concatenate([yk, np.full(pad_t, yk[-1], np.int32)])
@@ -120,6 +121,7 @@ def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
             num_tiles=chunk_tiles,
             src_win=full.src_win,
             dst_win=full.dst_win,
+            tile_subs=full.tile_subs,
         ))
     return SpilledSpmvPlan(
         chunks=tuple(chunks),

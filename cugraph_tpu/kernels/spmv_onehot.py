@@ -129,20 +129,21 @@ def estimate_windows(src, dst, num_vertices: int,
         bc = np.zeros(len(bk), np.int64)
         np.add.at(bc, pos, fcnt)
         b_subs = -(-bc // 128)
+        S = int(b_subs.sum())
         b_rg = bk >> 21
         rg_ids, rg_pos = np.unique(b_rg, return_inverse=True)
         rg_subs = np.zeros(len(rg_ids), np.int64)
         np.add.at(rg_subs, rg_pos, b_subs)
-        T = int(np.sum(-(-rg_subs // 8)))
+        ts = min(64, max(8, 2 ** int(np.ceil(np.log2(max(S / 2048, 1))))))
+        T = int(np.sum(-(-rg_subs // ts)))
         xw_rows = sw // 128
-        # per-tile model CALIBRATED on v5e RMAT-20 (benchmarks/
-        # bench_kernel_windows.py, within 2% on 5 measured configs):
-        # a — VPU one-hot build + elementwise constant; g — one 128-deep
-        # split gather matmul pair, PASS-QUANTIZED (flat below 128 x-rows,
-        # doubling at 256: the systolic array contracts ≤128 deep per pass);
-        # c — scatter rows (linear)
-        a, g, c = 0.40e-6, 0.30e-6, 2.3e-9
-        cost = T * (a + g * -(-xw_rows // 128) + c * dwr)
+        # two-term model CALIBRATED on v5e RMAT-20 at tile_subs=64 (within
+        # 3% on 8 measured configs — tsweep logs in git history):
+        # A — per-grid-step overhead; s — per-subtile one-hot/elementwise
+        # work; g — each extra 128-deep gather matmul pass (the systolic
+        # array contracts ≤128 deep per pass, so x windows ≤ 16384 are free)
+        A, s_sub, g = 0.25e-6, 66e-9, 39e-9
+        cost = T * A + S * (s_sub + g * (-(-xw_rows // 128) - 1))
         if cost < best_cost:
             best, best_cost = (sw, dw), cost
     return best

@@ -43,6 +43,7 @@ class StackedSpmvPlan:
     yb_rows: int = field(metadata=dict(static=True))
     n_yblocks: int = field(metadata=dict(static=True))
     num_tiles: int = field(metadata=dict(static=True))
+    tile_subs: int = field(default=8, metadata=dict(static=True))
 
     def local(self) -> SpmvPlan:
         """Inside shard_map: strip the [1, 1] device axes."""
@@ -51,12 +52,13 @@ class StackedSpmvPlan:
             weight=self.weight[0, 0], xwin_blk=self.xwin_blk[0, 0],
             yblk=self.yblk[0, 0], num_vertices=self.num_vertices,
             n_rows=self.n_rows, yb_rows=self.yb_rows,
-            n_yblocks=self.n_yblocks, num_tiles=self.num_tiles)
+            n_yblocks=self.n_yblocks, num_tiles=self.num_tiles,
+            tile_subs=self.tile_subs)
 
     @property
     def meta(self):
         return (self.num_vertices, self.n_rows, self.yb_rows,
-                self.n_yblocks, self.num_tiles)
+                self.n_yblocks, self.num_tiles, self.tile_subs)
 
 
 @jax.tree_util.register_dataclass
@@ -91,7 +93,7 @@ class StackedSpmmPlan:
                 self.ybv, self.n_yblocks, self.num_tiles)
 
 
-def _pad_tiles(arrs, T, n_yblocks):
+def _pad_tiles(arrs, T, n_yblocks, tile_subs=8):
     """Pad (src, dst, w, xwin, yblk) to T tiles with empty trailing tiles.
     Trailing yblk repeats the last block so the kernel's first-visit
     zero-init never re-fires (which would wipe accumulated output)."""
@@ -100,9 +102,9 @@ def _pad_tiles(arrs, T, n_yblocks):
     if t == T:
         return arrs
     p = T - t
-    src = np.concatenate([src, np.zeros((p * 8, 128), np.int32)])
-    dst = np.concatenate([dst, np.zeros((p * 8, 128), np.int32)])
-    w = np.concatenate([w, np.full((p * 8, 128), np.nan, np.float32)])
+    src = np.concatenate([src, np.zeros((p * tile_subs, 128), np.int32)])
+    dst = np.concatenate([dst, np.zeros((p * tile_subs, 128), np.int32)])
+    w = np.concatenate([w, np.full((p * tile_subs, 128), np.nan, np.float32)])
     xw = np.concatenate([xw, np.zeros(p, np.int32)])
     yb = np.concatenate([yb, np.full(p, n_yblocks - 1, np.int32)])
     return src, dst, w, xw, yb
@@ -125,16 +127,22 @@ def build_stacked_spmv_plan(g, orientation: str = "pull") -> StackedSpmvPlan:
     pmaj, pmin, chunk = g.pmaj, g.pmin, g.chunk
     nv = max(pmin * chunk, pmaj * chunk)
 
+    # ONE tile_subs across shards: stacking needs uniform tile shapes and
+    # the shard_map kernel one static plan spec
+    max_m = max(len(_valid_edges(blocks, i, j)[0])
+                for i in range(pmaj) for j in range(pmin))
+    ts = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
+        max(max_m / 128 / 2048, 1)))))))
     plans = []
     for i in range(pmaj):
         for j in range(pmin):
             s, d, w = _valid_edges(blocks, i, j)
-            plans.append(build_spmv_plan(s, d, w, nv))
+            plans.append(build_spmv_plan(s, d, w, nv, tile_subs=ts))
     T = max(p.num_tiles for p in plans)
     meta = plans[0]
     padded = [_pad_tiles((np.asarray(p.src_rel), np.asarray(p.dst_full),
                           np.asarray(p.weight), np.asarray(p.xwin_blk),
-                          np.asarray(p.yblk)), T, meta.n_yblocks)
+                          np.asarray(p.yblk)), T, meta.n_yblocks, ts)
               for p in plans]
 
     def stk(k):
@@ -144,7 +152,8 @@ def build_stacked_spmv_plan(g, orientation: str = "pull") -> StackedSpmvPlan:
     return StackedSpmvPlan(
         src_rel=stk(0), dst_full=stk(1), weight=stk(2), xwin_blk=stk(3),
         yblk=stk(4), num_vertices=nv, n_rows=meta.n_rows,
-        yb_rows=meta.yb_rows, n_yblocks=meta.n_yblocks, num_tiles=T)
+        yb_rows=meta.yb_rows, n_yblocks=meta.n_yblocks, num_tiles=T,
+        tile_subs=ts)
 
 
 def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
