@@ -50,6 +50,7 @@ class SpmmPlan:
     ybv: int = field(metadata=dict(static=True))
     n_yblocks: int = field(metadata=dict(static=True))
     num_tiles: int = field(metadata=dict(static=True))
+    tile_subs: int = field(default=8, metadata=dict(static=True))
 
 
 def _round_up(x, m):
@@ -92,7 +93,8 @@ def choose_windows(src, dst, n, ybv=DEFAULT_YBV):
 
 def build_spmm_plan(src, dst, weight, num_vertices: int, *,
                     w_src: int | None = None, w_dst: int | None = None,
-                    ybv: int = DEFAULT_YBV) -> SpmmPlan:
+                    ybv: int = DEFAULT_YBV,
+                    tile_subs: int | None = None) -> SpmmPlan:
     """Host-side tiling (vectorized NumPy, mirrors build_spmv_plan)."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -110,17 +112,25 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
     ybv = _round_up(ybv, w_dst)
     pad_v = _round_up(max(num_vertices, 1), max(ybv, w_src))
     n_yblocks = pad_v // ybv
+    if tile_subs is None:
+        # amortize per-grid-step overhead (same calibration as spmv_onehot)
+        est_subs = max(m // 128, 1)
+        TS = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
+            max(est_subs / 2048, 1)))))))
+    else:
+        TS = int(tile_subs)
 
     if m == 0:
         t = n_yblocks
         return SpmmPlan(
-            src_rel=jnp.zeros((t * 8, 128), jnp.int32),
-            dst_rel=jnp.zeros((t * 8, 128), jnp.int32),
-            weight=jnp.full((t * 8, 128), np.nan, jnp.float32),
+            src_rel=jnp.zeros((t * TS, 128), jnp.int32),
+            dst_rel=jnp.zeros((t * TS, 128), jnp.int32),
+            weight=jnp.full((t * TS, 128), np.nan, jnp.float32),
             xwin=jnp.zeros((t,), jnp.int32),
             yblk=jnp.arange(t, dtype=jnp.int32),
             num_vertices=num_vertices, pad_v=pad_v, w_src=w_src,
             w_dst=w_dst, ybv=ybv, n_yblocks=n_yblocks, num_tiles=t,
+            tile_subs=TS,
         )
 
     yblock = dst // ybv
@@ -155,18 +165,18 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
     rg_id = np.cumsum(rg_start) - 1
     rg_first_sub = np.flatnonzero(rg_start)
     sub_seq = np.arange(n_sub) - rg_first_sub[rg_id]
-    tile_in_rg = sub_seq >> 3
-    slot = sub_seq & 7
+    tile_in_rg = sub_seq // TS
+    slot = sub_seq % TS
     rg_sub_counts = np.diff(np.append(rg_first_sub, n_sub))
-    rg_tiles = (rg_sub_counts + 7) >> 3
+    rg_tiles = -(-rg_sub_counts // TS)
     rg_tile_off = np.concatenate([[0], np.cumsum(rg_tiles)])
     sub_tile = rg_tile_off[rg_id] + tile_in_rg
     T = int(rg_tile_off[-1])
 
-    e_row = sub_tile[sub_id] * 8 + slot[sub_id]
-    src_rel = np.zeros((T * 8, 128), np.int32)
-    dst_rel = np.zeros((T * 8, 128), np.int32)
-    weight_a = np.full((T * 8, 128), np.nan, np.float32)
+    e_row = sub_tile[sub_id] * TS + slot[sub_id]
+    src_rel = np.zeros((T * TS, 128), np.int32)
+    dst_rel = np.zeros((T * TS, 128), np.int32)
+    weight_a = np.full((T * TS, 128), np.nan, np.float32)
     src_rel[e_row, lane] = src - group * w_src
     dst_rel[e_row, lane] = dst - yblock * ybv
     weight_a[e_row, lane] = w
@@ -174,11 +184,11 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
     # padding lanes carry the subtile's dst-window base (for in-kernel
     # window recovery via min), weight NaN (validity mask)
     sub_dwin_rel = (dwin[sub_first] - sub_yb * (ybv // w_dst)).astype(np.int64)
-    row_base = np.zeros(T * 8, np.int64)
-    row_of_sub = sub_tile * 8 + slot
+    row_base = np.zeros(T * TS, np.int64)
+    row_of_sub = sub_tile * TS + slot
     row_base[row_of_sub] = sub_dwin_rel * w_dst
-    dst_col = np.broadcast_to(row_base[:, None], (T * 8, 128)).copy()
-    filled = np.zeros((T * 8, 128), bool)
+    dst_col = np.broadcast_to(row_base[:, None], (T * TS, 128)).copy()
+    filled = np.zeros((T * TS, 128), bool)
     filled[e_row, lane] = True
     dst_rel = np.where(filled, dst_rel, dst_col).astype(np.int32)
 
@@ -194,15 +204,15 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
     missing = np.setdiff1d(np.arange(n_yblocks), np.unique(yblk_arr))
     if len(missing):
         pt = len(missing)
-        src_rel = np.concatenate([src_rel, np.zeros((pt * 8, 128), np.int32)])
-        dst_rel = np.concatenate([dst_rel, np.zeros((pt * 8, 128), np.int32)])
+        src_rel = np.concatenate([src_rel, np.zeros((pt * TS, 128), np.int32)])
+        dst_rel = np.concatenate([dst_rel, np.zeros((pt * TS, 128), np.int32)])
         weight_a = np.concatenate(
-            [weight_a, np.full((pt * 8, 128), np.nan, np.float32)])
+            [weight_a, np.full((pt * TS, 128), np.nan, np.float32)])
         xwin = np.concatenate([xwin, np.zeros(pt, np.int32)])
         yblk_arr = np.concatenate([yblk_arr, missing.astype(np.int32)])
         order_t = np.argsort(yblk_arr, kind="stable")
         yblk_arr, xwin = yblk_arr[order_t], xwin[order_t]
-        rows = (order_t[:, None] * 8 + np.arange(8)).reshape(-1)
+        rows = (order_t[:, None] * TS + np.arange(TS)).reshape(-1)
         src_rel, dst_rel, weight_a = src_rel[rows], dst_rel[rows], weight_a[rows]
         T += pt
 
@@ -211,11 +221,12 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
         weight=jnp.asarray(weight_a), xwin=jnp.asarray(xwin),
         yblk=jnp.asarray(yblk_arr), num_vertices=num_vertices, pad_v=pad_v,
         w_src=w_src, w_dst=w_dst, ybv=ybv, n_yblocks=n_yblocks, num_tiles=T,
+        tile_subs=TS,
     )
 
 
 def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
-            *, w_src, w_dst, precision):
+            *, w_src, w_dst, precision, tile_subs=8):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
@@ -233,7 +244,7 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
     dn_vv = (((0,), (0,)), ((), ()))   # contract sublane (vertex) axes
     dn_ed = (((1,), (0,)), ((), ()))   # contract edge axes
 
-    for j in range(8):
+    for j in range(tile_subs):
         s_row = src_ref[j:j + 1, :]
         w_raw = w_ref[j:j + 1, :]
         w_clean = jnp.where(jnp.isnan(w_raw), 0.0, w_raw)
@@ -272,20 +283,21 @@ def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
     if x.shape[0] != plan.pad_v:
         raise ValueError(f"x rows {x.shape[0]} != plan pad_v {plan.pad_v}")
 
+    ts = plan.tile_subs
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(plan.num_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i, xw, yb: (i, 0)),
-            pl.BlockSpec((8, 128), lambda i, xw, yb: (i, 0)),
-            pl.BlockSpec((8, 128), lambda i, xw, yb: (i, 0)),
+            pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
+            pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
+            pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
             pl.BlockSpec((plan.w_src, F), lambda i, xw, yb: (xw[i], 0)),
         ],
         out_specs=pl.BlockSpec((plan.ybv, F), lambda i, xw, yb: (yb[i], 0)),
     )
     y = pl.pallas_call(
         functools.partial(_kernel, w_src=plan.w_src, w_dst=plan.w_dst,
-                          precision=precision),
+                          precision=precision, tile_subs=ts),
         out_shape=jax.ShapeDtypeStruct((plan.n_yblocks * plan.ybv, F),
                                        jnp.float32),
         grid_spec=grid_spec,

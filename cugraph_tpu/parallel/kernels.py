@@ -78,6 +78,7 @@ class StackedSpmmPlan:
     ybv: int = field(metadata=dict(static=True))
     n_yblocks: int = field(metadata=dict(static=True))
     num_tiles: int = field(metadata=dict(static=True))
+    tile_subs: int = field(default=8, metadata=dict(static=True))
 
     def local(self) -> SpmmPlan:
         return SpmmPlan(
@@ -85,12 +86,13 @@ class StackedSpmmPlan:
             weight=self.weight[0, 0], xwin=self.xwin[0, 0],
             yblk=self.yblk[0, 0], num_vertices=self.num_vertices,
             pad_v=self.pad_v, w_src=self.w_src, w_dst=self.w_dst,
-            ybv=self.ybv, n_yblocks=self.n_yblocks, num_tiles=self.num_tiles)
+            ybv=self.ybv, n_yblocks=self.n_yblocks, num_tiles=self.num_tiles,
+            tile_subs=self.tile_subs)
 
     @property
     def meta(self):
         return (self.num_vertices, self.pad_v, self.w_src, self.w_dst,
-                self.ybv, self.n_yblocks, self.num_tiles)
+                self.ybv, self.n_yblocks, self.num_tiles, self.tile_subs)
 
 
 def _pad_tiles(arrs, T, n_yblocks, tile_subs=8):
@@ -185,6 +187,11 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
     else:
         w_src = w_dst = 512
 
+    # uniform tile_subs across shards (stacking needs one static shape)
+    max_m = max(len(_valid_edges(blocks, i, j)[0])
+                for i in range(pmaj) for j in range(pmin))
+    ts = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
+        max(max_m / 128 / 2048, 1)))))))
     plans = []
     for i in range(pmaj):
         for j in range(pmin):
@@ -192,12 +199,13 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
             if transpose:
                 s, d = d, s
             plans.append(build_spmm_plan(s, d, w, nv,
-                                         w_src=w_src, w_dst=w_dst))
+                                         w_src=w_src, w_dst=w_dst,
+                                         tile_subs=ts))
     T = max(p.num_tiles for p in plans)
     meta = plans[0]
     padded = [_pad_tiles((np.asarray(p.src_rel), np.asarray(p.dst_rel),
                           np.asarray(p.weight), np.asarray(p.xwin),
-                          np.asarray(p.yblk)), T, meta.n_yblocks)
+                          np.asarray(p.yblk)), T, meta.n_yblocks, ts)
               for p in plans]
 
     def stk(k):
@@ -207,7 +215,8 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
     return StackedSpmmPlan(
         src_rel=stk(0), dst_rel=stk(1), weight=stk(2), xwin=stk(3),
         yblk=stk(4), num_vertices=nv, pad_v=meta.pad_v, w_src=w_src,
-        w_dst=w_dst, ybv=meta.ybv, n_yblocks=meta.n_yblocks, num_tiles=T)
+        w_dst=w_dst, ybv=meta.ybv, n_yblocks=meta.n_yblocks, num_tiles=T,
+        tile_subs=ts)
 
 
 # -- per-DistGraph cache (weakref'd, sharded at first use) -------------------
