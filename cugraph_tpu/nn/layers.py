@@ -22,7 +22,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from cugraph_tpu.core.structure import GraphStructure
+from cugraph_tpu.core.structure import CsrMatrix, GraphStructure
 from cugraph_tpu.prims.vertex_edge import (
     gather_major,
     gather_minor,
@@ -188,14 +188,108 @@ def gat_conv(params, g: GraphStructure, x: jax.Array, *, negative_slope=0.2):
     alpha_dst = jnp.einsum("vhd,hd->vh", h, params["a_dst"])
     logits = gather_minor(adj, alpha_src) + gather_major(adj, alpha_dst)
     logits = jax.nn.leaky_relu(logits, negative_slope)  # [pad_e, H]
-    # numerically-stable segment softmax over in-edges of each dst
+    coef = _segment_softmax(adj, logits)
+    msgs = gather_minor(adj, h) * coef[:, :, None]  # [pad_e, H, D]
+    out = segment_reduce_by_major(adj, msgs, "sum")  # [pad_v, H, D]
+    return out.reshape(out.shape[0], H * D) + params["b"]
+
+
+def _segment_softmax(adj: CsrMatrix, logits: jax.Array) -> jax.Array:
+    """Numerically-stable softmax of per-edge logits [pad_e, H] over each
+    major vertex's edge segment (the dst-sorted edge order)."""
     valid = (adj.majors < adj.num_vertices)[:, None]
     neg = jnp.asarray(-1e30, logits.dtype)
     logits = jnp.where(valid, logits, neg)
     mx = segment_reduce_by_major(adj, logits, "max")  # [pad_v, H]
     ex = jnp.where(valid, jnp.exp(logits - gather_major(adj, mx)), 0.0)
     denom = segment_reduce_by_major(adj, ex, "sum")
-    coef = ex / jnp.maximum(gather_major(adj, denom), 1e-16)
-    msgs = gather_minor(adj, h) * coef[:, :, None]  # [pad_e, H, D]
-    out = segment_reduce_by_major(adj, msgs, "sum")  # [pad_v, H, D]
+    return ex / jnp.maximum(gather_major(adj, denom), 1e-16)
+
+
+# ---------------------------------------------------------------------------
+# GATv2 (Brody et al. 2022) — the "a" vector is applied AFTER the
+# nonlinearity, giving dynamic (query-dependent) attention
+# ---------------------------------------------------------------------------
+
+def gatv2_init(key, in_dim: int, out_dim: int, num_heads: int = 1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w_src": _glorot(k1, (in_dim, num_heads * out_dim)),
+        "w_dst": _glorot(k2, (in_dim, num_heads * out_dim)),
+        "a": _glorot(k3, (num_heads, out_dim)),
+        "b": jnp.zeros((num_heads * out_dim,), jnp.float32),
+    }
+
+
+def gatv2_conv(params, g: GraphStructure, x: jax.Array, *, negative_slope=0.2):
+    """e(u→v) = aᵀ·LeakyReLU(W_src·x[u] + W_dst·x[v]); softmax over v's
+    in-edges; output aggregates W_src-transformed neighbor features.
+
+    The per-edge [pad_e, H, D] intermediate is the price of dynamic
+    attention; both transforms stay [pad_v, F]→[pad_v, H·D] MXU GEMMs and the
+    edge-level ops are elementwise (XLA fuses them into the gathers)."""
+    adj = g.csc
+    H, D = params["a"].shape
+    hs = jnp.dot(x, params["w_src"], preferred_element_type=jnp.float32)
+    hd = jnp.dot(x, params["w_dst"], preferred_element_type=jnp.float32)
+    hs = hs.reshape(hs.shape[0], H, D)
+    hd = hd.reshape(hd.shape[0], H, D)
+    e = gather_minor(adj, hs) + gather_major(adj, hd)  # [pad_e, H, D]
+    e = jax.nn.leaky_relu(e, negative_slope)
+    logits = jnp.einsum("ehd,hd->eh", e, params["a"])  # [pad_e, H]
+    coef = _segment_softmax(adj, logits)
+    msgs = gather_minor(adj, hs) * coef[:, :, None]
+    out = segment_reduce_by_major(adj, msgs, "sum")
     return out.reshape(out.shape[0], H * D) + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# GIN (Xu et al. 2019): h' = MLP((1+ε)·h + Σ_{u→v} h[u])
+# ---------------------------------------------------------------------------
+
+def gin_init(key, in_dim: int, hidden_dim: int, out_dim: int):
+    k1, k2 = jax.random.split(key)
+    return {
+        "eps": jnp.zeros((), jnp.float32),
+        "w1": _glorot(k1, (in_dim, hidden_dim)),
+        "b1": jnp.zeros((hidden_dim,), jnp.float32),
+        "w2": _glorot(k2, (hidden_dim, out_dim)),
+        "b2": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def gin_conv(params, g: GraphStructure, x: jax.Array) -> jax.Array:
+    """Sum aggregation (maximally expressive per the WL argument) followed by
+    a 2-layer MLP; ε is learnable.  The aggregation routes through the
+    Pallas one-hot SpMM above the size threshold like every sum aggregate."""
+    agg = aggregate_neighbors(g, x, mode="sum")
+    h = (1.0 + params["eps"]) * x + agg
+    h = jnp.dot(h, params["w1"], preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h + params["b1"])
+    return jnp.dot(h, params["w2"],
+                   preferred_element_type=jnp.float32) + params["b2"]
+
+
+# ---------------------------------------------------------------------------
+# APPNP (Gasteiger et al. 2019): predict-then-propagate with personalized-
+# PageRank diffusion — the GNN face of the framework's PageRank engine
+# ---------------------------------------------------------------------------
+
+def appnp_propagate(g: GraphStructure, z: jax.Array, *, alpha: float = 0.1,
+                    k: int = 10) -> jax.Array:
+    """Z ← α·Z₀ + (1−α)·D̂^{-1/2}ÂD̂^{-1/2}·Z, iterated k times (Â = A + I).
+
+    The inner product is the same symmetric-normalized SpMM as gcn_conv, so
+    the TPU fast path (one-hot Pallas SpMM) applies; k is static so the loop
+    unrolls into one fused XLA computation."""
+    deg = (g.in_weight_sums() + 1).astype(z.dtype)
+    inv_sqrt = jax.lax.rsqrt(deg)
+
+    def prop(h):
+        hn = h * inv_sqrt[:, None]
+        return (aggregate_neighbors(g, hn, mode="sum") + hn) * inv_sqrt[:, None]
+
+    z0 = z
+    for _ in range(k):
+        z = alpha * z0 + (1.0 - alpha) * prop(z)
+    return z

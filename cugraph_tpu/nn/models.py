@@ -75,6 +75,69 @@ def gat_apply(params, g: GraphStructure, x: jax.Array) -> jax.Array:
     return h
 
 
+def gatv2_model_init(key, in_dim: int, hidden_dim: int, out_dim: int,
+                     num_layers: int = 2, num_heads: int = 4):
+    keys = jax.random.split(key, num_layers)
+    params = []
+    d = in_dim
+    for i, k in enumerate(keys):
+        if i + 1 < num_layers:
+            params.append(layers.gatv2_init(k, d, hidden_dim, num_heads))
+            d = hidden_dim * num_heads
+        else:
+            params.append(layers.gatv2_init(k, d, out_dim, 1))
+    return params
+
+
+def gatv2_apply(params, g: GraphStructure, x: jax.Array) -> jax.Array:
+    h = x
+    for i, p in enumerate(params):
+        h = layers.gatv2_conv(p, g, h)
+        if i + 1 < len(params):
+            h = jax.nn.elu(h)
+    return h
+
+
+def gin_model_init(key, in_dim: int, hidden_dim: int, out_dim: int,
+                   num_layers: int = 2):
+    dims = [in_dim] + [hidden_dim] * (num_layers - 1) + [out_dim]
+    keys = jax.random.split(key, num_layers)
+    return [layers.gin_init(k, a, max(a, b), b)
+            for k, a, b in zip(keys, dims, dims[1:])]
+
+
+def gin_apply(params, g: GraphStructure, x: jax.Array) -> jax.Array:
+    h = x
+    for i, p in enumerate(params):
+        h = layers.gin_conv(p, g, h)
+        if i + 1 < len(params):
+            h = jax.nn.relu(h)
+    return h
+
+
+def appnp_init(key, in_dim: int, hidden_dim: int, out_dim: int):
+    """Predict-then-propagate: a 2-layer MLP predictor (propagation has no
+    parameters)."""
+    k1, k2 = jax.random.split(key)
+    from cugraph_tpu.nn.layers import _glorot
+
+    return {
+        "w1": _glorot(k1, (in_dim, hidden_dim)),
+        "b1": jnp.zeros((hidden_dim,), jnp.float32),
+        "w2": _glorot(k2, (hidden_dim, out_dim)),
+        "b2": jnp.zeros((out_dim,), jnp.float32),
+    }
+
+
+def appnp_apply(params, g: GraphStructure, x: jax.Array, *,
+                alpha: float = 0.1, k: int = 10) -> jax.Array:
+    h = jax.nn.relu(jnp.dot(x, params["w1"],
+                            preferred_element_type=jnp.float32) + params["b1"])
+    z = jnp.dot(h, params["w2"],
+                preferred_element_type=jnp.float32) + params["b2"]
+    return layers.appnp_propagate(g, z, alpha=alpha, k=k)
+
+
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
                          mask: jax.Array) -> jax.Array:
     """Mean softmax cross-entropy over vertices where ``mask`` is true.

@@ -120,3 +120,91 @@ def test_masked_ce_ignores_padding():
     mask = jnp.array([True, True, False])
     loss = masked_cross_entropy(logits, labels, mask)
     assert float(loss) < 1e-3  # the bad (masked) row contributes nothing
+
+
+# ---------------------------------------------------------------------------
+# round-3 layer family: GATv2 / GIN / APPNP
+# ---------------------------------------------------------------------------
+
+def test_new_model_forward_shape_and_jit():
+    from cugraph_tpu.nn import (
+        gatv2_model_init, gatv2_apply, gin_model_init, gin_apply,
+        appnp_init, appnp_apply,
+    )
+    g, _, _ = _random_graph()
+    F, H, C = 7, 16, 3
+    for init, apply in [
+        (gatv2_model_init, gatv2_apply),
+        (gin_model_init, gin_apply),
+        (appnp_init, appnp_apply),
+    ]:
+        params = init(jax.random.key(0), F, H, C)
+        x = jnp.ones((g.pad_v, F), jnp.float32)
+        logits = jax.jit(apply)(params, g, x)
+        assert logits.shape == (g.pad_v, C)
+        assert bool(jnp.all(jnp.isfinite(logits[: g.num_vertices])))
+
+
+def test_gin_matches_numpy_oracle():
+    from cugraph_tpu.nn import gin_init, gin_conv
+
+    g, src, dst = _random_graph(seed=5)
+    n, F = g.num_vertices, 6
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(g.pad_v, F)).astype(np.float32)
+    params = gin_init(jax.random.key(1), F, 8, 4)
+    out = np.asarray(gin_conv(params, g, jnp.asarray(x)))[:n]
+
+    w1, b1 = np.asarray(params["w1"]), np.asarray(params["b1"])
+    w2, b2 = np.asarray(params["w2"]), np.asarray(params["b2"])
+    agg = np.zeros((n, F), np.float32)
+    for s, d in zip(src, dst):
+        agg[d] += x[s]
+    h = x[:n] + agg  # eps initialized to 0
+    h = np.maximum(h @ w1 + b1, 0.0)
+    expect = h @ w2 + b2
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_gatv2_attention_is_softmax_normalized():
+    """With the 'a' vector zeroed, GATv2 attention is uniform → the layer
+    reduces to a mean aggregation of W_src-transformed features."""
+    from cugraph_tpu.nn import gatv2_init, gatv2_conv
+
+    g, src, dst = _random_graph(seed=7)
+    n, F, D = g.num_vertices, 5, 4
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(g.pad_v, F)).astype(np.float32)
+    params = gatv2_init(jax.random.key(2), F, D, num_heads=1)
+    params = dict(params, a=jnp.zeros_like(params["a"]))
+    out = np.asarray(gatv2_conv(params, g, jnp.asarray(x)))[:n]
+
+    hs = x @ np.asarray(params["w_src"])
+    expect = np.zeros((n, D), np.float32)
+    for v in range(n):
+        nbrs = src[dst == v]
+        if len(nbrs):
+            expect[v] = hs[nbrs].mean(axis=0)
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_appnp_propagate_fixpoint_oracle():
+    """k iterations of Z ← αZ₀ + (1-α)ÂZ against a dense NumPy recurrence."""
+    from cugraph_tpu.nn import appnp_propagate
+
+    g, src, dst = _random_graph(seed=11)
+    n, F = g.num_vertices, 3
+    rng = np.random.default_rng(4)
+    z0 = rng.normal(size=(g.pad_v, F)).astype(np.float32)
+    out = np.asarray(appnp_propagate(g, jnp.asarray(z0), alpha=0.2, k=6))[:n]
+
+    A = np.zeros((n, n), np.float32)
+    for s, d in zip(src, dst):
+        A[d, s] += 1.0
+    deg = A.sum(axis=1) + 1.0
+    dinv = 1.0 / np.sqrt(deg)
+    A_hat = (A + np.eye(n)) * dinv[:, None] * dinv[None, :]
+    z = z0[:n].copy()
+    for _ in range(6):
+        z = 0.2 * z0[:n] + 0.8 * (A_hat @ z)
+    np.testing.assert_allclose(out, z, rtol=1e-4, atol=1e-4)
