@@ -9,7 +9,11 @@ Measures (t(2N)-t(N) of one jitted loop, per CLAUDE.md tunnel rules):
 
 Run on real TPU:  cd /root/repo && nohup python benchmarks/bench_isect_micro.py > /tmp/isect_micro.log 2>&1 &
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ import pandas as pd
 
 from cugraph_tpu.algos._utils import vertex_frame
 from cugraph_tpu.core.structure import padded_vertex_count, round_up
-from cugraph_tpu.prims.intersection import pair_intersection
+from cugraph_tpu.prims.intersection import pair_intersection_auto
 
 
 # ==========================================================================
@@ -395,7 +395,8 @@ def _edge_triangle_counts(G):
     src, dst, _ = G.edgelist_arrays()
     n = g.num_vertices
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
-    stats = pair_intersection(g, jnp.asarray(src), jnp.asarray(dst), max_deg)
+    stats = pair_intersection_auto(g, jnp.asarray(src), jnp.asarray(dst),
+                                   max_deg)
     return src, dst, np.asarray(stats["count"])
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from cugraph_tpu.prims.intersection import pair_intersection
+from cugraph_tpu.prims.intersection import pair_intersection_auto
 
 
 def _default_pairs(G):
@@ -46,9 +46,9 @@ def _similarity(G, vertex_pair, kind: str, use_weight: bool):
         raise ValueError("use_weight=True requires a weighted graph")
     n = g.num_vertices
     max_deg = int(np.asarray(g.out_degrees())[:n].max()) if n else 1
-    stats = pair_intersection(g, jnp.asarray(us), jnp.asarray(vs),
-                              max_deg=max(int(max_deg), 1),
-                              weighted=use_weight)
+    stats = pair_intersection_auto(g, jnp.asarray(us), jnp.asarray(vs),
+                                   max_deg=max(int(max_deg), 1),
+                                   weighted=use_weight)
     if use_weight:
         inter = np.asarray(stats["sum_min"], dtype=np.float64)
         su = np.asarray(stats["wsum_u"], dtype=np.float64)

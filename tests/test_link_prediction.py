@@ -77,3 +77,56 @@ def test_all_pairs_topk():
     for a, b, c in zip(df["first"], df["second"], df["jaccard_coeff"]):
         ref = list(nx.jaccard_coefficient(Gnx, [(a, b)]))[0][2]
         assert abs(ref - c) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# sorted fast path ≡ binary-search path (round 3: TPU intersection kernel)
+# ---------------------------------------------------------------------------
+
+def test_pair_intersection_sorted_matches_binsearch():
+    import jax.numpy as jnp
+    from cugraph_tpu.core.structure import build_structure_host
+    from cugraph_tpu.prims.intersection import (
+        pair_intersection, pair_intersection_sorted)
+
+    rng = np.random.default_rng(17)
+    n, m = 300, 2400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    # simple graph: coalesce parallel edges (the fast-path precondition,
+    # same as the reference's similarity remove_multi_edges requirement)
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    g = build_structure_host(src, dst, w, n)
+
+    P = 500
+    us = jnp.asarray(rng.integers(0, n, P).astype(np.int32))
+    vs = jnp.asarray(rng.integers(0, n, P).astype(np.int32))
+    max_deg = int(np.asarray(g.out_degrees())[:n].max())
+
+    for weighted in (False, True):
+        ref = pair_intersection(g, us, vs, max_deg=max_deg, weighted=weighted)
+        fast = pair_intersection_sorted(g, us, vs, weighted=weighted)
+        for key in ref:
+            np.testing.assert_allclose(
+                np.asarray(fast[key]), np.asarray(ref[key]),
+                rtol=1e-5, atol=1e-5, err_msg=f"{key} weighted={weighted}")
+
+
+def test_pair_intersection_sorted_self_and_disjoint():
+    import jax.numpy as jnp
+    from cugraph_tpu.core.structure import build_structure_host
+    from cugraph_tpu.prims.intersection import pair_intersection_sorted
+
+    # star + disjoint edge: N(0)={1,2,3}, N(1)={0}, N(4)={5}
+    src = np.array([0, 0, 0, 1, 4])
+    dst = np.array([1, 2, 3, 0, 5])
+    g = build_structure_host(src, dst, None, 6)
+    us = jnp.asarray(np.array([0, 0, 1], np.int32))
+    vs = jnp.asarray(np.array([0, 4, 4], np.int32))
+    out = pair_intersection_sorted(g, us, vs)
+    np.testing.assert_array_equal(np.asarray(out["count"]), [3, 0, 0])
+    np.testing.assert_array_equal(np.asarray(out["deg_u"]), [3, 3, 1])
+    np.testing.assert_array_equal(np.asarray(out["deg_v"]), [3, 1, 1])
