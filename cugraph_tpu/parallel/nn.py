@@ -181,3 +181,140 @@ def mg_gcn_apply(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:
         if i + 1 < len(params):
             h = jax.nn.relu(h)
     return h
+
+
+# ---------------------------------------------------------------------------
+# attention layers (GAT / GATv2) — distributed segment softmax
+# ---------------------------------------------------------------------------
+#
+# The softmax denominator per dst is a cross-device reduce: every device in a
+# mesh COLUMN holds a disjoint slice of dst's in-edges, and dst segments live
+# in the major-gathered [nseg, ...] space — so the global per-dst max/sum is
+# just pmax/psum along "major" of the local segment reduces, with NO owner
+# round-trip.  (Reference analog: per-edge e_op + dst-keyed reduce of
+# transform_reduce_e_by_dst_key, transform_reduce_e.cuh.)
+
+@lru_cache(maxsize=32)
+def _mg_gat_kernel(mesh, pmaj, chunk, negative_slope):
+    def kernel(src_loc, dst_loc, valid, h_own, as_own, ad_own):
+        sl, dl = src_loc[0, 0], dst_loc[0, 0]
+        vv = valid[0, 0][:, None]
+        nseg = pmaj * chunk
+        h_blk = prims.gather_minor_block(h_own)        # [B, H, D]
+        as_blk = prims.gather_minor_block(as_own)      # [B, H]
+        ad_blk = prims.gather_major_block(ad_own)      # [nseg, H]
+        logit = jax.nn.leaky_relu(
+            jnp.take(as_blk, sl, axis=0) + jnp.take(ad_blk, dl, axis=0),
+            negative_slope)
+        neg = jnp.asarray(-1e30, logit.dtype)
+        logit = jnp.where(vv, logit, neg)
+        # global per-dst max via all_gather+max (pmax lacks a diff rule);
+        # the softmax max-shift is a constant offset, so stop_gradient
+        mx = jax.lax.stop_gradient(jnp.max(jax.lax.all_gather(
+            prims.block_segment_reduce(logit, dl, nseg, "max"),
+            prims.MAJOR, axis=0), axis=0))
+        delta = jnp.where(vv, logit - jnp.take(mx, dl, axis=0), neg)
+        ex = jnp.exp(delta)                            # 0 on invalid lanes
+        denom = jax.lax.psum(
+            prims.block_segment_reduce(ex, dl, nseg, "sum"), prims.MAJOR)
+        coef = ex / jnp.maximum(jnp.take(denom, dl, axis=0), 1e-16)
+        msgs = jnp.take(h_blk, sl, axis=0) * coef[:, :, None]
+        part = prims.block_segment_reduce(msgs, dl, nseg, "sum")
+        return prims.scatter_reduce_major_sum(part)    # [Vc, H, D]
+
+    es, vs = edge_spec(), vertex_spec()
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh, in_specs=(es, es, es, vs, vs, vs), out_specs=vs))
+
+
+def mg_gat_conv(params, g: DistGraph, mesh, x: jax.Array, *,
+                negative_slope: float = 0.2) -> jax.Array:
+    """Distributed mirror of nn.layers.gat_conv (multi-head, unweighted
+    attention): one [pad_v,F]→[pad_v,H·D] GEMM, per-vertex attention halves,
+    then the shard_map edge kernel above."""
+    H, D = params["a_src"].shape
+    h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+    hr = h.reshape(h.shape[0], H, D)
+    a_s = jnp.einsum("vhd,hd->vh", hr, params["a_src"])
+    a_d = jnp.einsum("vhd,hd->vh", hr, params["a_dst"])
+    out = _mg_gat_kernel(mesh, g.pmaj, g.chunk, float(negative_slope))(
+        g.pull.src_loc, g.pull.dst_loc, g.pull.valid, hr, a_s, a_d)
+    return out.reshape(out.shape[0], H * D) + params["b"]
+
+
+@lru_cache(maxsize=32)
+def _mg_gatv2_kernel(mesh, pmaj, chunk, negative_slope):
+    def kernel(src_loc, dst_loc, valid, hs_own, hd_own, a):
+        sl, dl = src_loc[0, 0], dst_loc[0, 0]
+        vv = valid[0, 0][:, None]
+        nseg = pmaj * chunk
+        hs_blk = prims.gather_minor_block(hs_own)      # [B, H, D]
+        hd_blk = prims.gather_major_block(hd_own)      # [nseg, H, D]
+        hs_e = jnp.take(hs_blk, sl, axis=0)            # [E, H, D]
+        e = jax.nn.leaky_relu(hs_e + jnp.take(hd_blk, dl, axis=0),
+                              negative_slope)
+        logit = jnp.einsum("ehd,hd->eh", e, a)
+        neg = jnp.asarray(-1e30, logit.dtype)
+        logit = jnp.where(vv, logit, neg)
+        # global per-dst max via all_gather+max (pmax lacks a diff rule);
+        # the softmax max-shift is a constant offset, so stop_gradient
+        mx = jax.lax.stop_gradient(jnp.max(jax.lax.all_gather(
+            prims.block_segment_reduce(logit, dl, nseg, "max"),
+            prims.MAJOR, axis=0), axis=0))
+        delta = jnp.where(vv, logit - jnp.take(mx, dl, axis=0), neg)
+        ex = jnp.exp(delta)
+        denom = jax.lax.psum(
+            prims.block_segment_reduce(ex, dl, nseg, "sum"), prims.MAJOR)
+        coef = ex / jnp.maximum(jnp.take(denom, dl, axis=0), 1e-16)
+        part = prims.block_segment_reduce(hs_e * coef[:, :, None], dl,
+                                          nseg, "sum")
+        return prims.scatter_reduce_major_sum(part)
+
+    es, vs = edge_spec(), vertex_spec()
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(es, es, es, vs, vs, P()), out_specs=vs))
+
+
+def mg_gatv2_conv(params, g: DistGraph, mesh, x: jax.Array, *,
+                  negative_slope: float = 0.2) -> jax.Array:
+    """Distributed mirror of nn.layers.gatv2_conv (dynamic attention; the
+    "a" vector applies after the per-edge nonlinearity, so it rides into the
+    edge kernel as a replicated parameter)."""
+    H, D = params["a"].shape
+    hs = jnp.dot(x, params["w_src"], preferred_element_type=jnp.float32)
+    hd = jnp.dot(x, params["w_dst"], preferred_element_type=jnp.float32)
+    out = _mg_gatv2_kernel(mesh, g.pmaj, g.chunk, float(negative_slope))(
+        g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
+        hs.reshape(hs.shape[0], H, D), hd.reshape(hd.shape[0], H, D),
+        params["a"])
+    return out.reshape(out.shape[0], H * D) + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# GIN / APPNP — direct reuses of the SpMM aggregation fast path
+# ---------------------------------------------------------------------------
+
+def mg_gin_conv(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+    """Distributed mirror of nn.layers.gin_conv: sum aggregation + 2-layer
+    MLP with learnable ε (all-dense transforms shard row-wise under GSPMD)."""
+    agg = mg_aggregate_sum(g, mesh, x)
+    h = (1.0 + params["eps"]) * x + agg
+    h = jax.nn.relu(jnp.dot(h, params["w1"],
+                            preferred_element_type=jnp.float32) + params["b1"])
+    return jnp.dot(h, params["w2"],
+                   preferred_element_type=jnp.float32) + params["b2"]
+
+
+def mg_appnp_propagate(g: DistGraph, mesh, z: jax.Array, *,
+                       alpha: float = 0.1, k: int = 10) -> jax.Array:
+    """Distributed mirror of nn.layers.appnp_propagate: k unrolled rounds of
+    Z ← α·Z₀ + (1−α)·D̂^{-1/2}ÂD̂^{-1/2}·Z through the MG SpMM."""
+    deg = g.in_degree + 1.0
+    inv_sqrt = jax.lax.rsqrt(deg)
+    z0 = z
+    for _ in range(k):
+        hn = z * inv_sqrt[:, None]
+        z = alpha * z0 + (1.0 - alpha) * (
+            mg_aggregate_sum(g, mesh, hn) + hn) * inv_sqrt[:, None]
+    return z

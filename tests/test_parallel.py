@@ -648,3 +648,65 @@ def test_mg_induced_subgraph(mesh):
     ref = sum(1 for a, b in zip(src, dst) if a in vset and b in vset)
     assert len(s) == ref
     assert all(int(a) in vset and int(b) in vset for a, b in zip(s, d))
+
+
+@pytest.mark.parametrize("layer", ["gat", "gatv2"])
+def test_mg_attention_matches_sg(mesh, layer):
+    from cugraph_tpu.nn import (gat_conv, gat_init, gatv2_conv, gatv2_init)
+    from cugraph_tpu.parallel.nn import (mg_gat_conv, mg_gatv2_conv,
+                                         replicate, shard_vertex_data)
+    from cugraph_tpu.parallel.mesh import shard_dist_graph
+
+    src, dst, _ = _random_coo(n=60, m=400, seed=21, weighted=False)
+    n = 60
+    g = shard_dist_graph(
+        build_dist_graph(src, dst, None, n, 4, 2, store_push=False), mesh)
+
+    rng = np.random.default_rng(1)
+    F, D, H = 6, 5, 3
+    init, sg_fn, mg_fn = {
+        "gat": (gat_init, gat_conv, mg_gat_conv),
+        "gatv2": (gatv2_init, gatv2_conv, mg_gatv2_conv),
+    }[layer]
+    params = replicate(mesh, init(jax.random.key(2), F, D, num_heads=H))
+    x = rng.normal(size=(g.pad_v, F)).astype(np.float32)
+    xd = shard_vertex_data(mesh, jnp.asarray(x))
+    mg_out = np.asarray(mg_fn(params, g, mesh, xd))[:n]
+
+    sg_struct = build_structure_host(src, dst, None, n)
+    x_sg = np.zeros((sg_struct.pad_v, F), np.float32)
+    x_sg[:n] = x[:n]
+    params_host = jax.tree.map(np.asarray, params)
+    sg_out = np.asarray(sg_fn(params_host, sg_struct, jnp.asarray(x_sg)))[:n]
+    np.testing.assert_allclose(mg_out, sg_out, rtol=2e-4, atol=2e-4)
+
+
+def test_mg_gin_appnp_match_sg(mesh):
+    from cugraph_tpu.nn import appnp_propagate, gin_conv, gin_init
+    from cugraph_tpu.parallel.nn import (mg_appnp_propagate, mg_gin_conv,
+                                         replicate, shard_vertex_data)
+    from cugraph_tpu.parallel.mesh import shard_dist_graph
+
+    src, dst, w = _random_coo(n=60, m=400, seed=22, weighted=True)
+    n = 60
+    g = shard_dist_graph(
+        build_dist_graph(src, dst, w, n, 4, 2, store_push=False), mesh)
+
+    rng = np.random.default_rng(3)
+    F = 6
+    params = replicate(mesh, gin_init(jax.random.key(4), F, 10, 4))
+    x = rng.normal(size=(g.pad_v, F)).astype(np.float32)
+    xd = shard_vertex_data(mesh, jnp.asarray(x))
+    sg_struct = build_structure_host(src, dst, w, n)
+    x_sg = np.zeros((sg_struct.pad_v, F), np.float32)
+    x_sg[:n] = x[:n]
+    params_host = jax.tree.map(np.asarray, params)
+
+    mg_out = np.asarray(mg_gin_conv(params, g, mesh, xd))[:n]
+    sg_out = np.asarray(gin_conv(params_host, sg_struct, jnp.asarray(x_sg)))[:n]
+    np.testing.assert_allclose(mg_out, sg_out, rtol=2e-4, atol=2e-4)
+
+    mg_z = np.asarray(mg_appnp_propagate(g, mesh, xd, alpha=0.15, k=4))[:n]
+    sg_z = np.asarray(appnp_propagate(sg_struct, jnp.asarray(x_sg),
+                                      alpha=0.15, k=4))[:n]
+    np.testing.assert_allclose(mg_z, sg_z, rtol=2e-4, atol=2e-4)
