@@ -35,23 +35,50 @@ from cugraph_tpu.prims.intersection import enumerate_neighbors, lower_bound_rows
 # per_v_random_select_outgoing_e — the sampling primitive
 # --------------------------------------------------------------------------
 
+# dense searchsorted tensor budget for the table-based inverse-CDF draw
+_DENSE_CDF_MAX = 64_000_000
+
+
 @partial(jax.jit, static_argnames=("k", "with_replacement", "biased", "max_deg"))
 def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
                       k: int, with_replacement: bool, biased: bool,
-                      max_deg: int, cumw: jax.Array | None = None):
+                      max_deg: int, cumw: jax.Array | None = None,
+                      tables=None):
     """For each frontier vertex draw k out-neighbors.
     Returns (dst [F,k], edge_idx [F,k], valid [F,k]).
     TPU analog of per_v_random_select_transform_outgoing_e
-    (prims/per_v_random_select_transform_outgoing_e.cuh)."""
+    (prims/per_v_random_select_transform_outgoing_e.cuh).
+
+    ``tables`` = (nbr_table, weight_table, cumweight_table) from
+    prims.neighbor_table (fetched outside the trace): neighbor/weight lookups
+    become row gathers + take_along_axis (dense, TPU-fast) instead of
+    element gathers, and the biased inverse-CDF becomes one dense
+    comparison count instead of a 32-step binary search."""
     adj = g.csr
     F = frontier.shape[0]
+    nt, wt, ct = tables if tables is not None else (None, None, None)
     base = jnp.take(adj.offsets, frontier)
     deg = jnp.take(adj.offsets, frontier + 1) - base
 
     if with_replacement:
+        u = jax.random.uniform(key, (F, k))
         if biased:
+            if ct is not None and F * k * ct.shape[1] <= _DENSE_CDF_MAX:
+                crow = jnp.take(ct, frontier, axis=0)              # [F, D]
+                wtot = jnp.take_along_axis(
+                    crow, jnp.maximum(deg, 1)[:, None] - 1, axis=1)  # [F, 1]
+                tgt = u * wtot                                     # [F, k]
+                # first slot with cum >= tgt  ==  count of (cum < tgt);
+                # +inf fill past each row's degree never counts
+                off = jnp.sum(crow[:, None, :] < tgt[:, :, None],
+                              axis=2).astype(jnp.int32)
+                off = jnp.minimum(off, jnp.maximum(deg[:, None] - 1, 0))
+                eidx = base[:, None] + off
+                valid = (deg > 0)[:, None] & jnp.ones((F, k), bool)
+                dst = jnp.take_along_axis(jnp.take(nt, frontier, axis=0),
+                                          off, axis=1)
+                return dst, eidx, valid
             # inverse-CDF draw on the row's cumulative weights
-            u = jax.random.uniform(key, (F, k))
             wtot = jnp.take(cumw, base + jnp.maximum(deg, 1) - 1)
             tgt = u * wtot[:, None]
             # binary search within the row for the first cumw >= tgt
@@ -70,10 +97,15 @@ def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
             pos, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
             eidx = jnp.clip(pos, 0, adj.pad_e - 1)
         else:
-            u = jax.random.uniform(key, (F, k))
             off = jnp.floor(u * deg[:, None]).astype(jnp.int32)
             off = jnp.minimum(off, jnp.maximum(deg[:, None] - 1, 0))
             eidx = base[:, None] + off
+            if nt is not None:
+                valid = (deg > 0)[:, None] & jnp.ones((F, k), bool)
+                dst = jnp.take_along_axis(
+                    jnp.take(nt, frontier, axis=0),
+                    jnp.minimum(off, nt.shape[1] - 1), axis=1)
+                return dst, eidx, valid
         valid = (deg > 0)[:, None] & jnp.ones((F, k), bool)
         dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
         return dst, eidx, valid
@@ -82,11 +114,15 @@ def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
     # k is clamped to max_deg (the reference caps at the degree and returns
     # every neighbor when the fanout exceeds it).
     k = min(k, max_deg)
-    nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg)
+    nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg,
+                                                     nbr_table=nt)
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
     if biased:
-        wts = jnp.take(adj.weights, eidx_tile)
+        if wt is not None:
+            wts = jnp.take(wt, frontier, axis=0)[:, :max_deg]
+        else:
+            wts = jnp.take(adj.weights, eidx_tile)
         score = jnp.where(tile_valid & (wts > 0),
                           jnp.log(jnp.maximum(wts, 1e-30)) + gumbel, -jnp.inf)
     else:
@@ -95,8 +131,31 @@ def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
     picked_valid = jnp.take_along_axis(tile_valid, top, axis=1) & \
         (jnp.take_along_axis(score, top, axis=1) > -jnp.inf)
     eidx = jnp.take_along_axis(eidx_tile, top, axis=1)
-    dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
+    if nt is not None:
+        dst = jnp.take_along_axis(nbr, top, axis=1)
+    else:
+        dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
     return dst, eidx, picked_valid
+
+
+def _fetch_tables(g: GraphStructure, weights: bool = False,
+                  cum: bool = False):
+    """(nbr_table, weight_table, cumweight_table) for the row-gather fast
+    paths, or None when the padded table exceeds the memory budget (cached
+    per CsrMatrix; must be called OUTSIDE jit)."""
+    from cugraph_tpu.prims.neighbor_table import (
+        cumweight_table,
+        neighbor_table,
+        tables_fit,
+        weight_table,
+    )
+
+    adj = g.csr
+    if adj.num_vertices == 0 or not tables_fit(adj):
+        return None
+    return (neighbor_table(adj),
+            weight_table(adj) if weights else None,
+            cumweight_table(adj) if cum else None)
 
 
 def _row_cumweights(g: GraphStructure):
@@ -169,6 +228,9 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
     n = G.number_of_vertices()
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
+    tables = _fetch_tables(g, weights=biased, cum=biased)
+    # cumw kept even when tables exist: the dense-CDF path falls back to the
+    # binary search when F*k*D exceeds its tensor budget
     cumw = _row_cumweights(g) if biased else None
 
     frames = []
@@ -180,8 +242,9 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
         key, sub = jax.random.split(key)
         if int(k) < 0:
             # k == -1 means "all neighbors" in the reference API
-            nbr, valid, eidx = enumerate_neighbors(g.csr, jnp.asarray(frontier),
-                                                   max_deg)
+            nbr, valid, eidx = enumerate_neighbors(
+                g.csr, jnp.asarray(frontier), max_deg,
+                nbr_table=tables[0] if tables is not None else None)
             dst, eidx, valid = np.asarray(nbr), np.asarray(eidx), np.asarray(valid)
         elif (with_replacement and not biased
               and len(frontier) * max_deg > _BULK_SAMPLE_TILE):
@@ -193,14 +256,15 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
             else:
                 dst, eidx, valid = _sample_neighbors(
                     g, jnp.asarray(frontier), sub, int(k),
-                    bool(with_replacement), bool(biased), max_deg, cumw)
+                    bool(with_replacement), bool(biased), max_deg, cumw,
+                    tables)
                 dst = np.asarray(dst)
                 eidx = np.asarray(eidx)
                 valid = np.asarray(valid)
         else:
             dst, eidx, valid = _sample_neighbors(
                 g, jnp.asarray(frontier), sub, int(k),
-                bool(with_replacement), bool(biased), max_deg, cumw)
+                bool(with_replacement), bool(biased), max_deg, cumw, tables)
             dst, eidx, valid = np.asarray(dst), np.asarray(eidx), np.asarray(valid)
         kk = dst.shape[1]
         srcs = np.repeat(frontier, kk)
@@ -268,43 +332,68 @@ def homogeneous_biased_neighbor_sample(G, start_list, fanout_vals,
 
 @partial(jax.jit, static_argnames=("depth", "biased"))
 def _walk_kernel(g: GraphStructure, starts: jax.Array, key: jax.Array,
-                 depth: int, biased: bool, cumw: jax.Array | None):
+                 depth: int, biased: bool, cumw: jax.Array | None,
+                 tables=None):
     """Uniform or weight-biased first-order walks.
-    Returns (paths [W, depth+1], edge weights [W, depth])."""
+    Returns (paths [W, depth+1], edge weights [W, depth]).
+
+    With ``tables`` (prims.neighbor_table triple) each step is one row
+    gather + take_along_axis; the biased draw is a dense per-row
+    comparison count on the cumulative-weight table."""
     adj = g.csr
     W = starts.shape[0]
     SENT = jnp.int32(-1)
+    nt, wt, ct = tables if tables is not None else (None, None, None)
 
     def step(carry, i):
         cur, k = carry
         k, sub = jax.random.split(k)
-        base = jnp.take(adj.offsets, jnp.clip(cur, 0, adj.pad_v - 1))
-        deg = jnp.take(adj.offsets, jnp.clip(cur, 0, adj.pad_v - 1) + 1) - base
+        safe = jnp.clip(cur, 0, adj.pad_v - 1)
+        base = jnp.take(adj.offsets, safe)
+        deg = jnp.take(adj.offsets, safe + 1) - base
         u = jax.random.uniform(sub, (W,))
         if biased:
-            wtot = jnp.take(cumw, base + jnp.maximum(deg, 1) - 1)
-            tgt = u * wtot
-            lo, hi = base, base + deg
+            if ct is not None:
+                crow = jnp.take(ct, safe, axis=0)                  # [W, D]
+                wtot = jnp.take_along_axis(
+                    crow, jnp.maximum(deg, 1)[:, None] - 1, axis=1)[:, 0]
+                tgt = u * wtot
+                off = jnp.sum(crow < tgt[:, None], axis=1).astype(jnp.int32)
+                off = jnp.minimum(off, jnp.maximum(deg - 1, 0))
+            else:
+                wtot = jnp.take(cumw, base + jnp.maximum(deg, 1) - 1)
+                tgt = u * wtot
+                lo, hi = base, base + deg
 
-            def body(_, st):
-                lo, hi = st
-                mid = (lo + hi) >> 1
-                val = jnp.take(cumw, jnp.clip(mid, 0, adj.pad_e - 1))
-                right = (val < tgt) & (lo < hi)
-                lo = jnp.where(right, mid + 1, lo)
-                hi = jnp.where(right | (lo >= hi), hi, mid)
-                return lo, hi
+                def body(_, st):
+                    lo, hi = st
+                    mid = (lo + hi) >> 1
+                    val = jnp.take(cumw, jnp.clip(mid, 0, adj.pad_e - 1))
+                    right = (val < tgt) & (lo < hi)
+                    lo = jnp.where(right, mid + 1, lo)
+                    hi = jnp.where(right | (lo >= hi), hi, mid)
+                    return lo, hi
 
-            pos, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
-            eidx = jnp.clip(pos, 0, adj.pad_e - 1)
+                pos, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+                off = jnp.clip(pos, 0, adj.pad_e - 1) - base
         else:
             off = jnp.minimum(jnp.floor(u * deg).astype(jnp.int32),
                               jnp.maximum(deg - 1, 0))
-            eidx = base + off
-        nxt = jnp.take(adj.indices, eidx)
+        if nt is not None:
+            offc = jnp.minimum(off, nt.shape[1] - 1)[:, None]
+            nxt = jnp.take_along_axis(jnp.take(nt, safe, axis=0),
+                                      offc, axis=1)[:, 0]
+            wnext = jnp.take_along_axis(jnp.take(wt, safe, axis=0),
+                                        offc, axis=1)[:, 0] \
+                if wt is not None else \
+                jnp.take(adj.weights, jnp.clip(base + off, 0, adj.pad_e - 1))
+        else:
+            eidx = jnp.clip(base + off, 0, adj.pad_e - 1)
+            nxt = jnp.take(adj.indices, eidx)
+            wnext = jnp.take(adj.weights, eidx)
         dead = (deg <= 0) | (cur == SENT)
         nxt = jnp.where(dead, SENT, nxt)
-        wstep = jnp.where(dead, 0.0, jnp.take(adj.weights, eidx))
+        wstep = jnp.where(dead, 0.0, wnext)
         return (nxt, k), (nxt, wstep)
 
     (_, _), (path_tail, wsteps) = jax.lax.scan(step, (starts, key),
@@ -323,7 +412,7 @@ def random_walks(G, start_vertices, max_depth: int, use_padding: bool = True,
     starts = normalize_start(G, start_vertices).astype(np.int32)
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
     paths, wsteps = _walk_kernel(g, jnp.asarray(starts), key, int(max_depth),
-                                 False, None)
+                                 False, None, _fetch_tables(g, weights=True))
     paths = np.asarray(paths)
     wsteps = np.asarray(wsteps)
     vp = unrenumber_column(G, paths.reshape(-1), sentinel=-1)
@@ -343,33 +432,57 @@ def biased_random_walks(G, start_vertices, max_depth: int, random_state=None):
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
     cumw = _row_cumweights(g)
     paths, wsteps = _walk_kernel(g, jnp.asarray(starts), key, int(max_depth),
-                                 True, cumw)
+                                 True, cumw,
+                                 _fetch_tables(g, weights=True, cum=True))
     vp = unrenumber_column(G, np.asarray(paths).reshape(-1), sentinel=-1)
     return (pd.Series(vp), pd.Series(np.asarray(wsteps).reshape(-1)),
             int(max_depth))
 
 
+# per-step dense membership tensor budget ([W, max_deg, D] compares)
+_N2V_DENSE_MAX = 64_000_000
+
+
 @partial(jax.jit, static_argnames=("depth", "max_deg"))
 def _node2vec_kernel(g: GraphStructure, starts: jax.Array, key: jax.Array,
-                     depth: int, p: float, q: float, max_deg: int):
+                     depth: int, p: float, q: float, max_deg: int,
+                     tables=None):
     """Second-order biased walks (Grover & Leskovec).  Per step, candidate
     neighbors of cur are re-weighted 1/p (back to prev), 1 (distance-1 from
     prev: candidate is a neighbor of prev), 1/q (distance-2); draw via
-    categorical over the [W, max_deg] tile."""
+    categorical over the [W, max_deg] tile.
+
+    With ``tables`` the neighbor/weight tiles come from row gathers, and the
+    distance-1 membership test becomes one dense [W, max_deg, D] equality
+    sweep against prev's table row (sentinel cells ≥ pad_v never equal a
+    real candidate id) instead of a 32-step binary search."""
     adj = g.csr
     W = starts.shape[0]
     SENT = jnp.int32(-1)
+    nt, wt, _ = tables if tables is not None else (None, None, None)
+    dense_near = (nt is not None
+                  and W * max_deg * nt.shape[1] <= _N2V_DENSE_MAX)
 
     def step(carry, i):
         cur, prev, k = carry
         k, sub = jax.random.split(k)
         safe_cur = jnp.clip(cur, 0, adj.pad_v - 1)
-        nbr, valid, eidx = enumerate_neighbors(adj, safe_cur, max_deg)
-        w = jnp.take(adj.weights, eidx)
+        nbr, valid, eidx = enumerate_neighbors(adj, safe_cur, max_deg,
+                                               nbr_table=nt)
+        if wt is not None:
+            w = jnp.take(wt, safe_cur, axis=0)[:, :max_deg]
+        else:
+            w = jnp.take(adj.weights, eidx)
         has_prev = prev >= 0
         safe_prev = jnp.clip(prev, 0, adj.pad_v - 1)
         is_back = nbr == prev[:, None]
-        near, _ = lower_bound_rows(adj, safe_prev[:, None], nbr)
+        if dense_near:
+            prev_row = jnp.take(nt, safe_prev, axis=0)     # [W, D]
+            # candidate sentinels (≥ pad_v) can equal prev-row sentinels,
+            # but those lanes are valid=False → score-masked below
+            near = jnp.any(nbr[:, :, None] == prev_row[:, None, :], axis=2)
+        else:
+            near, _ = lower_bound_rows(adj, safe_prev[:, None], nbr)
         factor = jnp.where(is_back, 1.0 / p,
                            jnp.where(near, 1.0, 1.0 / q))
         factor = jnp.where(has_prev[:, None], factor, 1.0)
@@ -379,11 +492,16 @@ def _node2vec_kernel(g: GraphStructure, starts: jax.Array, key: jax.Array,
         cdf = jnp.cumsum(score, axis=1)
         pick = jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=1)
         pick = jnp.minimum(pick, max_deg - 1)
-        e_pick = jnp.take_along_axis(eidx, pick[:, None], axis=1)[:, 0]
-        nxt = jnp.take(adj.indices, e_pick)
+        if nt is not None:
+            nxt = jnp.take_along_axis(nbr, pick[:, None], axis=1)[:, 0]
+            wnext = jnp.take_along_axis(w, pick[:, None], axis=1)[:, 0]
+        else:
+            e_pick = jnp.take_along_axis(eidx, pick[:, None], axis=1)[:, 0]
+            nxt = jnp.take(adj.indices, e_pick)
+            wnext = jnp.take(adj.weights, e_pick)
         dead = (tot <= 0) | (cur == SENT)
         nxt = jnp.where(dead, SENT, nxt)
-        wstep = jnp.where(dead, 0.0, jnp.take(adj.weights, e_pick))
+        wstep = jnp.where(dead, 0.0, wnext)
         return (nxt, cur, k), (nxt, wstep)  # prev <- cur after the move
 
     (_, _, _), (tail, wsteps) = jax.lax.scan(
@@ -403,7 +521,7 @@ def node2vec_random_walks(G, start_vertices, max_depth: int, p: float = 1.0,
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1)
     paths, wsteps = _node2vec_kernel(g, jnp.asarray(starts), key,
                                      int(max_depth), float(p), float(q),
-                                     max_deg)
+                                     max_deg, _fetch_tables(g, weights=True))
     vp = unrenumber_column(G, np.asarray(paths).reshape(-1), sentinel=-1)
     return (pd.Series(vp), pd.Series(np.asarray(wsteps).reshape(-1)),
             int(max_depth))
@@ -519,33 +637,53 @@ def _sample_neighbors_masked(g: GraphStructure, frontier: jax.Array,
                              edge_ok: jax.Array,
                              seed_times: jax.Array | None,
                              edge_times: jax.Array | None,
-                             strict: bool = True, biased: bool = False):
+                             strict: bool = True, biased: bool = False,
+                             tables=None, ok_tab: jax.Array | None = None,
+                             time_tab: jax.Array | None = None):
     """Gumbel top-k sampling restricted to an eligibility mask — the masked
     analog of per_v_random_select_transform_outgoing_e used by the
     heterogeneous (per-edge-type) and temporal variants.  ``biased`` adds
     log(edge weight) to the Gumbel scores (exact weighted sampling without
     replacement — the biased-variant semantics of
-    temporal_sampling_impl.cuh)."""
+    temporal_sampling_impl.cuh).
+
+    Table mode (``tables``/``ok_tab``/``time_tab`` — [pad_v, D] row views
+    from prims.neighbor_table): all per-edge lookups become row gathers;
+    ``edge_ok``/``edge_times`` are then unused and may be None."""
     adj = g.csr
     F = frontier.shape[0]
-    nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg)
+    nt, wt, _ = tables if tables is not None else (None, None, None)
+    nbr, tile_valid, eidx_tile = enumerate_neighbors(adj, frontier, max_deg,
+                                                     nbr_table=nt)
     safe = jnp.clip(eidx_tile, 0, adj.pad_e - 1)
-    ok = tile_valid & jnp.take(edge_ok, safe)
-    if edge_times is not None:
-        t = jnp.take(edge_times, safe)
+    if ok_tab is not None:
+        ok = tile_valid & jnp.take(ok_tab, frontier, axis=0)[:, :max_deg]
+    else:
+        ok = tile_valid & jnp.take(edge_ok, safe)
+    if time_tab is not None or edge_times is not None:
+        if time_tab is not None:
+            t = jnp.take(time_tab, frontier, axis=0)[:, :max_deg]
+        else:
+            t = jnp.take(edge_times, safe)
         lim = seed_times[:, None]
         ok = ok & (t > lim if strict else t >= lim)
     gumbel = -jnp.log(-jnp.log(
         jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
     if biased:
-        wts = jnp.take(adj.weights, safe)
+        if wt is not None:
+            wts = jnp.take(wt, frontier, axis=0)[:, :max_deg]
+        else:
+            wts = jnp.take(adj.weights, safe)
         ok = ok & (wts > 0)
         gumbel = gumbel + jnp.log(jnp.maximum(wts, 1e-30))
     score = jnp.where(ok, gumbel, -jnp.inf)
     _, top = jax.lax.top_k(score, min(k, max_deg))
     picked = jnp.take_along_axis(score, top, axis=1) > -jnp.inf
     eidx = jnp.take_along_axis(eidx_tile, top, axis=1)
-    dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
+    if nt is not None:
+        dst = jnp.take_along_axis(nbr, top, axis=1)
+    else:
+        dst = jnp.take(adj.indices, jnp.clip(eidx, 0, adj.pad_e - 1))
     return dst, eidx, picked
 
 
@@ -573,12 +711,29 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
     n = G.number_of_vertices()
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
 
-    edge_times = (jnp.asarray(_csr_prop(G, G.edge_times).astype(np.float32))
-                  if G.edge_times is not None and seed_time is not None else None)
+    et_host = (_csr_prop(G, G.edge_times).astype(np.float32)
+               if G.edge_times is not None and seed_time is not None else None)
     times = None
-    if edge_times is not None:
+    if et_host is not None:
         t0 = np.full(len(seeds), np.float32(seed_time), np.float32)
         times = t0
+
+    # row-gather fast path: [pad_v, D] table views of the per-edge mask /
+    # time / weight arrays, built once per call (prims/neighbor_table.py)
+    tables = _fetch_tables(g, weights=biased)
+    ok_tabs = time_tab = None
+    edge_times = None
+    if tables is not None:
+        from cugraph_tpu.prims.neighbor_table import edge_value_table
+
+        ok_tabs = {tk: jnp.asarray(edge_value_table(
+            g.csr, np.asarray(mask), False, np.bool_))
+            for tk, mask in masks_by_type.items()}
+        if et_host is not None:
+            time_tab = jnp.asarray(edge_value_table(
+                g.csr, et_host, np.float32(0.0), np.float32))
+    elif et_host is not None:
+        edge_times = jnp.asarray(et_host)
 
     frames = []
     frontier = seeds
@@ -593,9 +748,11 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
             key, sub = jax.random.split(key)
             dst, eidx, valid = _sample_neighbors_masked(
                 g, jnp.asarray(frontier), sub, int(k), max_deg,
-                masks_by_type[type_key],
+                masks_by_type[type_key] if tables is None else None,
                 jnp.asarray(times) if times is not None else None,
-                edge_times, strict, biased)
+                edge_times, strict, biased, tables,
+                ok_tabs[type_key] if ok_tabs is not None else None,
+                time_tab)
             dst = np.asarray(dst); eidx = np.asarray(eidx)
             valid = np.asarray(valid)
             kk = dst.shape[1]

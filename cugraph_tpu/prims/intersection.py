@@ -49,17 +49,31 @@ def lower_bound_rows(adj: CsrMatrix, rows: jax.Array, queries: jax.Array):
     return found, lo
 
 
-def enumerate_neighbors(adj: CsrMatrix, verts: jax.Array, max_deg: int):
+def enumerate_neighbors(adj: CsrMatrix, verts: jax.Array, max_deg: int,
+                        nbr_table: jax.Array | None = None):
     """[P] vertex ids -> ([P, max_deg] neighbor ids, [P, max_deg] valid mask,
     [P, max_deg] absolute edge index).  Rows shorter than max_deg are masked;
-    longer rows MUST NOT occur (caller picks max_deg >= max degree)."""
+    longer rows MUST NOT occur (caller picks max_deg >= max degree).
+
+    With ``nbr_table`` (a [pad_v, D≥max_deg] table from
+    prims.neighbor_table.neighbor_table, fetched OUTSIDE any trace) the
+    neighbor ids come from one row gather instead of a [P, max_deg] element
+    gather that scalarizes on TPU; invalid lanes then hold sentinels ≥ pad_v
+    (callers must mask via ``valid`` either way)."""
     base = jnp.take(adj.offsets, verts)
     deg = jnp.take(adj.offsets, verts + 1) - base
     k = jnp.arange(max_deg, dtype=jnp.int32)
     eidx = base[:, None] + k[None, :]
     valid = k[None, :] < deg[:, None]
     eidx_c = jnp.clip(eidx, 0, adj.pad_e - 1)
-    nbr = jnp.take(adj.indices, eidx_c)
+    if nbr_table is not None:
+        if nbr_table.shape[1] < max_deg:  # defensive; D >= max degree normally
+            nbr_table = jnp.pad(nbr_table,
+                                ((0, 0), (0, max_deg - nbr_table.shape[1])),
+                                constant_values=adj.pad_v)
+        nbr = jnp.take(nbr_table, verts, axis=0)[:, :max_deg]
+    else:
+        nbr = jnp.take(adj.indices, eidx_c)
     return nbr, valid, eidx_c
 
 
@@ -85,50 +99,29 @@ _ISECT_TABLE_MAX = 1 << 26  # table entries (per array) before falling back
 
 
 def _padded_adj_tables(g: GraphStructure, weighted: bool):
-    """Host-built, cached [pad_v, D] neighbor (+weight) tables for g.csr.
-    Invalid slots hold pad_v + slot (distinct sentinels ≥ pad_v)."""
-    import numpy as np
+    """Cached [pad_v, D] neighbor (+weight) tables for g.csr — shared with
+    the sampling/walk row-gather paths (prims/neighbor_table.py).  Invalid
+    cells hold pad_v + slot (distinct sentinels ≥ pad_v; the sort-merge
+    adjacency trick below relies on both properties)."""
+    from cugraph_tpu.prims.neighbor_table import (
+        neighbor_table,
+        table_width,
+        weight_table,
+    )
 
-    key = "_isect_tables_w" if weighted else "_isect_tables"
-    cached = getattr(g, key, None)
-    if cached is not None:
-        return cached
     adj = g.csr
-    offs = np.asarray(adj.offsets)
-    n = adj.num_vertices
-    deg = offs[1 : n + 1] - offs[:n]
-    max_deg = int(deg.max()) if n else 0
-    D = max(64, -(-max_deg // 64) * 64)
-    pv = int(adj.pad_v)
-    k = np.arange(D, dtype=np.int64)
-    table = np.broadcast_to(pv + k, (pv, D)).astype(np.int32).copy()
-    rows = np.repeat(np.arange(n), deg)
-    slots = np.arange(len(rows)) - np.repeat(offs[:n], deg)
-    idx_host = np.asarray(adj.indices)[: offs[n]]
-    table[rows, slots] = idx_host
-    if weighted:
-        wtab = np.zeros((pv, D), np.float32)
-        wtab[rows, slots] = np.asarray(adj.weights)[: offs[n]]
-        out = (jnp.asarray(table), jnp.asarray(wtab), D)
-    else:
-        out = (jnp.asarray(table), None, D)
-    object.__setattr__(g, key, out)
-    return out
+    wtab = weight_table(adj) if weighted else None
+    return neighbor_table(adj), wtab, table_width(adj)
 
 
 def intersection_table_entries(g: GraphStructure) -> int:
     """Size (entries) the padded fast-path table would need; used by the
     dispatcher to bound memory."""
-    import numpy as np
+    from cugraph_tpu.prims.neighbor_table import table_entries
 
-    adj = g.csr
-    offs = np.asarray(adj.offsets)
-    n = adj.num_vertices
-    if n == 0:
+    if g.csr.num_vertices == 0:
         return 0
-    deg = offs[1 : n + 1] - offs[:n]
-    D = max(64, -(-int(deg.max()) // 64) * 64)
-    return int(adj.pad_v) * D
+    return table_entries(g.csr)
 
 
 @partial(jax.jit, static_argnames=("pad_v", "D", "weighted"))

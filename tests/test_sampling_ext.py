@@ -299,3 +299,107 @@ def test_mg_biased_temporal_sample(mesh8):
                                      seed_time=0.0, seed=1, biased=True)
     if len(df):
         assert (df["edge_time"] > 0.0).all()
+
+
+# ---------------------------------------------------------------------------
+# row-gather table fast paths ≡ CSR-walking fallbacks (same key → same draws)
+# ---------------------------------------------------------------------------
+
+def _rand_graph(seed=5, n=120, m=700, weighted=True):
+    import numpy as np
+    from cugraph_tpu.core.structure import build_structure_host
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.uniform(0.5, 2.0, m).astype(np.float32) if weighted else None
+    return build_structure_host(src, dst, w, n), n
+
+
+def test_sample_neighbors_table_matches_fallback():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cugraph_tpu.algos.sampling import (_fetch_tables, _row_cumweights,
+                                            _sample_neighbors)
+
+    g, n = _rand_graph()
+    max_deg = int(np.asarray(g.out_degrees())[:n].max())
+    frontier = jnp.asarray(np.arange(0, n, 2, dtype=np.int32))
+    key = jax.random.PRNGKey(7)
+    cumw = _row_cumweights(g)
+    tables = _fetch_tables(g, weights=True, cum=True)
+    assert tables is not None
+    for wr in (True, False):
+        for biased in (True, False):
+            a = _sample_neighbors(g, frontier, key, 4, wr, biased, max_deg,
+                                  cumw, None)
+            b = _sample_neighbors(g, frontier, key, 4, wr, biased, max_deg,
+                                  cumw, tables)
+            np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+            va = np.asarray(a[2])
+            np.testing.assert_array_equal(np.asarray(a[0])[va],
+                                          np.asarray(b[0])[va],
+                                          err_msg=f"wr={wr} biased={biased}")
+            np.testing.assert_array_equal(np.asarray(a[1])[va],
+                                          np.asarray(b[1])[va])
+
+
+def test_walk_kernels_table_matches_fallback():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cugraph_tpu.algos.sampling import (_fetch_tables, _node2vec_kernel,
+                                            _row_cumweights, _walk_kernel)
+
+    g, n = _rand_graph(seed=6)
+    max_deg = int(np.asarray(g.out_degrees())[:n].max())
+    starts = jnp.asarray(np.arange(0, n, 3, dtype=np.int32))
+    key = jax.random.PRNGKey(9)
+    cumw = _row_cumweights(g)
+    tables = _fetch_tables(g, weights=True, cum=True)
+
+    for biased in (False, True):
+        pa, wa = _walk_kernel(g, starts, key, 6, biased, cumw, None)
+        pb, wb = _walk_kernel(g, starts, key, 6, biased, cumw, tables)
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(wb))
+
+    pa, wa = _node2vec_kernel(g, starts, key, 6, 2.0, 0.5, max_deg, None)
+    pb, wb = _node2vec_kernel(g, starts, key, 6, 2.0, 0.5, max_deg, tables)
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    np.testing.assert_allclose(np.asarray(wa), np.asarray(wb))
+
+
+def test_masked_sampler_table_matches_fallback():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cugraph_tpu.algos.sampling import (_fetch_tables,
+                                            _sample_neighbors_masked)
+    from cugraph_tpu.prims.neighbor_table import edge_value_table
+
+    g, n = _rand_graph(seed=8)
+    adj = g.csr
+    max_deg = int(np.asarray(g.out_degrees())[:n].max())
+    rng = np.random.default_rng(0)
+    mask = rng.random(adj.pad_e) < 0.6
+    etimes = rng.uniform(0, 10, adj.pad_e).astype(np.float32)
+    frontier = jnp.asarray(np.arange(0, n, 2, dtype=np.int32))
+    seed_times = jnp.full((len(np.arange(0, n, 2)),), 3.0, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    tables = _fetch_tables(g, weights=True)
+    ok_tab = jnp.asarray(edge_value_table(adj, mask, False, np.bool_))
+    time_tab = jnp.asarray(edge_value_table(adj, etimes, np.float32(0.0)))
+
+    for biased in (False, True):
+        a = _sample_neighbors_masked(
+            g, frontier, key, 3, max_deg, jnp.asarray(mask), seed_times,
+            jnp.asarray(etimes), True, biased)
+        b = _sample_neighbors_masked(
+            g, frontier, key, 3, max_deg, None, seed_times, None, True,
+            biased, tables, ok_tab, time_tab)
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+        va = np.asarray(a[2])
+        np.testing.assert_array_equal(np.asarray(a[0])[va],
+                                      np.asarray(b[0])[va])
