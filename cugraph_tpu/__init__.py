@@ -184,3 +184,21 @@ from cugraph_tpu.generators.rmat import (
 )
 
 __version__ = "0.1.0"
+
+
+def _git_commit():
+    """Best-effort build provenance (reference exposes __git_commit__ from
+    its _version.py)."""
+    import os
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=5).stdout.strip() or ""
+    except Exception:
+        return ""
+
+
+__git_commit__ = _git_commit()

@@ -58,3 +58,75 @@ from cugraph_tpu.parallel.algos import (
     mg_egonet,
     mg_induced_subgraph,
 )
+
+# ---------------------------------------------------------------------------
+# Reference-named aliases: cugraph.dask exposes each MG algorithm under the
+# SAME name as the SG API (python/cugraph/cugraph/dask/__init__.py:6-38), so
+# migrating code can keep `import cugraph_tpu.parallel as dcg; dcg.pagerank(...)`
+# spellings.  Signatures take (g: DistGraph, mesh, ...) in place of the
+# reference's dask graphs.
+pagerank = mg_pagerank
+hits = mg_hits
+bfs = mg_bfs
+sssp = mg_sssp
+louvain = mg_louvain
+leiden = mg_leiden
+ecg = mg_ecg
+triangle_count = mg_triangle_count
+ego_graph = mg_egonet
+induced_subgraph = mg_induced_subgraph
+ktruss_subgraph = mg_k_truss
+katz_centrality = mg_katz_centrality
+eigenvector_centrality = mg_eigenvector_centrality
+betweenness_centrality = mg_betweenness_centrality
+edge_betweenness_centrality = mg_edge_betweenness_centrality
+core_number = mg_core_number
+k_core = mg_k_core
+weakly_connected_components = mg_wcc
+strongly_connected_components = mg_strongly_connected_components
+uniform_random_walks = mg_uniform_random_walks
+random_walks = mg_uniform_random_walks
+biased_random_walks = mg_biased_random_walks
+node2vec_random_walks = mg_node2vec_random_walks
+jaccard = mg_jaccard_coefficients
+sorensen = mg_sorensen_coefficients
+overlap = mg_overlap_coefficients
+cosine = mg_cosine_coefficients
+
+
+def _make_all_pairs(kind):
+    def all_pairs(g, mesh, vertices=None, topk=None, batch=128):
+        return mg_all_pairs_similarity(g, mesh, kind=kind, vertices=vertices,
+                                       topk=topk, batch=batch)
+    all_pairs.__name__ = f"all_pairs_{kind}"
+    all_pairs.__doc__ = (
+        f"All-pairs {kind} similarity with optional global top-k "
+        "(reference dask/link_prediction/*.py all_pairs_* entry points).")
+    return all_pairs
+
+
+all_pairs_jaccard = _make_all_pairs("jaccard")
+all_pairs_sorensen = _make_all_pairs("sorensen")
+all_pairs_overlap = _make_all_pairs("overlap")
+all_pairs_cosine = _make_all_pairs("cosine")
+
+
+def get_n_workers(mesh=None):
+    """Device count of the mesh (the reference's dask
+    common/read_utils.py:5 counts dask workers — here a worker is a chip)."""
+    import jax
+
+    return mesh.size if mesh is not None else len(jax.devices())
+
+
+def get_chunksize(input_path, mesh=None):
+    """Bytes per partition so a CSV read splits into one chunk per device
+    (reference common/read_utils.py:12)."""
+    import math
+    import os
+    from glob import glob
+
+    files = sorted(glob(str(input_path)))
+    if len(files) == 1:
+        return math.ceil(os.path.getsize(files[0]) / get_n_workers(mesh))
+    return max(os.path.getsize(f) for f in files)

@@ -710,3 +710,26 @@ def test_mg_gin_appnp_match_sg(mesh):
     sg_z = np.asarray(appnp_propagate(sg_struct, jnp.asarray(x_sg),
                                       alpha=0.15, k=4))[:n]
     np.testing.assert_allclose(mg_z, sg_z, rtol=2e-4, atol=2e-4)
+
+
+def test_dask_parity_alias_surface(tmp_path):
+    """cugraph.dask export names resolve to the mg_* implementations
+    (reference python/cugraph/cugraph/dask/__init__.py:6-38)."""
+    import cugraph_tpu.parallel as dcg
+
+    assert dcg.pagerank is dcg.mg_pagerank
+    assert dcg.weakly_connected_components is dcg.mg_wcc
+    assert dcg.ktruss_subgraph is dcg.mg_k_truss
+    assert dcg.ego_graph is dcg.mg_egonet
+    assert dcg.random_walks is dcg.mg_uniform_random_walks
+    assert dcg.jaccard is dcg.mg_jaccard_coefficients
+    for kind in ("jaccard", "sorensen", "overlap", "cosine"):
+        assert callable(getattr(dcg, f"all_pairs_{kind}"))
+
+    assert dcg.get_n_workers() >= 1
+    p = tmp_path / "edges.csv"
+    p.write_text("a,b\n" * 100)
+    assert dcg.get_chunksize(p) >= 1
+
+    import cugraph_tpu as ctpu
+    assert isinstance(ctpu.__git_commit__, str)
