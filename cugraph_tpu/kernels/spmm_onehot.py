@@ -238,28 +238,45 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
 
     sub_s = jax.lax.broadcasted_iota(jnp.int32, (w_src, 128), 0)
     sub_d = jax.lax.broadcasted_iota(jnp.int32, (w_dst, 128), 0)
+    split = precision == "split"
     odt = jnp.float32 if precision == "highest" else jnp.bfloat16
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     dn_vv = (((0,), (0,)), ((), ()))   # contract sublane (vertex) axes
     dn_ed = (((1,), (0,)), ((), ()))   # contract edge axes
 
+    def _sel(onehot, data_f32, dims):
+        """onehot @ data at MXU rate; "split" = exact-selection bf16 pair
+        (spmv_onehot._sel trick: each product term selects one addend, so
+        both bf16 matmuls are exact selections whose f32 sum recovers the
+        value to ~2^-16 relative).  Requires the one-hot to carry pure
+        0/1 entries — i.e. an UNWEIGHTED plan for the gather side."""
+        if not split:
+            return jax.lax.dot_general(onehot, data_f32.astype(odt), dims,
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec)
+        d_hi = data_f32.astype(jnp.bfloat16)
+        d_lo = (data_f32 - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ob = onehot.astype(jnp.bfloat16)
+        return (jax.lax.dot_general(ob, d_hi, dims,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(ob, d_lo, dims,
+                                      preferred_element_type=jnp.float32))
+
     for j in range(tile_subs):
         s_row = src_ref[j:j + 1, :]
         w_raw = w_ref[j:j + 1, :]
         w_clean = jnp.where(jnp.isnan(w_raw), 0.0, w_raw)
         # weight folded into the src one-hot: one matmul does gather × w
-        O_w = jnp.where(sub_s == s_row, w_clean, 0.0).astype(odt)
-        xe = jax.lax.dot_general(O_w, x_ref[:].astype(odt), dn_vv,
-                                 preferred_element_type=jnp.float32,
-                                 precision=prec)            # [128e, F]
+        O_w = jnp.where(sub_s == s_row, w_clean, 0.0)
+        if not split:
+            O_w = O_w.astype(odt)
+        xe = _sel(O_w, x_ref[:], dn_vv)                     # [128e, F]
         d_row = dst_ref[j:j + 1, :]
         base = jnp.min(d_row[0, :]) // w_dst * w_dst
         d_rel = d_row - base
-        O_d = (sub_d == d_rel).astype(odt)
-        contrib = jax.lax.dot_general(O_d, xe.astype(odt), dn_ed,
-                                      preferred_element_type=jnp.float32,
-                                      precision=prec)       # [W_d, F]
+        O_d = (sub_d == d_rel).astype(jnp.float32 if split else odt)
+        contrib = _sel(O_d, xe, dn_ed)                      # [W_d, F]
         y_ref[pl.ds(base, w_dst), :] += contrib
 
 
@@ -271,7 +288,9 @@ def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
     x: [pad_v, F] f32 (pad_v = plan.pad_v, F a multiple of 128 — or the
     exact array width).  Returns y of the same shape.  precision="default"
     runs bf16 matmuls with f32 accumulation (GNN-grade, ~1e-3); "highest"
-    keeps f32 operands.
+    keeps f32 operands (6-pass, exact); "split" runs the exact-selection
+    bf16-pair trick (~2^-16 relative at bf16 speed) — valid when the plan's
+    weights are bf16-exact (unweighted plans; Brandes betweenness path).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

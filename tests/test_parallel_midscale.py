@@ -1,0 +1,128 @@
+"""Mid-scale MG↔SG parity: RMAT-13 power-law graph on the 8-device CPU mesh.
+
+The small-n parity tests (test_parallel.py, n=150) can't exercise multi-
+window partitions, hub-heavy edge blocks, or the gather-minor tiling at
+realistic skew.  This runs the core MG algorithms on an RMAT graph large
+enough for real power-law structure (8k vertices, ~100k edges) and compares
+against SG — the reference's MG test pattern (aggregate + re-run SG,
+tests/link_analysis/mg_pagerank_test.cpp:169-232) at their Rmat_Usecase
+scale (many reference MG tests run scale 10-20 RMATs).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import cugraph_tpu as ct
+from cugraph_tpu.parallel import (
+    build_dist_graph,
+    make_mesh_2d,
+    mg_bfs,
+    mg_core_number,
+    mg_pagerank,
+    mg_sssp,
+    mg_wcc,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return make_mesh_2d(4, 2, jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def rmat13():
+    from cugraph_tpu.generators.rmat import rmat
+
+    scale, ef = 13, 16
+    el = rmat(scale, (1 << scale) * ef, 0.57, 0.19, 0.19, seed=5)
+    src = el["src"].to_numpy()
+    dst = el["dst"].to_numpy()
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pair = np.unique(src * (1 << 20) + dst)
+    src, dst = pair >> 20, pair & ((1 << 20) - 1)
+    vs, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    src, dst = inv[: len(src)].astype(np.int64), inv[len(src):].astype(np.int64)
+    n = len(vs)
+    w = np.random.default_rng(0).uniform(0.5, 2.0, len(src)).astype(np.float32)
+    return src, dst, w, n
+
+
+@pytest.fixture(scope="module")
+def dist(rmat13, mesh):
+    src, dst, w, n = rmat13
+    return build_dist_graph(src, dst, w, n, 4, 2, store_push=True)
+
+
+@pytest.fixture(scope="module")
+def sg(rmat13):
+    src, dst, w, n = rmat13
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, w, vertices=np.arange(n), renumber=False)
+    return G
+
+
+def test_mg_pagerank_rmat13(dist, sg, rmat13, mesh):
+    _, _, _, n = rmat13
+    p, err, iters = mg_pagerank(dist, mesh, tol=1e-10, max_iter=150)
+    sgdf = ct.pagerank(sg, tol=1e-10, max_iter=150)
+    sg_p = sgdf.sort_values("vertex")["pagerank"].to_numpy()
+    np.testing.assert_allclose(np.asarray(p)[:n], sg_p, rtol=5e-4, atol=1e-9)
+
+
+def test_mg_bfs_rmat13(dist, sg, rmat13, mesh):
+    src, dst, w, n = rmat13
+    source = int(np.bincount(src, minlength=n).argmax())  # giant component
+    dist_mg, pred_mg = mg_bfs(dist, mesh, source)
+    sgdf = ct.bfs(sg, source).sort_values("vertex")
+    d_sg = sgdf["distance"].to_numpy()
+    d_mg = np.asarray(dist_mg)[:n]
+    big = np.iinfo(np.int32).max
+    np.testing.assert_array_equal(np.minimum(d_mg, big),
+                                  np.minimum(d_sg, big))
+    # predecessors may differ (any valid parent); check validity instead
+    p_mg = np.asarray(pred_mg)[:n]
+    reached = (d_mg < big) & (np.arange(n) != source)
+    assert np.all(p_mg[reached] >= 0)
+    assert np.all(d_mg[reached] == d_mg[p_mg[reached]] + 1)
+
+
+def test_mg_sssp_rmat13(dist, sg, rmat13, mesh):
+    src, dst, w, n = rmat13
+    source = int(np.bincount(src, minlength=n).argmax())
+    d_mg, _pred = mg_sssp(dist, mesh, source)
+    d_mg = np.asarray(d_mg)[:n]
+    sgdf = ct.sssp(sg, source).sort_values("vertex")
+    d_sg = sgdf["distance"].to_numpy()
+    # unreachable sentinel differs (SG: f32 max, MG: inf) — mask both
+    finite = d_sg < 1e37
+    np.testing.assert_allclose(d_mg[finite], d_sg[finite], rtol=1e-5)
+    assert np.all(d_mg[~finite] >= 1e37)
+
+
+def test_mg_wcc_rmat13(dist, sg, rmat13, mesh):
+    _, _, _, n = rmat13
+    lab_mg = np.asarray(mg_wcc(dist, mesh))[:n]
+    lab_sg = ct.weakly_connected_components(sg).sort_values("vertex")[
+        "labels"].to_numpy()
+    # same partition (labels may differ): compare canonicalized
+    _, inv_mg = np.unique(lab_mg, return_inverse=True)
+    _, inv_sg = np.unique(lab_sg, return_inverse=True)
+    first_mg = {}
+    for i, c in enumerate(inv_mg):
+        first_mg.setdefault(c, i)
+    first_sg = {}
+    for i, c in enumerate(inv_sg):
+        first_sg.setdefault(c, i)
+    np.testing.assert_array_equal(
+        np.array([first_mg[c] for c in inv_mg]),
+        np.array([first_sg[c] for c in inv_sg]))
+
+
+def test_mg_core_number_rmat13(dist, sg, rmat13, mesh):
+    _, _, _, n = rmat13
+    cn_mg = np.asarray(mg_core_number(dist, mesh))[:n]
+    cn_sg = ct.core_number(sg).sort_values("vertex")["core_number"].to_numpy()
+    np.testing.assert_array_equal(cn_mg, cn_sg)

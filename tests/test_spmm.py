@@ -105,3 +105,21 @@ def test_structure_plan_cache():
     assert p1 is p2
     g2 = build_structure_host(src, dst, None, 50)
     assert get_structure_spmm_plan(g2) is not p1
+
+
+def test_spmm_split_precision_near_exact():
+    """"split" runs the exact-selection bf16-pair trick: with an unweighted
+    plan (0/1 one-hots are bf16-exact) the result must match the f64 oracle
+    to ~2^-16 relative — far tighter than plain bf16 (~1e-3)."""
+    rng = np.random.default_rng(7)
+    n, m, F = 500, 4000, 16
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    plan = build_spmm_plan(src, dst, None, n)
+    x = rng.normal(size=(plan.pad_v, F)).astype(np.float32)
+
+    y = np.asarray(spmm_onehot(plan, jnp.asarray(x), interpret=True,
+                               precision="split"))
+    expect = np.zeros((plan.pad_v, F), np.float64)
+    np.add.at(expect, dst, x[src].astype(np.float64))
+    np.testing.assert_allclose(y, expect, rtol=3e-5, atol=3e-5)
