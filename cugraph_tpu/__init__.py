@@ -201,4 +201,11 @@ def _git_commit():
         return ""
 
 
-__git_commit__ = _git_commit()
+def __getattr__(name):
+    # lazy: resolving the commit spawns a git subprocess — do it on first
+    # attribute access, not at import time (PEP 562)
+    if name == "__git_commit__":
+        value = _git_commit()
+        globals()["__git_commit__"] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -73,7 +73,10 @@ def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
                 off = jnp.sum(crow[:, None, :] < tgt[:, :, None],
                               axis=2).astype(jnp.int32)
                 off = jnp.minimum(off, jnp.maximum(deg[:, None] - 1, 0))
-                eidx = base[:, None] + off
+                # clip: a trailing zero-degree row has base == nnz, which is
+                # out of bounds when pad_e == nnz (consumers index weights
+                # with eidx before applying the valid mask)
+                eidx = jnp.clip(base[:, None] + off, 0, adj.pad_e - 1)
                 valid = (deg > 0)[:, None] & jnp.ones((F, k), bool)
                 dst = jnp.take_along_axis(jnp.take(nt, frontier, axis=0),
                                           off, axis=1)
@@ -99,7 +102,7 @@ def _sample_neighbors(g: GraphStructure, frontier: jax.Array, key: jax.Array,
         else:
             off = jnp.floor(u * deg[:, None]).astype(jnp.int32)
             off = jnp.minimum(off, jnp.maximum(deg[:, None] - 1, 0))
-            eidx = base[:, None] + off
+            eidx = jnp.clip(base[:, None] + off, 0, adj.pad_e - 1)
             if nt is not None:
                 valid = (deg > 0)[:, None] & jnp.ones((F, k), bool)
                 dst = jnp.take_along_axis(
@@ -250,10 +253,21 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
               and len(frontier) * max_deg > _BULK_SAMPLE_TILE):
             from cugraph_tpu.kernels.dispatch import use_pallas
 
-            if use_pallas(G):
-                dst, eidx, valid = _bulk_sample_with_replacement(
-                    G, g, frontier, sub, int(k))
-            else:
+            # The bulk prim draws ONE neighbor per graph vertex per round, so
+            # duplicate frontier rows would receive identical (perfectly
+            # correlated) samples — and its in-kernel f32 id reconstruction
+            # needs pad_v < 2^24.  Outside those bounds use the gather path.
+            bulk_ok = (g.pad_v < (1 << 24)
+                       and len(np.unique(frontier)) == len(frontier))
+            if bulk_ok and use_pallas(G):
+                try:
+                    dst, eidx, valid = _bulk_sample_with_replacement(
+                        G, g, frontier, sub, int(k))
+                except ValueError:
+                    # plan padding pushed pad_v past the prim's 2^24 id
+                    # limit — take the gather path instead
+                    bulk_ok = False
+            if not (bulk_ok and use_pallas(G)):
                 dst, eidx, valid = _sample_neighbors(
                     g, jnp.asarray(frontier), sub, int(k),
                     bool(with_replacement), bool(biased), max_deg, cumw,

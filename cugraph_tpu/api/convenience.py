@@ -219,9 +219,12 @@ def ego_graph(G, n, radius=1, center=True, undirected=None, distance=None):
     from cugraph_tpu.algos.community import batched_ego_graphs
 
     df, offsets = batched_ego_graphs(G, np.asarray([n]), radius)
-    out = _new(type(G))
+    out = _new(G)   # instance form: preserves the source graph's directedness
     if len(df) == 0:
-        out.from_edgelist(np.asarray([n]), np.asarray([n]), None)
+        # isolated center: a graph holding just the vertex, no edges
+        out.from_edgelist(np.asarray([], dtype=np.int64),
+                          np.asarray([], dtype=np.int64), None,
+                          vertices=np.asarray([n]))
         return out
     w = df["weight"].to_numpy(np.float32) if "weight" in df else None
     out.from_edgelist(df["src"].to_numpy(), df["dst"].to_numpy(), w)

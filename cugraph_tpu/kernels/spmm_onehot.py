@@ -51,6 +51,9 @@ class SpmmPlan:
     n_yblocks: int = field(metadata=dict(static=True))
     num_tiles: int = field(metadata=dict(static=True))
     tile_subs: int = field(default=8, metadata=dict(static=True))
+    # True iff every edge weight round-trips through bf16 exactly (always
+    # true for unit weights) — the precondition for precision="split"
+    split_safe: bool = field(default=False, metadata=dict(static=True))
 
 
 def _round_up(x, m):
@@ -102,6 +105,11 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
     w = np.ones(m, np.float32) if weight is None else np.asarray(weight, np.float32)
     if m and not np.isfinite(w).all():
         raise ValueError("spmm plan requires finite edge weights")
+    import ml_dtypes
+
+    split_safe = (weight is None
+                  or bool(np.all(w == w.astype(ml_dtypes.bfloat16)
+                                 .astype(np.float32))))
 
     ybv = max(_round_up(min(ybv, _round_up(num_vertices, 512)), 512), 512)
     if w_src is None or w_dst is None:
@@ -113,10 +121,9 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
     pad_v = _round_up(max(num_vertices, 1), max(ybv, w_src))
     n_yblocks = pad_v // ybv
     if tile_subs is None:
-        # amortize per-grid-step overhead (same calibration as spmv_onehot)
-        est_subs = max(m // 128, 1)
-        TS = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
-            max(est_subs / 2048, 1)))))))
+        from cugraph_tpu.kernels.spmv_onehot import auto_tile_subs
+
+        TS = auto_tile_subs(max(m // 128, 1))
     else:
         TS = int(tile_subs)
 
@@ -130,7 +137,7 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
             yblk=jnp.arange(t, dtype=jnp.int32),
             num_vertices=num_vertices, pad_v=pad_v, w_src=w_src,
             w_dst=w_dst, ybv=ybv, n_yblocks=n_yblocks, num_tiles=t,
-            tile_subs=TS,
+            tile_subs=TS, split_safe=True,
         )
 
     yblock = dst // ybv
@@ -221,7 +228,7 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
         weight=jnp.asarray(weight_a), xwin=jnp.asarray(xwin),
         yblk=jnp.asarray(yblk_arr), num_vertices=num_vertices, pad_v=pad_v,
         w_src=w_src, w_dst=w_dst, ybv=ybv, n_yblocks=n_yblocks, num_tiles=T,
-        tile_subs=TS,
+        tile_subs=TS, split_safe=split_safe,
     )
 
 
@@ -301,6 +308,11 @@ def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
     F = x.shape[1]
     if x.shape[0] != plan.pad_v:
         raise ValueError(f"x rows {x.shape[0]} != plan pad_v {plan.pad_v}")
+    if precision == "split" and not plan.split_safe:
+        # the split trick casts the weight-carrying one-hot to bf16; weights
+        # that don't round-trip bf16 would silently lose the ~2^-16 contract
+        raise ValueError('precision="split" requires bf16-exact edge weights '
+                         "(plan.split_safe); use \"highest\" instead")
 
     ts = plan.tile_subs
     grid_spec = pltpu.PrefetchScalarGridSpec(

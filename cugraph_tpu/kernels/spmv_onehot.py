@@ -86,6 +86,17 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def auto_tile_subs(est_subs) -> int:
+    """Subtiles packed per grid step: amortize the ~0.25 µs per-grid-step
+    overhead by growing tiles until ~2k remain, capped at 64 (unroll /
+    compile cost).  `est_subs` is the (estimated) 128-edge subtile count.
+    SINGLE source of truth — build_spmv_plan / estimate_windows /
+    estimate_plan_bytes / build_spmm_plan / the stacked MG builders all
+    take their tile_subs from here."""
+    return int(min(64, max(8, 2 ** int(np.ceil(np.log2(
+        max(est_subs / 2048, 1)))))))
+
+
 def estimate_windows(src, dst, num_vertices: int,
                      yb_rows: int = DEFAULT_YB_ROWS,
                      candidates=None):
@@ -134,7 +145,7 @@ def estimate_windows(src, dst, num_vertices: int,
         rg_ids, rg_pos = np.unique(b_rg, return_inverse=True)
         rg_subs = np.zeros(len(rg_ids), np.int64)
         np.add.at(rg_subs, rg_pos, b_subs)
-        ts = min(64, max(8, 2 ** int(np.ceil(np.log2(max(S / 2048, 1))))))
+        ts = auto_tile_subs(S)
         T = int(np.sum(-(-rg_subs // ts)))
         xw_rows = sw // 128
         # two-term model CALIBRATED on v5e RMAT-20 at tile_subs=64 (within
@@ -151,15 +162,20 @@ def estimate_windows(src, dst, num_vertices: int,
 
 def estimate_plan_bytes(src, dst, num_vertices: int,
                         yb_rows: int = DEFAULT_YB_ROWS,
-                        src_win: int = SRC_WIN, dst_win: int = DST_WIN) -> int:
+                        src_win: int = SRC_WIN, dst_win: int = DST_WIN,
+                        tile_subs: int | None = None) -> int:
     """Exact tile-array byte count of the plan build_spmv_plan would produce
     (src_rel + dst_full + weight), via the same run/packing math — used by
     the spill dispatcher; a per-edge heuristic badly underestimates plans
-    fragmented by window tiling."""
+    fragmented by window tiling.  tile_subs=None mirrors build_spmv_plan's
+    auto pick (fragmented plans pack at up to 64 subtiles/tile; packing at a
+    fixed 8 underestimated such plans by up to 8x)."""
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     if src.shape[0] == 0:
         return 8 * 128 * 12
+    TS = (auto_tile_subs(max(src.shape[0] // 128, 1))
+          if tile_subs is None else int(tile_subs))
     n_rows = max(_round_up(num_vertices, 128) // 128, 1)
     dwr = dst_win // 128
     ybr = min(_round_up(n_rows, dwr), _round_up(yb_rows, dwr))
@@ -171,8 +187,8 @@ def estimate_plan_bytes(src, dst, num_vertices: int,
     rg_ids, rg_pos = np.unique(b_rg, return_inverse=True)
     rg_subs = np.zeros(len(rg_ids), np.int64)
     np.add.at(rg_subs, rg_pos, b_subs)
-    T = int(np.sum(-(-rg_subs // 8)))
-    return T * 8 * 128 * 12
+    T = int(np.sum(-(-rg_subs // TS)))
+    return T * TS * 128 * 12
 
 
 def build_spmv_plan(src, dst, weight, num_vertices: int,
@@ -197,11 +213,7 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
         raise ValueError("src_win/dst_win must be multiples of 128")
     dw_rows = DST_WIN_ // 128
     if tile_subs is None:
-        # amortize per-grid-step overhead (~0.25 µs/tile measured on v5e):
-        # grow tiles until ~2k remain, cap 64 (unroll/compile cost)
-        est_subs = max(len(np.asarray(src)) // 128, 1)
-        TS = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
-            max(est_subs / 2048, 1)))))))
+        TS = auto_tile_subs(max(len(np.asarray(src)) // 128, 1))
     else:
         TS = int(tile_subs)
     if TS & (TS - 1) or TS < 1:

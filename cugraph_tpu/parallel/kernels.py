@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cugraph_tpu.kernels.spmm_onehot import SpmmPlan, build_spmm_plan, choose_windows
-from cugraph_tpu.kernels.spmv_onehot import SpmvPlan, build_spmv_plan
+from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, auto_tile_subs,
+                                             build_spmv_plan)
 
 
 @jax.tree_util.register_dataclass
@@ -133,8 +134,7 @@ def build_stacked_spmv_plan(g, orientation: str = "pull") -> StackedSpmvPlan:
     # the shard_map kernel one static plan spec
     max_m = max(len(_valid_edges(blocks, i, j)[0])
                 for i in range(pmaj) for j in range(pmin))
-    ts = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
-        max(max_m / 128 / 2048, 1)))))))
+    ts = auto_tile_subs(max(max_m // 128, 1))
     plans = []
     for i in range(pmaj):
         for j in range(pmin):
@@ -190,8 +190,7 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
     # uniform tile_subs across shards (stacking needs one static shape)
     max_m = max(len(_valid_edges(blocks, i, j)[0])
                 for i in range(pmaj) for j in range(pmin))
-    ts = int(min(64, max(8, 2 ** int(np.ceil(np.log2(
-        max(max_m / 128 / 2048, 1)))))))
+    ts = auto_tile_subs(max(max_m // 128, 1))
     plans = []
     for i in range(pmaj):
         for j in range(pmin):

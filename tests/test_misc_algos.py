@@ -363,3 +363,25 @@ def test_bipartite_graph_and_predicates():
     s0, s1 = B.sets()
     assert ctpu.is_bipartite(B) and not ctpu.is_directed(B)
     assert ctpu.experimental is not None
+
+
+def test_ego_graph_preserves_directedness_and_isolated_center():
+    """Regression: ego_graph built its result via type(G)() (dropping
+    directed=True → symmetrized edges) and fabricated a (n, n) self-loop
+    for an isolated center."""
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 3])
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None, vertices=np.arange(6), renumber=False)
+
+    ego = ctpu.ego_graph(G, 0, radius=1)
+    assert ego.is_directed()
+    es, ed, _ = ego.edgelist_arrays()
+    pairs = set(zip(ego.number_map.to_external(es),
+                    ego.number_map.to_external(ed)))
+    assert pairs == {(0, 1)}  # no reversed (1, 0) edge
+
+    iso = ctpu.ego_graph(G, 5, radius=1)   # vertex 5 has no edges
+    assert iso.number_of_edges() == 0
+    assert iso.number_of_vertices() == 1
+    assert iso.is_directed()

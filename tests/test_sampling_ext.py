@@ -403,3 +403,33 @@ def test_masked_sampler_table_matches_fallback():
         va = np.asarray(a[2])
         np.testing.assert_array_equal(np.asarray(a[0])[va],
                                       np.asarray(b[0])[va])
+
+
+def test_sampling_trailing_zero_degree_exact_pad():
+    """pad_e == nnz (exactly 128 edges) + a trailing zero-out-degree vertex:
+    its CSR base equals nnz, so unclipped eidx would index one past the
+    weights array (regression: dense-CDF / uniform with-replacement paths
+    returned eidx = base for degree-0 rows)."""
+    import cugraph_tpu as ct
+    from cugraph_tpu.algos import sampling as S
+
+    rng = np.random.default_rng(3)
+    n = 40
+    # 128 unique (src, dst) pairs with src < n-1 (vertex n-1 stays sinkless)
+    pairs = rng.permutation((n - 1) * n)[:128]
+    src, dst = (pairs // n).astype(np.int64), (pairs % n).astype(np.int64)
+    w = rng.uniform(0.5, 2.0, 128).astype(np.float32)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, w, vertices=np.arange(n), renumber=False)
+    g = G.structure
+    assert g.csr.pad_e == g.num_edges == 128
+    assert int(np.asarray(g.csr.offsets)[n - 1]) == 128  # base == nnz
+
+    start = np.array([n - 1, int(src[0])])
+    df_u = ct.uniform_neighbor_sample(G, start, [2], with_replacement=True)
+    df_b = S.homogeneous_biased_neighbor_sample(G, start, [2],
+                                                with_replacement=True)
+    for df in (df_u, df_b):
+        # degree-0 seed contributes no rows; the others sample real edges
+        assert (df["sources"] != n - 1).all()
+        assert len(df) > 0

@@ -75,3 +75,23 @@ def test_pagerank_spilled_matches_resident(monkeypatch):
     a = base.sort_values("vertex")["pagerank"].to_numpy()
     b = sp.sort_values("vertex")["pagerank"].to_numpy()
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_estimate_plan_bytes_matches_auto_tile_subs_build():
+    """The spill dispatcher's estimate must track build_spmv_plan's ACTUAL
+    allocation — including the auto tile_subs pick (regression: packing at a
+    fixed 8 subtiles/tile underestimated ts=64 plans up to 8x)."""
+    from cugraph_tpu.kernels.spmv_onehot import (auto_tile_subs,
+                                                 build_spmv_plan,
+                                                 estimate_plan_bytes)
+
+    rng = np.random.default_rng(5)
+    n, m = 300_000, 600_000   # fragmented: m/128 ≈ 4.7k subtiles → ts 8..64
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    est = estimate_plan_bytes(src, dst, n)
+    plan = build_spmv_plan(src, dst, None, n, device_arrays=False)
+    actual = (plan.src_rel.size * 4 + plan.dst_full.size * 4
+              + plan.weight.size * 4)
+    assert plan.tile_subs == auto_tile_subs(max(m // 128, 1))
+    assert est == actual

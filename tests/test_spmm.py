@@ -123,3 +123,24 @@ def test_spmm_split_precision_near_exact():
     expect = np.zeros((plan.pad_v, F), np.float64)
     np.add.at(expect, dst, x[src].astype(np.float64))
     np.testing.assert_allclose(y, expect, rtol=3e-5, atol=3e-5)
+
+
+def test_spmm_split_requires_bf16_exact_weights():
+    rng = np.random.default_rng(11)
+    n, m = 200, 1500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)  # generic f32: not bf16-exact
+    plan_w = build_spmm_plan(src, dst, w, n)
+    assert not plan_w.split_safe
+    x = jnp.ones((plan_w.pad_v, 8), jnp.float32)
+    with pytest.raises(ValueError, match="split"):
+        spmm_onehot(plan_w, x, interpret=True, precision="split")
+    # bf16-exact weights (small integers) pass the guard
+    wi = rng.integers(1, 5, m).astype(np.float32)
+    plan_i = build_spmm_plan(src, dst, wi, n)
+    assert plan_i.split_safe
+    y = np.asarray(spmm_onehot(plan_i, x, interpret=True, precision="split"))
+    expect = np.zeros((plan_i.pad_v, 8))
+    np.add.at(expect, dst, wi[:, None] * np.ones((m, 8)))
+    np.testing.assert_allclose(y, expect, rtol=3e-5, atol=3e-5)
