@@ -47,8 +47,11 @@ CACHE_DIR = os.path.expanduser("~/.cache/cugraph_tpu/bench")
 
 
 def _edge_cache():
+    # "c1" = counter-RNG generator semantics (native C++ / NumPy identical);
+    # versioning the file keeps pre-change caches from mixing with plans
+    # built for differently-generated edges.
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"rmat{SCALE}_ef{EDGE_FACTOR}.npz")
+    path = os.path.join(CACHE_DIR, f"rmat{SCALE}_ef{EDGE_FACTOR}_c1.npz")
     if os.path.exists(path):
         z = np.load(path)
         return z["src"], z["dst"]
@@ -60,6 +63,18 @@ def _edge_cache():
     return src, dst
 
 
+def _edge_digest(src, dst) -> str:
+    """Short content hash tying the plan cache to the edge arrays (a sparse
+    sample keeps it cheap at 16M edges)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(src[::65537]).tobytes())
+    h.update(np.ascontiguousarray(dst[::65537]).tobytes())
+    h.update(str(len(src)).encode())
+    return h.hexdigest()[:8]
+
+
 def _plan_cache(src, dst, n):
     """Build (or load) the autotuned SpmvPlan; caching skips the ~60 s of
     host-side window estimation + tiling sort."""
@@ -67,8 +82,12 @@ def _plan_cache(src, dst, n):
                                                  estimate_windows)
 
     # v3: multi-subtile tiles (tile_subs).  The version tag keeps stale
-    # pre-format-change caches from being loaded silently.
-    path = os.path.join(CACHE_DIR, f"planv3_{SCALE}_ef{EDGE_FACTOR}.npz")
+    # pre-format-change caches from being loaded silently; the edge digest
+    # ties the plan to the exact edge arrays (regenerated edges can't pick
+    # up a stale plan).
+    path = os.path.join(
+        CACHE_DIR,
+        f"planv3_{SCALE}_ef{EDGE_FACTOR}_{_edge_digest(src, dst)}.npz")
     if os.path.exists(path):
         import jax.numpy as jnp
 

@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -365,6 +366,61 @@ int spmv_plan_fill(const int64_t* src, const int64_t* dst, const float* weight,
     }
   }
   return t_next == T ? 0 : -1;
+}
+
+// ---------------------------------------------------------------------------
+// R-MAT edge generation (generators/rmat._rmat_host hot path; reference
+// cpp/src/generators/generate_rmat_edgelist.cuh).  Counter-based RNG: one
+// splitmix64-finalized hash per (seed, edge, bit), so generation is
+// order-independent and embarrassingly parallel across threads, and the
+// NumPy fallback reproduces it bit-for-bit (tests/test_native.py).
+// Quadrant semantics: a single uniform u per bit picks the quadrant jointly
+// (u < a: (0,0); < a+b: (0,1); < a+b+c: (1,0); else (1,1)).
+// ---------------------------------------------------------------------------
+
+namespace {
+static inline uint64_t mix64(uint64_t z) {
+  z ^= z >> 30; z *= 0xBF58476D1CE4E5B9ull;
+  z ^= z >> 27; z *= 0x94D049BB133111EBull;
+  z ^= z >> 31;
+  return z;
+}
+}  // namespace
+
+void rmat_edgelist(int64_t scale, int64_t m, double a, double b, double c,
+                   uint64_t seed, int clip_and_flip, int n_threads,
+                   int32_t* src_out, int32_t* dst_out) {
+  const double ab = a + b, abc = a + b + c;
+  const uint64_t s0 = seed * 0xD6E8FEB86659FD93ull;
+  auto run = [&](int64_t lo, int64_t hi) {
+    for (int64_t e = lo; e < hi; ++e) {
+      const uint64_t ze = s0 + (uint64_t)e * 0x9E3779B97F4A7C15ull;
+      int64_t s = 0, d = 0;
+      for (int64_t bit = 0; bit < scale; ++bit) {
+        uint64_t z = mix64(ze + (uint64_t)bit * 0xC2B2AE3D27D4EB4Full);
+        double u = (double)(z >> 11) * 0x1.0p-53;
+        int sb = u >= ab;
+        int db = u >= (sb ? abc : a);
+        s = (s << 1) | sb;
+        d = (d << 1) | db;
+      }
+      if (clip_and_flip && d < s) { int64_t t = s; s = d; d = t; }
+      src_out[e] = (int32_t)s;
+      dst_out[e] = (int32_t)d;
+    }
+  };
+  if (n_threads <= 1 || m < (1 << 16)) {
+    run(0, m);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int64_t chunk = (m + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min<int64_t>(m, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back(run, lo, hi);
+  }
+  for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

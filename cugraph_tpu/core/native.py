@@ -42,7 +42,7 @@ def _build() -> str | None:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", so + ".tmp"],
+             "-pthread", _SRC, "-o", so + ".tmp"],
             check=True, capture_output=True, timeout=180,
         )
         os.replace(so + ".tmp", so)
@@ -95,6 +95,11 @@ def get_lib():
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
                                        i32p, i32p, f32p, i32p, i32p]
+        lib.rmat_edgelist.restype = None
+        lib.rmat_edgelist.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_double, ctypes.c_double,
+                                      ctypes.c_double, ctypes.c_uint64,
+                                      ctypes.c_int, ctypes.c_int, i32p, i32p]
         _lib = lib
         return _lib
 
@@ -191,6 +196,25 @@ def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,
     if rc != 0:
         return None
     return src_loc, dst_loc, w_out, valid.astype(bool)
+
+
+def rmat_native(scale, num_edges, a, b, c, seed, clip_and_flip,
+                n_threads=None):
+    """Native threaded R-MAT generation; returns (src, dst) int32 arrays or
+    None.  Bit-identical to the NumPy counter-RNG fallback in
+    generators/rmat._rmat_host (same splitmix64 per-(seed,edge,bit) hash)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    src = np.empty(num_edges, np.int32)
+    dst = np.empty(num_edges, np.int32)
+    lib.rmat_edgelist(int(scale), int(num_edges), float(a), float(b),
+                      float(c), ctypes.c_uint64(int(seed) & (2**64 - 1)),
+                      int(bool(clip_and_flip)), int(n_threads),
+                      _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32))
+    return src, dst
 
 
 def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win,

@@ -17,19 +17,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _counter_uniform(seed: int, num_edges: int, bit: int) -> np.ndarray:
+    """Vectorized splitmix64-finalized counter RNG: one u64 hash per
+    (seed, edge, bit), mapped to [0, 1).  Bit-identical to the native C++
+    generator (core/_native/builder.cpp rmat_edgelist)."""
+    with np.errstate(over="ignore"):
+        z = (np.uint64((seed * 0xD6E8FEB86659FD93) % 2**64)
+             + np.arange(num_edges, dtype=np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + np.uint64(bit) * np.uint64(0xC2B2AE3D27D4EB4F))
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return (z >> np.uint64(11)).astype(np.float64) * 2.0**-53
+
+
 def _rmat_host(scale: int, num_edges: int, a: float, b: float, c: float,
                seed: int, clip_and_flip: bool):
-    """Host NumPy RMAT — identical quadrant semantics to _rmat_kernel.
+    """Host RMAT — identical quadrant semantics to _rmat_kernel.
 
     Graph generation is host work in this framework (the device consumes the
     compressed graph); drawing on-host avoids a device round-trip of the
     [edges × scale] uniform tensor, which dominates wall time on a tunneled
-    accelerator."""
-    rng = np.random.default_rng(seed)
+    accelerator.  Hot path: the native threaded C++ generator
+    (core/_native/builder.cpp rmat_edgelist, reference
+    generate_rmat_edgelist.cuh); the NumPy fallback uses the same
+    per-(seed, edge, bit) counter RNG and is bit-identical
+    (tests/test_native.py)."""
+    from cugraph_tpu.core.native import rmat_native
+
+    out = rmat_native(scale, num_edges, a, b, c, seed, clip_and_flip)
+    if out is not None:
+        return out
     src = np.zeros(num_edges, np.int64)
     dst = np.zeros(num_edges, np.int64)
-    for _ in range(scale):
-        u = rng.random(num_edges)
+    for bit in range(scale):
+        u = _counter_uniform(seed, num_edges, bit)
         src_bit = (u >= a + b).astype(np.int64)
         thresh_dst = np.where(src_bit == 1, a + b + c, a)
         dst_bit = (u >= thresh_dst).astype(np.int64)

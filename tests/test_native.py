@@ -173,3 +173,34 @@ def test_native_spmv_plan_matches_numpy():
         rw = np.asarray(ref.weight)
         gw = np.asarray(got.weight)
         assert ((rw == gw) | (np.isnan(rw) & np.isnan(gw))).all()
+
+
+def test_rmat_native_matches_numpy_fallback(monkeypatch):
+    from cugraph_tpu.core import native as N
+    from cugraph_tpu.generators import rmat as R
+
+    args = (12, 5000, 0.57, 0.19, 0.19, 42, False)
+    out = N.rmat_native(*args)
+    assert out is not None, "native lib should compile in this image"
+    s_nat, d_nat = out
+    # force the NumPy fallback (scoped so later native calls still work)
+    with monkeypatch.context() as mp:
+        mp.setattr("cugraph_tpu.core.native.rmat_native",
+                   lambda *a, **k: None)
+        s_np, d_np = R._rmat_host(*args)
+    np.testing.assert_array_equal(s_nat, s_np)
+    np.testing.assert_array_equal(d_nat, d_np)
+
+    # clip_and_flip orients src <= dst
+    s_cf, d_cf = N.rmat_native(12, 5000, 0.57, 0.19, 0.19, 42, True)
+    assert (s_cf <= d_cf).all()
+
+    # quadrant proportions: top src bit should be 0 with prob a+b = 0.76
+    frac = np.mean(s_nat < (1 << 11))
+    assert abs(frac - 0.76) < 0.03
+
+    # determinism across thread counts (counter RNG is order-independent)
+    s1, d1 = N.rmat_native(*args, n_threads=1)
+    s8, d8 = N.rmat_native(*args, n_threads=8)
+    np.testing.assert_array_equal(s1, s8)
+    np.testing.assert_array_equal(d1, d8)
