@@ -61,9 +61,9 @@ def _katz_kernel(g: GraphStructure, alpha, beta, tol, x0, max_iter: int,
     return x, err, iters
 
 
-@partial(jax.jit, static_argnames=("max_iter", "normalized", "n"))
+@partial(jax.jit, static_argnames=("max_iter", "normalized", "n", "prec"))
 def _katz_kernel_pallas(plan, alpha, beta, tol, x0, max_iter: int,
-                        normalized: bool, n: int):
+                        normalized: bool, n: int, prec: str = "split"):
     """Katz power iteration over the one-hot MXU SpMV (TPU fast path)."""
     from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
 
@@ -71,7 +71,7 @@ def _katz_kernel_pallas(plan, alpha, beta, tol, x0, max_iter: int,
 
     def step(state):
         x, _, it = state
-        x_new = alpha * spmv_onehot(plan, x, precision="split") + beta
+        x_new = alpha * spmv_onehot(plan, x, precision=prec) + beta
         x_new = jnp.where(real, x_new, 0.0)
         err = jnp.sum(jnp.abs(x_new - x))
         return x_new, err, it + 1
@@ -90,9 +90,15 @@ def _katz_kernel_pallas(plan, alpha, beta, tol, x0, max_iter: int,
 
 
 def katz_centrality(G, alpha=None, beta: float = 1.0, max_iter: int = 100,
-                    tol: float = 1.0e-6, nstart=None, normalized: bool = True):
+                    tol: float = 1.0e-6, nstart=None, normalized: bool = True,
+                    precision: str = "exact"):
     """Katz centrality (reference katz_centrality_impl.cuh:32-187).
-    Returns DataFrame ['vertex', 'katz_centrality']."""
+    Returns DataFrame ['vertex', 'katz_centrality'].
+    ``precision``: "exact" (default) or "fast" bf16 kernels (Pallas path
+    only; see pagerank)."""
+    from cugraph_tpu.algos.link_analysis import _kernel_precision
+
+    _kernel_precision(precision)   # validate even on the XLA path
     g = G.structure
     n = G.number_of_vertices()
     if alpha is None:
@@ -110,7 +116,8 @@ def katz_centrality(G, alpha=None, beta: float = 1.0, max_iter: int = 100,
     if fast:
         x, err, iters = _katz_kernel_pallas(
             get_pull_plan(G), jnp.float32(alpha), jnp.float32(beta),
-            jnp.float32(n * tol), jnp.asarray(x0), int(max_iter), normalized, n)
+            jnp.float32(n * tol), jnp.asarray(x0), int(max_iter), normalized,
+            n, _kernel_precision(precision))
     else:
         x, err, iters = _katz_kernel(g, jnp.float32(alpha), jnp.float32(beta),
                                      jnp.float32(n * tol), jnp.asarray(x0),
@@ -148,15 +155,16 @@ def _eigenvector_kernel(g: GraphStructure, tol, x0, max_iter: int):
     )
 
 
-@partial(jax.jit, static_argnames=("max_iter", "n"))
-def _eigenvector_kernel_pallas(plan, tol, x0, max_iter: int, n: int):
+@partial(jax.jit, static_argnames=("max_iter", "n", "prec"))
+def _eigenvector_kernel_pallas(plan, tol, x0, max_iter: int, n: int,
+                               prec: str = "split"):
     from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
 
     real = jnp.arange(x0.shape[0]) < n
 
     def step(state):
         x, _, it = state
-        y = spmv_onehot(plan, x, precision="split") + x  # shifted iteration
+        y = spmv_onehot(plan, x, precision=prec) + x  # shifted iteration
         y = jnp.where(real, y, 0.0)
         norm = jnp.sqrt(jnp.sum(y * y))
         y = y / jnp.maximum(norm, 1e-30)
@@ -172,11 +180,15 @@ def _eigenvector_kernel_pallas(plan, tol, x0, max_iter: int, n: int):
     )
 
 
-def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1.0e-6):
+def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1.0e-6,
+                           precision: str = "exact"):
     """Eigenvector centrality (reference eigenvector_centrality_impl.cuh:161);
-    matches networkx (L2-normalized principal eigenvector, pull direction)."""
+    matches networkx (L2-normalized principal eigenvector, pull direction).
+    ``precision``: "exact" (default) or "fast" (Pallas path; see pagerank)."""
+    from cugraph_tpu.algos.link_analysis import _kernel_precision
     from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
 
+    _kernel_precision(precision)   # validate even on the XLA path
     n = G.number_of_vertices()
     fast = use_pallas(G)
     if fast:
@@ -184,7 +196,8 @@ def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1.0e-6):
         x0 = np.zeros(plan.pad_v, dtype=np.float32)
         x0[:n] = 1.0 / np.sqrt(n)
         x, err, iters = _eigenvector_kernel_pallas(
-            plan, jnp.float32(n * tol), jnp.asarray(x0), int(max_iter), n)
+            plan, jnp.float32(n * tol), jnp.asarray(x0), int(max_iter), n,
+            _kernel_precision(precision))
     else:
         g = G.structure
         x0 = np.zeros(g.pad_v, dtype=np.float32)

@@ -4,6 +4,11 @@ link_analysis/Pagerank.ipynb analog, as a runnable script).
 Run:  python examples/01_link_analysis.py
 """
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
 import cugraph_tpu as ct
 
 G = ct.datasets.karate.get_graph()

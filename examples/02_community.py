@@ -4,6 +4,11 @@
 Run:  python examples/02_community.py
 """
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
 import cugraph_tpu as ct
 
 G = ct.datasets.karate.get_graph()

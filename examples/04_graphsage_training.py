@@ -5,6 +5,10 @@ Run:  python examples/04_graphsage_training.py
 """
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
 import jax.numpy as jnp
 import numpy as np
 import optax

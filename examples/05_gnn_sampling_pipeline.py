@@ -4,6 +4,11 @@
 Run:  python examples/05_gnn_sampling_pipeline.py
 """
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
 import numpy as np
 
 import cugraph_tpu as ct

@@ -72,3 +72,31 @@ def test_hits_directed():
     refh, refa = nx.hits(Gnx, max_iter=2000, tol=1e-13)
     compare_vertex_values(df, "hubs", refh, atol=1e-4)
     compare_vertex_values(df, "authorities", refa, atol=1e-4)
+
+
+def test_pagerank_precision_knob(monkeypatch):
+    """TPU extension: precision="fast" (bf16 kernels) tracks "exact" to
+    ~1e-3; bad values raise on every path."""
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    exact = ctpu.pagerank(G, tol=1e-8).sort_values("vertex")["pagerank"]
+    fast = ctpu.pagerank(G, tol=1e-8, precision="fast").sort_values(
+        "vertex")["pagerank"]
+    np.testing.assert_allclose(fast.to_numpy(), exact.to_numpy(),
+                               rtol=5e-3, atol=1e-5)
+    k_f = ctpu.katz_centrality(G, precision="fast").sort_values(
+        "vertex")["katz_centrality"].to_numpy()
+    k_e = ctpu.katz_centrality(G).sort_values(
+        "vertex")["katz_centrality"].to_numpy()
+    np.testing.assert_allclose(k_f, k_e, rtol=5e-3, atol=1e-5)
+    with pytest.raises(ValueError, match="precision"):
+        ctpu.pagerank(G, precision="bogus")
+    with pytest.raises(ValueError, match="precision"):
+        ctpu.eigenvector_centrality(G, precision="bogus")
+    with pytest.raises(ValueError, match="precision"):
+        ctpu.hits(G, precision="bogus")
