@@ -227,81 +227,168 @@ def degree_centrality(G, normalized: bool = True):
 # Betweenness centrality (multi-source Brandes)
 # --------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=())
-def _brandes_one_source(g: GraphStructure, s: jax.Array):
-    """Forward BFS with shortest-path counting + backward dependency sweep.
-    Returns (delta [pad_v], per-edge dependency [pad_e] in csr order).
-    Reference: betweenness_centrality_impl.cuh:1636 (multi-source Brandes)."""
-    pad_v = g.pad_v
-    n = g.num_vertices
-    real = jnp.arange(pad_v) < n
+# --------------------------------------------------------------------------
+# Batched multi-source Brandes — the TPU-native design.
+#
+# The reference's betweenness engine is a "multi-source" Brandes only in the
+# sense of looping sources through frontier kernels
+# (betweenness_centrality_impl.cuh:1636).  Here a batch of B=128 sources runs
+# SIMULTANEOUSLY as [pad_v, 128] sigma/delta panels: each forward level and
+# each backward level is ONE masked SpMM (features = sources on the MXU lane
+# axis), so the per-source per-edge cost drops from a scalarized gather
+# (~0.12 G elem/s on this TPU) to amortized MXU matmul work.
+# --------------------------------------------------------------------------
+
+_BRANDES_BATCH = 128  # sources per sweep = one MXU lane width
+
+
+def _brandes_sweep_batched(spmm_pull, spmm_push, pad_v: int, n: int,
+                           sources: jax.Array, csr=None):
+    """Forward sigma + backward delta for a batch of sources.
+
+    ``sources``: int32 [B] internal ids, -1 = padding column (contributes 0).
+    ``spmm_pull(x)``: [pad_v, B] -> [pad_v, B], y[d] = sum over in-edges of
+    x[s]; ``spmm_push`` the transpose.  Returns (vertex delta summed over the
+    batch [pad_v] f32, edge dependency [pad_e] f32 in ``csr`` edge order or
+    None).  Edge accumulation rides ROW gathers of the [pad_v, B] panels
+    (jnp.take along axis 0 — the one gather shape this TPU runs at bandwidth;
+    see docs/performance.md), not element gathers.
+    """
+    B = sources.shape[0]
+    varange = jnp.arange(pad_v)
+    src1h = varange[:, None] == sources[None, :]          # [pad_v, B]
+    real = (varange < n)[:, None]
     NEG = jnp.int32(-1)
+    dist0 = jnp.where(src1h, jnp.int32(0), NEG)
+    sigma0 = jnp.where(src1h, 1.0, 0.0).astype(jnp.float32)
 
-    dist0 = jnp.where(jnp.arange(pad_v) == s, 0, NEG)
-    sigma0 = jnp.where(jnp.arange(pad_v) == s, 1.0, 0.0)
-
-    # ---- forward: level-synchronous
     def fwd_body(state):
-        dist, sigma, level, frontier_nonempty = state
-        at_level_src = gather_minor(g.csc, dist) == level   # src side of in-edges
-        contrib = jnp.where(at_level_src, gather_minor(g.csc, sigma), 0.0)
-        sig_in = segment_reduce_by_major(g.csc, contrib, "sum")
-        unvisited = (dist == NEG) & real
-        newly = unvisited & (sig_in > 0)
+        dist, sigma, level, _ = state
+        masked = jnp.where(dist == level, sigma, 0.0)
+        sig_in = spmm_pull(masked)
+        newly = (dist == NEG) & real & (sig_in > 0)
         dist = jnp.where(newly, level + 1, dist)
         sigma = sigma + jnp.where(newly, sig_in, 0.0)
         return dist, sigma, level + 1, jnp.any(newly)
 
-    def fwd_cond(state):
-        _, _, level, nonempty = state
-        return nonempty & (level < n)
-
     dist, sigma, max_level, _ = jax.lax.while_loop(
-        fwd_cond, fwd_body, (dist0, sigma0, jnp.int32(0), jnp.bool_(True))
-    )
+        lambda st: st[3] & (st[2] < n), fwd_body,
+        (dist0, sigma0, jnp.int32(0), jnp.bool_(True)))
 
-    # ---- backward: levels max_level-1 .. 0
+    def _rows(x, rows):
+        if x.shape[0] < rows:
+            return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+        return x[:rows]
+
     def bwd_body(state):
-        delta, edge_dep, level = state
-        # per out-edge (u,w): tree edge iff dist[w] == dist[u] + 1
-        du = gather_major(g.csr, dist)
-        dw = gather_minor(g.csr, dist)
-        sw = gather_minor(g.csr, sigma)
-        dl = gather_minor(g.csr, delta)
-        is_tree = (du == level) & (dw == level + 1) & (du >= 0)
-        t = jnp.where(is_tree, (1.0 + dl) / jnp.maximum(sw, 1e-30), 0.0)
-        dep_u = segment_reduce_by_major(g.csr, t, "sum") * sigma
-        delta = delta + jnp.where(dist == level, dep_u, 0.0)
-        su = gather_major(g.csr, sigma)
-        edge_dep = edge_dep + jnp.where(is_tree, su * t, 0.0)
-        return delta, edge_dep, level - 1
+        delta, edep, level = state
+        # y[w] = (1+delta[w])/sigma[w] on the level+1 ring; s[u] = sum of y
+        # over u's out-neighbors; tree-edge test (du==l & dw==l+1) factors
+        # into the two masks because non-tree terms are zeroed by either side.
+        y = jnp.where(dist == level + 1,
+                      (1.0 + delta) / jnp.maximum(sigma, 1e-30), 0.0)
+        s = spmm_push(y)
+        a = jnp.where(dist == level, sigma, 0.0)
+        delta = delta + a * s
+        if csr is not None:
+            # per-edge dep = a[src] · y[dst] summed over the batch: two row
+            # gathers + one lane reduce (su·(1+δw)/σw on tree edges)
+            au = jnp.take(_rows(a, csr.pad_v), csr.majors, axis=0)
+            yw = jnp.take(_rows(y, csr.pad_v), csr.indices, axis=0)
+            edep = edep + jnp.sum(au * yw, axis=1)
+        return delta, edep, level - 1
 
-    def bwd_cond(state):
-        _, _, level = state
-        return level >= 0
-
-    delta0 = jnp.zeros(pad_v, dtype=jnp.float32)
-    edep0 = jnp.zeros(g.csr.pad_e, dtype=jnp.float32)
-    delta, edge_dep, _ = jax.lax.while_loop(
-        bwd_cond, bwd_body, (delta0, edep0, max_level - 1)
-    )
-    delta = jnp.where(jnp.arange(pad_v) == s, 0.0, delta)
-    return delta, edge_dep
+    edep0 = (jnp.zeros((0,), jnp.float32) if csr is None
+             else jnp.zeros((csr.pad_e,), jnp.float32))
+    delta, edep, _ = jax.lax.while_loop(
+        lambda st: st[2] >= 0, bwd_body,
+        (jnp.zeros((pad_v, B), jnp.float32), edep0, max_level - 1))
+    delta = jnp.where(src1h, 0.0, delta)
+    return jnp.sum(delta, axis=1), (edep if csr is not None else None)
 
 
-def _betweenness_accumulate(G, sources_internal: np.ndarray):
+@partial(jax.jit, static_argnames=("n", "edges"))
+def _brandes_batch_xla(g: GraphStructure, sources: jax.Array, n: int,
+                       edges: bool = False):
+    """Batched Brandes on the XLA path ([pad_v, B] gathers/segment sums)."""
+
+    def pull(x):
+        return segment_reduce_by_major(g.csc, gather_minor(g.csc, x), "sum")
+
+    def push(x):
+        return segment_reduce_by_major(g.csr, gather_minor(g.csr, x), "sum")
+
+    return _brandes_sweep_batched(pull, push, g.pad_v, n, sources,
+                                  csr=g.csr if edges else None)
+
+
+@partial(jax.jit, static_argnames=("n", "edges"))
+def _brandes_batch_pallas(pull_plan, push_plan, g: GraphStructure,
+                          sources: jax.Array, n: int, edges: bool = False):
+    """Batched Brandes through the one-hot SpMM kernel (unit weights are
+    bf16-exact, so split precision gives ~2^-16-relative sigma sums)."""
+    from cugraph_tpu.kernels.spmm_onehot import _fit_rows, spmm_onehot
+
+    P = max(pull_plan.pad_v, push_plan.pad_v)
+
+    def pull(x):
+        y = spmm_onehot(pull_plan, _fit_rows(x, pull_plan.pad_v),
+                        precision="split")
+        return _fit_rows(y, P)
+
+    def push(x):
+        y = spmm_onehot(push_plan, _fit_rows(x, push_plan.pad_v),
+                        precision="split")
+        return _fit_rows(y, P)
+
+    return _brandes_sweep_batched(pull, push, P, n, sources,
+                                  csr=g.csr if edges else None)
+
+
+def _get_brandes_spmm_plans(G):
+    """Cached UNWEIGHTED SpMM plan pair (pull, push) — Brandes counts paths,
+    so edge weights must not enter the sigma sums."""
+    plans = getattr(G, "_spmm_plans_brandes", None)
+    if plans is None:
+        from cugraph_tpu.kernels.spmm_onehot import build_spmm_plan
+
+        src, dst, _ = G.edgelist_arrays()
+        n = G.number_of_vertices()
+        plans = (build_spmm_plan(src, dst, None, n),
+                 build_spmm_plan(dst, src, None, n))
+        G._spmm_plans_brandes = plans
+    return plans
+
+
+def _bc_batched(G, sources_internal: np.ndarray, edges: bool = False):
+    """Accumulate (vertex, edge) betweenness over sources in batches of 128.
+    Returns (bc [>=n], edge_dep [pad_e] csr-order or None)."""
+    from cugraph_tpu.kernels.dispatch import use_pallas
+
+    n = G.number_of_vertices()
     g = G.structure
-    bc = jnp.zeros(g.pad_v, dtype=jnp.float32)
-    ebc = jnp.zeros(g.csr.pad_e, dtype=jnp.float32)
-
-    @jax.jit
-    def accum(bc, ebc, s):
-        d, ed = _brandes_one_source(g, s)
-        return bc + d, ebc + ed
-
-    for s in sources_internal:
-        bc, ebc = accum(bc, ebc, jnp.int32(s))
-    return np.asarray(bc), np.asarray(ebc)
+    fast = use_pallas(G)
+    if fast:
+        pull_plan, push_plan = _get_brandes_spmm_plans(G)
+        pad_v = max(pull_plan.pad_v, push_plan.pad_v)
+    else:
+        pad_v = g.pad_v
+    bc = jnp.zeros(pad_v, dtype=jnp.float32)
+    ebc = jnp.zeros(g.csr.pad_e, dtype=jnp.float32) if edges else None
+    B = _BRANDES_BATCH
+    for i in range(0, len(sources_internal), B):
+        chunk = np.full(B, -1, dtype=np.int32)
+        batch = sources_internal[i:i + B]
+        chunk[: len(batch)] = batch
+        if fast:
+            d, ed = _brandes_batch_pallas(pull_plan, push_plan, g,
+                                          jnp.asarray(chunk), n, edges)
+        else:
+            d, ed = _brandes_batch_xla(g, jnp.asarray(chunk), n, edges)
+        bc = bc + d
+        if edges:
+            ebc = ebc + ed
+    return np.asarray(bc), (np.asarray(ebc) if edges else None)
 
 
 def _bc_scale(G, k, normalized, n):
@@ -332,7 +419,7 @@ def betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
         sources = rng.choice(n, size=int(k), replace=False).astype(np.int32)
     else:
         sources = normalize_start(G, k)
-    bc, _ = _betweenness_accumulate(G, sources)
+    bc, _ = _bc_batched(G, sources)
     # list-form k gets the same n/|sources| extrapolation as scalar k
     nsrc = len(sources) if (k is not None and len(sources) < n) else None
     scale = _bc_scale(G, nsrc, normalized, n)
@@ -358,7 +445,7 @@ def edge_betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
     else:
         # list-form k = explicit source vertices (reference accepts both)
         sources = normalize_start(G, k)
-    _, ebc = _betweenness_accumulate(G, sources)
+    _, ebc = _bc_batched(G, sources, edges=True)
     g = G.structure
     E = g.num_edges
 

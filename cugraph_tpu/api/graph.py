@@ -55,6 +55,7 @@ class Graph:
         self._spmv_plan_push = None
         self._spmv_plan_sym = None
         self._spmv_plan_pull_spilled = None
+        self._spmm_plans_brandes = None
 
     # -- construction ---------------------------------------------------------
 

@@ -99,3 +99,38 @@ def test_betweenness_list_k_extrapolates():
     # not n/k times smaller
     assert sub["betweenness_centrality"].sum() > \
         0.2 * full["betweenness_centrality"].sum()
+
+
+def test_betweenness_batched_pallas_path(monkeypatch):
+    """The batched multi-source Brandes through the (interpreted) SpMM
+    kernel matches networkx exactly — covers batch padding columns, the
+    split-precision sigma sums, and plan pad_v reconciliation."""
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    G, Gnx = random_directed(n=60, m=240, seed=11)
+    df = ctpu.betweenness_centrality(G, normalized=True)
+    ref = nx.betweenness_centrality(Gnx, normalized=True)
+    compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-4)
+
+
+def test_betweenness_multi_batch():
+    """>128 sources exercises multiple source batches (and -1 padding in
+    the final one)."""
+    G, Gnx = random_directed(n=150, m=600, seed=9)
+    df = ctpu.betweenness_centrality(G, normalized=True)
+    ref = nx.betweenness_centrality(Gnx, normalized=True)
+    compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-4)
+
+
+def test_edge_betweenness_batched_pallas_path(monkeypatch):
+    """Edge-dependency accumulation (row-gather panels) through the
+    interpreted SpMM kernel matches networkx."""
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    G, Gnx = random_directed(n=50, m=200, seed=4)
+    df = ctpu.edge_betweenness_centrality(G, normalized=True)
+    ref = nx.edge_betweenness_centrality(Gnx, normalized=True)
+    got = {(s, d): v for s, d, v in
+           zip(df["src"], df["dst"], df["betweenness_centrality"])}
+    for e, v in ref.items():
+        assert abs(got[e] - v) < 1e-4, (e, got[e], v)
