@@ -1407,6 +1407,22 @@ def mg_k_core(g: DistGraph, mesh, k: int | None = None,
 
 # ---------------------------------------------------------------------------
 # Betweenness centrality — distributed Brandes (reference
+_MG_BRANDES_PANEL = 32   # sources per distributed sweep; per-edge panel
+                         # memory is |E_block|·panel·4 B, so MG stays lean
+
+
+def _source_panels(sources):
+    """Chunk source ids into fixed-width int32 panels padded with -1 (one
+    compiled kernel shape regardless of source count)."""
+    sources = np.asarray(sources)
+    W = _MG_BRANDES_PANEL
+    for i in range(0, len(sources), W):
+        panel = np.full(W, -1, np.int32)
+        batch = sources[i:i + W]
+        panel[: len(batch)] = batch
+        yield jnp.asarray(panel)
+
+
 # centrality/betweenness_centrality_impl.cuh:1636: multi-source BFS forward
 # with path counts, then backward dependency accumulation).  Forward = one
 # masked-sum SpMV per level (pull blocks); backward = one masked-sum SpMV per
@@ -1415,26 +1431,31 @@ def mg_k_core(g: DistGraph, mesh, k: int | None = None,
 
 @lru_cache(maxsize=32)
 def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
+    """Batched distributed Brandes: a PANEL of sources runs simultaneously
+    as [chunk, NS] dist/sigma/delta columns, so each forward/backward level
+    is one [*, NS] gather + segment reduce + reduce-scatter instead of one
+    per source (the same panel design as the SG _brandes_sweep_batched)."""
     B = pmin * chunk
     nseg = pmaj * chunk
 
-    def kernel(psrc, pdst, pval, qsrc, qdst, qval, source):
+    def kernel(psrc, pdst, pval, qsrc, qdst, qval, sources):
         # pull blocks: gathered = src, reduced = dst (forward expansion)
         pg, pr, pv = _sq(psrc), _sq(pdst), _sq(pval)
         # push blocks: gathered = dst, reduced = src (backward accumulation)
         qg, qr, qv = _sq(qsrc), _sq(qdst), _sq(qval)
         gidx = prims.global_vertex_ids(chunk)
-        i = jax.lax.axis_index(prims.MAJOR)
+        NS = sources.shape[0]                        # [NS], -1 = padding col
 
-        dist0 = jnp.where(gidx == source, 0, INT_INF)
-        sigma0 = jnp.where(gidx == source, 1.0, 0.0)
+        is_src = gidx[:, None] == sources[None, :]   # [chunk, NS]
+        dist0 = jnp.where(is_src, 0, INT_INF)
+        sigma0 = jnp.where(is_src, 1.0, 0.0)
 
         # -- forward: levels + path counts ---------------------------------
         def fwd(state):
             dist, sigma, level, _ = state
             src_at = prims.gather_minor_block((dist == level)
                                               .astype(jnp.float32) * sigma)
-            cand = jnp.where(pv, src_at[pg], 0.0)
+            cand = jnp.where(pv[:, None], src_at[pg], 0.0)
             part = prims.block_segment_reduce(cand, pr, nseg, "sum")
             pulled = prims.scatter_reduce_major_sum(part)
             newly = (pulled > 0) & (dist == INT_INF)
@@ -1452,7 +1473,7 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
                             jnp.asarray(1, jnp.int32)))
 
         # -- backward: delta accumulation, levels descending ---------------
-        delta0 = jax.lax.pcast(jnp.zeros((chunk,), jnp.float32),
+        delta0 = jax.lax.pcast(jnp.zeros((chunk, NS), jnp.float32),
                                (prims.MAJOR, prims.MINOR), to="varying")
         eacc0 = jax.lax.pcast(jnp.zeros(qg.shape, jnp.float32),
                               (prims.MAJOR, prims.MINOR), to="varying")
@@ -1466,15 +1487,16 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
                 jnp.where(sigma > 0, (1.0 + delta) / jnp.maximum(sigma, 1e-30),
                           0.0))
             dist_seg = prims.gather_major_block(dist)     # src by slot
-            ok = qv & (d_blk[qg] == dist_seg[qr] + 1) & \
+            ok = qv[:, None] & (d_blk[qg] == dist_seg[qr] + 1) & \
                 (dist_seg[qr] == level)
             e_val = jnp.where(ok, contrib_v[qg], 0.0)
             part = prims.block_segment_reduce(e_val, qr, nseg, "sum")
             acc = prims.scatter_reduce_major_sum(part)
             if accumulate_edges:
-                # edge betweenness: δ(u→v) = σ[u]·(1+δ[v])/σ[v]
+                # edge betweenness: δ(u→v) = σ[u]·(1+δ[v])/σ[v], summed over
+                # the source panel
                 sig_seg = prims.gather_major_block(sigma)
-                eacc = eacc + e_val * sig_seg[qr]
+                eacc = eacc + jnp.sum(e_val * sig_seg[qr], axis=-1)
             delta = jnp.where(dist == level, sigma * acc, delta)
             return delta, eacc, level - 1
 
@@ -1484,7 +1506,8 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
 
         delta, eacc, _ = jax.lax.while_loop(
             bwd_cond, bwd, (delta0, eacc0, max_level - 1))
-        bc = jnp.where((gidx != source) & (dist < INT_INF), delta, 0.0)
+        bc = jnp.sum(jnp.where(~is_src & (dist < INT_INF), delta, 0.0),
+                     axis=-1)
         if accumulate_edges:
             return bc, eacc[None, None]
         return bc
@@ -1512,10 +1535,10 @@ def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
                                                          replace=False)
     kern = _mg_brandes_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)
     bc = np.zeros(g.pad_v, np.float64)
-    for s in np.asarray(sources):
+    for panel in _source_panels(sources):
         bc += np.asarray(kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
                               g.push.src_loc, g.push.dst_loc, g.push.valid,
-                              jnp.asarray(int(s), jnp.int32)), np.float64)
+                              panel), np.float64)
     if normalized:
         scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
     else:
@@ -1547,10 +1570,9 @@ def mg_edge_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
     kern = _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n,
                               accumulate_edges=True)
     eacc = np.zeros(np.asarray(g.push.weight).shape, np.float64)
-    for s in np.asarray(sources):
+    for panel in _source_panels(sources):
         _, e = kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
-                    g.push.src_loc, g.push.dst_loc, g.push.valid,
-                    jnp.asarray(int(s), jnp.int32))
+                    g.push.src_loc, g.push.dst_loc, g.push.valid, panel)
         eacc += np.asarray(e, np.float64)
 
     if normalized:
