@@ -252,3 +252,18 @@ def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win,
     if rc != 0:
         return None
     return src_rel, dst_full, w_out, xwin_blk, yblk, int(T)
+
+
+def spmv_plan_count_native(src, dst, n_rows, yb_rows, src_win, dst_win,
+                           tile_subs=8):
+    """Tile count only (the window-autotuner cost model's inner loop).
+    Returns T (INCLUDING one padding tile per edge-less y block) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    T = lib.spmv_plan_count(_ptr(src, ctypes.c_int64),
+                            _ptr(dst, ctypes.c_int64), len(src),
+                            n_rows, yb_rows, src_win, dst_win, tile_subs)
+    return int(T) if T > 0 else None

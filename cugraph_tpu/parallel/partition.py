@@ -249,12 +249,38 @@ def build_dist_graph(
     symmetrize: bool = False,
     edge_type: np.ndarray | None = None,
     edge_time: np.ndarray | None = None,
+    drop_self_loops: bool = False,
+    drop_multi_edges: bool = False,
 ) -> DistGraph:
-    """COO edge list → 2D-partitioned DistGraph (host-side build)."""
+    """COO edge list → 2D-partitioned DistGraph (host-side build).
+
+    ``drop_self_loops`` / ``drop_multi_edges`` mirror the reference MGGraph
+    construction flags (pylibcugraph graphs.pyx:167-168); duplicates keep the
+    first occurrence and are removed BEFORE symmetrization (matching the SG
+    Graph, which dedupes then mirrors).  Note the SG ``Graph`` class always
+    drops multi-edges for non-multigraphs — pass ``drop_multi_edges=True``
+    here when comparing MG against SG on inputs that may contain duplicates.
+    """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     m = src.shape[0]
     w = np.ones(m, np.float32) if weight is None else np.asarray(weight, np.float32)
+
+    def _filter(keep_idx):
+        nonlocal src, dst, w, edge_type, edge_time
+        src, dst, w = src[keep_idx], dst[keep_idx], w[keep_idx]
+        if edge_type is not None:
+            edge_type = np.asarray(edge_type)[keep_idx]
+        if edge_time is not None:
+            edge_time = np.asarray(edge_time)[keep_idx]
+
+    if drop_self_loops:
+        _filter(src != dst)
+    if drop_multi_edges:
+        key = (src << 32) | dst.astype(np.uint32).astype(np.int64)
+        _, idx = np.unique(key, return_index=True)
+        idx.sort()
+        _filter(idx)
     if symmetrize:
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         w = np.concatenate([w, w])

@@ -204,3 +204,31 @@ def test_rmat_native_matches_numpy_fallback(monkeypatch):
     s8, d8 = N.rmat_native(*args, n_threads=8)
     np.testing.assert_array_equal(s1, s8)
     np.testing.assert_array_equal(d1, d8)
+
+
+def test_spmm_plan_native_matches_numpy():
+    """The SpMM plan layout is bit-identical to the SpMV layout, so the
+    native SpMV tiler builds it; this pins the equivalence (NumPy fallback
+    forced via a monkeypatched unavailable lib)."""
+    import cugraph_tpu.kernels.spmm_onehot as so
+    from cugraph_tpu.core import native as nat
+
+    rng = np.random.default_rng(5)
+    for n, m, weighted in [(700, 4000, True), (3000, 40000, False),
+                           (128, 200, True)]:
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.random(m).astype(np.float32) if weighted else None
+        p_nat = so.build_spmm_plan(src, dst, w, n)
+        import unittest.mock as mock
+        with mock.patch.object(nat, "get_lib", lambda: None):
+            p_np = so.build_spmm_plan(src, dst, w, n)
+        assert p_nat.num_tiles == p_np.num_tiles
+        assert (p_nat.w_src, p_nat.w_dst, p_nat.ybv, p_nat.tile_subs) == \
+            (p_np.w_src, p_np.w_dst, p_np.ybv, p_np.tile_subs)
+        for f in ("src_rel", "dst_rel", "xwin", "yblk"):
+            assert np.array_equal(np.asarray(getattr(p_nat, f)),
+                                  np.asarray(getattr(p_np, f))), f
+        a, b = np.asarray(p_nat.weight), np.asarray(p_np.weight)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])

@@ -733,3 +733,24 @@ def test_dask_parity_alias_surface(tmp_path):
 
     import cugraph_tpu as ctpu
     assert isinstance(ctpu.__git_commit__, str)
+
+
+def test_build_dist_graph_drop_flags(mesh):
+    """drop_self_loops / drop_multi_edges (MGGraph graphs.pyx:167-168
+    parity): duplicates and loops removed before partitioning, so MG matches
+    SG (which always drops both for non-multigraphs) on dirty input."""
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 30, 250)
+    dst = rng.integers(0, 30, 250)
+    g = build_dist_graph(src, dst, None, 30, 4, 2, store_push=True,
+                         drop_self_loops=True, drop_multi_edges=True)
+    import cugraph_tpu as ct
+    from cugraph_tpu.parallel import mg_betweenness_centrality
+
+    bc = mg_betweenness_centrality(g, mesh, normalized=True)[:30]
+    keep = src != dst
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src[keep], dst[keep], None)
+    sg = ct.betweenness_centrality(G, normalized=True)
+    sgv = sg.sort_values("vertex")["betweenness_centrality"].to_numpy()
+    np.testing.assert_allclose(bc, sgv, atol=1e-6)
