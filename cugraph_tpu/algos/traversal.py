@@ -471,15 +471,104 @@ def extract_bfs_paths(G, distances_df: pd.DataFrame, destinations) -> pd.DataFra
     }), paths.reshape(-1), max_len
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _msbfs_dist_batched(g: GraphStructure, sources: jax.Array, n: int):
+    """Hop distances from a PANEL of sources ([pad_v, B] int32, -1 =
+    unreached / padding column): one masked sum-SpMM per level discovers
+    every column's next ring simultaneously (same panel design as the
+    batched Brandes forward sweep in algos/centrality.py)."""
+    from cugraph_tpu.prims.vertex_edge import (gather_minor,
+                                               segment_reduce_by_major)
+
+    pad_v = g.pad_v
+    varange = jnp.arange(pad_v)
+    src1h = varange[:, None] == sources[None, :]
+    real = (varange < n)[:, None]
+    dist0 = jnp.where(src1h, jnp.int32(0), jnp.int32(-1))
+
+    def body(state):
+        dist, level, _ = state
+        frontier = (dist == level).astype(jnp.float32)
+        hit = segment_reduce_by_major(g.csc, gather_minor(g.csc, frontier),
+                                      "sum")
+        newly = (hit > 0) & (dist == -1) & real
+        dist = jnp.where(newly, level + 1, dist)
+        return dist, level + 1, jnp.any(newly)
+
+    dist, _, _ = jax.lax.while_loop(
+        lambda st: st[2] & (st[1] < n), body,
+        (dist0, jnp.int32(0), jnp.bool_(True)))
+    return dist
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _msbfs_dist_batched_pallas(pull_plan, sources: jax.Array, n: int):
+    """Panel BFS through the one-hot SpMM kernel (TPU fast path)."""
+    from cugraph_tpu.kernels.spmm_onehot import spmm_onehot
+
+    pad_v = pull_plan.pad_v
+    varange = jnp.arange(pad_v)
+    src1h = varange[:, None] == sources[None, :]
+    real = (varange < n)[:, None]
+    dist0 = jnp.where(src1h, jnp.int32(0), jnp.int32(-1))
+
+    def body(state):
+        dist, level, _ = state
+        frontier = (dist == level).astype(jnp.float32)
+        hit = spmm_onehot(pull_plan, frontier, precision="split")
+        newly = (hit > 0) & (dist == -1) & real
+        dist = jnp.where(newly, level + 1, dist)
+        return dist, level + 1, jnp.any(newly)
+
+    dist, _, _ = jax.lax.while_loop(
+        lambda st: st[2] & (st[1] < n), body,
+        (dist0, jnp.int32(0), jnp.bool_(True)))
+    return dist
+
+
 def od_shortest_distances(G, origins, destinations) -> pd.DataFrame:
     """All origin→destination shortest distances (reference
-    traversal/od_shortest_distances_impl.cuh:426).  Runs one SSSP per origin
-    (vectorizable later via multi-source batching); returns
+    traversal/od_shortest_distances_impl.cuh:426).  Unweighted graphs run
+    128-origin panels through the batched multi-source BFS sweep; weighted
+    graphs run one (delta-stepping) SSSP per origin.  Returns
     ['origin', 'destination', 'distance']."""
     from cugraph_tpu.algos._utils import normalize_start
 
     origins = np.asarray(origins).reshape(-1)
     destinations = np.asarray(destinations).reshape(-1)
+    _, _, w = G.edgelist_arrays()
+    if w is None:
+        from cugraph_tpu.kernels.dispatch import use_pallas
+
+        o_int = normalize_start(G, origins)
+        d_int = normalize_start(G, destinations)
+        n = G.number_of_vertices()
+        g = G.structure
+        fast = use_pallas(G)
+        if fast:
+            from cugraph_tpu.algos.centrality import _get_brandes_spmm_plans
+
+            pull_plan = _get_brandes_spmm_plans(G)[0]
+        rows = []
+        B = 128
+        for i in range(0, len(o_int), B):
+            panel = np.full(B, -1, np.int32)
+            batch = o_int[i:i + B]
+            panel[: len(batch)] = batch
+            if fast:
+                dist = np.asarray(_msbfs_dist_batched_pallas(
+                    pull_plan, jnp.asarray(panel), n))
+            else:
+                dist = np.asarray(_msbfs_dist_batched(g, jnp.asarray(panel),
+                                                      n))
+            for b, o in enumerate(origins[i:i + B]):
+                dv = dist[d_int, b]
+                for dest, val in zip(destinations, dv):
+                    # unreachable = FLT_MAX (the sssp/C-API convention)
+                    rows.append((o, dest,
+                                 float(val) if val >= 0 else float(F32_INF)))
+        return pd.DataFrame(rows,
+                            columns=["origin", "destination", "distance"])
     rows = []
     for o in origins:
         df = sssp(G, source=o)

@@ -109,3 +109,54 @@ def test_approx_weighted_matching():
         if u != -1:
             assert p[u] == v  # symmetric matching
     assert total > 0
+
+
+def test_od_shortest_distances_batched(monkeypatch):
+    """Unweighted OD matrices run 128-origin panels (incl. the interpreted
+    SpMM kernel path); unreachable pairs report FLT_MAX like sssp; weighted
+    graphs still match via the per-origin SSSP loop."""
+    import networkx as nx
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 40, 150)
+    dst = rng.integers(0, 40, 150)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    Gx = nx.DiGraph(list(zip(src.tolist(), dst.tolist())))
+    origins = list(range(0, 20))
+    dests = list(range(20, 40))
+    df = ct.od_shortest_distances(G, origins, dests)
+    assert len(df) == len(origins) * len(dests)
+    FMAX = np.float32(np.finfo(np.float32).max)
+    for _, r in df.iterrows():
+        o, d = int(r["origin"]), int(r["destination"])
+        if nx.has_path(Gx, o, d):
+            assert r["distance"] == nx.shortest_path_length(Gx, o, d)
+        else:
+            assert r["distance"] == FMAX
+
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    G2 = ct.Graph(directed=True)
+    G2.from_edgelist(src, dst, None)
+    df2 = ct.od_shortest_distances(G2, origins, dests)
+    assert (df.sort_values(["origin", "destination"])["distance"].to_numpy()
+            == df2.sort_values(["origin", "destination"])["distance"]
+            .to_numpy()).all()
+
+    # weighted keeps SSSP semantics
+    w = rng.random(len(src)).astype(np.float32) + 0.5
+    Gw = ct.Graph(directed=True)
+    Gw.from_edgelist(src, dst, w)
+    Gxw = nx.DiGraph()
+    for s, d, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        Gxw.add_edge(s, d, weight=ww)
+    dfw = ct.od_shortest_distances(Gw, [0, 1], [30, 31])
+    for _, r in dfw.iterrows():
+        o, d = int(r["origin"]), int(r["destination"])
+        if nx.has_path(Gxw, o, d):
+            assert abs(r["distance"]
+                       - nx.dijkstra_path_length(Gxw, o, d)) < 1e-4
