@@ -526,12 +526,66 @@ def _msbfs_dist_batched_pallas(pull_plan, sources: jax.Array, n: int):
     return dist
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _mssssp_dist_batched(g: GraphStructure, sources: jax.Array, n: int):
+    """Weighted distances from a PANEL of sources: batched Bellman-Ford —
+    each round relaxes every edge for all columns at once via a (min,+)
+    segment reduce.  Returns [pad_v, B] f32 with F32_INF-scale BIG for
+    unreached."""
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG as BIG
+
+    from cugraph_tpu.prims.vertex_edge import (gather_minor,
+                                               segment_reduce_by_major)
+
+    pad_v = g.pad_v
+    varange = jnp.arange(pad_v)
+    src1h = varange[:, None] == sources[None, :]
+    dist0 = jnp.where(src1h, 0.0, BIG).astype(jnp.float32)
+
+    def body(state):
+        dist, it, _ = state
+        val = gather_minor(g.csc, dist) + g.csc.weights[:, None]
+        cand = segment_reduce_by_major(g.csc, jnp.minimum(val, BIG), "min")
+        new = jnp.minimum(dist, cand)
+        return new, it + 1, jnp.any(new < dist)
+
+    dist, _, _ = jax.lax.while_loop(
+        lambda st: st[2] & (st[1] < n), body,
+        (dist0, jnp.int32(0), jnp.bool_(True)))
+    return dist
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _mssssp_dist_batched_pallas(pull_plan, sources: jax.Array, n: int):
+    """Panel Bellman-Ford through the (min,+) one-hot SpMM kernel."""
+    from cugraph_tpu.kernels.spmm_onehot import spmm_onehot
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG as BIG
+
+    pad_v = pull_plan.pad_v
+    varange = jnp.arange(pad_v)
+    src1h = varange[:, None] == sources[None, :]
+    dist0 = jnp.where(src1h, 0.0, BIG).astype(jnp.float32)
+
+    def body(state):
+        dist, it, _ = state
+        cand = spmm_onehot(pull_plan, dist, reduce="min", combine="add",
+                           precision="split")
+        new = jnp.minimum(dist, cand)
+        # split precision: require a meaningful improvement to iterate
+        return new, it + 1, jnp.any(new < dist - 1e-6 * jnp.abs(dist))
+
+    dist, _, _ = jax.lax.while_loop(
+        lambda st: st[2] & (st[1] < n), body,
+        (dist0, jnp.int32(0), jnp.bool_(True)))
+    return dist
+
+
 def od_shortest_distances(G, origins, destinations) -> pd.DataFrame:
     """All origin→destination shortest distances (reference
-    traversal/od_shortest_distances_impl.cuh:426).  Unweighted graphs run
-    128-origin panels through the batched multi-source BFS sweep; weighted
-    graphs run one (delta-stepping) SSSP per origin.  Returns
-    ['origin', 'destination', 'distance']."""
+    traversal/od_shortest_distances_impl.cuh:426).  Runs 128-origin panels
+    through one batched multi-source sweep per panel: unweighted = level BFS
+    (sum-SpMM), weighted = Bellman-Ford ((min,+) SpMM on TPU, batched
+    segment-min elsewhere).  Returns ['origin', 'destination', 'distance']."""
     from cugraph_tpu.algos._utils import normalize_start
 
     origins = np.asarray(origins).reshape(-1)
@@ -569,10 +623,33 @@ def od_shortest_distances(G, origins, destinations) -> pd.DataFrame:
                                  float(val) if val >= 0 else float(F32_INF)))
         return pd.DataFrame(rows,
                             columns=["origin", "destination", "distance"])
+    # weighted: batched Bellman-Ford panels
+    from cugraph_tpu.kernels.dispatch import use_pallas
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG as BIG
+
+    o_int = normalize_start(G, origins)
+    d_int = normalize_start(G, destinations)
+    n = G.number_of_vertices()
+    g = G.structure
+    fast = use_pallas(G)
+    if fast:
+        from cugraph_tpu.kernels.spmm_onehot import get_structure_spmm_plan
+
+        pull_plan = get_structure_spmm_plan(g)
     rows = []
-    for o in origins:
-        df = sssp(G, source=o)
-        sel = df[df["vertex"].isin(destinations)]
-        for _, r in sel.iterrows():
-            rows.append((o, r["vertex"], r["distance"]))
+    B = 128
+    for i in range(0, len(o_int), B):
+        panel = np.full(B, -1, np.int32)
+        batch = o_int[i:i + B]
+        panel[: len(batch)] = batch
+        if fast:
+            dist = np.asarray(_mssssp_dist_batched_pallas(
+                pull_plan, jnp.asarray(panel), n))
+        else:
+            dist = np.asarray(_mssssp_dist_batched(g, jnp.asarray(panel), n))
+        for b, o in enumerate(origins[i:i + B]):
+            dv = dist[d_int, b]
+            for dest, val in zip(destinations, dv):
+                rows.append((o, dest,
+                             float(val) if val < BIG / 2 else float(F32_INF)))
     return pd.DataFrame(rows, columns=["origin", "destination", "distance"])

@@ -270,15 +270,20 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
 
 
 def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
-            *, w_src, w_dst, precision, tile_subs=8):
+            *, w_src, w_dst, precision, tile_subs=8, reduce="sum",
+            combine="mul"):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG as BIG
 
     i = pl.program_id(0)
+    init = {"sum": 0.0, "min": BIG, "max": -BIG}[reduce]
 
     @pl.when(jnp.logical_or(i == 0,
                             yblk_ref[i] != yblk_ref[jnp.maximum(i - 1, 0)]))
     def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
+        y_ref[:] = jnp.full_like(y_ref, init)
 
     sub_s = jax.lax.broadcasted_iota(jnp.int32, (w_src, 128), 0)
     sub_d = jax.lax.broadcasted_iota(jnp.int32, (w_dst, 128), 0)
@@ -307,34 +312,109 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
                 + jax.lax.dot_general(ob, d_lo, dims,
                                       preferred_element_type=jnp.float32))
 
+    F = x_ref.shape[1]
+    if reduce != "sum":
+        # lane→sublane transport machinery: a diag(row) @ ones matmul turns
+        # a [1,128] lane row into a [128e, F] sublane broadcast (the one
+        # broadcast direction Mosaic can't do directly)
+        I128 = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                ).astype(jnp.float32)
+        ones_F = jnp.ones((128, F), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def _to_sub(row_f32):
+            return jax.lax.dot_general(
+                I128 * row_f32, ones_F, dn_ed,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
     for j in range(tile_subs):
         s_row = src_ref[j:j + 1, :]
         w_raw = w_ref[j:j + 1, :]
         w_clean = jnp.where(jnp.isnan(w_raw), 0.0, w_raw)
-        # weight folded into the src one-hot: one matmul does gather × w
-        O_w = jnp.where(sub_s == s_row, w_clean, 0.0)
-        if not split:
-            O_w = O_w.astype(odt)
-        xe = _sel(O_w, x_ref[:], dn_vv)                     # [128e, F]
         d_row = dst_ref[j:j + 1, :]
         base = jnp.min(d_row[0, :]) // w_dst * w_dst
         d_rel = d_row - base
-        O_d = (sub_d == d_rel).astype(jnp.float32 if split else odt)
-        contrib = _sel(O_d, xe, dn_ed)                      # [W_d, F]
-        y_ref[pl.ds(base, w_dst), :] += contrib
+
+        if reduce == "sum":
+            # weight folded into the src one-hot: one matmul = gather × w
+            O_w = jnp.where(sub_s == s_row, w_clean, 0.0)
+            if not split:
+                O_w = O_w.astype(odt)
+            xe = _sel(O_w, x_ref[:], dn_vv)                 # [128e, F]
+            O_d = (sub_d == d_rel).astype(jnp.float32 if split else odt)
+            contrib = _sel(O_d, xe, dn_ed)                  # [W_d, F]
+            y_ref[pl.ds(base, w_dst), :] += contrib
+            continue
+
+        # -- min/max semirings.  Values live sublane-oriented ([128e, F]);
+        # edges within a subtile are dst-sorted, so each dst is a contiguous
+        # SUBLANE run: a 7-step shifted scan (static slice+pad — probed OK on
+        # this Mosaic) reduces each run to its head edge, and a head-masked
+        # one-hot matmul is then an exact one-contributor-per-dst selection
+        # (the SpMV kernel's trick rotated 90°; spmv_onehot.py:500-530).
+        valid = jnp.logical_not(jnp.isnan(w_raw))
+        red = jnp.minimum if reduce == "min" else jnp.maximum
+        ident = BIG if reduce == "min" else -BIG
+
+        O_pure = (sub_s == s_row).astype(jnp.float32 if split else odt)
+        xe = _sel(O_pure, x_ref[:], dn_vv)                  # pure gather
+        d_sub = _to_sub(d_rel.astype(jnp.float32))          # dst per edge row
+        if combine == "add":
+            W_sub = _to_sub(jnp.where(valid, w_clean, ident))
+            v = xe + W_sub
+        elif combine == "left":
+            W_sub = _to_sub(jnp.where(valid, 0.0, ident))
+            v = xe + W_sub
+        elif combine == "mul":
+            W_mul = _to_sub(jnp.where(valid, w_clean, 0.0))
+            W_pad = _to_sub(jnp.where(valid, 0.0, ident))
+            v = xe * W_mul + W_pad
+        else:
+            raise ValueError(f"combine={combine!r} unsupported for min/max")
+        vv = jnp.clip(v, -BIG, BIG)
+        dd = d_sub
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            pad_v_ = jnp.full((s, F), ident, jnp.float32)
+            pad_d_ = jnp.full((s, F), -1.0, jnp.float32)
+            vv_sh = jnp.concatenate([vv[s:], pad_v_], axis=0)
+            dd_sh = jnp.concatenate([dd[s:], pad_d_], axis=0)
+            vv = red(vv, jnp.where(dd_sh == dd, vv_sh, ident))
+
+        d_prev = pltpu.roll(d_row, 1, 1)
+        head = ((lane == 0) | (d_prev != d_row)) & valid
+        O_dh = jnp.where(head, (sub_d == d_rel).astype(jnp.float32), 0.0)
+        contrib_v = _sel(O_dh if split else O_dh.astype(odt), vv, dn_ed)
+        contrib_c = jax.lax.dot_general(
+            O_dh.astype(odt), jnp.ones((128, F), odt), dn_ed,
+            preferred_element_type=jnp.float32)
+        win = y_ref[pl.ds(base, w_dst), :]
+        y_ref[pl.ds(base, w_dst), :] = red(
+            win, jnp.where(contrib_c > 0.5, contrib_v, ident))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision",
+                                             "reduce", "combine"))
 def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
-                precision: str = "default"):
-    """Y[dst, :] = Σ w·X[src, :] per the plan's edge set.
+                precision: str = "default", reduce: str = "sum",
+                combine: str = "mul"):
+    """Y[dst, :] = reduce_e combine(w, X[src, :]) per the plan's edge set.
 
     x: [pad_v, F] f32 (pad_v = plan.pad_v, F a multiple of 128 — or the
     exact array width).  Returns y of the same shape.  precision="default"
     runs bf16 matmuls with f32 accumulation (GNN-grade, ~1e-3); "highest"
     keeps f32 operands (6-pass, exact); "split" runs the exact-selection
-    bf16-pair trick (~2^-16 relative at bf16 speed) — valid when the plan's
-    weights are bf16-exact (unweighted plans; Brandes betweenness path).
+    bf16-pair trick (~2^-16 relative at bf16 speed) — for reduce="sum" it
+    requires bf16-exact plan weights (unweighted plans; Brandes betweenness
+    path), while the min/max path keeps weights on exact f32 transports so
+    split is always valid there.
+
+    reduce ∈ {"sum","min","max"}; combine ∈ {"mul","add","left"} (min/max
+    only — sum is always w·x).  (min,add) is the batched-SSSP relaxation,
+    (max,left)/(min,left) the parent-select/label semirings of the SpMV
+    kernel widened to [V, F] panels.  min/max return ±SEMIRING_BIG for
+    untouched destinations (mask like the SpMV callers do).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -345,7 +425,9 @@ def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
     F = x.shape[1]
     if x.shape[0] != plan.pad_v:
         raise ValueError(f"x rows {x.shape[0]} != plan pad_v {plan.pad_v}")
-    if precision == "split" and not plan.split_safe:
+    if reduce == "sum" and combine != "mul":
+        raise ValueError("reduce='sum' supports combine='mul' only")
+    if precision == "split" and reduce == "sum" and not plan.split_safe:
         # the split trick casts the weight-carrying one-hot to bf16; weights
         # that don't round-trip bf16 would silently lose the ~2^-16 contract
         raise ValueError('precision="split" requires bf16-exact edge weights '
@@ -365,7 +447,8 @@ def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
     )
     y = pl.pallas_call(
         functools.partial(_kernel, w_src=plan.w_src, w_dst=plan.w_dst,
-                          precision=precision, tile_subs=ts),
+                          precision=precision, tile_subs=ts, reduce=reduce,
+                          combine=combine),
         out_shape=jax.ShapeDtypeStruct((plan.n_yblocks * plan.ybv, F),
                                        jnp.float32),
         grid_spec=grid_spec,

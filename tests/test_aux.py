@@ -160,3 +160,34 @@ def test_od_shortest_distances_batched(monkeypatch):
         if nx.has_path(Gxw, o, d):
             assert abs(r["distance"]
                        - nx.dijkstra_path_length(Gxw, o, d)) < 1e-4
+
+
+def test_od_weighted_batched_pallas(monkeypatch):
+    """Weighted OD panels through the interpreted (min,+) SpMM kernel match
+    dijkstra."""
+    import networkx as nx
+    import numpy as np
+
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 30, 120)
+    dst = rng.integers(0, 30, 120)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # dedupe up front (Graph keeps the FIRST duplicate; make the oracle agree)
+    _, idx = np.unique(src.astype(np.int64) * 1000 + dst, return_index=True)
+    src, dst = src[idx], dst[idx]
+    w = rng.random(len(src)).astype(np.float32) + 0.2
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, w)
+    Gx = nx.DiGraph()
+    for s, d, ww in zip(src.tolist(), dst.tolist(), w.tolist()):
+        Gx.add_edge(s, d, weight=ww)
+    df = ct.od_shortest_distances(G, list(range(10)), list(range(10, 30)))
+    assert len(df) == 200
+    for _, r in df.iterrows():
+        o, d = int(r["origin"]), int(r["destination"])
+        if nx.has_path(Gx, o, d):
+            assert abs(r["distance"]
+                       - nx.dijkstra_path_length(Gx, o, d)) < 1e-3

@@ -144,3 +144,49 @@ def test_spmm_split_requires_bf16_exact_weights():
     expect = np.zeros((plan_i.pad_v, 8))
     np.add.at(expect, dst, wi[:, None] * np.ones((m, 8)))
     np.testing.assert_allclose(y, expect, rtol=3e-5, atol=3e-5)
+
+
+def test_spmm_min_max_semirings_interpret():
+    """(min/max, add/left/mul) SpMM panels vs a NumPy oracle — the sublane
+    run-scan + head-selection scatter (TPU-validated; see docs/performance)."""
+    from cugraph_tpu.kernels.spmm_onehot import build_spmm_plan, spmm_onehot
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
+
+    rng = np.random.default_rng(3)
+    n, m, F = 500, 2500, 16
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32) * 2 + 0.1
+    plan = build_spmm_plan(src, dst, w, n)
+    X = rng.random((plan.pad_v, F)).astype(np.float32) * 3 + 0.1
+    for reduce, combine in [("min", "add"), ("max", "add"), ("min", "left"),
+                            ("max", "left"), ("min", "mul"), ("max", "mul")]:
+        y = np.asarray(spmm_onehot(plan, jnp.asarray(X), interpret=True,
+                                   precision="highest", reduce=reduce,
+                                   combine=combine))
+        ident = SEMIRING_BIG if reduce == "min" else -SEMIRING_BIG
+        ref = np.full((plan.pad_v, F), ident, np.float32)
+        vals = {"add": X[src] + w[:, None], "left": X[src],
+                "mul": X[src] * w[:, None]}[combine]
+        (np.minimum if reduce == "min" else np.maximum).at(ref, dst, vals)
+        np.testing.assert_allclose(y, ref, atol=1e-4,
+                                   err_msg=f"{reduce},{combine}")
+    # split stays within its ~2^-16 contract even with non-bf16 weights
+    # (min/max transports weights at f32, unlike the sum path)
+    y_s = np.asarray(spmm_onehot(plan, jnp.asarray(X), interpret=True,
+                                 precision="split", reduce="min",
+                                 combine="add"))
+    ref = np.full((plan.pad_v, F), SEMIRING_BIG, np.float32)
+    np.minimum.at(ref, dst, X[src] + w[:, None])
+    mask = ref < SEMIRING_BIG / 2
+    rel = np.abs(y_s[mask] - ref[mask]) / np.maximum(ref[mask], 1e-6)
+    assert rel.max() < 1e-3
+
+
+def test_spmm_sum_rejects_bad_combine():
+    from cugraph_tpu.kernels.spmm_onehot import build_spmm_plan, spmm_onehot
+
+    plan = build_spmm_plan(np.array([0, 1]), np.array([1, 0]), None, 2)
+    with pytest.raises(ValueError, match="combine"):
+        spmm_onehot(plan, jnp.zeros((plan.pad_v, 8)), interpret=True,
+                    reduce="sum", combine="add")
