@@ -1411,11 +1411,10 @@ _MG_BRANDES_PANEL = 32   # sources per distributed sweep; per-edge panel
                          # memory is |E_block|·panel·4 B, so MG stays lean
 
 
-def _source_panels(sources):
+def _source_panels(sources, W=_MG_BRANDES_PANEL):
     """Chunk source ids into fixed-width int32 panels padded with -1 (one
     compiled kernel shape regardless of source count)."""
     sources = np.asarray(sources)
-    W = _MG_BRANDES_PANEL
     for i in range(0, len(sources), W):
         panel = np.full(W, -1, np.int32)
         batch = sources[i:i + W]
@@ -1517,6 +1516,68 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
     return _shard_wrap(mesh, kernel, 6, 0, 1, out)
 
 
+@lru_cache(maxsize=32)
+def _mg_brandes_kernel_pl(mesh, pmaj, pmin, chunk, n):
+    """Pallas variant of the batched distributed Brandes: each panel level's
+    forward/backward SpMM runs the per-device one-hot kernel on UNIT-weight
+    plans (sigma counts must not see edge weights) between the usual
+    gather-minor / reduce-scatter-major collectives."""
+    from cugraph_tpu.kernels.spmm_onehot import spmm_onehot
+
+    nseg = pmaj * chunk
+    B = pmin * chunk
+
+    def kernel(pull_plan, push_plan, sources):
+        lp, lq = pull_plan.local(), push_plan.local()
+        gidx = prims.global_vertex_ids(chunk)
+        NS = sources.shape[0]
+
+        def _spmm(plan, x_own):
+            x_blk = prims.gather_minor_block(x_own)
+            xp = jnp.pad(x_blk, ((0, plan.pad_v - B), (0, 0)))
+            part = spmm_onehot(plan, xp, precision="split")[:nseg]
+            return prims.scatter_reduce_major_sum(part)
+
+        is_src = gidx[:, None] == sources[None, :]
+        dist0 = jnp.where(is_src, 0, INT_INF)
+        sigma0 = jnp.where(is_src, 1.0, 0.0)
+
+        def fwd(state):
+            dist, sigma, level, _ = state
+            pulled = _spmm(lp, jnp.where(dist == level, sigma, 0.0))
+            newly = (pulled > 0) & (dist == INT_INF)
+            dist = jnp.where(newly, level + 1, dist)
+            sigma = jnp.where(newly, pulled, sigma)
+            cnt = prims.psum_all(jnp.sum(newly.astype(jnp.int32)))
+            return dist, sigma, level + 1, cnt
+
+        dist, sigma, max_level, _ = jax.lax.while_loop(
+            lambda st: (st[3] > 0) & (st[2] < n), fwd,
+            (dist0, sigma0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(1, jnp.int32)))
+
+        delta0 = jax.lax.pcast(jnp.zeros((chunk, NS), jnp.float32),
+                               (prims.MAJOR, prims.MINOR), to="varying")
+
+        def bwd(state):
+            delta, level = state
+            y = jnp.where((dist == level + 1) & (sigma > 0),
+                          (1.0 + delta) / jnp.maximum(sigma, 1e-30), 0.0)
+            acc = _spmm(lq, y)
+            delta = jnp.where(dist == level, sigma * acc, delta)
+            return delta, level - 1
+
+        delta, _ = jax.lax.while_loop(
+            lambda st: st[1] >= 0, bwd, (delta0, max_level - 1))
+        return jnp.sum(jnp.where(~is_src & (dist < INT_INF), delta, 0.0),
+                       axis=-1)
+
+    es = edge_spec()
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh, in_specs=(es, es, P()),
+        out_specs=vertex_spec(), check_vma=False))
+
+
 def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
                               sources=None, normalized: bool = True,
                               directed: bool = True, seed: int = 0):
@@ -1533,12 +1594,25 @@ def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
         else:
             sources = np.random.default_rng(seed).choice(n, size=min(k, n),
                                                          replace=False)
-    kern = _mg_brandes_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)
+    from cugraph_tpu.parallel.kernels import (get_stacked_spmm_plan_unit,
+                                              mg_use_pallas)
+
     bc = np.zeros(g.pad_v, np.float64)
-    for panel in _source_panels(sources):
-        bc += np.asarray(kern(g.pull.src_loc, g.pull.dst_loc, g.pull.valid,
-                              g.push.src_loc, g.push.dst_loc, g.push.valid,
-                              panel), np.float64)
+    if mg_use_pallas(g):
+        pull = get_stacked_spmm_plan_unit(g, mesh, "pull")
+        push = get_stacked_spmm_plan_unit(g, mesh, "push")
+        kern = _mg_brandes_kernel_pl(mesh, g.pmaj, g.pmin, g.chunk, n)
+        # no per-edge panel intermediates on the kernel path → full-width
+        # 128-source panels (one MXU lane width)
+        for panel in _source_panels(sources, 128):
+            bc += np.asarray(kern(pull, push, panel), np.float64)
+    else:
+        kern = _mg_brandes_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)
+        for panel in _source_panels(sources):
+            bc += np.asarray(kern(g.pull.src_loc, g.pull.dst_loc,
+                                  g.pull.valid, g.push.src_loc,
+                                  g.push.dst_loc, g.push.valid,
+                                  panel), np.float64)
     if normalized:
         scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
     else:

@@ -80,6 +80,7 @@ class StackedSpmmPlan:
     n_yblocks: int = field(metadata=dict(static=True))
     num_tiles: int = field(metadata=dict(static=True))
     tile_subs: int = field(default=8, metadata=dict(static=True))
+    split_safe: bool = field(default=False, metadata=dict(static=True))
 
     def local(self) -> SpmmPlan:
         return SpmmPlan(
@@ -88,7 +89,7 @@ class StackedSpmmPlan:
             yblk=self.yblk[0, 0], num_vertices=self.num_vertices,
             pad_v=self.pad_v, w_src=self.w_src, w_dst=self.w_dst,
             ybv=self.ybv, n_yblocks=self.n_yblocks, num_tiles=self.num_tiles,
-            tile_subs=self.tile_subs)
+            tile_subs=self.tile_subs, split_safe=self.split_safe)
 
     @property
     def meta(self):
@@ -158,10 +159,11 @@ def build_stacked_spmv_plan(g, orientation: str = "pull") -> StackedSpmvPlan:
         tile_subs=ts)
 
 
-def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
-                            ) -> StackedSpmmPlan:
+def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False,
+                            unit_weights=False) -> StackedSpmmPlan:
     """One SpmmPlan per device; transpose=True swaps src/dst locals (the
-    VJP operator for y = A·x: dx = Aᵀ·dy)."""
+    VJP operator for y = A·x: dx = Aᵀ·dy).  unit_weights=True drops edge
+    weights (path-counting sweeps like Brandes must not weight sigma)."""
     blocks = g.pull if orientation == "pull" else g.push
     if blocks is None:
         raise ValueError(f"graph stores no {orientation} blocks")
@@ -197,8 +199,8 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
             s, d, w = _valid_edges(blocks, i, j)
             if transpose:
                 s, d = d, s
-            plans.append(build_spmm_plan(s, d, w, nv,
-                                         w_src=w_src, w_dst=w_dst,
+            plans.append(build_spmm_plan(s, d, None if unit_weights else w,
+                                         nv, w_src=w_src, w_dst=w_dst,
                                          tile_subs=ts))
     T = max(p.num_tiles for p in plans)
     meta = plans[0]
@@ -215,7 +217,7 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False
         src_rel=stk(0), dst_rel=stk(1), weight=stk(2), xwin=stk(3),
         yblk=stk(4), num_vertices=nv, pad_v=meta.pad_v, w_src=w_src,
         w_dst=w_dst, ybv=meta.ybv, n_yblocks=meta.n_yblocks, num_tiles=T,
-        tile_subs=ts)
+        tile_subs=ts, split_safe=all(p.split_safe for p in plans))
 
 
 # -- per-DistGraph cache (weakref'd, sharded at first use) -------------------
@@ -258,6 +260,13 @@ def mg_use_pallas(g) -> bool:
 def get_stacked_spmv_plan(g, mesh, orientation="pull") -> StackedSpmvPlan:
     return _get(g, ("spmv", orientation),
                 lambda: build_stacked_spmv_plan(g, orientation), mesh)
+
+
+def get_stacked_spmm_plan_unit(g, mesh, orientation="pull") -> StackedSpmmPlan:
+    """Unit-weight stacked SpMM plan (Brandes / multi-source BFS panels)."""
+    return _get(g, ("spmm_unit", orientation),
+                lambda: build_stacked_spmm_plan(g, orientation,
+                                                unit_weights=True), mesh)
 
 
 def get_stacked_spmm_plans(g, mesh, orientation="pull"):

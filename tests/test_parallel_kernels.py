@@ -172,3 +172,26 @@ def test_mg_louvain_distributed_coarsening(mesh):
     lab_full[:n] = labels % (labels.max() + 1)
     cs, cd, cw, nc = mg_coarsen(g, mesh, lab_full)
     assert cw.sum() == pytest.approx(2 * len(src), rel=1e-6)  # symmetrized
+
+
+def test_mg_brandes_pallas_matches_sg(mesh, force_pallas):
+    """Batched MG Brandes through per-device unit-weight SpMM plans (128-
+    source panels) matches the SG XLA result exactly."""
+    import os
+
+    from cugraph_tpu.parallel import mg_betweenness_centrality
+    from cugraph_tpu.parallel.kernels import mg_use_pallas
+
+    src, dst, _ = _random_coo(n=90, m=500, seed=13, weighted=False)
+    n = 90
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    assert mg_use_pallas(g)
+    bc = mg_betweenness_centrality(g, mesh, normalized=True)[:n]
+
+    os.environ.pop("CUGRAPH_TPU_PALLAS_INTERPRET", None)
+    os.environ.pop("CUGRAPH_TPU_PALLAS_MIN_EDGES", None)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, None, vertices=np.arange(n), renumber=False)
+    sg = ct.betweenness_centrality(G, normalized=True).sort_values("vertex")
+    np.testing.assert_allclose(bc, sg["betweenness_centrality"].to_numpy(),
+                               rtol=1e-4, atol=1e-6)
