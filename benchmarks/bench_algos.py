@@ -29,7 +29,10 @@ def _build_graph(scale: int, edgefactor: int):
     w = np.random.default_rng(0).random(m).astype(np.float32)
     G = ct.Graph(directed=True)
     G.from_edgelist(src, dst, w, renumber=False)
-    return G, m
+    # community/similarity algorithms need the undirected view
+    Gu = ct.Graph(directed=False)
+    Gu.from_edgelist(src, dst, w, renumber=False)
+    return G, Gu, m
 
 
 def _timed(fn, warmup=1, reps=3):
@@ -43,6 +46,15 @@ def _timed(fn, warmup=1, reps=3):
     return min(ts)
 
 
+def _sample_pairs(G, k):
+    import pandas as pd
+
+    n = G.number_of_vertices()
+    rng = np.random.default_rng(1)
+    return pd.DataFrame({"first": rng.integers(0, n, k),
+                         "second": rng.integers(0, n, k)})
+
+
 def all_benchmarks():
     import cugraph_tpu as ct
 
@@ -52,12 +64,16 @@ def all_benchmarks():
         "bfs": lambda G: ct.bfs(G, 0),
         "sssp": lambda G: ct.sssp(G, 0),
         "wcc": lambda G: ct.weakly_connected_components(G),
-        "katz": lambda G: ct.katz_centrality(G, alpha=0.01, max_iter=50,
-                                             tol=1e-4),
+        "katz": lambda G: ct.katz_centrality(G, max_iter=500, tol=1e-4),
+        "betweenness_k128": lambda G: ct.betweenness_centrality(
+            G, k=128, seed=0),
         "core_number": lambda G: ct.core_number(G),
         "triangle_count": lambda G: ct.triangle_count(G),
         "louvain": lambda G: ct.louvain(G),
-        "jaccard": lambda G: ct.all_pairs_jaccard(G, topk=100),
+        # sampled vertex pairs, like the reference bench (bench_algos.py:311
+        # "algo cannot compute neighbors on all nodes without running into
+        # OOM") — 10k random pairs
+        "jaccard": lambda G: ct.jaccard(G, _sample_pairs(G, 10000)),
         "degrees": lambda G: G.degrees(),
         "neighbor_sample": lambda G: ct.uniform_neighbor_sample(
             G, list(range(64)), [10, 10], random_state=0),
@@ -67,6 +83,8 @@ def all_benchmarks():
 
 
 HEAVY = {"triangle_count", "louvain", "jaccard", "core_number"}
+# run on the undirected view (reference semantics require it)
+UNDIRECTED = {"triangle_count", "louvain", "jaccard"}
 
 
 def main():
@@ -80,7 +98,7 @@ def main():
     args = ap.parse_args()
 
     t0 = time.perf_counter()
-    G, m = _build_graph(args.scale, args.edgefactor)
+    G, Gu, m = _build_graph(args.scale, args.edgefactor)
     G.structure  # force CSR build
     create_s = time.perf_counter() - t0
     print(json.dumps({"name": "create_graph", "wall_s": create_s,
@@ -92,8 +110,9 @@ def main():
         if args.skip_heavy and name in HEAVY:
             continue
         fn = benches[name]
+        Gin = Gu if name in UNDIRECTED else G
         try:
-            t = _timed(lambda: fn(G))
+            t = _timed(lambda: fn(Gin))
             print(json.dumps({"name": name, "wall_s": t, "edges": m,
                               "edges_per_s": m / t}), flush=True)
         except Exception as e:  # pragma: no cover

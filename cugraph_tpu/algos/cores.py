@@ -118,13 +118,25 @@ def core_number(G, degree_type: str = "bidirectional"):
     """
     if degree_type not in ("bidirectional", "incoming", "outgoing"):
         raise ValueError(f"invalid degree_type {degree_type!r}")
-    from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
+    from cugraph_tpu.kernels.dispatch import (get_pull_plan, get_push_plan,
+                                              get_sym_pull_plan, use_pallas)
 
     n = G.number_of_vertices()
-    if not G.is_directed() and use_pallas(G):
-        # symmetrized storage: one counting plan covers the undirected peel
-        c = np.asarray(_core_number_kernel_pallas(
-            get_pull_plan(G), jnp.int32(n)))[:n]
+    if use_pallas(G):
+        # the peel counts ALIVE NEIGHBORS in the selected direction(s) with
+        # one combine="left" SpMV per sweep; the plan picks the direction:
+        # undirected storage already holds both directions (pull plan);
+        # directed bidirectional peels the symmetrized plan (in+out counts,
+        # doubling on symmetric inputs exactly like the reference)
+        if not G.is_directed():
+            plan = get_pull_plan(G)
+        elif degree_type == "bidirectional":
+            plan = get_sym_pull_plan(G)
+        elif degree_type == "incoming":
+            plan = get_pull_plan(G)
+        else:
+            plan = get_push_plan(G)
+        c = np.asarray(_core_number_kernel_pallas(plan, jnp.int32(n)))[:n]
         return vertex_frame(G, {"core_number": c})
     g = G.structure
     if not G.is_directed():
