@@ -125,43 +125,75 @@ def intersection_table_entries(g: GraphStructure) -> int:
 
 
 @partial(jax.jit, static_argnames=("pad_v", "D", "weighted"))
-def _pair_intersection_sorted_jit(table, wtab, offsets, weights_flat, majors,
-                                  pad_v: int, us, vs, D: int, weighted: bool):
-    # int32 keys: 2·(pad_v + 2D) stays well under 2^31 for any graph that
-    # passes the table-size budget
-    nu = jnp.take(table, us, axis=0)  # [P, D] row gather (fast on TPU)
-    nv = jnp.take(table, vs, axis=0)
+def _pair_sorted_core(table, wtab, pu, pv, pad_v: int, D: int,
+                      weighted: bool):
+    """Sort-merge match core: pu/pv are ROW POSITIONS into ``table``
+    (vertex ids for the full cached table, compact positions for bucketed
+    tables).  int32 keys: 2·(pad_v + 2D) stays well under 2^31."""
+    nu = jnp.take(table, pu, axis=0)  # [P, D] row gather (fast on TPU)
+    nv = jnp.take(table, pv, axis=0)
     k_u = 2 * nu
     # shift v-side pad sentinels past the u-side ones so they never pair up
     nv = jnp.where(nv >= pad_v, nv + D, nv)
     k_v = 2 * nv + 1
     keys = jnp.concatenate([k_u, k_v], axis=1)  # [P, 2D]
     if weighted:
-        wu = jnp.take(wtab, us, axis=0)
-        wv = jnp.take(wtab, vs, axis=0)
+        wu = jnp.take(wtab, pu, axis=0)
+        wv = jnp.take(wtab, pv, axis=0)
         wcat = jnp.concatenate([wu, wv], axis=1)
         keys, wsort = jax.lax.sort((keys, wcat), dimension=1, num_keys=1)
     else:
         keys = jnp.sort(keys, axis=1)
     match = (keys[:, 1:] - keys[:, :-1] == 1) & (keys[:, :-1] % 2 == 0)
-    deg_u = jnp.take(offsets, us + 1) - jnp.take(offsets, us)
-    deg_v = jnp.take(offsets, vs + 1) - jnp.take(offsets, vs)
-    out = {
-        "count": jnp.sum(match, axis=1).astype(jnp.int32),
-        "deg_u": deg_u,
-        "deg_v": deg_v,
-    }
+    out = {"count": jnp.sum(match, axis=1).astype(jnp.int32)}
     if weighted:
         w_lo = wsort[:, :-1]
         w_hi = wsort[:, 1:]
         m = match.astype(w_lo.dtype)
         out["sum_min"] = jnp.sum(m * jnp.minimum(w_lo, w_hi), axis=1)
         out["sum_max"] = jnp.sum(m * jnp.maximum(w_lo, w_hi), axis=1)
-        wsums = jax.ops.segment_sum(weights_flat, majors,
-                                    num_segments=pad_v,
-                                    indices_are_sorted=True)
-        out["wsum_u"] = jnp.take(wsums, us)
-        out["wsum_v"] = jnp.take(wsums, vs)
+    return out
+
+
+@partial(jax.jit, static_argnames=("pad_v", "D", "weighted"))
+def _pair_sorted_scan(table, wtab, pu_chunks, pv_chunks, pad_v: int, D: int,
+                      weighted: bool):
+    """lax.scan of the match core over fixed-size pair chunks — ONE dispatch
+    covers a whole degree bucket with a bounded [Pc, 2D] sort buffer."""
+
+    def step(_, pc):
+        return None, _pair_sorted_core(table, wtab, pc[0], pc[1], pad_v, D,
+                                       weighted)
+
+    _, res = jax.lax.scan(step, None, (pu_chunks, pv_chunks))
+    return res
+
+
+def _host_degrees(adj: CsrMatrix, ids):
+    import numpy as np
+
+    offs = np.asarray(adj.offsets)
+    return (offs[ids + 1] - offs[ids]).astype(np.int32)
+
+
+def _host_wsums(adj: CsrMatrix):
+    import numpy as np
+
+    cached = getattr(adj, "_host_wsums", None)
+    if cached is None:
+        cached = np.zeros(int(adj.pad_v), np.float32)
+        np.add.at(cached, np.asarray(adj.majors), np.asarray(adj.weights))
+        object.__setattr__(adj, "_host_wsums", cached)
+    return cached
+
+
+def _stat_tails(adj: CsrMatrix, out, us_np, vs_np, weighted):
+    out["deg_u"] = jnp.asarray(_host_degrees(adj, us_np))
+    out["deg_v"] = jnp.asarray(_host_degrees(adj, vs_np))
+    if weighted:
+        ws = _host_wsums(adj)
+        out["wsum_u"] = jnp.asarray(ws[us_np])
+        out["wsum_v"] = jnp.asarray(ws[vs_np])
     return out
 
 
@@ -169,25 +201,108 @@ def pair_intersection_sorted(g: GraphStructure, us, vs,
                              weighted: bool = False):
     """Sort-merge pair intersection (same contract as pair_intersection);
     requires the padded table to fit memory — see pair_intersection_auto."""
+    import numpy as np
+
     adj = g.csr
     table, wtab, D = _padded_adj_tables(g, weighted)
-    return _pair_intersection_sorted_jit(
-        table, wtab, adj.offsets, adj.weights, adj.majors,
-        int(adj.pad_v), us, vs, D, weighted)
+    us_np = np.asarray(us, np.int64)
+    vs_np = np.asarray(vs, np.int64)
+    out = dict(_pair_sorted_core(table, wtab, jnp.asarray(us_np),
+                                 jnp.asarray(vs_np), int(adj.pad_v), D,
+                                 weighted))
+    return _stat_tails(adj, out, us_np, vs_np, weighted)
+
+
+_SORT_TILE = 1 << 24  # sort-buffer elements per scan step (≈ 64 MB int32)
+
+
+def pair_intersection_bucketed(g: GraphStructure, us, vs,
+                               weighted: bool = False):
+    """Scale-robust sort-merge intersection for graphs whose full padded
+    table exceeds the budget (hub-dominated / huge graphs): pairs are
+    grouped into power-of-two max-degree buckets, each bucket builds a
+    COMPACT host table holding only its referenced vertices' rows (the
+    power law makes big-degree buckets reference few vertices, so every
+    bucket's table is small), and a lax.scan walks fixed-size pair chunks
+    so no single dispatch sorts more than ``_SORT_TILE`` elements.  This
+    replaces a [P, max_deg] binary-search fallback that scalarized — long
+    enough at RMAT-18 to get the TPU worker killed.  Reference analog: the
+    per-query remote adjacency gathers of nbr_intersection.cuh."""
+    import numpy as np
+
+    adj = g.csr
+    pad_v = int(adj.pad_v)
+    us_np = np.asarray(us, np.int64)
+    vs_np = np.asarray(vs, np.int64)
+    P = len(us_np)
+    if P == 0:
+        z = jnp.zeros(0, jnp.int32)
+        out = {"count": z}
+        if weighted:
+            out["sum_min"] = out["sum_max"] = jnp.zeros(0, jnp.float32)
+        return _stat_tails(adj, out, us_np, vs_np, weighted)
+    offs = np.asarray(adj.offsets)
+    ind_np = np.asarray(adj.indices)
+    w_np = np.asarray(adj.weights) if weighted else None
+    deg_all = offs[1:] - offs[:-1]
+    dmax_pair = np.maximum(np.maximum(deg_all[us_np], deg_all[vs_np]), 1)
+    Db_all = np.maximum(128, 2 ** np.ceil(np.log2(dmax_pair)).astype(np.int64))
+
+    count = np.zeros(P, np.int32)
+    smin = np.zeros(P, np.float32) if weighted else None
+    smax = np.zeros(P, np.float32) if weighted else None
+    for Db in np.unique(Db_all):
+        Db = int(Db)
+        sel = np.flatnonzero(Db_all == Db)
+        u_b, v_b = us_np[sel], vs_np[sel]
+        refs, inv = np.unique(np.concatenate([u_b, v_b]),
+                              return_inverse=True)
+        degs = deg_all[refs]
+        idx = np.minimum(offs[refs][:, None] + np.arange(Db)[None, :],
+                         len(ind_np) - 1)
+        invalid = np.arange(Db)[None, :] >= degs[:, None]
+        sent = (pad_v + np.arange(Db)).astype(np.int32)
+        tab = np.where(invalid, sent[None, :], ind_np[idx].astype(np.int32))
+        wtab = (jnp.asarray(np.where(invalid, 0.0, w_np[idx])
+                            .astype(np.float32)) if weighted else None)
+        Pb = len(sel)
+        Pc = max(64, _SORT_TILE // (2 * Db))
+        n_chunks = -(-Pb // Pc)
+        n_chunks = 1 << max(0, (n_chunks - 1).bit_length())
+        tot = n_chunks * Pc
+        pu = np.zeros(tot, np.int32)
+        pv_ = np.zeros(tot, np.int32)
+        pu[:Pb] = inv[:Pb]
+        pv_[:Pb] = inv[Pb:]
+        res = _pair_sorted_scan(
+            jnp.asarray(tab), wtab,
+            jnp.asarray(pu.reshape(n_chunks, Pc)),
+            jnp.asarray(pv_.reshape(n_chunks, Pc)),
+            pad_v, Db, weighted)
+        count[sel] = np.asarray(res["count"]).reshape(-1)[:Pb]
+        if weighted:
+            smin[sel] = np.asarray(res["sum_min"]).reshape(-1)[:Pb]
+            smax[sel] = np.asarray(res["sum_max"]).reshape(-1)[:Pb]
+
+    out = {"count": jnp.asarray(count)}
+    if weighted:
+        out["sum_min"] = jnp.asarray(smin)
+        out["sum_max"] = jnp.asarray(smax)
+    return _stat_tails(adj, out, us_np, vs_np, weighted)
 
 
 def pair_intersection_auto(g: GraphStructure, us, vs, max_deg: int,
                            weighted: bool = False):
     """Dispatch: sorted fast path when the padded table fits the budget
     (env CUGRAPH_TPU_ISECT_TABLE_MAX entries, default 2^26 ≈ 256 MB int32),
-    binary-search fallback otherwise (hub-dominated or huge graphs)."""
+    degree-bucketed compact tables otherwise."""
     import os
 
     budget = int(os.environ.get("CUGRAPH_TPU_ISECT_TABLE_MAX",
                                 _ISECT_TABLE_MAX))
     if intersection_table_entries(g) <= budget:
         return pair_intersection_sorted(g, us, vs, weighted)
-    return pair_intersection(g, us, vs, max_deg=max_deg, weighted=weighted)
+    return pair_intersection_bucketed(g, us, vs, weighted)
 
 
 @partial(jax.jit, static_argnames=("max_deg", "weighted"))

@@ -130,3 +130,50 @@ def test_pair_intersection_sorted_self_and_disjoint():
     np.testing.assert_array_equal(np.asarray(out["count"]), [3, 0, 0])
     np.testing.assert_array_equal(np.asarray(out["deg_u"]), [3, 3, 1])
     np.testing.assert_array_equal(np.asarray(out["deg_v"]), [3, 1, 1])
+
+
+def test_pair_intersection_bucketed_matches_binsearch(monkeypatch):
+    """Degree-bucketed compact-table path (hub-scale fallback) ≡ binary
+    search, weighted and not — including a hub vertex that forces multiple
+    degree buckets, and the tiny-budget auto dispatch."""
+    import jax.numpy as jnp
+    from cugraph_tpu.core.structure import build_structure_host
+    from cugraph_tpu.prims.intersection import (
+        pair_intersection, pair_intersection_auto, pair_intersection_bucketed)
+
+    rng = np.random.default_rng(23)
+    n, m = 400, 3000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    # hub: vertex 0 connects to many vertices
+    src = np.concatenate([src, np.zeros(300, np.int64)])
+    dst = np.concatenate([dst, rng.integers(1, n, 300)])
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    g = build_structure_host(src, dst, w, n)
+
+    P = 700
+    us = rng.integers(0, n, P).astype(np.int64)
+    us[:50] = 0  # hub pairs land in a big-degree bucket
+    vs = rng.integers(0, n, P).astype(np.int64)
+    max_deg = int(np.asarray(g.out_degrees())[:n].max())
+
+    for weighted in (False, True):
+        ref = pair_intersection(g, jnp.asarray(us), jnp.asarray(vs),
+                                max_deg=max_deg, weighted=weighted)
+        fast = pair_intersection_bucketed(g, us, vs, weighted=weighted)
+        for key in ref:
+            np.testing.assert_allclose(
+                np.asarray(fast[key]), np.asarray(ref[key]),
+                rtol=1e-5, atol=1e-5, err_msg=f"{key} weighted={weighted}")
+
+    # tiny budget forces the auto dispatcher onto the bucketed path
+    monkeypatch.setenv("CUGRAPH_TPU_ISECT_TABLE_MAX", "64")
+    ref = pair_intersection(g, jnp.asarray(us), jnp.asarray(vs),
+                            max_deg=max_deg, weighted=True)
+    fast = pair_intersection_auto(g, us, vs, max_deg=max_deg, weighted=True)
+    for key in ref:
+        np.testing.assert_allclose(np.asarray(fast[key]), np.asarray(ref[key]),
+                                   rtol=1e-5, atol=1e-5, err_msg=key)
