@@ -177,20 +177,58 @@ def bfs_edges(G, source, reverse=False, depth_limit=None,
 
 def multi_source_bfs(G, sources, components=None, depth_limit=None,
                      offload=False):
-    """cugraph.multi_source_bfs (ms_bfs.py:172): one BFS per source;
-    returns ['vertex', 'distance_<s>', 'predecessor_<s>', ...]."""
+    """cugraph.multi_source_bfs (ms_bfs.py:172 — a placeholder raising
+    NotImplementedError in the reference; implemented here).  All sources
+    run SIMULTANEOUSLY as 128-wide panels through the batched BFS sweep
+    (one masked SpMM per level for the whole panel, the Brandes-forward
+    design in algos/centrality.py); predecessors are recovered host-side
+    from the distance panels (any in-neighbor one level up — the BFS
+    convention).  Returns ['vertex', 'distance_<s>', 'predecessor_<s>',
+    ...]."""
     if offload:
         raise NotImplementedError("offload not supported")
-    from cugraph_tpu.algos.traversal import bfs
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from cugraph_tpu.algos._utils import normalize_start, unrenumber_column
+    from cugraph_tpu.algos.traversal import (INT32_INF, _msbfs_dist_batched,
+                                             _msbfs_dist_batched_pallas)
+    from cugraph_tpu.kernels.dispatch import use_pallas
 
     sources = np.asarray(sources).reshape(-1)
-    out = None
-    for s in sources:
-        df = bfs(G, int(s), depth_limit=depth_limit).sort_values("vertex")
-        df = df.rename(columns={"distance": f"distance_{int(s)}",
-                                "predecessor": f"predecessor_{int(s)}"})
-        out = df if out is None else out.merge(df, on="vertex")
-    return out
+    s_int = normalize_start(G, sources)
+    n = G.number_of_vertices()
+    g = G.structure
+    src_i, dst_i, _ = G.edgelist_arrays()
+    fast = use_pallas(G)
+    if fast:
+        from cugraph_tpu.algos.centrality import _get_brandes_spmm_plans
+
+        pull_plan = _get_brandes_spmm_plans(G)[0]
+    dl = None if depth_limit is None else int(depth_limit)
+    out = {"vertex": G.number_map.to_external(np.arange(n))}
+    B = 128
+    for i in range(0, len(s_int), B):
+        panel = np.full(B, -1, np.int32)
+        batch = s_int[i:i + B]
+        panel[: len(batch)] = batch
+        if fast:
+            dist = np.asarray(_msbfs_dist_batched_pallas(
+                pull_plan, jnp.asarray(panel), n))
+        else:
+            dist = np.asarray(_msbfs_dist_batched(g, jnp.asarray(panel), n))
+        for b in range(len(batch)):
+            db = dist[:, b].astype(np.int64)
+            if dl is not None:
+                db = np.where(db > dl, -1, db)
+            ok = (db[src_i] >= 0) & (db[src_i] + 1 == db[dst_i])
+            pred = np.full(n, -1, np.int64)
+            pred[dst_i[ok]] = src_i[ok]
+            s_ext = int(sources[i + b])
+            out[f"distance_{s_ext}"] = np.where(
+                db[:n] < 0, INT32_INF, db[:n]).astype(np.int32)
+            out[f"predecessor_{s_ext}"] = unrenumber_column(G, pred)
+    return pd.DataFrame(out)
 
 
 def concurrent_bfs(Graphs, sources, depth_limit=None, offload=False):

@@ -385,3 +385,45 @@ def test_ego_graph_preserves_directedness_and_isolated_center():
     assert iso.number_of_edges() == 0
     assert iso.number_of_vertices() == 1
     assert iso.is_directed()
+
+
+def test_multi_source_bfs_batched_panel(monkeypatch):
+    """Panel msbfs: distances match nx per source; predecessors form valid
+    BFS trees; depth_limit caps; >128 sources span multiple panels; the
+    interpreted Pallas panel agrees."""
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 140, 700)
+    dst = rng.integers(0, 140, 700)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    Gx = nx.DiGraph(list(zip(src.tolist(), dst.tolist())))
+    sources = list(range(130))  # two panels
+    ms = ctpu.multi_source_bfs(G, sources)
+    INF = np.iinfo(np.int32).max
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for s in (0, 5, 129):
+        ref = nx.single_source_shortest_path_length(Gx, s)
+        got = dict(zip(ms["vertex"], ms[f"distance_{s}"]))
+        preds = dict(zip(ms["vertex"], ms[f"predecessor_{s}"]))
+        for v in Gx.nodes:
+            if v in ref:
+                assert got[v] == ref[v], (s, v)
+                if ref[v] > 0:
+                    p = preds[v]
+                    assert (p, v) in edge_set and got[p] == got[v] - 1
+            else:
+                assert got[v] == INF
+
+    ms2 = ctpu.multi_source_bfs(G, [0], depth_limit=1)
+    d = dict(zip(ms2["vertex"], ms2["distance_0"]))
+    assert all(v == INF or v <= 1 for v in d.values())
+
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    G2 = ctpu.Graph(directed=True)
+    G2.from_edgelist(src, dst, None)
+    ms3 = ctpu.multi_source_bfs(G2, [0, 5])
+    assert (ms3.sort_values("vertex")["distance_5"].to_numpy()
+            == ms.sort_values("vertex")["distance_5"].to_numpy()).all()
