@@ -56,6 +56,7 @@ class Graph:
         self._spmv_plan_sym = None
         self._spmv_plan_pull_spilled = None
         self._spmm_plans_brandes = None
+        self._csr_perm_cache = None
 
     # -- construction ---------------------------------------------------------
 

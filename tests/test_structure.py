@@ -134,6 +134,22 @@ def test_digraph_clear():
     assert g._src is None
 
 
+def test_clear_resets_derived_caches():
+    """clear() + from_edgelist must not serve caches for the OLD graph
+    (stale SpMV plans / CSR permutations silently corrupt results)."""
+    import cugraph_tpu as ct
+    from cugraph_tpu.algos.sampling import _csr_perm
+
+    g = ct.Graph(directed=True)
+    g.from_edgelist(np.array([0, 2, 1]), np.array([1, 0, 2]), None)
+    p1 = _csr_perm(g)
+    g.clear()
+    g.from_edgelist(np.array([5, 3, 4, 3]), np.array([3, 4, 5, 5]), None)
+    assert g._spmv_plan_pull is None and g._spmm_plans_brandes is None
+    p2 = _csr_perm(g)
+    assert len(p2) == 4 and p2 is not p1
+
+
 def test_renumber_false_rejects_negative_ids():
     import cugraph_tpu as ct
     import pytest
