@@ -41,3 +41,16 @@ def normalize_start(G, start) -> np.ndarray:
     """Map user-provided start vertex/vertices to internal ids."""
     arr = np.atleast_1d(np.asarray(start))
     return G.lookup_internal_vertex_id(arr)
+
+
+def source_panels(sources, width: int = 128):
+    """Chunk source ids into fixed-width int32 panels padded with -1, so
+    every batched multi-source sweep (Brandes, ms-BFS, OD matrices) compiles
+    ONE kernel shape regardless of source count.  Yields
+    (panel: np.int32[width], start: int, count: int) — panel[count:] = -1."""
+    sources = np.asarray(sources)
+    for i in range(0, len(sources), width):
+        batch = sources[i:i + width]
+        panel = np.full(width, -1, np.int32)
+        panel[: len(batch)] = batch
+        yield panel, i, len(batch)

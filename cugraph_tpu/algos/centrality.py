@@ -345,19 +345,32 @@ def _brandes_batch_pallas(pull_plan, push_plan, g: GraphStructure,
                                   csr=g.csr if edges else None)
 
 
-def _get_brandes_spmm_plans(G):
-    """Cached UNWEIGHTED SpMM plan pair (pull, push) — Brandes counts paths,
-    so edge weights must not enter the sigma sums."""
-    plans = getattr(G, "_spmm_plans_brandes", None)
-    if plans is None:
+def _get_brandes_spmm_plan(G, orientation: str):
+    """Cached UNWEIGHTED SpMM plan for one orientation ("pull"/"push") —
+    Brandes counts paths, so edge weights must not enter the sigma sums.
+    Built lazily per orientation: multi_source_bfs and unweighted OD
+    matrices only ever need the pull plan."""
+    cache = getattr(G, "_spmm_plans_brandes", None)
+    if not isinstance(cache, dict):
+        cache = {}
+        G._spmm_plans_brandes = cache
+    plan = cache.get(orientation)
+    if plan is None:
         from cugraph_tpu.kernels.spmm_onehot import build_spmm_plan
 
         src, dst, _ = G.edgelist_arrays()
         n = G.number_of_vertices()
-        plans = (build_spmm_plan(src, dst, None, n),
-                 build_spmm_plan(dst, src, None, n))
-        G._spmm_plans_brandes = plans
-    return plans
+        if orientation == "push":
+            src, dst = dst, src
+        plan = build_spmm_plan(src, dst, None, n)
+        cache[orientation] = plan
+    return plan
+
+
+def _get_brandes_spmm_plans(G):
+    """(pull, push) plan pair for the full Brandes forward/backward sweep."""
+    return (_get_brandes_spmm_plan(G, "pull"),
+            _get_brandes_spmm_plan(G, "push"))
 
 
 def _bc_batched(G, sources_internal: np.ndarray, edges: bool = False):
@@ -375,11 +388,9 @@ def _bc_batched(G, sources_internal: np.ndarray, edges: bool = False):
         pad_v = g.pad_v
     bc = jnp.zeros(pad_v, dtype=jnp.float32)
     ebc = jnp.zeros(g.csr.pad_e, dtype=jnp.float32) if edges else None
-    B = _BRANDES_BATCH
-    for i in range(0, len(sources_internal), B):
-        chunk = np.full(B, -1, dtype=np.int32)
-        batch = sources_internal[i:i + B]
-        chunk[: len(batch)] = batch
+    from cugraph_tpu.algos._utils import source_panels
+
+    for chunk, _, _ in source_panels(sources_internal, _BRANDES_BATCH):
         if fast:
             d, ed = _brandes_batch_pallas(pull_plan, push_plan, g,
                                           jnp.asarray(chunk), n, edges)

@@ -586,70 +586,51 @@ def od_shortest_distances(G, origins, destinations) -> pd.DataFrame:
     through one batched multi-source sweep per panel: unweighted = level BFS
     (sum-SpMM), weighted = Bellman-Ford ((min,+) SpMM on TPU, batched
     segment-min elsewhere).  Returns ['origin', 'destination', 'distance']."""
-    from cugraph_tpu.algos._utils import normalize_start
+    from cugraph_tpu.algos._utils import normalize_start, source_panels
+    from cugraph_tpu.kernels.dispatch import use_pallas
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG as BIG
 
     origins = np.asarray(origins).reshape(-1)
     destinations = np.asarray(destinations).reshape(-1)
     _, _, w = G.edgelist_arrays()
-    if w is None:
-        from cugraph_tpu.kernels.dispatch import use_pallas
-
-        o_int = normalize_start(G, origins)
-        d_int = normalize_start(G, destinations)
-        n = G.number_of_vertices()
-        g = G.structure
-        fast = use_pallas(G)
-        if fast:
-            from cugraph_tpu.algos.centrality import _get_brandes_spmm_plans
-
-            pull_plan = _get_brandes_spmm_plans(G)[0]
-        rows = []
-        B = 128
-        for i in range(0, len(o_int), B):
-            panel = np.full(B, -1, np.int32)
-            batch = o_int[i:i + B]
-            panel[: len(batch)] = batch
-            if fast:
-                dist = np.asarray(_msbfs_dist_batched_pallas(
-                    pull_plan, jnp.asarray(panel), n))
-            else:
-                dist = np.asarray(_msbfs_dist_batched(g, jnp.asarray(panel),
-                                                      n))
-            for b, o in enumerate(origins[i:i + B]):
-                dv = dist[d_int, b]
-                for dest, val in zip(destinations, dv):
-                    # unreachable = FLT_MAX (the sssp/C-API convention)
-                    rows.append((o, dest,
-                                 float(val) if val >= 0 else float(F32_INF)))
-        return pd.DataFrame(rows,
-                            columns=["origin", "destination", "distance"])
-    # weighted: batched Bellman-Ford panels
-    from cugraph_tpu.kernels.dispatch import use_pallas
-    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG as BIG
-
     o_int = normalize_start(G, origins)
     d_int = normalize_start(G, destinations)
     n = G.number_of_vertices()
     g = G.structure
     fast = use_pallas(G)
     if fast:
-        from cugraph_tpu.kernels.spmm_onehot import get_structure_spmm_plan
+        if w is None:
+            from cugraph_tpu.algos.centrality import _get_brandes_spmm_plan
 
-        pull_plan = get_structure_spmm_plan(g)
-    rows = []
-    B = 128
-    for i in range(0, len(o_int), B):
-        panel = np.full(B, -1, np.int32)
-        batch = o_int[i:i + B]
-        panel[: len(batch)] = batch
-        if fast:
-            dist = np.asarray(_mssssp_dist_batched_pallas(
-                pull_plan, jnp.asarray(panel), n))
+            pull_plan = _get_brandes_spmm_plan(G, "pull")
         else:
-            dist = np.asarray(_mssssp_dist_batched(g, jnp.asarray(panel), n))
-        for b, o in enumerate(origins[i:i + B]):
-            dv = dist[d_int, b]
-            for dest, val in zip(destinations, dv):
-                rows.append((o, dest,
-                             float(val) if val < BIG / 2 else float(F32_INF)))
-    return pd.DataFrame(rows, columns=["origin", "destination", "distance"])
+            from cugraph_tpu.kernels.spmm_onehot import (
+                get_structure_spmm_plan,
+            )
+
+            pull_plan = get_structure_spmm_plan(g)
+
+    # [len(d_int), len(o_int)] distance matrix, assembled panel-by-panel
+    cols = []
+    for panel, _, count in source_panels(o_int):
+        if w is None:
+            dist = np.asarray(
+                _msbfs_dist_batched_pallas(pull_plan, jnp.asarray(panel), n)
+                if fast else _msbfs_dist_batched(g, jnp.asarray(panel), n))
+            blk = dist[np.ix_(d_int, np.arange(count))].astype(np.float64)
+            blk = np.where(blk >= 0, blk, F32_INF)
+        else:
+            dist = np.asarray(
+                _mssssp_dist_batched_pallas(pull_plan, jnp.asarray(panel), n)
+                if fast else _mssssp_dist_batched(g, jnp.asarray(panel), n))
+            blk = dist[np.ix_(d_int, np.arange(count))].astype(np.float64)
+            # unreachable = FLT_MAX (the sssp/C-API convention)
+            blk = np.where(blk < BIG / 2, blk, F32_INF)
+        cols.append(blk)
+    dmat = (np.hstack(cols) if cols
+            else np.zeros((len(d_int), 0), np.float64))
+    return pd.DataFrame({
+        "origin": np.repeat(origins, len(destinations)),
+        "destination": np.tile(destinations, len(origins)),
+        "distance": dmat.T.reshape(-1),
+    })

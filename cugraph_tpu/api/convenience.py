@@ -190,7 +190,8 @@ def multi_source_bfs(G, sources, components=None, depth_limit=None,
     import jax.numpy as jnp
     import pandas as pd
 
-    from cugraph_tpu.algos._utils import normalize_start, unrenumber_column
+    from cugraph_tpu.algos._utils import (normalize_start, source_panels,
+                                          unrenumber_column)
     from cugraph_tpu.algos.traversal import (INT32_INF, _msbfs_dist_batched,
                                              _msbfs_dist_batched_pallas)
     from cugraph_tpu.kernels.dispatch import use_pallas
@@ -202,22 +203,18 @@ def multi_source_bfs(G, sources, components=None, depth_limit=None,
     src_i, dst_i, _ = G.edgelist_arrays()
     fast = use_pallas(G)
     if fast:
-        from cugraph_tpu.algos.centrality import _get_brandes_spmm_plans
+        from cugraph_tpu.algos.centrality import _get_brandes_spmm_plan
 
-        pull_plan = _get_brandes_spmm_plans(G)[0]
+        pull_plan = _get_brandes_spmm_plan(G, "pull")
     dl = None if depth_limit is None else int(depth_limit)
     out = {"vertex": G.number_map.to_external(np.arange(n))}
-    B = 128
-    for i in range(0, len(s_int), B):
-        panel = np.full(B, -1, np.int32)
-        batch = s_int[i:i + B]
-        panel[: len(batch)] = batch
+    for panel, i, count in source_panels(s_int):
         if fast:
             dist = np.asarray(_msbfs_dist_batched_pallas(
                 pull_plan, jnp.asarray(panel), n))
         else:
             dist = np.asarray(_msbfs_dist_batched(g, jnp.asarray(panel), n))
-        for b in range(len(batch)):
+        for b in range(count):
             db = dist[:, b].astype(np.int64)
             if dl is not None:
                 db = np.where(db > dl, -1, db)

@@ -46,6 +46,11 @@ def _rmat_host(scale: int, num_edges: int, a: float, b: float, c: float,
     generate_rmat_edgelist.cuh); the NumPy fallback uses the same
     per-(seed, edge, bit) counter RNG and is bit-identical
     (tests/test_native.py)."""
+    if scale > 31:
+        # vertex ids are int32 throughout the framework (device plans,
+        # renumbering); beyond 2^31 they would silently wrap negative
+        raise ValueError(
+            f"scale={scale} exceeds the int32 vertex-id range (max 31)")
     from cugraph_tpu.core.native import rmat_native
 
     out = rmat_native(scale, num_edges, a, b, c, seed, clip_and_flip)

@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cugraph_tpu.core.structure import CsrMatrix, GraphStructure
 
@@ -169,20 +170,28 @@ def _pair_sorted_scan(table, wtab, pu_chunks, pv_chunks, pad_v: int, D: int,
     return res
 
 
-def _host_degrees(adj: CsrMatrix, ids):
-    import numpy as np
+def _host_csr(adj: CsrMatrix, weighted: bool):
+    """Cached host copies of (offsets, indices, weights) — graph-constant,
+    and each uncached pull re-crosses the device tunnel (~67 MB of indices
+    at RMAT-18 per similarity call otherwise)."""
+    cached = getattr(adj, "_host_csr_cache", None)
+    if cached is None or (weighted and cached[2] is None):
+        cached = (np.asarray(adj.offsets), np.asarray(adj.indices),
+                  np.asarray(adj.weights) if weighted else None)
+        object.__setattr__(adj, "_host_csr_cache", cached)
+    return cached
 
-    offs = np.asarray(adj.offsets)
+
+def _host_degrees(adj: CsrMatrix, ids):
+    offs = _host_csr(adj, False)[0]
     return (offs[ids + 1] - offs[ids]).astype(np.int32)
 
 
 def _host_wsums(adj: CsrMatrix):
-    import numpy as np
-
     cached = getattr(adj, "_host_wsums", None)
     if cached is None:
         cached = np.zeros(int(adj.pad_v), np.float32)
-        np.add.at(cached, np.asarray(adj.majors), np.asarray(adj.weights))
+        np.add.at(cached, np.asarray(adj.majors), _host_csr(adj, True)[2])
         object.__setattr__(adj, "_host_wsums", cached)
     return cached
 
@@ -241,9 +250,7 @@ def pair_intersection_bucketed(g: GraphStructure, us, vs,
         if weighted:
             out["sum_min"] = out["sum_max"] = jnp.zeros(0, jnp.float32)
         return _stat_tails(adj, out, us_np, vs_np, weighted)
-    offs = np.asarray(adj.offsets)
-    ind_np = np.asarray(adj.indices)
-    w_np = np.asarray(adj.weights) if weighted else None
+    offs, ind_np, w_np = _host_csr(adj, weighted)
     deg_all = offs[1:] - offs[:-1]
     dmax_pair = np.maximum(np.maximum(deg_all[us_np], deg_all[vs_np]), 1)
     Db_all = np.maximum(128, 2 ** np.ceil(np.log2(dmax_pair)).astype(np.int64))

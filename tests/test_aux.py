@@ -114,7 +114,8 @@ def test_approx_weighted_matching():
 def test_od_shortest_distances_batched(monkeypatch):
     """Unweighted OD matrices run 128-origin panels (incl. the interpreted
     SpMM kernel path); unreachable pairs report FLT_MAX like sssp; weighted
-    graphs still match via the per-origin SSSP loop."""
+    graphs run batched Bellman-Ford panels and must match per-origin
+    Dijkstra (networkx) exactly."""
     import networkx as nx
     import numpy as np
 

@@ -199,6 +199,12 @@ def test_rmat_native_matches_numpy_fallback(monkeypatch):
     frac = np.mean(s_nat < (1 << 11))
     assert abs(frac - 0.76) < 0.03
 
+    # ids are int32 framework-wide: scale > 31 must raise, not wrap negative
+    import pytest
+
+    with pytest.raises(ValueError, match="int32"):
+        R._rmat_host(32, 10, 0.57, 0.19, 0.19, 1, False)
+
     # determinism across thread counts (counter RNG is order-independent)
     s1, d1 = N.rmat_native(*args, n_threads=1)
     s8, d8 = N.rmat_native(*args, n_threads=8)
