@@ -217,7 +217,10 @@ def main():
             ln = ln.strip()
             if ln.startswith("{"):
                 try:
-                    if json.loads(ln).get("value", 0) > 0:
+                    # plausibility bound: one v5e chip cannot exceed ~100 G
+                    # edges/s; a wedged runtime that returns instantly (seen
+                    # once after a VMEM OOM) would otherwise record garbage
+                    if 0 < json.loads(ln).get("value", 0) < 1e11:
                         line = ln
                 except json.JSONDecodeError:
                     pass
