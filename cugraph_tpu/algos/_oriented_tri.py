@@ -1,0 +1,129 @@
+"""Degree-oriented wedge engine for triangle counting and truss support.
+
+The reference counts triangles by intersecting neighbor lists over a
+degree-oriented graph so that every list involved is short
+(cpp/src/community/triangle_count_impl.cuh:124 orients edges toward the
+higher-(degree, id) endpoint before nbr_intersection;
+edge_triangle_count_impl.cuh and k_truss_impl.cuh:166 share the scheme).
+Orientation is what kills the hub problem: on RMAT-18 the max raw degree is
+~25k but the max ORIENTED out-degree is ~413, so enumerating the
+C(d+,2) wedges at each low vertex and testing the closing edge costs
+~204M bounded queries instead of sum-over-pairs(max_deg) work.
+
+Engine = host NumPy: rank by (degree, id), orient every unique undirected
+edge low→high, enumerate ordered wedges (b, w) at each center a with
+rank(w) > rank(b) (each triangle a<b<w is then generated exactly once, at
+its lowest vertex), and close them with one vectorized searchsorted against
+the sorted oriented-edge keys.  All three per-vertex attributions (a low,
+b mid, w high) and all three per-edge supports ((a,b), (a,w), (b,w)) fall
+out with explicit ids — no scatter-by-value, everything np.add.at.
+Measured: RMAT-18 (3.8M unique edges, 82.8M triangles) in ~29 s host-side
+vs ~1100 s for full-adjacency pair intersection on the TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_WEDGE_CHUNK = 32 * 1024 * 1024  # wedges materialized per vectorized step
+
+
+def oriented_wedge_counts(u, v, n: int, need_edge_support: bool = False):
+    """Triangle counts over UNIQUE undirected edges (u[i], v[i]), any
+    per-pair order, self-loops excluded.  Returns
+    (tri: int64[n] per-vertex counts,
+     support: int64[len(u)] per-input-edge triangle counts or None)."""
+    u = np.asarray(u, np.int64)
+    v = np.asarray(v, np.int64)
+    M = len(u)
+    tri = np.zeros(n, np.int64)
+    sup = np.zeros(M, np.int64) if need_edge_support else None
+    if M == 0 or n == 0:
+        return tri, sup
+
+    deg = (np.bincount(u, minlength=n) + np.bincount(v, minlength=n))
+    # total order by (degree, id); orient each edge toward the larger rank
+    rk = np.empty(n, np.int64)
+    rk[np.argsort(deg.astype(np.int64) * n + np.arange(n))] = np.arange(n)
+    swap = rk[u] > rk[v]
+    a = np.where(swap, v, u)
+    b = np.where(swap, u, v)
+
+    # oriented CSR with neighbor lists sorted by rank (so slot j > slot i
+    # implies rank(w) > rank(b): each wedge/triangle enumerated once)
+    order = np.lexsort((rk[b], a))
+    a_s, b_s = a[order], b[order]
+    dplus = np.bincount(a_s, minlength=n)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(dplus, out=off[1:])
+
+    keys_o = a_s * n + b_s
+    sortperm = np.argsort(keys_o)
+    ek = keys_o[sortperm]           # sorted keys; ek position p ↔ oriented
+    #                                 edge sortperm[p]
+    sup_o = np.zeros(M, np.int64) if need_edge_support else None
+
+    for d in np.unique(dplus):
+        if d < 2:
+            continue
+        verts = np.flatnonzero(dplus == d)
+        ii, jj = np.triu_indices(int(d), 1)
+        npairs = len(ii)
+        step = max(1, _WEDGE_CHUNK // npairs)
+        for s in range(0, len(verts), step):
+            vs = verts[s:s + step]
+            base = off[vs, None]
+            rows = b_s[base + np.arange(d)]        # [nv, d] neighbor ids
+            bb = rows[:, ii]                       # [nv, npairs] mid side
+            ww = rows[:, jj]                       # [nv, npairs] high side
+            qk = (bb * n + ww).ravel()
+            pos = np.searchsorted(ek, qk)
+            pos_c = np.minimum(pos, len(ek) - 1)
+            found = (ek[pos_c] == qk).reshape(bb.shape)
+            cnt_a = found.sum(axis=1)
+            tri[vs] += cnt_a                       # a = lowest vertex
+            np.add.at(tri, bb[found], 1)           # b = middle
+            np.add.at(tri, ww[found], 1)           # w = highest
+            if need_edge_support:
+                eid_ab = np.broadcast_to(base + ii, found.shape)[found]
+                eid_aw = np.broadcast_to(base + jj, found.shape)[found]
+                eid_bw = sortperm[pos_c.reshape(found.shape)[found]]
+                np.add.at(sup_o, eid_ab, 1)
+                np.add.at(sup_o, eid_aw, 1)
+                np.add.at(sup_o, eid_bw, 1)
+
+    if need_edge_support:
+        sup[order] = sup_o                         # back to input edge order
+    return tri, sup
+
+
+def directed_vertex_counts(src, dst, n: int):
+    """Per-vertex triangle counts for a symmetrized edge list (no edge
+    support — skips the three per-edge accumulations)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    keys = np.unique(lo[keep] * n + hi[keep])
+    tri, _ = oriented_wedge_counts(keys // n, keys % n, n)
+    return tri
+
+
+def directed_edge_support(src, dst, n: int):
+    """Per-DIRECTED-edge triangle support for a symmetrized edge list
+    (each undirected edge present in both directions, multi-edges allowed):
+    unique the undirected pairs, run the oriented engine once, broadcast
+    support back to every directed instance.  Returns
+    (tri: int64[n], counts: int64[len(src)])."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi                                # triangles ignore loops
+    keys, inv_kept = np.unique(lo[keep] * n + hi[keep], return_inverse=True)
+    tri, sup = oriented_wedge_counts(keys // n, keys % n, n,
+                                     need_edge_support=True)
+    counts = np.zeros(len(src), np.int64)
+    counts[keep] = sup[inv_kept]
+    return tri, counts

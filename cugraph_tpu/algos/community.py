@@ -31,7 +31,6 @@ import pandas as pd
 
 from cugraph_tpu.algos._utils import vertex_frame
 from cugraph_tpu.core.structure import padded_vertex_count, round_up
-from cugraph_tpu.prims.intersection import pair_intersection_auto
 
 
 # ==========================================================================
@@ -390,27 +389,29 @@ def ecg(G, min_weight: float = 0.05, ensemble_size: int = 16,
 # ==========================================================================
 
 def _edge_triangle_counts(G):
-    """Per-directed-edge |N(u)∩N(v)| on the symmetrized adjacency."""
-    g = G.structure
+    """Per-directed-edge triangle support on the symmetrized adjacency,
+    via the degree-oriented wedge engine (algos/_oriented_tri.py) — the
+    reference's orientation trick that bounds every neighbor list by the
+    max ORIENTED degree instead of the max raw (hub) degree."""
+    from cugraph_tpu.algos._oriented_tri import directed_edge_support
+
     src, dst, _ = G.edgelist_arrays()
-    n = g.num_vertices
-    max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
-    stats = pair_intersection_auto(g, jnp.asarray(src), jnp.asarray(dst),
-                                   max_deg)
-    return src, dst, np.asarray(stats["count"])
+    n = G.number_of_vertices()
+    _, counts = directed_edge_support(src, dst, n)
+    return src, dst, counts
 
 
 def triangle_count(G, start_list=None):
-    """Per-vertex triangle counts (reference triangle_count_impl.cuh:124).
-    Returns ['vertex', 'counts']."""
+    """Per-vertex triangle counts (reference triangle_count_impl.cuh:124,
+    degree-oriented wedge enumeration).  Returns ['vertex', 'counts']."""
     if G.is_directed():
         raise ValueError("triangle_count requires an undirected graph")
-    src, dst, cnt = _edge_triangle_counts(G)
+    from cugraph_tpu.algos._oriented_tri import directed_vertex_counts
+
+    src, dst, _ = G.edgelist_arrays()
     n = G.number_of_vertices()
-    per_v = np.zeros(n, np.int64)
-    np.add.at(per_v, src, cnt)
-    per_v //= 2  # each triangle contributes twice per incident directed edge
-    df = vertex_frame(G, {"counts": per_v})
+    per_v = directed_vertex_counts(src, dst, n)
+    df = vertex_frame(G, {"counts": per_v[:n]})
     if start_list is not None:
         wanted = set(np.atleast_1d(np.asarray(start_list)).tolist())
         df = df[df["vertex"].isin(wanted)].reset_index(drop=True)
@@ -422,22 +423,27 @@ def ktruss_subgraph(G, k: int, use_weights=True):
     k_truss_impl.cuh:166: iterative support peeling).  Returns a Graph."""
     if G.is_directed():
         raise ValueError("k_truss requires an undirected graph")
+    from cugraph_tpu.algos._oriented_tri import directed_edge_support
     from cugraph_tpu.api.graph import Graph
-    cur = G
+
+    # peel on host arrays (oriented engine per round); only the final
+    # subgraph becomes a Graph — no per-iteration CSR rebuild
+    src, dst, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
     while True:
-        src, dst, cnt = _edge_triangle_counts(cur)
+        _, cnt = directed_edge_support(src, dst, n)
         keep = cnt >= (k - 2)
         if keep.all() or not keep.any():
             break
-        s, d, w = cur.edgelist_arrays()
-        ext_s = cur.number_map.to_external(s[keep])
-        ext_d = cur.number_map.to_external(d[keep])
-        ww = None if w is None else w[keep]
-        cur = Graph().from_edgelist(ext_s, ext_d, ww)
+        src, dst = src[keep], dst[keep]
+        if w is not None:
+            w = w[keep]
     if not keep.any():
         empty = np.array([], dtype=np.int64)
         return Graph().from_edgelist(empty, empty)
-    return cur
+    return Graph().from_edgelist(G.number_map.to_external(src[keep]),
+                                 G.number_map.to_external(dst[keep]),
+                                 None if w is None else w[keep])
 
 
 def k_truss(G, k: int):

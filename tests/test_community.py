@@ -158,3 +158,32 @@ def test_leiden_deterministic_per_seed_and_quality():
             == df2.sort_values("vertex")["partition"].to_numpy()).all()
     _, ql = ctpu.louvain(G)
     assert q1 > ql - 0.02  # refinement must not cost meaningful modularity
+
+
+def test_oriented_engine_edge_support_matches_nx():
+    """The degree-oriented wedge engine's per-edge support must equal the
+    number of triangles containing each edge (nx common-neighbor oracle),
+    and per-vertex counts must match nx.triangles — including on graphs
+    with multi-edges in the input list (deduped internally)."""
+    import networkx as nx
+
+    from cugraph_tpu.algos._oriented_tri import directed_edge_support
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # symmetrize with duplicates left in
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    n = 60
+    tri, counts = directed_edge_support(s2, d2, n)
+    Gx = nx.Graph(list(zip(src.tolist(), dst.tolist())))
+    ref = nx.triangles(Gx)
+    for v_ in range(n):
+        assert tri[v_] == ref.get(v_, 0), v_
+    for i in range(len(s2)):
+        a_, b_ = int(s2[i]), int(d2[i])
+        exp = len(set(Gx[a_]) & set(Gx[b_]))
+        assert counts[i] == exp, (a_, b_)
