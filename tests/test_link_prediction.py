@@ -177,3 +177,16 @@ def test_pair_intersection_bucketed_matches_binsearch(monkeypatch):
     for key in ref:
         np.testing.assert_allclose(np.asarray(fast[key]), np.asarray(ref[key]),
                                    rtol=1e-5, atol=1e-5, err_msg=key)
+
+    # tiny host-probe threshold routes EVERY pair through the min-degree
+    # searchsorted path — must still match exactly
+    monkeypatch.setenv("CUGRAPH_TPU_ISECT_HOST_DEG", "1")
+    for weighted in (False, True):
+        ref = pair_intersection(g, jnp.asarray(us), jnp.asarray(vs),
+                                max_deg=max_deg, weighted=weighted)
+        fast = pair_intersection_bucketed(g, us, vs, weighted=weighted)
+        for key in ref:
+            np.testing.assert_allclose(
+                np.asarray(fast[key]), np.asarray(ref[key]),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"hostprobe {key} weighted={weighted}")
