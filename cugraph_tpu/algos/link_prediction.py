@@ -111,29 +111,74 @@ def jaccard_coefficient(G, ebunch=None):
     return jaccard(G, vp)
 
 
-def _two_hop_pairs(G):
-    """Candidate pairs with |N(u)∩N(v)| possibly > 0: all two-hop pairs.
-    Host-side SpGEMM pattern via scipy (the reference chunks all-pairs the
-    same way inside similarity_impl.cuh)."""
+def _two_hop_candidates(G, ids=None):
+    """All two-hop pairs (restricted to one endpoint ∈ ids when given) WITH
+    their common-neighbor counts: the SpGEMM A·Aᵀ that enumerates the
+    candidates already computes |N(u)∩N(v)| as its values, so the
+    unweighted all-pairs path never re-queries intersections (the reference
+    chunks all-pairs the same way inside similarity_impl.cuh).
+    Returns (us, vs, counts)."""
     import scipy.sparse as sp
+
     src, dst, _ = G.edgelist_arrays()
     n = G.number_of_vertices()
-    A = sp.csr_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
-    P = (A @ A.T).tocoo()  # common out-neighbors
-    mask = P.row < P.col if not G.is_directed() else P.row != P.col
-    return P.row[mask].astype(np.int32), P.col[mask].astype(np.int32)
+    # dedupe directed edge instances so counts stay set-semantics exact
+    ekey = np.unique(src.astype(np.int64) * n + dst.astype(np.int64))
+    A = sp.csr_matrix((np.ones(len(ekey)), (ekey // n, ekey % n)),
+                      shape=(n, n))
+    B = A if ids is None else A[ids]
+    P = (B @ A.T).tocoo()  # values = common out-neighbor counts
+    row = P.row if ids is None else ids[P.row.astype(np.int64)]
+    col, cnt = P.col.astype(np.int64), P.data
+    if not G.is_directed():
+        lo = np.minimum(row, col)
+        hi = np.maximum(row, col)
+        mask = lo != hi
+        key, idx = np.unique(lo[mask] * n + hi[mask], return_index=True)
+        return ((key // n).astype(np.int32), (key % n).astype(np.int32),
+                cnt[mask][idx].astype(np.int64))
+    mask = row != col
+    return (row[mask].astype(np.int32), col[mask].astype(np.int32),
+            cnt[mask].astype(np.int64))
+
+
+def _two_hop_pairs(G):
+    us, vs, _ = _two_hop_candidates(G)
+    return us, vs
 
 
 def _all_pairs(G, kind: str, use_weight: bool, vertices, topk):
-    us, vs = _two_hop_pairs(G)
+    ids = None
     if vertices is not None:
-        ids = G.lookup_internal_vertex_id(np.asarray(vertices))
-        keep = np.isin(us, ids) | np.isin(vs, ids)
-        us, vs = us[keep], vs[keep]
-    vp = pd.DataFrame({"first": G.number_map.to_external(us),
-                       "second": G.number_map.to_external(vs)})
-    df = _similarity(G, vp, kind, use_weight)
+        ids = np.unique(G.lookup_internal_vertex_id(np.asarray(vertices)))
+    us, vs, cnt = _two_hop_candidates(G, ids)
     col = f"{kind}_coeff"
+    if use_weight:
+        vp = pd.DataFrame({"first": G.number_map.to_external(us),
+                           "second": G.number_map.to_external(vs)})
+        df = _similarity(G, vp, kind, use_weight)
+    else:
+        offs = np.asarray(G.structure.csr.offsets)
+        deg = (offs[1:] - offs[:-1]).astype(np.float64)
+        inter = cnt.astype(np.float64)
+        du, dv = deg[us], deg[vs]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if kind == "jaccard":
+                coeff = np.where(du + dv - inter > 0,
+                                 inter / (du + dv - inter), 0.0)
+            elif kind == "sorensen":
+                coeff = np.where(du + dv > 0, 2.0 * inter / (du + dv), 0.0)
+            elif kind == "overlap":
+                mins = np.minimum(du, dv)
+                coeff = np.where(mins > 0, inter / mins, 0.0)
+            elif kind == "cosine":
+                denom = np.sqrt(du * dv)
+                coeff = np.where(denom > 0, inter / denom, 0.0)
+            else:
+                raise ValueError(kind)
+        df = pd.DataFrame({"first": G.number_map.to_external(us),
+                           "second": G.number_map.to_external(vs),
+                           col: coeff})
     df = df.sort_values(col, ascending=False).reset_index(drop=True)
     if topk is not None:
         df = df.head(int(topk)).reset_index(drop=True)

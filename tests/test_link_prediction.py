@@ -190,3 +190,24 @@ def test_pair_intersection_bucketed_matches_binsearch(monkeypatch):
                 np.asarray(fast[key]), np.asarray(ref[key]),
                 rtol=1e-5, atol=1e-5,
                 err_msg=f"hostprobe {key} weighted={weighted}")
+
+
+def test_all_pairs_vertices_restriction_and_weighted():
+    """vertices= restricts the SpGEMM rows (pairs must involve a listed
+    vertex and match the unrestricted run exactly, none missing); the
+    weighted path still routes through the intersection query."""
+    G, Gnx = karate()
+    df = ctpu.all_pairs_jaccard(G, vertices=[0, 33])
+    assert ((df["first"].isin([0, 33])) | (df["second"].isin([0, 33]))).all()
+    full = ctpu.all_pairs_jaccard(G)
+    fk = {(a, b): c for a, b, c in zip(full["first"], full["second"],
+                                      full["jaccard_coeff"])}
+    for a, b, c in zip(df["first"], df["second"], df["jaccard_coeff"]):
+        key = (a, b) if (a, b) in fk else (b, a)
+        assert abs(fk[key] - c) < 1e-9
+    n_expected = sum(1 for (a, b) in fk if a in (0, 33) or b in (0, 33))
+    assert n_expected == len(df)
+
+    Gw, _ = karate(weighted=True)
+    dw = ctpu.all_pairs_jaccard(Gw, use_weight=True, topk=10)
+    assert len(dw) == 10 and (np.diff(dw["jaccard_coeff"]) <= 1e-9).all()
