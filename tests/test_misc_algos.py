@@ -427,3 +427,36 @@ def test_multi_source_bfs_batched_panel(monkeypatch):
     ms3 = ctpu.multi_source_bfs(G2, [0, 5])
     assert (ms3.sort_values("vertex")["distance_5"].to_numpy()
             == ms.sort_values("vertex")["distance_5"].to_numpy()).all()
+
+
+def test_experimental_bicliques_and_scc():
+    """find_bicliques: a planted (machines x features) biclique plus noise
+    must surface as cluster 0 with correct membership and bad_ratio;
+    strong_connected_component resolves to stable SCC."""
+    import pandas as pd
+
+    from cugraph_tpu.experimental import find_bicliques, \
+        strong_connected_component
+
+    machines = list(range(12))
+    feats = [100, 101, 102, 103]
+    rows = [(m, f, 1 if m == 0 else 0) for m in machines for f in feats]
+    rows += [(50, 100, 0), (51, 101, 0)]  # noise shares single features
+    df = pd.DataFrame(rows, columns=["src", "dst", "flag"])
+    B, S = find_bicliques(df, k=3, support=1.0, min_features=2,
+                          min_machines=10)
+    assert len(S) >= 1
+    s0 = S.iloc[0]
+    got_m = set(B[(B["id"] == 0) & (B["type"] == 0)]["vert"])
+    got_f = set(B[(B["id"] == 0) & (B["type"] == 1)]["vert"])
+    # the planted machines all carry every planted feature; noise machines
+    # fail the support threshold
+    assert set(machines) <= got_m and got_f == set(feats)
+    assert s0["machines"] == len(got_m) and s0["features"] == len(got_f)
+    assert abs(s0["bad_ratio"] - 1 / s0["total"]) < 1e-9
+
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(np.array([0, 1, 2, 3]), np.array([1, 2, 0, 3]), None)
+    df2 = strong_connected_component(G)
+    lab = dict(zip(df2["vertex"], df2["labels"]))
+    assert lab[0] == lab[1] == lab[2] != lab[3]
