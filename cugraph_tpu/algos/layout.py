@@ -237,7 +237,9 @@ def _pm_repulsion(pos, deg, real, grid_dim: int, scaling_ratio):
 def _fa2_kernel(g: GraphStructure, pos0, max_iter: int, jitter_tolerance,
                 scaling_ratio, gravity, outbound_attraction_distribution: bool,
                 lin_log_mode: bool, strong_gravity_mode: bool,
-                pm_grid_dim: int = 0):
+                pm_grid_dim: int = 0, state0=None):
+    """Runs ``max_iter`` FA2 steps; returns the full loop carry
+    (pos, force, speed_eff) so callback mode can re-enter per epoch."""
     pad_v = g.pad_v
     n = g.num_vertices
     real = (jnp.arange(pad_v) < n).astype(jnp.float32)
@@ -284,10 +286,9 @@ def _fa2_kernel(g: GraphStructure, pos0, max_iter: int, jitter_tolerance,
         pos = pos + force * factor[:, None] * real[:, None]
         return pos, force, new_speed_eff
 
-    pos, _, _ = jax.lax.fori_loop(
-        0, max_iter, step,
-        (pos0, jnp.zeros_like(pos0), jnp.float32(1.0)))
-    return pos
+    init = state0 if state0 is not None else (
+        pos0, jnp.zeros_like(pos0), jnp.float32(1.0))
+    return jax.lax.fori_loop(0, max_iter, step, init)
 
 
 def force_atlas2(G, max_iter: int = 500, pos_list=None,
@@ -319,12 +320,22 @@ def force_atlas2(G, max_iter: int = 500, pos_list=None,
         rng = np.random.default_rng(random_state)
         pos = np.zeros((g.pad_v, 2), np.float32)
         pos[:n] = rng.uniform(-100, 100, (n, 2)).astype(np.float32)
-    out = _fa2_kernel(g, jnp.asarray(pos), int(max_iter),
-                      jnp.float32(jitter_tolerance), jnp.float32(scaling_ratio),
-                      jnp.float32(gravity),
-                      bool(outbound_attraction_distribution),
-                      bool(lin_log_mode), bool(strong_gravity_mode),
-                      pm_grid_dim)
+    args = (jnp.float32(jitter_tolerance), jnp.float32(scaling_ratio),
+            jnp.float32(gravity), bool(outbound_attraction_distribution),
+            bool(lin_log_mode), bool(strong_gravity_mode), pm_grid_dim)
+    if callback is None:
+        out, _, _ = _fa2_kernel(g, jnp.asarray(pos), int(max_iter), *args)
+    else:
+        # epoch-stepped so the reference's GraphBasedDimRedCallback protocol
+        # (internals.pyx) sees positions every epoch
+        callback.on_preprocess_end(pos[:n])
+        state = None
+        p0 = jnp.asarray(pos)
+        for _ in range(int(max_iter)):
+            state = _fa2_kernel(g, p0, 1, *args, state0=state)
+            callback.on_epoch_end(np.asarray(state[0])[:n])
+        out = state[0] if state is not None else p0
+        callback.on_train_end(np.asarray(out)[:n])
     out = np.asarray(out)[:n]
     return pd.DataFrame({
         "vertex": G.number_map.to_external(np.arange(n)),

@@ -460,3 +460,35 @@ def test_experimental_bicliques_and_scc():
     df2 = strong_connected_component(G)
     lab = dict(zip(df2["vertex"], df2["labels"]))
     assert lab[0] == lab[1] == lab[2] != lab[3]
+
+
+def test_force_atlas2_callback_protocol():
+    """callback= steps the kernel per epoch and fires the reference's
+    GraphBasedDimRedCallback hooks with [n,2] host arrays; the final
+    positions equal the no-callback run (same adaptive-speed carry)."""
+    from cugraph_tpu.internals import GraphBasedDimRedCallback
+
+    src = np.array([0, 1, 2, 3, 4, 0])
+    dst = np.array([1, 2, 3, 4, 0, 2])
+    G = ctpu.Graph()
+    G.from_edgelist(src, dst, None)
+
+    calls = {"pre": 0, "epoch": 0, "end": 0}
+
+    class Rec(GraphBasedDimRedCallback):
+        def on_preprocess_end(self, positions):
+            calls["pre"] += 1
+            assert positions.shape == (5, 2)
+
+        def on_epoch_end(self, positions):
+            calls["epoch"] += 1
+
+        def on_train_end(self, positions):
+            calls["end"] += 1
+
+    df_cb = ctpu.force_atlas2(G, max_iter=7, callback=Rec(), random_state=3)
+    assert calls == {"pre": 1, "epoch": 7, "end": 1}
+    df = ctpu.force_atlas2(G, max_iter=7, random_state=3)
+    np.testing.assert_allclose(df_cb[["x", "y"]].to_numpy(),
+                               df[["x", "y"]].to_numpy(), rtol=1e-4,
+                               atol=1e-4)
