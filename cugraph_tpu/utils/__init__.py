@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import importlib
 
+from cugraph_tpu.utils.path_retrieval import get_traversed_cost  # noqa
 from cugraph_tpu.utils.profiling import (
     HighResTimer,
     trace_annotation,

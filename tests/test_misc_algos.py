@@ -492,3 +492,25 @@ def test_force_atlas2_callback_protocol():
     np.testing.assert_allclose(df_cb[["x", "y"]].to_numpy(),
                                df[["x", "y"]].to_numpy(), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_get_traversed_cost():
+    """Path-sum retrieval (pointer doubling) vs a manual predecessor walk,
+    including an unreachable vertex (dtype max) and the source (0)."""
+    from cugraph_tpu.utils import get_traversed_cost
+
+    src = np.array([0, 1, 1, 2, 5])
+    dst = np.array([1, 2, 3, 4, 6])
+    w = np.array([1.0, 2.0, 4.0, 8.0, 1.0], np.float32)
+    G = ctpu.Graph()
+    G.from_edgelist(src, dst, w)
+    r = ctpu.sssp(G, 0).sort_values("vertex").reset_index(drop=True)
+    out = get_traversed_cost(r, 0, src, dst, w).sort_values("vertex")
+    info = dict(zip(out["vertex"], out["info"]))
+    assert info[0] == 0.0
+    assert info[1] == 1.0 and info[2] == 3.0 and info[3] == 5.0
+    assert info[4] == 11.0
+    assert info[5] == np.finfo(np.float32).max  # unreachable from 0
+    import pytest
+    with pytest.raises(ValueError, match="vertex"):
+        get_traversed_cost(r.drop(columns=["vertex"]), 0, src, dst, w)
