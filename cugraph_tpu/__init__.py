@@ -11,9 +11,9 @@ Public surface mirrors the `cugraph` Python package
 class built from edge lists plus one function per algorithm.
 """
 
-from cugraph_tpu.api.graph import Graph, MultiGraph, DiGraph
+from cugraph_tpu.api.graph import Graph, MultiGraph, DiGraph, Tree
 from cugraph_tpu.api import exceptions
-from cugraph_tpu.api.bipartite import BiPartiteGraph
+from cugraph_tpu.api.bipartite import BiPartiteGraph, NPartiteGraph
 from cugraph_tpu.api.convenience import (
     bfs_edges,
     concurrent_bfs,

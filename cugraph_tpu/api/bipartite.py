@@ -1,7 +1,7 @@
-"""BiPartiteGraph (reference structure/graph_classes.py BiPartiteGraph):
-a Graph that tracks the two vertex partitions.  The reference class is a
-thin Graph subclass whose algorithms treat it as a plain graph; parity here
-is the same."""
+"""N-partite / bipartite graph classes (reference structure/graph_classes.py
+NPartiteGraph:877, BiPartiteGraph:1045): Graphs that track vertex
+partitions.  The reference classes are thin Graph subclasses whose
+algorithms treat them as plain graphs; parity here is the same."""
 
 from __future__ import annotations
 
@@ -10,25 +10,58 @@ import numpy as np
 from cugraph_tpu.api.graph import Graph
 
 
-class BiPartiteGraph(Graph):
-    def __init__(self, directed: bool = False):
-        super().__init__(directed=directed)
-        self._set0 = None
-        self._set1 = None
+class NPartiteGraph(Graph):
+    """Graph with named vertex partitions (reference add_nodes_from
+    multipartite=... semantics)."""
 
-    def add_nodes_from(self, nodes, bipartite=None):
-        """Record a partition ('top'/'bottom' or 0/1) — reference
-        add_nodes_from(bipartite=...) semantics."""
+    def __init__(self, bipartite: bool = False, directed: bool = False):
+        super().__init__(directed=directed)
+        self._bipartite = bool(bipartite)
+        self._partitions: dict = {}
+
+    def add_nodes_from(self, nodes, bipartite=None, multipartite=None):
+        """Record a partition.  With ``bipartite`` the graph must be
+        bipartite (reference raises otherwise); ``multipartite`` names an
+        arbitrary partition."""
         nodes = np.asarray(list(nodes))
-        if bipartite in (0, "top", None):
-            self._set0 = nodes
+        if bipartite is not None:
+            if not self._bipartite:
+                raise TypeError("Graph is not bipartite; use multipartite=")
+            key = 0 if bipartite in (0, "top") else 1
+        elif multipartite is not None:
+            key = multipartite
         else:
-            self._set1 = nodes
+            raise TypeError("specify bipartite= or multipartite=")
+        self._partitions[key] = nodes
 
     def sets(self):
-        if self._set0 is None and self._set1 is None:
-            raise RuntimeError("bipartite sets not set; call add_nodes_from")
-        return self._set0, self._set1
+        if not self._partitions:
+            raise RuntimeError("partition sets not set; call add_nodes_from")
+        return self._partitions
+
+    def is_multipartite(self):
+        return True
+
+    def is_bipartite(self):
+        return self._bipartite
+
+
+class BiPartiteGraph(NPartiteGraph):
+    def __init__(self, directed: bool = False):
+        super().__init__(bipartite=True, directed=directed)
+
+    def add_nodes_from(self, nodes, bipartite=None, multipartite=None):
+        """Record one of the two partitions ('top'/'bottom' or 0/1)."""
+        if multipartite is not None:
+            raise TypeError("BiPartiteGraph takes bipartite=, not "
+                            "multipartite=")
+        if bipartite is None:
+            bipartite = 0
+        super().add_nodes_from(nodes, bipartite=bipartite)
+
+    def sets(self):
+        parts = super().sets()
+        return parts.get(0), parts.get(1)
 
     def is_bipartite(self):
         return True

@@ -244,6 +244,17 @@ class Graph:
         n_loops = int(np.sum(self._src == self._dst))
         return (e - n_loops) // 2 + n_loops
 
+    def density(self) -> float:
+        """Edges present vs the maximum possible (reference
+        graph_classes.py:801): m/(n·(n−1)) directed, 2m/(n·(n−1))
+        undirected."""
+        n = self.number_of_vertices()
+        if n < 2:
+            return 0.0
+        m = self.number_of_edges()
+        factor = 1 if self.is_directed() else 2
+        return factor * m / (n * (n - 1))
+
     def has_vertex(self, v) -> bool:
         self._check_built()
         return bool(self._number_map.contains(np.asarray([v]))[0])
@@ -375,6 +386,22 @@ class MultiGraph(Graph):
     def __init__(self, directed: bool = False):
         super().__init__(directed=directed)
         self._multi = True
+
+    def is_multigraph(self):
+        return True
+
+    def density(self):
+        """Reference graph_classes.py:853 — undefined for multigraphs
+        (parallel edges make the max-possible-edge count meaningless)."""
+        raise TypeError("The density function is not support on a Multigraph.")
+
+
+class Tree(Graph):
+    """A Tree (reference graph_classes.py:867 — a Graph marked as a tree)."""
+
+    def __init__(self, directed: bool = False):
+        super().__init__(directed=directed)
+        self.tree = True
 
 
 class DiGraph(Graph):

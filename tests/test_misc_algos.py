@@ -514,3 +514,33 @@ def test_get_traversed_cost():
     import pytest
     with pytest.raises(ValueError, match="vertex"):
         get_traversed_cost(r.drop(columns=["vertex"]), 0, src, dst, w)
+
+
+def test_graph_class_long_tail():
+    """Tree / NPartiteGraph / density / MultiGraph.density parity
+    (reference graph_classes.py:801-877)."""
+    import pytest
+
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(np.array([0, 1]), np.array([1, 2]), None)
+    assert abs(G.density() - 2 / 6) < 1e-12
+    Gu = ctpu.Graph()
+    Gu.from_edgelist(np.array([0, 1]), np.array([1, 2]), None)
+    assert abs(Gu.density() - 2 * 2 / 6) < 1e-12
+
+    M = ctpu.MultiGraph()
+    M.from_edgelist(np.array([0, 0]), np.array([1, 1]), None)
+    assert M.is_multigraph()
+    with pytest.raises(TypeError):
+        M.density()
+
+    T = ctpu.Tree()
+    assert T.tree and not T.is_directed()
+
+    NP = ctpu.NPartiteGraph()
+    NP.add_nodes_from([0, 1], multipartite="a")
+    NP.add_nodes_from([2, 3], multipartite="b")
+    assert NP.is_multipartite() and not NP.is_bipartite()
+    assert set(NP.sets()) == {"a", "b"}
+    with pytest.raises(TypeError):
+        NP.add_nodes_from([4], bipartite=0)  # not constructed bipartite
