@@ -33,6 +33,11 @@ class NPartiteGraph(Graph):
         else:
             raise TypeError("specify bipartite= or multipartite=")
         self._partitions[key] = nodes
+        # partition members exist even when isolated — register them for
+        # the next from_edgelist (Graph.add_nodes_from semantics)
+        pend = getattr(self, "_pending_nodes", None)
+        self._pending_nodes = (nodes if pend is None
+                               else np.unique(np.concatenate([pend, nodes])))
 
     def sets(self):
         if not self._partitions:

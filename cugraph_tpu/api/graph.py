@@ -118,12 +118,6 @@ class Graph:
         w = None if edge_attr is None else df[edge_attr].to_numpy().astype(np.float32)
         return self._from_arrays(src, dst, w, renumber=renumber)
 
-    def from_numpy_array(self, A) -> "Graph":
-        A = np.asarray(A)
-        src, dst = np.nonzero(A)
-        w = A[src, dst].astype(np.float32)
-        return self._from_arrays(src, dst, w, renumber=True)
-
     def _from_arrays(self, src, dst, weight, *, renumber=True, vertices=None,
                      edge_id=None, edge_type=None, edge_time=None) -> "Graph":
         if self._src is not None:
@@ -141,6 +135,8 @@ class Graph:
                     raise InvalidInputError(f"{name} length mismatch")
                 extras[name] = arr
 
+        if vertices is None:
+            vertices = getattr(self, "_pending_nodes", None)
         if renumber:
             src_i, dst_i, nmap = renumber_edgelist(src, dst, vertices=vertices)
         else:
@@ -348,10 +344,6 @@ class Graph:
 
     # -- helpers for algorithms ------------------------------------------------
 
-    def lookup_internal_vertex_id(self, external) -> np.ndarray:
-        self._check_built()
-        return self._number_map.to_internal(np.asarray(external))
-
     def unrenumber_frame(self, df: pd.DataFrame, col: str) -> pd.DataFrame:
         self._check_built()
         df = df.copy()
@@ -364,6 +356,128 @@ class Graph:
 
     def clear(self):
         self.__init__(directed=self._directed)
+
+    # -- reference-name construction aliases (graph_classes.py:104-406;
+    #    cudf/dask frames don't exist here — any DataFrame-like works) ------
+
+    def from_cudf_edgelist(self, df, source="source",
+                           destination="destination", edge_attr=None,
+                           weight=None, renumber=True,
+                           store_transposed=False, symmetrize=None):
+        """Reference Graph.from_cudf_edgelist (graph_classes.py:104).
+        ``store_transposed`` is moot (both orientations are stored);
+        ``symmetrize`` defaults to the directedness like the reference."""
+        attr = edge_attr if edge_attr is not None else weight
+        w = df[attr].to_numpy(np.float32) if attr is not None else None
+        return self.from_edgelist(df[source].to_numpy(),
+                                  df[destination].to_numpy(), w,
+                                  renumber=renumber)
+
+    def from_dask_cudf_edgelist(self, df, source="source",
+                                destination="destination", edge_attr=None,
+                                renumber=True, store_transposed=False):
+        """Reference Graph.from_dask_cudf_edgelist (graph_classes.py:270):
+        the MG ingest.  Data here is host-resident; the distributed build is
+        `parallel.build_dist_graph` — this alias ingests the frame and keeps
+        the SG surface working for ported call sites."""
+        return self.from_cudf_edgelist(df, source, destination, edge_attr,
+                                       renumber=renumber)
+
+    def from_cudf_adjlist(self, offset_col, index_col, value_col=None,
+                          renumber=True):
+        """Reference Graph.from_cudf_adjlist (graph_classes.py:376): CSR
+        arrays → Graph."""
+        offsets = np.asarray(offset_col)
+        indices = np.asarray(index_col)
+        deg = np.diff(offsets)
+        src = np.repeat(np.arange(len(deg)), deg)
+        w = None if value_col is None else np.asarray(value_col, np.float32)
+        return self.from_edgelist(src, indices, w, renumber=renumber)
+
+    def from_pandas_adjacency(self, pdf):
+        """Reference Graph.from_pandas_adjacency: labeled dense matrix."""
+        A = pdf.to_numpy()
+        labels = np.asarray(pdf.columns)
+        src, dst = np.nonzero(A)
+        w = A[src, dst].astype(np.float32)
+        unweighted = bool(np.all(w == 1.0))
+        return self.from_edgelist(labels[src], labels[dst],
+                                  None if unweighted else w)
+
+    def from_numpy_array(self, A, nodes=None):
+        A = np.asarray(A)
+        src, dst = np.nonzero(A)
+        w = A[src, dst].astype(np.float32)
+        if nodes is not None:
+            nodes = np.asarray(nodes)
+            src, dst = nodes[src], nodes[dst]
+        unweighted = bool(np.all(w == 1.0))
+        return self.from_edgelist(src, dst, None if unweighted else w)
+
+    def from_numpy_matrix(self, A):
+        return self.from_numpy_array(np.asarray(A))
+
+    # -- renumber glue methods (graph_classes.py:618-668) ------------------
+
+    def unrenumber(self, df, column_name, preserve_order=False,
+                   get_column_names=False):
+        """Map a column of internal ids back to external ids in-place
+        (reference Graph.unrenumber)."""
+        out = df.copy()
+        arr = np.asarray(df[column_name])
+        mask = arr >= 0
+        ext = np.empty(len(arr), dtype=np.int64)
+        ext[mask] = self._number_map.to_external(arr[mask])
+        ext[~mask] = arr[~mask]
+        out[column_name] = ext
+        return out
+
+    def lookup_internal_vertex_id(self, external, column_name=None):
+        self._check_built()
+        if column_name is not None:
+            external = external[column_name]
+        return self._number_map.to_internal(np.asarray(external))
+
+    def add_internal_vertex_id(self, df, internal_column_name,
+                               external_column_name, drop=True,
+                               preserve_order=False):
+        """Add a column of internal ids for an external-id column
+        (reference Graph.add_internal_vertex_id)."""
+        out = df.copy()
+        out[internal_column_name] = self.lookup_internal_vertex_id(
+            np.asarray(df[external_column_name]))
+        if drop:
+            out = out.drop(columns=[external_column_name])
+        return out
+
+    # -- predicates / bookkeeping (graph_classes.py:690-800) ---------------
+
+    def is_bipartite(self):
+        return False
+
+    def is_multipartite(self):
+        return False
+
+    def is_remote(self):
+        return False
+
+    def is_multi_gpu(self):
+        return False
+
+    def has_isolated_vertices(self) -> bool:
+        """True when some vertex has no incident edges (possible with
+        renumber=False or an explicit vertices= list)."""
+        self._check_built()
+        n = self.number_of_vertices()
+        touched = np.zeros(n, bool)
+        touched[self._src] = True
+        touched[self._dst] = True
+        return bool((~touched).any())
+
+    def add_nodes_from(self, nodes):
+        """Pre-register vertices (isolated ones included) for the next
+        from_edgelist call (reference records them the same way)."""
+        self._pending_nodes = np.asarray(list(nodes))
 
     def to_directed(self) -> "Graph":
         g = Graph(directed=True)

@@ -544,3 +544,38 @@ def test_graph_class_long_tail():
     assert set(NP.sets()) == {"a", "b"}
     with pytest.raises(TypeError):
         NP.add_nodes_from([4], bipartite=0)  # not constructed bipartite
+
+
+def test_graph_method_surface_parity():
+    """Reference Graph-method aliases: from_cudf_edgelist/adjlist,
+    unrenumber/add_internal_vertex_id, add_nodes_from registering isolated
+    vertices, has_isolated_vertices, predicates."""
+    import pandas as pd
+
+    df = pd.DataFrame({"source": [10, 20], "destination": [20, 30],
+                       "w": [1.5, 2.5]})
+    G = ctpu.Graph(directed=True)
+    G.from_cudf_edgelist(df, edge_attr="w")
+    assert G.is_weighted() and G.number_of_edges() == 2
+    assert not G.is_bipartite() and not G.is_multi_gpu() and not G.is_remote()
+    assert not G.has_isolated_vertices()
+
+    r = ctpu.bfs(G, 10)
+    internal = G.add_internal_vertex_id(r[["vertex"]].copy(), "iv", "vertex")
+    back = G.unrenumber(internal.rename(columns={"iv": "v"}), "v")
+    assert set(back["v"]) == {10, 20, 30}
+
+    G2 = ctpu.Graph()
+    G2.add_nodes_from([0, 1, 2, 3, 99])
+    G2.from_edgelist(np.array([0, 1]), np.array([1, 2]), None)
+    assert G2.number_of_vertices() == 5 and G2.has_isolated_vertices()
+
+    G3 = ctpu.Graph(directed=True)
+    G3.from_cudf_adjlist(np.array([0, 2, 3, 3]), np.array([1, 2, 0]))
+    assert G3.number_of_edges() == 3
+
+    B = ctpu.BiPartiteGraph()
+    B.add_nodes_from([0, 1, 7], bipartite=0)  # 7 stays isolated
+    B.add_nodes_from([2, 3], bipartite=1)
+    B.from_edgelist(np.array([0, 1]), np.array([2, 3]), None)
+    assert B.number_of_vertices() == 5 and B.has_isolated_vertices()
