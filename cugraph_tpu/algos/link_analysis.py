@@ -31,6 +31,7 @@ _PALLAS_MIN_EDGES = 200_000
 @partial(jax.jit, static_argnames=("max_iter",))
 def _pagerank_kernel(
     g: GraphStructure,
+    pre_ow,                  # optional [pad_v] precomputed out-weight sums
     alpha: jax.Array,
     tol: jax.Array,
     reset: jax.Array,        # [pad_v] personalization vector (sums to 1 on real rows)
@@ -42,9 +43,13 @@ def _pagerank_kernel(
     pad_v = g.pad_v
     real = jnp.arange(pad_v) < n
 
-    out_w = jax.ops.segment_sum(
-        g.csr.weights, g.csr.majors, num_segments=pad_v, indices_are_sorted=True
-    )
+    if pre_ow is not None:
+        out_w = pre_ow
+    else:
+        out_w = jax.ops.segment_sum(
+            g.csr.weights, g.csr.majors, num_segments=pad_v,
+            indices_are_sorted=True
+        )
     is_dangling = real & (out_w <= 0)
     inv_out = jnp.where(out_w > 0, 1.0 / out_w, 0.0)
 
@@ -165,6 +170,7 @@ def pagerank(
     G,
     alpha: float = 0.85,
     personalization=None,
+    precomputed_vertex_out_weight=None,
     max_iter: int = 100,
     tol: float = 1.0e-5,
     nstart=None,
@@ -221,10 +227,29 @@ def pagerank(
     dang = _vec_from_df_or_dict(dangling, None) if dangling is not None else reset
     p0 = _vec_from_df_or_dict(nstart, 1.0 / n)
 
+    pre_ow = None
+    if precomputed_vertex_out_weight is not None:
+        # reference pagerank.py precomputed_vertex_out_weight: caller-supplied
+        # per-vertex out-weight sums replacing the graph-derived ones
+        x = precomputed_vertex_out_weight
+        pre_ow = np.zeros(pad_v, np.float32)
+        if isinstance(x, dict):
+            keys = np.array(list(x.keys()))
+            vals = np.array(list(x.values()), np.float32)
+        else:
+            keys = x["vertex"].to_numpy()
+            cols = [c for c in x.columns if c != "vertex"]
+            vals = x[cols[0]].to_numpy().astype(np.float32)
+        pre_ow[G.lookup_internal_vertex_id(keys)] = vals
+
     if use_pallas:
         from cugraph_tpu.kernels.dispatch import out_weight_vectors
 
-        inv_out, is_dang = out_weight_vectors(G, pad_v)
+        if pre_ow is not None:
+            inv_out = np.where(pre_ow > 0, 1.0 / pre_ow, 0.0).astype(np.float32)
+            is_dang = (np.arange(pad_v) < n) & (pre_ow <= 0)
+        else:
+            inv_out, is_dang = out_weight_vectors(G, pad_v)
         kern = _pagerank_spilled if spilled else _pagerank_kernel_pallas
         p, err, iters = kern(
             plan, jnp.asarray(inv_out), jnp.asarray(is_dang),
@@ -234,7 +259,7 @@ def pagerank(
         )
     else:
         p, err, iters = _pagerank_kernel(
-            g,
+            g, jnp.asarray(pre_ow) if pre_ow is not None else None,
             jnp.float32(alpha),
             jnp.float32(tol),
             jnp.asarray(reset),

@@ -100,3 +100,23 @@ def test_pagerank_precision_knob(monkeypatch):
         ctpu.eigenvector_centrality(G, precision="bogus")
     with pytest.raises(ValueError, match="precision"):
         ctpu.hits(G, precision="bogus")
+
+
+def test_pagerank_precomputed_out_weight():
+    """precomputed_vertex_out_weight (reference pagerank.py:73): supplying
+    the graph's true out-weight sums must reproduce the default result;
+    zeroed sums mark vertices dangling."""
+    import pandas as pd
+
+    G, Gnx = karate()
+    base = ctpu.pagerank(G).sort_values("vertex")
+    src, dst, w = G.edgelist_arrays()
+    ow = np.zeros(G.number_of_vertices())
+    np.add.at(ow, src, 1.0 if w is None else w)
+    pre = pd.DataFrame({"vertex": G.number_map.to_external(
+        np.arange(G.number_of_vertices())), "sums": ow})
+    got = ctpu.pagerank(G, precomputed_vertex_out_weight=pre) \
+        .sort_values("vertex")
+    np.testing.assert_allclose(got["pagerank"].to_numpy(),
+                               base["pagerank"].to_numpy(), rtol=1e-5,
+                               atol=1e-7)
