@@ -168,7 +168,7 @@ def _bfs_kernel_diropt(g: GraphStructure, plan, source: jax.Array,
 
 
 def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
-        i_start=None):
+        i_start=None, directed=None, return_predecessors=True):
     """BFS from ``start``; returns ['distance', 'vertex', 'predecessor'].
 
     Unreachable vertices get distance 2**31-1 and predecessor -1, matching the
@@ -176,6 +176,9 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
     """
     from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
 
+    if directed is not None:
+        raise TypeError(
+            "'directed' cannot be specified for a Graph-type input")
     if start is None:
         start = source if source is not None else i_start
     if start is None:
@@ -192,6 +195,8 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
                                         n, False)
     dist = np.asarray(dist)[:n]
     pred = np.asarray(pred)[:n]
+    if not return_predecessors:  # reference keeps the column, skips compute
+        pred = np.full(n, -1, pred.dtype)
     return pd.DataFrame({
         "distance": dist,
         "vertex": G.number_map.to_external(np.arange(n)),
@@ -348,12 +353,22 @@ def _sssp_pred_host(G, dist32: np.ndarray, source: int, n: int) -> np.ndarray:
     return pred
 
 
-def sssp(G, source, cutoff=None, method=None):
+def sssp(G, source=None, method=None, directed=None,
+         return_predecessors=None, unweighted=None, overwrite=None,
+         indices=None, cutoff=None):
     """Single-source shortest paths (nonnegative weights).
     Returns ['distance', 'vertex', 'predecessor']; unreachable = FLT_MAX.
-    Reference: sssp_impl.cuh:571."""
+    Reference: sssp_impl.cuh:571 (directed/unweighted/overwrite/indices are
+    the reference wrapper's deprecated legacy-API params)."""
     from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
 
+    if directed is not None:
+        raise TypeError(
+            "'directed' cannot be specified for a Graph-type input")
+    if source is None:
+        source = indices  # legacy name
+    if source is None:
+        raise ValueError("sssp requires a source vertex")
     s = int(normalize_start(G, source)[0])
     n = G.number_of_vertices()
     if G.is_weighted():

@@ -114,3 +114,23 @@ def test_extract_bfs_paths_unreachable_destination():
     assert max_len <= 3
     row4 = paths[max_len: 2 * max_len]
     assert np.all(row4 == -1)
+
+
+def test_bfs_sssp_legacy_params():
+    """Reference wrapper compat: directed= raises TypeError on Graph input,
+    return_predecessors=False keeps the column but skips compute, sssp
+    accepts the legacy indices= source name."""
+    import pytest
+
+    G, _ = karate()
+    with pytest.raises(TypeError, match="directed"):
+        ctpu.bfs(G, 0, directed=True)
+    with pytest.raises(TypeError, match="directed"):
+        ctpu.sssp(G, 0, directed=True)
+    r = ctpu.bfs(G, 0, return_predecessors=False)
+    assert (r["predecessor"] == -1).all() and (r["distance"] >= 0).any()
+    a = ctpu.sssp(G, indices=0).sort_values("vertex")
+    b = ctpu.sssp(G, 0).sort_values("vertex")
+    assert (a["distance"].to_numpy() == b["distance"].to_numpy()).all()
+    with pytest.raises(ValueError):
+        ctpu.sssp(G)
