@@ -9,7 +9,11 @@ Run on the CPU simulator (harness validation; absolute numbers meaningless,
 all virtual devices share host cores):
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/scaling.py --devices 1,2,4,8 --scale 14
+        python benchmarks/scaling.py --cpu --devices 1,2,4,8 --scale 14
+
+(--cpu forces the CPU backend via jax.config — the JAX_PLATFORMS env var is
+not honored when a TPU PJRT plugin is installed, and touching a dead TPU
+tunnel hangs the process)
 
 On a real pod the same command measures true scaling (drop XLA_FLAGS; the
 mesh spans the slice jax.devices() reports).
@@ -47,11 +51,16 @@ def main():
     ap.add_argument("--iters", type=int, default=20,
                     help="forced pagerank iterations per run")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual-device simulation)")
     ap.add_argument("--out", type=str, default=None,
                     help="also write the report to this JSON file")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if jax.default_backend() == "cpu" and jax.device_count() < 8:
         raise SystemExit("set XLA_FLAGS=--xla_force_host_platform_device_count=8")

@@ -48,12 +48,50 @@ class Dataset:
         G.from_edgelist(df["src"].to_numpy(), df["dst"].to_numpy(), w)
         return G
 
+    def get_dask_edgelist(self, download: bool = True) -> pd.DataFrame:
+        """Reference get_dask_edgelist (dataset.py:224) — data is
+        host-resident here; same frame as get_edgelist."""
+        return self.get_edgelist(download=download)
+
+    def get_dask_graph(self, download: bool = True, create_using=None,
+                       ignore_weights: bool = False,
+                       store_transposed: bool = False):
+        """Reference get_dask_graph (dataset.py:332); the distributed build
+        is `parallel.build_dist_graph` — this returns the host Graph."""
+        return self.get_graph(download=download, create_using=create_using,
+                              ignore_weights=ignore_weights,
+                              store_transposed=store_transposed)
+
+    def unload(self):
+        """Drop the cached edge list (reference dataset.py:154)."""
+        self._edgelist = None
+
+    def get_path(self):
+        """Bundled CSV path when the dataset is file-backed, else None
+        (generator-backed datasets have no file; reference returns the
+        download path)."""
+        import os
+
+        fname = getattr(self._loader, "_csv_name", None)
+        if fname is None:
+            return None
+        return os.path.join(os.path.dirname(__file__), "data", fname)
+
     def is_directed(self):
         return self._directed
+
+    def is_multigraph(self):
+        return False
+
+    def is_symmetric(self):
+        return not self._directed
 
     def number_of_nodes(self):
         df = self.get_edgelist()
         return len(np.unique(np.concatenate([df["src"], df["dst"]])))
+
+    def number_of_vertices(self):
+        return self.number_of_nodes()
 
     def number_of_edges(self):
         return len(self.get_edgelist())
@@ -127,6 +165,7 @@ def _from_csv(fname, weighted=True, sep=" "):
         if not weighted:
             df = df[["src", "dst"]]
         return df
+    load._csv_name = fname
     return load
 
 
@@ -168,6 +207,32 @@ ALL_DATASETS = [karate, les_miserables, davis, florentine, petersen,
 
 def get_all_datasets():
     return list(ALL_DATASETS)
+
+
+_download_dir = None
+
+
+def download_all(force: bool = False):
+    """Reference dataset.py:447 — everything here is bundled or generated
+    (no egress), so this just materializes every edge list."""
+    for ds in ALL_DATASETS:
+        if force:
+            ds.unload()
+        ds.get_edgelist()
+
+
+def set_download_dir(path):
+    """Reference dataset.py:472 — recorded for API parity; bundled data
+    never moves."""
+    global _download_dir
+    _download_dir = path
+
+
+def get_download_dir():
+    import os
+
+    return (_download_dir if _download_dir is not None
+            else os.path.join(os.path.dirname(__file__), "data"))
 
 
 from cugraph_tpu.datasets.readers import (  # noqa: E402

@@ -579,3 +579,26 @@ def test_graph_method_surface_parity():
     B.add_nodes_from([2, 3], bipartite=1)
     B.from_edgelist(np.array([0, 1]), np.array([2, 3]), None)
     assert B.number_of_vertices() == 5 and B.has_isolated_vertices()
+
+
+def test_dataset_api_surface():
+    """Reference Dataset methods: unload/get_path/is_symmetric/
+    number_of_vertices/get_dask_* aliases + module download fns."""
+    from cugraph_tpu import datasets as ds
+
+    d = ds.dolphins
+    p = d.get_path()
+    assert p is not None and p.endswith("dolphins.csv")
+    assert d.number_of_vertices() == d.number_of_nodes() == 62
+    assert not d.is_multigraph() and not d.is_symmetric()
+    e1 = d.get_edgelist()
+    d.unload()
+    e2 = d.get_dask_edgelist()
+    assert len(e1) == len(e2)
+    g = d.get_dask_graph()
+    assert g.number_of_vertices() == 62
+    assert ds.karate.get_path() is None  # generator-backed
+    ds.set_download_dir("/tmp/x")
+    assert ds.get_download_dir() == "/tmp/x"
+    ds.set_download_dir(None)
+    assert ds.get_download_dir().endswith("data")
