@@ -25,6 +25,10 @@ mean edges/s over the timed reps, plus a final efficiency summary line.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 

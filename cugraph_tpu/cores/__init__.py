@@ -1,0 +1,9 @@
+"""Import-path parity subpackage: mirrors `cugraph.cores`
+(python/cugraph/cugraph/cores/__init__.py) so call sites written
+against the reference import layout keep working.  Implementations
+live in cugraph_tpu.algos/* — this module only re-exports."""
+
+from cugraph_tpu import (  # noqa: F401
+    core_number,
+    k_core,
+)

@@ -602,3 +602,26 @@ def test_dataset_api_surface():
     assert ds.get_download_dir() == "/tmp/x"
     ds.set_download_dir(None)
     assert ds.get_download_dir().endswith("data")
+
+
+def test_reference_import_paths():
+    """Code written against the reference's import layout must keep
+    working: cugraph.<sub> subpackages map to cugraph_tpu.<sub>."""
+    from cugraph_tpu.centrality import betweenness_centrality  # noqa: F401
+    from cugraph_tpu.community import louvain as comm_louvain
+    from cugraph_tpu.components import connected_components  # noqa: F401
+    from cugraph_tpu.cores import core_number  # noqa: F401
+    from cugraph_tpu.dask import pagerank as dask_pagerank  # noqa: F401
+    from cugraph_tpu.layout import force_atlas2  # noqa: F401
+    from cugraph_tpu.linear_assignment import hungarian  # noqa: F401
+    from cugraph_tpu.link_analysis import pagerank as la_pagerank
+    from cugraph_tpu.link_prediction import all_pairs_jaccard  # noqa: F401
+    from cugraph_tpu.sampling import node2vec_random_walks  # noqa: F401
+    from cugraph_tpu.structure import (NumberMap,  # noqa: F401
+                                       replicate_cudf_dataframe, symmetrize)
+    from cugraph_tpu.traversal import shortest_path_length  # noqa: F401
+    from cugraph_tpu.tree import maximum_spanning_tree  # noqa: F401
+
+    assert comm_louvain is ctpu.louvain and la_pagerank is ctpu.pagerank
+    df = pd.DataFrame({"a": [1]})
+    assert replicate_cudf_dataframe(df) is df
