@@ -192,3 +192,41 @@ def test_od_weighted_batched_pallas(monkeypatch):
         if nx.has_path(Gx, o, d):
             assert abs(r["distance"]
                        - nx.dijkstra_path_length(Gx, o, d)) < 1e-3
+
+
+def test_utilities_long_tail():
+    """Reference utils.py:46-458 helpers: traversed paths, matrix-type
+    predicates, vertex-pair renumbering, random bipartite factory, group
+    sampling."""
+    import pandas as pd
+    import scipy.sparse as sp
+
+    import cugraph_tpu as ct
+    from cugraph_tpu.utils import (create_random_bipartite,
+                                   get_traversed_path,
+                                   get_traversed_path_list,
+                                   is_cugraph_graph_type, is_matrix_type,
+                                   renumber_vertex_pair, sample_groups)
+
+    G = ct.Graph(directed=True)
+    G.from_edgelist(np.array([0, 1, 2]), np.array([1, 2, 3]), None)
+    r = ct.bfs(G, 0)
+    assert get_traversed_path_list(r, 3) == [3, 2, 1, 0]
+    pdf = get_traversed_path(r, 2)
+    assert list(pdf["vertex"]) == [2, 1, 0]
+
+    assert is_matrix_type(sp.csr_matrix) and not is_matrix_type(int)
+    assert is_cugraph_graph_type(ct.Graph)
+
+    vp = pd.DataFrame({"first": [10], "second": [30]})
+    G2 = ct.Graph(directed=True)
+    G2.from_edgelist(np.array([10, 20]), np.array([20, 30]), None)
+    rp = renumber_vertex_pair(G2, vp)
+    assert rp["first"].iloc[0] == int(G2.lookup_internal_vertex_id([10])[0])
+
+    left, bg, a = create_random_bipartite(3, 4, 10, np.int32)
+    assert bg.number_of_edges() == 12 and a.shape == (3, 4)
+
+    df = pd.DataFrame({"g": [0, 0, 0, 1, 1], "x": range(5)})
+    s = sample_groups(df, "g", 1)
+    assert len(s) == 2 and set(s["g"]) == {0, 1}
