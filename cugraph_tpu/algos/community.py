@@ -423,15 +423,24 @@ def ktruss_subgraph(G, k: int, use_weights=True):
     k_truss_impl.cuh:166: iterative support peeling).  Returns a Graph."""
     if G.is_directed():
         raise ValueError("k_truss requires an undirected graph")
-    from cugraph_tpu.algos._oriented_tri import directed_edge_support
+    from cugraph_tpu.algos._oriented_tri import oriented_wedge_counts
     from cugraph_tpu.api.graph import Graph
 
     # peel on host arrays (oriented engine per round); only the final
-    # subgraph becomes a Graph — no per-iteration CSR rebuild
+    # subgraph becomes a Graph — no per-iteration CSR rebuild.  Reduce to
+    # unique undirected pairs ONCE (the symmetrized list holds each edge
+    # twice); mirror kept weights back at the end.
     src, dst, w = G.edgelist_arrays()
     n = G.number_of_vertices()
+    lo = np.minimum(src, dst).astype(np.int64)
+    hi = np.maximum(src, dst).astype(np.int64)
+    ukey, uidx = np.unique(lo * n + hi, return_index=True)
+    noloop = (ukey // n) != (ukey % n)
+    src = src[uidx][noloop]
+    dst = dst[uidx][noloop]
+    w = None if w is None else w[uidx][noloop]
     while True:
-        _, cnt = directed_edge_support(src, dst, n)
+        _, cnt = oriented_wedge_counts(src, dst, n, need_edge_support=True)
         keep = cnt >= (k - 2)
         if keep.all() or not keep.any():
             break

@@ -246,7 +246,9 @@ def pagerank(
         from cugraph_tpu.kernels.dispatch import out_weight_vectors
 
         if pre_ow is not None:
-            inv_out = np.where(pre_ow > 0, 1.0 / pre_ow, 0.0).astype(np.float32)
+            with np.errstate(divide="ignore"):
+                inv_out = np.where(pre_ow > 0, 1.0 / pre_ow,
+                                   0.0).astype(np.float32)
             is_dang = (np.arange(pad_v) < n) & (pre_ow <= 0)
         else:
             inv_out, is_dang = out_weight_vectors(G, pad_v)

@@ -365,6 +365,10 @@ def sssp(G, source=None, method=None, directed=None,
     if directed is not None:
         raise TypeError(
             "'directed' cannot be specified for a Graph-type input")
+    if method not in (None, "auto", "delta-stepping", "dijkstra", "bf"):
+        # also catches pre-rename positional callers: the old signature was
+        # sssp(G, source, cutoff=...) with cutoff third
+        raise ValueError(f"invalid sssp method: {method!r}")
     if source is None:
         source = indices  # legacy name
     if source is None:

@@ -68,16 +68,11 @@ def from_adjlist(offsets, indices, values=None, create_using=None):
 
 
 def from_numpy_array(A, create_using=None, vertices=None):
-    """cugraph.from_numpy_array (convert_matrix.py:435)."""
-    A = np.asarray(A)
-    src, dst = np.nonzero(A)
-    w = A[src, dst].astype(np.float32)
-    if vertices is not None:
-        vertices = np.asarray(vertices)
-        src, dst = vertices[src], vertices[dst]
+    """cugraph.from_numpy_array (convert_matrix.py:435) — matrix values
+    always become edge weights, matching Graph.from_numpy_array
+    (graph_classes.py:518-528)."""
     G = _new(create_using)
-    unweighted = np.all(w == 1.0)
-    G.from_edgelist(src, dst, None if unweighted else w)
+    G.from_numpy_array(np.asarray(A), nodes=vertices)
     return G
 
 
@@ -87,8 +82,7 @@ def from_numpy_matrix(A, create_using=None):
 
 def from_pandas_adjacency(df, create_using=None):
     """cugraph.from_pandas_adjacency: labeled dense adjacency → Graph."""
-    A = df.to_numpy()
-    return from_numpy_array(A, create_using,
+    return from_numpy_array(df.to_numpy(), create_using,
                             vertices=np.asarray(df.columns))
 
 

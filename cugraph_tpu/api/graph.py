@@ -57,6 +57,7 @@ class Graph:
         self._spmv_plan_pull_spilled = None
         self._spmm_plans_brandes = None
         self._csr_perm_cache = None
+        self._pending_nodes = None
 
     # -- construction ---------------------------------------------------------
 
@@ -136,7 +137,8 @@ class Graph:
                 extras[name] = arr
 
         if vertices is None:
-            vertices = getattr(self, "_pending_nodes", None)
+            vertices = self._pending_nodes
+            self._pending_nodes = None  # consumed by this build only
         if renumber:
             src_i, dst_i, nmap = renumber_edgelist(src, dst, vertices=vertices)
         else:
@@ -395,24 +397,26 @@ class Graph:
         return self.from_edgelist(src, indices, w, renumber=renumber)
 
     def from_pandas_adjacency(self, pdf):
-        """Reference Graph.from_pandas_adjacency: labeled dense matrix."""
-        A = pdf.to_numpy()
-        labels = np.asarray(pdf.columns)
-        src, dst = np.nonzero(A)
-        w = A[src, dst].astype(np.float32)
-        unweighted = bool(np.all(w == 1.0))
-        return self.from_edgelist(labels[src], labels[dst],
-                                  None if unweighted else w)
+        """Reference Graph.from_pandas_adjacency: labeled dense matrix
+        (values become weights, like from_numpy_array)."""
+        return self.from_numpy_array(pdf.to_numpy(),
+                                     nodes=np.asarray(pdf.columns))
 
     def from_numpy_array(self, A, nodes=None):
+        """Adjacency-matrix construction (reference graph_classes.py:493):
+        matrix values always become edge weights, and ``nodes`` labels every
+        vertex (isolated ones included)."""
         A = np.asarray(A)
+        if A.ndim != 2:
+            raise ValueError("np_array is not a 2D matrix")
         src, dst = np.nonzero(A)
         w = A[src, dst].astype(np.float32)
+        verts = None
         if nodes is not None:
             nodes = np.asarray(nodes)
             src, dst = nodes[src], nodes[dst]
-        unweighted = bool(np.all(w == 1.0))
-        return self.from_edgelist(src, dst, None if unweighted else w)
+            verts = nodes
+        return self.from_edgelist(src, dst, w, vertices=verts)
 
     def from_numpy_matrix(self, A):
         return self.from_numpy_array(np.asarray(A))
@@ -426,9 +430,14 @@ class Graph:
         out = df.copy()
         arr = np.asarray(df[column_name])
         mask = arr >= 0
-        ext = np.empty(len(arr), dtype=np.int64)
+        ext_dt = self._number_map.to_external(np.array([0])).dtype
+        ext = np.empty(len(arr), dtype=ext_dt)
         ext[mask] = self._number_map.to_external(arr[mask])
-        ext[~mask] = arr[~mask]
+        if np.issubdtype(ext_dt, np.integer):
+            ext[~mask] = arr[~mask]
+        else:
+            ext = ext.astype(object)
+            ext[~mask] = None
         out[column_name] = ext
         return out
 
@@ -476,8 +485,12 @@ class Graph:
 
     def add_nodes_from(self, nodes):
         """Pre-register vertices (isolated ones included) for the next
-        from_edgelist call (reference records them the same way)."""
-        self._pending_nodes = np.asarray(list(nodes))
+        from_edgelist call (reference records them the same way).
+        Repeated calls accumulate."""
+        nodes = np.asarray(list(nodes))
+        if self._pending_nodes is not None:
+            nodes = np.unique(np.concatenate([self._pending_nodes, nodes]))
+        self._pending_nodes = nodes
 
     def to_directed(self) -> "Graph":
         g = Graph(directed=True)

@@ -158,3 +158,40 @@ def test_renumber_false_rejects_negative_ids():
     G = ct.Graph(directed=True)
     with pytest.raises(InvalidInputError):
         G.from_edgelist(np.array([-1]), np.array([0]), None, renumber=False)
+
+
+def test_review_fixes_pending_nodes_and_unrenumber():
+    """Round-2 review regressions: add_nodes_from accumulates and is
+    consumed by ONE build (clear() + rebuild has no phantom vertices);
+    unrenumber handles string-labeled graphs; from_numpy_array always
+    attaches matrix values as weights; positional sssp misuse raises."""
+    import pandas as pd
+    import pytest
+
+    import cugraph_tpu as ct
+
+    g = ct.Graph()
+    g.add_nodes_from([100])
+    g.add_nodes_from([200])  # accumulates, not replaces
+    g.from_edgelist(np.array([1, 2]), np.array([2, 3]), None)
+    assert g.number_of_vertices() == 5
+    g.clear()
+    g.from_edgelist(np.array([7, 8]), np.array([8, 9]), None)
+    assert g.number_of_vertices() == 3  # no resurrected pending nodes
+
+    gs = ct.Graph(directed=True)
+    gs.from_edgelist(np.array(["a", "b"]), np.array(["b", "c"]), None)
+    df = pd.DataFrame({"v": gs.lookup_internal_vertex_id(
+        np.array(["a", "c"]))})
+    back = gs.unrenumber(df, "v")
+    assert list(back["v"]) == ["a", "c"]
+
+    gw = ct.Graph(directed=True)
+    gw.from_numpy_array(np.array([[0, 1], [1, 0]], np.float32))
+    assert gw.is_weighted()  # reference always attaches matrix values
+
+    gd = ct.Graph(directed=True)
+    gd.from_edgelist(np.array([0, 1]), np.array([1, 2]),
+                     np.array([1.0, 2.0], np.float32))
+    with pytest.raises(ValueError, match="method"):
+        ct.sssp(gd, 0, 1.0)  # old positional cutoff must not pass silently
