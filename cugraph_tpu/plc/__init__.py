@@ -89,3 +89,14 @@ from cugraph_tpu.plc.algorithms import (
     force_atlas2,
     edge_id_lookup_table,
 )
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # pylibcugraph exposes __git_commit__; resolve lazily like the top level
+    if name == "__git_commit__":
+        import cugraph_tpu
+
+        return cugraph_tpu.__git_commit__
+    raise AttributeError(name)
