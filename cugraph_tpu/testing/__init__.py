@@ -20,6 +20,57 @@ _CACHE_DIR = os.environ.get(
 
 DEFAULT_DATASETS = ["karate", "les_miserables", "small_rmat"]
 
+# reference-named dataset re-exports + batch lists (testing/__init__.py:14-60)
+from cugraph_tpu.datasets import (  # noqa: E402
+    dolphins,
+    email_Eu_core,
+    karate,
+    karate_disjoint,
+    netscience,
+    polbooks,
+    small_line,
+    small_tree,
+    toy_graph,
+    toy_graph_undirected,
+)
+
+UNDIRECTED_DATASETS = [karate, dolphins]
+SMALL_DATASETS = [karate, dolphins, polbooks]
+WEIGHTED_DATASETS = [dolphins, karate, karate_disjoint, netscience,
+                     polbooks, small_line, small_tree]
+ALL_DATASETS = [dolphins, karate, karate_disjoint, polbooks, netscience,
+                small_line, small_tree, email_Eu_core, toy_graph,
+                toy_graph_undirected]
+
+# dataset root (reference testing/utils.py RAPIDS_DATASET_ROOT_DIR): the
+# bundled data directory stands in for the downloaded tarball root
+RAPIDS_DATASET_ROOT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "datasets", "data")
+RAPIDS_DATASET_ROOT_DIR_PATH = RAPIDS_DATASET_ROOT_DIR
+
+
+class Resultset:
+    """Golden-result container (reference resultset.py:15)."""
+
+    def __init__(self, data_dictionary):
+        self._data_dictionary = data_dictionary
+
+    def get_cudf_dataframe(self):
+        import pandas as pd
+
+        return pd.DataFrame(self._data_dictionary)
+
+
+def default_resultset_download_dir():
+    return results_dir()
+
+
+def load_resultset(resultset_name, resultset_download_url=None):
+    """Reference resultset.py load_resultset: fetches the golden tarball.
+    Here results are computed on demand (no egress) — this just ensures the
+    cache directory exists."""
+    return results_dir()
+
 
 def results_dir():
     os.makedirs(_CACHE_DIR, exist_ok=True)
