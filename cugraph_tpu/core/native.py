@@ -100,6 +100,10 @@ def get_lib():
                                       ctypes.c_double, ctypes.c_double,
                                       ctypes.c_double, ctypes.c_uint64,
                                       ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.triangle_support.restype = ctypes.c_int
+        lib.triangle_support.argtypes = [i64p, i64p, ctypes.c_int64,
+                                         ctypes.c_int64, ctypes.c_int,
+                                         ctypes.c_int, i64p, i64p]
         _lib = lib
         return _lib
 
@@ -215,6 +219,29 @@ def rmat_native(scale, num_edges, a, b, c, seed, clip_and_flip,
                       int(bool(clip_and_flip)), int(n_threads),
                       _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32))
     return src, dst
+
+
+def triangle_support_native(u, v, n, need_support, n_threads=None):
+    """Native threaded degree-oriented wedge engine (builder.cpp
+    triangle_support); returns (tri int64[n], sup int64[M] or None) or None
+    when the library is unavailable.  Exact-count-identical to the NumPy
+    engine in algos/_oriented_tri.py (equality-tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    u = np.ascontiguousarray(u, np.int64)
+    v = np.ascontiguousarray(v, np.int64)
+    tri = np.empty(int(n), np.int64)
+    sup = np.empty(len(u), np.int64) if need_support else np.empty(0, np.int64)
+    rc = lib.triangle_support(
+        _ptr(u, ctypes.c_int64), _ptr(v, ctypes.c_int64), len(u), int(n),
+        int(bool(need_support)), int(n_threads),
+        _ptr(tri, ctypes.c_int64), _ptr(sup, ctypes.c_int64))
+    if rc != 0:
+        return None
+    return tri, (sup if need_support else None)
 
 
 def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win,

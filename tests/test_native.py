@@ -238,3 +238,30 @@ def test_spmm_plan_native_matches_numpy():
         a, b = np.asarray(p_nat.weight), np.asarray(p_np.weight)
         assert np.array_equal(np.isnan(a), np.isnan(b))
         assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+def test_triangle_support_native_matches_numpy(monkeypatch):
+    """Threaded C++ wedge engine vs the NumPy oriented engine: exact count
+    equality for per-vertex triangles AND per-edge support, hub-heavy."""
+    from cugraph_tpu.algos import _oriented_tri as OT
+
+    rng = np.random.default_rng(9)
+    u0 = rng.integers(0, 300, 3000)
+    v0 = rng.integers(0, 300, 3000)
+    # hub
+    u0 = np.concatenate([u0, np.zeros(200, np.int64)])
+    v0 = np.concatenate([v0, rng.integers(1, 300, 200)])
+    keep = u0 != v0
+    key = np.unique(np.minimum(u0, v0)[keep] * 300
+                    + np.maximum(u0, v0)[keep])
+    u, v = key // 300, key % 300
+
+    tri_n, sup_n = OT.oriented_wedge_counts(u, v, 300,
+                                            need_edge_support=True)
+    with monkeypatch.context() as mp:
+        mp.setattr("cugraph_tpu.core.native.triangle_support_native",
+                   lambda *a, **k: None)
+        tri_p, sup_p = OT.oriented_wedge_counts(u, v, 300,
+                                                need_edge_support=True)
+    np.testing.assert_array_equal(tri_n, tri_p)
+    np.testing.assert_array_equal(sup_n, sup_p)
