@@ -538,4 +538,64 @@ int triangle_support(const int64_t* u, const int64_t* v, int64_t M,
   return 0;
 }
 
+// Min-degree pair-intersection probes (threaded host analog of
+// prims/intersection._pair_minprobe_host; reference nbr_intersection.cuh's
+// low-degree-side enumeration).  CSR must be sorted by (row, col) — the
+// framework's canonical order.  For each pair, every neighbor of the
+// SMALLER-degree endpoint is binary-searched in the larger endpoint's row:
+// cost ∝ min degree, so hub pairs stay cheap.  Outputs per pair: count,
+// and when weighted, sum of min / sum of max of the two edge weights over
+// the intersection.
+int pair_intersection_probe(const int64_t* us, const int64_t* vs, int64_t P,
+                            const int64_t* offsets, const int32_t* indices,
+                            const float* weights, int weighted, int n_threads,
+                            int32_t* count_out, float* smin_out,
+                            float* smax_out) {
+  if (P < 0) return -1;
+  int T = n_threads < 1 ? 1 : n_threads;
+  if (P < 1024) T = 1;
+  auto run = [&](int64_t lo_p, int64_t hi_p) {
+    for (int64_t p = lo_p; p < hi_p; ++p) {
+      int64_t a = us[p], b = vs[p];
+      int64_t da = offsets[a + 1] - offsets[a];
+      int64_t db = offsets[b + 1] - offsets[b];
+      if (da > db) { std::swap(a, b); std::swap(da, db); }
+      const int64_t sa = offsets[a], sb = offsets[b], eb = offsets[b + 1];
+      int32_t cnt = 0;
+      float mn = 0.0f, mx = 0.0f;
+      for (int64_t i = 0; i < da; ++i) {
+        const int32_t w = indices[sa + i];
+        int64_t lo = sb, hi = eb;
+        while (lo < hi) {
+          int64_t mid = (lo + hi) >> 1;
+          if (indices[mid] < w) lo = mid + 1; else hi = mid;
+        }
+        if (lo < eb && indices[lo] == w) {
+          cnt++;
+          if (weighted) {
+            float wa = weights[sa + i], wb = weights[lo];
+            mn += wa < wb ? wa : wb;
+            mx += wa < wb ? wb : wa;
+          }
+        }
+      }
+      count_out[p] = cnt;
+      if (weighted) { smin_out[p] = mn; smax_out[p] = mx; }
+    }
+  };
+  if (T == 1) {
+    run(0, P);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t chunk = (P + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(P, lo + chunk);
+      if (lo >= hi) break;
+      ts.emplace_back(run, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return 0;
+}
+
 }  // extern "C"

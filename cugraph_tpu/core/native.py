@@ -104,6 +104,11 @@ def get_lib():
         lib.triangle_support.argtypes = [i64p, i64p, ctypes.c_int64,
                                          ctypes.c_int64, ctypes.c_int,
                                          ctypes.c_int, i64p, i64p]
+        lib.pair_intersection_probe.restype = ctypes.c_int
+        lib.pair_intersection_probe.argtypes = [i64p, i64p, ctypes.c_int64,
+                                                i64p, i32p, f32p,
+                                                ctypes.c_int, ctypes.c_int,
+                                                i32p, f32p, f32p]
         _lib = lib
         return _lib
 
@@ -242,6 +247,38 @@ def triangle_support_native(u, v, n, need_support, n_threads=None):
     if rc != 0:
         return None
     return tri, (sup if need_support else None)
+
+
+def pair_probe_native(us, vs, offsets, indices, weights, weighted,
+                      n_threads=None):
+    """Native threaded min-degree pair-intersection probes (builder.cpp
+    pair_intersection_probe); returns (count, sum_min, sum_max) or None.
+    Semantics identical to prims/intersection._pair_minprobe_host's NumPy
+    path (equality-tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    us = np.ascontiguousarray(us, np.int64)
+    vs = np.ascontiguousarray(vs, np.int64)
+    offs = np.ascontiguousarray(offsets, np.int64)
+    ind = np.ascontiguousarray(indices, np.int32)
+    P = len(us)
+    count = np.empty(P, np.int32)
+    smin = np.empty(P if weighted else 0, np.float32)
+    smax = np.empty(P if weighted else 0, np.float32)
+    w = (np.ascontiguousarray(weights, np.float32) if weighted
+         else np.empty(0, np.float32))
+    rc = lib.pair_intersection_probe(
+        _ptr(us, ctypes.c_int64), _ptr(vs, ctypes.c_int64), P,
+        _ptr(offs, ctypes.c_int64), _ptr(ind, ctypes.c_int32),
+        _ptr(w, ctypes.c_float), int(bool(weighted)), int(n_threads),
+        _ptr(count, ctypes.c_int32), _ptr(smin, ctypes.c_float),
+        _ptr(smax, ctypes.c_float))
+    if rc != 0:
+        return None
+    return count, (smin if weighted else None), (smax if weighted else None)
 
 
 def spmv_plan_native(src, dst, weight, n_rows, yb_rows, src_win, dst_win,

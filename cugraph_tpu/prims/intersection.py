@@ -252,6 +252,13 @@ def _pair_minprobe_host(adj: CsrMatrix, us: np.ndarray, vs: np.ndarray,
     low-degree-side enumeration of nbr_intersection.cuh.
     Returns (count int32[P], sum_min, sum_max) host arrays."""
     offs, ind, w = _host_csr(adj, weighted)
+
+    from cugraph_tpu.core.native import pair_probe_native
+
+    nat = pair_probe_native(us, vs, offs, ind, w, weighted)
+    if nat is not None:  # threaded C++ probes (semantics-identical)
+        return nat
+
     keys = _host_edge_keys(adj)
     pad_v = int(adj.pad_v)
     deg = offs[1:] - offs[:-1]
@@ -332,8 +339,16 @@ def pair_intersection_bucketed(g: GraphStructure, us, vs,
     # instead of max-degree-wide sorts
     import os
 
-    host_th = int(os.environ.get("CUGRAPH_TPU_ISECT_HOST_DEG",
-                                 _HOST_PROBE_DEG))
+    env_th = os.environ.get("CUGRAPH_TPU_ISECT_HOST_DEG")
+    if env_th is not None:
+        host_th = int(env_th)
+    else:
+        from cugraph_tpu.core.native import get_lib
+
+        # with the threaded C++ probe engine available, min-degree probes
+        # beat per-bucket device sorts at EVERY degree — route everything;
+        # numpy-probe fallback only pays off past the hub threshold
+        host_th = 0 if get_lib() is not None else _HOST_PROBE_DEG
     hub = dmax_pair > host_th
     if hub.any():
         c_h, mn_h, mx_h = _pair_minprobe_host(adj, us_np[hub], vs_np[hub],

@@ -160,6 +160,9 @@ def test_pair_intersection_bucketed_matches_binsearch(monkeypatch):
     vs = rng.integers(0, n, P).astype(np.int64)
     max_deg = int(np.asarray(g.out_degrees())[:n].max())
 
+    # force the DEVICE compact-table buckets (native probes otherwise take
+    # every pair) so that path keeps equivalence coverage
+    monkeypatch.setenv("CUGRAPH_TPU_ISECT_HOST_DEG", "1000000")
     for weighted in (False, True):
         ref = pair_intersection(g, jnp.asarray(us), jnp.asarray(vs),
                                 max_deg=max_deg, weighted=weighted)
@@ -168,6 +171,18 @@ def test_pair_intersection_bucketed_matches_binsearch(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(fast[key]), np.asarray(ref[key]),
                 rtol=1e-5, atol=1e-5, err_msg=f"{key} weighted={weighted}")
+    monkeypatch.delenv("CUGRAPH_TPU_ISECT_HOST_DEG")
+
+    # default dispatch (native probes when built): same answers
+    for weighted in (False, True):
+        ref = pair_intersection(g, jnp.asarray(us), jnp.asarray(vs),
+                                max_deg=max_deg, weighted=weighted)
+        fast = pair_intersection_bucketed(g, us, vs, weighted=weighted)
+        for key in ref:
+            np.testing.assert_allclose(
+                np.asarray(fast[key]), np.asarray(ref[key]),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"default {key} weighted={weighted}")
 
     # tiny budget forces the auto dispatcher onto the bucketed path
     monkeypatch.setenv("CUGRAPH_TPU_ISECT_TABLE_MAX", "64")

@@ -265,3 +265,33 @@ def test_triangle_support_native_matches_numpy(monkeypatch):
                                                 need_edge_support=True)
     np.testing.assert_array_equal(tri_n, tri_p)
     np.testing.assert_array_equal(sup_n, sup_p)
+
+
+def test_pair_probe_native_matches_numpy(monkeypatch):
+    """Threaded C++ min-degree probes vs the NumPy searchsorted fallback:
+    identical counts and weighted sums."""
+    from cugraph_tpu.core.structure import build_structure_host
+    from cugraph_tpu.prims.intersection import _pair_minprobe_host
+
+    rng = np.random.default_rng(11)
+    n = 250
+    src = rng.integers(0, n, 2500)
+    dst = rng.integers(0, n, 2500)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    g = build_structure_host(src, dst, w, n)
+
+    us = rng.integers(0, n, 600)
+    vs = rng.integers(0, n, 600)
+    for weighted in (False, True):
+        c1, mn1, mx1 = _pair_minprobe_host(g.csr, us, vs, weighted)
+        with monkeypatch.context() as mp:
+            mp.setattr("cugraph_tpu.core.native.pair_probe_native",
+                       lambda *a, **k: None)
+            c2, mn2, mx2 = _pair_minprobe_host(g.csr, us, vs, weighted)
+        np.testing.assert_array_equal(c1, c2)
+        if weighted:
+            np.testing.assert_allclose(mn1, mn2, rtol=1e-6)
+            np.testing.assert_allclose(mx1, mx2, rtol=1e-6)
