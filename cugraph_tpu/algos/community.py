@@ -116,12 +116,59 @@ def _pad_coo(src, dst, w, n):
     return jnp.asarray(s), jnp.asarray(d), jnp.asarray(ww), pad_v
 
 
+def _louvain_one_level_native(src, dst, w, n, resolution, max_sweeps,
+                              threshold, init):
+    """Native threaded level loop: same sweep semantics as the jitted path
+    (snapshot moves, up/down alternation, keep-if-modularity-improves), with
+    the per-sweep (src, cluster[dst]) grouping done by the C++ engine and
+    modularity in float64 NumPy."""
+    from cugraph_tpu.core.native import louvain_sweep_native
+
+    order = np.argsort(src, kind="stable")
+    ds = np.ascontiguousarray(dst[order], np.int32)
+    dw = np.ascontiguousarray(w[order], np.float32)
+    row_off = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=row_off[1:])
+
+    w64 = w.astype(np.float64)
+    m2 = max(w64.sum(), 1e-30)
+    k = np.bincount(src, weights=w64, minlength=n)
+
+    def modularity(cl):
+        intra = w64[cl[src] == cl[dst]].sum()
+        sigma = np.bincount(cl, weights=k, minlength=n)
+        return intra / m2 - resolution * np.sum((sigma / m2) ** 2)
+
+    cluster = (np.arange(n, dtype=np.int32) if init is None
+               else np.asarray(init, np.int32).copy())
+    best_q = modularity(cluster)
+    up_down = True
+    for sweep in range(max_sweeps):
+        cluster2 = louvain_sweep_native(ds, dw, row_off, cluster, up_down,
+                                        resolution)
+        q2 = modularity(cluster2)
+        up_down = not up_down
+        if q2 > best_q + threshold:
+            best_q, cluster = q2, cluster2
+        elif sweep >= 1:
+            break
+    return cluster, float(best_q)
+
+
 def _louvain_one_level(src, dst, w, n, resolution, max_sweeps=20, threshold=1e-7,
                        init=None):
     """Local-moving until the sweep stops improving modularity.
-    Host-controlled sweep loop, jitted sweeps.  ``init`` optionally seeds the
+    Host-controlled sweep loop, jitted sweeps (native threaded C++ sweeps
+    when the toolchain is available).  ``init`` optionally seeds the
     assignment (Leiden level loop: coarse vertices start in their parent
     communities, leiden_impl.cuh level state)."""
+    from cugraph_tpu.core.native import get_lib
+
+    if get_lib() is not None and n > 0 and len(src):
+        return _louvain_one_level_native(np.asarray(src), np.asarray(dst),
+                                         np.asarray(w, np.float32), n,
+                                         resolution, max_sweeps, threshold,
+                                         init)
     s, d, ww, pad_v = _pad_coo(src, dst, w, n)
     if init is None:
         cluster = jnp.arange(pad_v, dtype=jnp.int32)
@@ -145,12 +192,27 @@ def _louvain_one_level(src, dst, w, n, resolution, max_sweeps=20, threshold=1e-7
 
 def _coarsen(src, dst, w, labels):
     """Contract clusters host-side (reference coarsen_graph,
-    cpp/src/structure/coarsen_graph_impl.cuh)."""
-    uniq, compact = np.unique(labels, return_inverse=True)
-    cs = compact[src].astype(np.int64)
-    cd = compact[dst].astype(np.int64)
-    nc = len(uniq)
-    key = cs * nc + cd
+    cpp/src/structure/coarsen_graph_impl.cuh).  Label compaction via
+    bincount (labels are dense cluster ids — no sort needed); edge
+    aggregation via native counting sorts, falling back to the NumPy
+    key-sort path."""
+    labels = np.asarray(labels)
+    n_lab = int(labels.max()) + 1 if len(labels) else 0
+    present = np.bincount(labels, minlength=n_lab) > 0
+    remap = np.cumsum(present) - 1
+    nc = int(remap[-1]) + 1 if n_lab else 0
+    compact = remap[labels].astype(np.int32)
+    cs = compact[src]
+    cd = compact[dst]
+
+    from cugraph_tpu.core.native import coarsen_edges_native
+
+    nat = coarsen_edges_native(cs, cd, w, nc)
+    if nat is not None:
+        osrc, odst, ow = nat
+        return osrc, odst, ow, nc, compact
+
+    key = cs.astype(np.int64) * nc + cd
     order = np.argsort(key, kind="stable")
     key_s = key[order]; w_s = w[order]
     uk, start = np.unique(key_s, return_index=True)
@@ -266,13 +328,43 @@ def _leiden_refine_sweep(src, dst, w, comm_v, refined, key, theta, resolution,
     best_c = jax.ops.segment_min(jnp.where(is_best, run_c, BIG), run_v_c,
                                  num_segments=pad_v)
     moved = (best > NEG / 2) & (best_c < BIG)
-    return jnp.where(moved, best_c, refined).astype(jnp.int32)
+    out = jnp.where(moved, best_c, refined).astype(jnp.int32)
+
+    # resolve decreasing pointer chains on device (moved-into-moved
+    # targets): log-depth path compression, no host round-trip
+    def _compress(state):
+        r, _ = state
+        r2 = jnp.take(r, r)
+        return r2, jnp.any(r2 != r)
+
+    out, _ = jax.lax.while_loop(lambda st: st[1], _compress,
+                                (out, jnp.bool_(True)))
+    return out
 
 
 def _leiden_refine(src, dst, w, n, comm, resolution, theta, rng_key,
                    sweeps: int = 4):
     """Randomized refinement of `comm` (per-vertex community ids [n]).
-    Returns refined sub-community labels [n] (each a vertex id root)."""
+    Returns refined sub-community labels [n] (each a vertex id root).
+    Native threaded sweeps when the toolchain is available (counter-RNG
+    Gumbel draws — distributionally equivalent to the jax stream)."""
+    from cugraph_tpu.core.native import get_lib, leiden_refine_sweep_native
+
+    if get_lib() is not None and n > 0 and len(src):
+        order = np.argsort(src, kind="stable")
+        ds = np.ascontiguousarray(np.asarray(dst)[order], np.int32)
+        dw = np.ascontiguousarray(np.asarray(w, np.float32)[order])
+        row_off = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(src, minlength=n), out=row_off[1:])
+        seed0 = int(np.asarray(jax.random.key_data(rng_key)).ravel()[-1])
+        refined = np.arange(n, dtype=np.int32)
+        comm32 = np.asarray(comm, np.int32)
+        for i in range(sweeps):
+            refined = leiden_refine_sweep_native(
+                ds, dw, row_off, comm32, refined, theta, resolution,
+                seed0 * 0x9E3779B97F4A7C15 + i)
+        return refined
+
     s, d, ww, pad_v = _pad_coo(src, dst, w, n)
     comm_full = np.arange(pad_v, dtype=np.int32)
     comm_full[:n] = comm
@@ -283,14 +375,6 @@ def _leiden_refine(src, dst, w, n, comm, resolution, theta, rng_key,
         refined = _leiden_refine_sweep(s, d, ww, comm_d, refined, key,
                                        jnp.float32(theta),
                                        jnp.float32(resolution), pad_v)
-        # resolve decreasing pointer chains (moved-into-moved targets)
-        r = np.asarray(refined)
-        while True:
-            r2 = r[r]
-            if np.array_equal(r2, r):
-                break
-            r = r2
-        refined = jnp.asarray(r)
     return np.asarray(refined)[:n]
 
 

@@ -109,6 +109,20 @@ def get_lib():
                                                 i64p, i32p, f32p,
                                                 ctypes.c_int, ctypes.c_int,
                                                 i32p, f32p, f32p]
+        lib.louvain_sweep.restype = ctypes.c_int
+        lib.louvain_sweep.argtypes = [i32p, f32p, ctypes.c_int64,
+                                      ctypes.c_int64, i64p, i32p,
+                                      ctypes.c_int, ctypes.c_double,
+                                      ctypes.c_int, i32p]
+        lib.coarsen_edges.restype = ctypes.c_int64
+        lib.coarsen_edges.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                      ctypes.c_int64, i32p, i32p, f32p]
+        lib.leiden_refine_sweep.restype = ctypes.c_int
+        lib.leiden_refine_sweep.argtypes = [i32p, f32p, ctypes.c_int64,
+                                            ctypes.c_int64, i64p, i32p, i32p,
+                                            ctypes.c_double, ctypes.c_double,
+                                            ctypes.c_uint64, ctypes.c_int,
+                                            i32p]
         _lib = lib
         return _lib
 
@@ -247,6 +261,85 @@ def triangle_support_native(u, v, n, need_support, n_threads=None):
     if rc != 0:
         return None
     return tri, (sup if need_support else None)
+
+
+def louvain_sweep_native(dst_sorted, w_sorted, row_off, cluster, up_down,
+                         resolution, n_threads=None):
+    """One native threaded Louvain local-moving sweep (builder.cpp
+    louvain_sweep); COO must be pre-sorted by src with row_off[n+1]
+    offsets.  Returns the new cluster array or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    dst_sorted = np.ascontiguousarray(dst_sorted, np.int32)
+    w_sorted = np.ascontiguousarray(w_sorted, np.float32)
+    row_off = np.ascontiguousarray(row_off, np.int64)
+    cluster = np.ascontiguousarray(cluster, np.int32)
+    n = len(row_off) - 1
+    out = np.empty(n, np.int32)
+    rc = lib.louvain_sweep(
+        _ptr(dst_sorted, ctypes.c_int32), _ptr(w_sorted, ctypes.c_float),
+        len(dst_sorted), n, _ptr(row_off, ctypes.c_int64),
+        _ptr(cluster, ctypes.c_int32), int(bool(up_down)),
+        float(resolution), int(n_threads), _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return out
+
+
+def leiden_refine_sweep_native(dst_sorted, w_sorted, row_off, comm,
+                               refined, theta, resolution, seed,
+                               n_threads=None):
+    """One native threaded Leiden refinement sweep (builder.cpp
+    leiden_refine_sweep).  Returns the refined labels (path-compressed)
+    or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    dst_sorted = np.ascontiguousarray(dst_sorted, np.int32)
+    w_sorted = np.ascontiguousarray(w_sorted, np.float32)
+    row_off = np.ascontiguousarray(row_off, np.int64)
+    comm = np.ascontiguousarray(comm, np.int32)
+    refined = np.ascontiguousarray(refined, np.int32)
+    n = len(row_off) - 1
+    out = np.empty(n, np.int32)
+    rc = lib.leiden_refine_sweep(
+        _ptr(dst_sorted, ctypes.c_int32), _ptr(w_sorted, ctypes.c_float),
+        len(dst_sorted), n, _ptr(row_off, ctypes.c_int64),
+        _ptr(comm, ctypes.c_int32), _ptr(refined, ctypes.c_int32),
+        float(theta), float(resolution),
+        ctypes.c_uint64(int(seed) & (2**64 - 1)), int(n_threads),
+        _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return out
+
+
+def coarsen_edges_native(cs, cd, w, nc):
+    """Native cluster-contraction aggregation (builder.cpp coarsen_edges);
+    returns (src, dst, w) src-sorted aggregated arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cs = np.ascontiguousarray(cs, np.int32)
+    cd = np.ascontiguousarray(cd, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    m = len(cs)
+    osrc = np.empty(m, np.int32)
+    odst = np.empty(m, np.int32)
+    ow = np.empty(m, np.float32)
+    cnt = lib.coarsen_edges(
+        _ptr(cs, ctypes.c_int32), _ptr(cd, ctypes.c_int32),
+        _ptr(w, ctypes.c_float), m, int(nc),
+        _ptr(osrc, ctypes.c_int32), _ptr(odst, ctypes.c_int32),
+        _ptr(ow, ctypes.c_float))
+    if cnt < 0:
+        return None
+    return osrc[:cnt].copy(), odst[:cnt].copy(), ow[:cnt].copy()
 
 
 def pair_probe_native(us, vs, offsets, indices, weights, weighted,
