@@ -295,3 +295,67 @@ def test_pair_probe_native_matches_numpy(monkeypatch):
         if weighted:
             np.testing.assert_allclose(mn1, mn2, rtol=1e-6)
             np.testing.assert_allclose(mx1, mx2, rtol=1e-6)
+
+
+def test_coarsen_edges_native_matches_numpy():
+    """Native counting-sort contraction vs the NumPy key-sort path: same
+    aggregated (src, dst, weight) multiset and compaction."""
+    import cugraph_tpu.core.native as nat
+    from cugraph_tpu.algos.community import _coarsen
+
+    rng = np.random.default_rng(21)
+    m, n = 5000, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)
+    labels = rng.integers(0, 40, n)
+
+    a = _coarsen(src, dst, w, labels)
+    saved = nat._lib, nat._tried
+    nat._lib, nat._tried = None, True
+    try:
+        b = _coarsen(src, dst, w, labels)
+    finally:
+        nat._lib, nat._tried = saved
+    assert a[3] == b[3]  # nc
+    np.testing.assert_array_equal(a[4], b[4])  # compact mapping
+    ka = sorted(zip(a[0].tolist(), a[1].tolist(), np.round(a[2], 4)))
+    kb = sorted(zip(b[0].tolist(), b[1].tolist(), np.round(b[2], 4)))
+    assert ka == kb
+
+
+def test_louvain_sweep_native_matches_xla_quality():
+    """Native louvain one-level vs the jitted path: identical modularity on
+    a structured graph (two planted cliques + bridge)."""
+    import cugraph_tpu.core.native as nat
+    from cugraph_tpu.algos.community import _louvain_one_level
+
+    rng = np.random.default_rng(2)
+    edges = []
+    for base in (0, 10):
+        for i in range(10):
+            for j in range(i + 1, 10):
+                if rng.random() < 0.8:
+                    edges.append((base + i, base + j))
+    edges.append((0, 10))
+    src = np.array([e[0] for e in edges] + [e[1] for e in edges])
+    dst = np.array([e[1] for e in edges] + [e[0] for e in edges])
+    w = np.ones(len(src), np.float32)
+    lab_n, q_n = _louvain_one_level(src, dst, w, 20, 1.0)
+    saved = nat._lib, nat._tried
+    nat._lib, nat._tried = None, True
+    try:
+        lab_x, q_x = _louvain_one_level(src, dst, w, 20, 1.0)
+    finally:
+        nat._lib, nat._tried = saved
+    assert abs(q_n - q_x) < 1e-6
+    # same partition structure (labels may differ up to renaming)
+    for a_, b_ in ((lab_n, lab_x),):
+        groups_a = {}
+        for v_, l_ in enumerate(a_):
+            groups_a.setdefault(l_, set()).add(v_)
+        groups_b = {}
+        for v_, l_ in enumerate(b_):
+            groups_b.setdefault(l_, set()).add(v_)
+        assert sorted(map(sorted, groups_a.values())) == \
+            sorted(map(sorted, groups_b.values()))
