@@ -122,11 +122,17 @@ def _louvain_one_level_native(src, dst, w, n, resolution, max_sweeps,
     (snapshot moves, up/down alternation, keep-if-modularity-improves), with
     the per-sweep (src, cluster[dst]) grouping done by the C++ engine and
     modularity in float64 NumPy."""
-    from cugraph_tpu.core.native import louvain_sweep_native
+    from cugraph_tpu.core.native import (coarsen_edges_native,
+                                         louvain_sweep_native)
 
-    order = np.argsort(src, kind="stable")
-    ds = np.ascontiguousarray(dst[order], np.int32)
-    dw = np.ascontiguousarray(w[order], np.float32)
+    # identity-label contraction = one counting-sort pass that both sorts
+    # by src AND merges parallel edges (all cluster-level sums, hence
+    # modularity, are exactly preserved) — replaces an argsort of the COO
+    agg = coarsen_edges_native(src.astype(np.int32), dst.astype(np.int32),
+                               w, n)
+    src, dst, w = agg
+    ds = dst
+    dw = w
     row_off = np.zeros(n + 1, np.int64)
     np.cumsum(np.bincount(src, minlength=n), out=row_off[1:])
 

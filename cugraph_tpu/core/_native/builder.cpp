@@ -539,6 +539,51 @@ int triangle_support(const int64_t* u, const int64_t* v, int64_t M,
   return 0;
 }
 
+// Duplicate-edge coalescing (host analog of core/preprocess.py
+// remove_multi_edges; reference structure/remove_multi_edges_impl.cuh).
+// Two stable counting sorts (by dst, then src) group duplicate pairs with
+// ORIGINAL order preserved inside each run; per run the first original
+// index is emitted (key order) plus, for modes > 0, the reduced weight
+// (1 = sum, 2 = min, 3 = max).  Returns the unique-pair count.
+int64_t dedupe_edges(const int32_t* src, const int32_t* dst, const float* w,
+                     int64_t m, int64_t n, int mode, int64_t* keep_idx_out,
+                     float* w_out) {
+  if (m == 0) return 0;
+  std::vector<int64_t> cnt(n + 1, 0);
+  for (int64_t e = 0; e < m; ++e) cnt[dst[e] + 1]++;
+  for (int64_t v = 0; v < n; ++v) cnt[v + 1] += cnt[v];
+  std::vector<int64_t> ord1(m), cur(cnt.begin(), cnt.end() - 1);
+  for (int64_t e = 0; e < m; ++e) ord1[cur[dst[e]]++] = e;
+  std::fill(cnt.begin(), cnt.end(), 0);
+  for (int64_t e = 0; e < m; ++e) cnt[src[e] + 1]++;
+  for (int64_t v = 0; v < n; ++v) cnt[v + 1] += cnt[v];
+  cur.assign(cnt.begin(), cnt.end() - 1);
+  std::vector<int64_t> ord(m);
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t e = ord1[i];
+    ord[cur[src[e]]++] = e;
+  }
+  int64_t out = -1;
+  int32_t ps = -1, pd = -1;
+  double acc = 0.0;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t e = ord[i];
+    if (src[e] != ps || dst[e] != pd) {
+      if (out >= 0 && mode) w_out[out] = (float)acc;
+      ++out;
+      ps = src[e];
+      pd = dst[e];
+      keep_idx_out[out] = e;
+      acc = mode == 2 ? 1e30 : (mode == 3 ? -1e30 : 0.0);
+    }
+    if (mode == 1) acc += w ? w[e] : 1.0;
+    else if (mode == 2) acc = std::min(acc, (double)(w ? w[e] : 1.0f));
+    else if (mode == 3) acc = std::max(acc, (double)(w ? w[e] : 1.0f));
+  }
+  if (out >= 0 && mode) w_out[out] = (float)acc;
+  return out + 1;
+}
+
 // One parallel Louvain local-moving sweep (threaded host analog of
 // algos/community._louvain_move_sweep; reference
 // community/detail/common_methods.cuh:340 update_by_delta_modularity).

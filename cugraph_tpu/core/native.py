@@ -117,6 +117,10 @@ def get_lib():
         lib.coarsen_edges.restype = ctypes.c_int64
         lib.coarsen_edges.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
                                       ctypes.c_int64, i32p, i32p, f32p]
+        lib.dedupe_edges.restype = ctypes.c_int64
+        lib.dedupe_edges.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int, i64p,
+                                     f32p]
         lib.leiden_refine_sweep.restype = ctypes.c_int
         lib.leiden_refine_sweep.argtypes = [i32p, f32p, ctypes.c_int64,
                                             ctypes.c_int64, i64p, i32p, i32p,
@@ -317,6 +321,30 @@ def leiden_refine_sweep_native(dst_sorted, w_sorted, row_off, comm,
     if rc != 0:
         return None
     return out
+
+
+def dedupe_edges_native(src, dst, w, n, mode):
+    """Native duplicate-pair coalescing (builder.cpp dedupe_edges).
+    mode: 0=first, 1=sum, 2=min, 3=max.  Returns (keep_idx int64[K] in
+    (src, dst) key order, w_out float32[K] or None) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    m = len(src)
+    keep = np.empty(m, np.int64)
+    wout = np.empty(m if mode else 0, np.float32)
+    wptr = (np.ascontiguousarray(w, np.float32) if w is not None
+            else np.empty(0, np.float32))
+    cnt = lib.dedupe_edges(
+        _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+        _ptr(wptr, ctypes.c_float) if w is not None else None,
+        m, int(n), int(mode), _ptr(keep, ctypes.c_int64),
+        _ptr(wout, ctypes.c_float))
+    if cnt < 0:
+        return None
+    return keep[:cnt].copy(), (wout[:cnt].copy() if mode else None)
 
 
 def coarsen_edges_native(cs, cd, w, nc):

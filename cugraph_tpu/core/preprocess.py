@@ -25,6 +25,25 @@ def remove_multi_edges(src, dst, weight=None, *, keep="first"):
     remove_multi_edges_impl.cuh keeps an arbitrary one); ``keep='sum'`` sums
     weights, ``keep='min'``/``'max'`` reduce weights.
     """
+    n_ids = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1 \
+        if len(src) else 0
+    if (n_ids and np.issubdtype(src.dtype, np.integer)
+            and n_ids < (1 << 31)
+            and src.min(initial=0) >= 0 and dst.min(initial=0) >= 0):
+        from cugraph_tpu.core.native import dedupe_edges_native
+
+        mode = {"first": 0, "sum": 1, "min": 2, "max": 3}.get(keep)
+        if mode is not None and (mode == 0 or weight is not None):
+            nat = dedupe_edges_native(src, dst, weight, n_ids,
+                                      0 if weight is None else mode)
+            if nat is not None:
+                idx, w_out = nat
+                if mode == 0 or weight is None:
+                    idx.sort()  # original-order output, same as np.unique
+                    return (src[idx], dst[idx],
+                            None if weight is None else weight[idx])
+                return src[idx], dst[idx], w_out.astype(weight.dtype)
+
     key = (src.astype(np.int64) << 32) | dst.astype(np.uint32).astype(np.int64)
     if keep == "first" or weight is None:
         _, idx = np.unique(key, return_index=True)

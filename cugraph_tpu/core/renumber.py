@@ -73,20 +73,52 @@ def renumber_edgelist(
     """
     src = np.asarray(src)
     dst = np.asarray(dst)
-    pool = [src, dst]
-    if vertices is not None:
-        pool.append(np.asarray(vertices))
-    uniq, inv_all = np.unique(np.concatenate(pool), return_inverse=True)
-    inv = inv_all[: src.shape[0] + dst.shape[0]]
-    n = uniq.shape[0]
-    e = src.shape[0]
-    src_i = inv[:e].astype(np.int64)
-    dst_i = inv[e:].astype(np.int64)
+
+    # hash-renumber fast path (native C++, O(E)): the big np.unique over the
+    # 2E id pool is the construction hot spot at scale.  Ids come out in
+    # first-seen order; the small per-vertex lexsorts below restore EXACTLY
+    # the sorted-external tie semantics of the np.unique path.
+    uniq = None
+    if (len(src) and np.issubdtype(src.dtype, np.integer)
+            and np.issubdtype(dst.dtype, np.integer)):
+        from cugraph_tpu.core.native import renumber_native
+
+        nat = renumber_native(src.astype(np.int64), dst.astype(np.int64))
+        if nat is not None:
+            uniq, src_i, dst_i = nat
+            src_i = src_i.astype(np.int64)
+            dst_i = dst_i.astype(np.int64)
+            out_dt = src.dtype
+            if vertices is not None:
+                extra = np.setdiff1d(np.asarray(vertices, np.int64), uniq)
+                uniq = np.concatenate([uniq, extra])
+                out_dt = np.result_type(src.dtype, np.asarray(vertices).dtype)
+            uniq = uniq.astype(out_dt)
+            n = uniq.shape[0]
+            if not sort_by_degree:
+                order = np.argsort(uniq, kind="stable")
+                rank = np.empty(n, dtype=np.int64)
+                rank[order] = np.arange(n)
+                src_i = rank[src_i]
+                dst_i = rank[dst_i]
+                uniq = uniq[order]
+
+    if uniq is None:
+        pool = [src, dst]
+        if vertices is not None:
+            pool.append(np.asarray(vertices))
+        uniq, inv_all = np.unique(np.concatenate(pool), return_inverse=True)
+        inv = inv_all[: src.shape[0] + dst.shape[0]]
+        n = uniq.shape[0]
+        e = src.shape[0]
+        src_i = inv[:e].astype(np.int64)
+        dst_i = inv[e:].astype(np.int64)
 
     if sort_by_degree and n > 0:
         deg = np.bincount(src_i, minlength=n) + np.bincount(dst_i, minlength=n)
-        # stable sort by -degree; ties keep external-sorted order
-        order = np.argsort(-deg, kind="stable")  # order[k] = old idx of new id k
+        # by -degree; ties in external-id order (identical to the stable
+        # argsort over sorted uniq the np.unique path used)
+        order = np.lexsort((uniq, -deg))
         rank = np.empty(n, dtype=np.int64)
         rank[order] = np.arange(n)
         src_i = rank[src_i]
