@@ -539,6 +539,47 @@ int triangle_support(const int64_t* u, const int64_t* v, int64_t M,
   return 0;
 }
 
+// Exact k-core peeling (Batagelj–Zaversnik bin sort, O(V+E); host analog
+// of the Pallas peel in algos/cores.py; reference cores/core_number_impl.cuh
+// frontier-bucket peeling).  deg_init holds the per-vertex degrees of the
+// chosen degree_type; (row_off, adj) is the adjacency whose entries lose a
+// degree when a vertex is removed (the same matrix for undirected graphs,
+// the out-adjacency for incoming peeling, the in-adjacency for outgoing).
+// Simple-graph precondition (no parallel edges in adj).
+int core_number_peel(const int64_t* row_off, const int32_t* adj, int64_t n,
+                     const int64_t* deg_init, int32_t* core_out) {
+  if (n == 0) return 0;
+  std::vector<int64_t> deg(deg_init, deg_init + n);
+  int64_t md = 0;
+  for (int64_t v = 0; v < n; ++v) md = std::max(md, deg[v]);
+  std::vector<int64_t> bin(md + 2, 0), pos(n), vert(n);
+  for (int64_t v = 0; v < n; ++v) bin[deg[v] + 1]++;
+  for (int64_t d = 0; d <= md; ++d) bin[d + 1] += bin[d];
+  std::vector<int64_t> cur(bin.begin(), bin.end() - 1);
+  for (int64_t v = 0; v < n; ++v) {
+    pos[v] = cur[deg[v]]++;
+    vert[pos[v]] = v;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t v = vert[i];
+    core_out[v] = (int32_t)deg[v];
+    for (int64_t e = row_off[v]; e < row_off[v + 1]; ++e) {
+      const int64_t u = adj[e];
+      if (u == v || deg[u] <= deg[v]) continue;
+      const int64_t du = deg[u], pu = pos[u], pw = bin[du], w = vert[pw];
+      if (u != w) {
+        vert[pu] = w;
+        vert[pw] = u;
+        pos[u] = pw;
+        pos[w] = pu;
+      }
+      bin[du]++;
+      deg[u]--;
+    }
+  }
+  return 0;
+}
+
 // Duplicate-edge coalescing (host analog of core/preprocess.py
 // remove_multi_edges; reference structure/remove_multi_edges_impl.cuh).
 // Two stable counting sorts (by dst, then src) group duplicate pairs with

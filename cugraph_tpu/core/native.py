@@ -117,6 +117,9 @@ def get_lib():
         lib.coarsen_edges.restype = ctypes.c_int64
         lib.coarsen_edges.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
                                       ctypes.c_int64, i32p, i32p, f32p]
+        lib.core_number_peel.restype = ctypes.c_int
+        lib.core_number_peel.argtypes = [i64p, i32p, ctypes.c_int64, i64p,
+                                         i32p]
         lib.dedupe_edges.restype = ctypes.c_int64
         lib.dedupe_edges.argtypes = [i32p, i32p, f32p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_int, i64p,
@@ -318,6 +321,25 @@ def leiden_refine_sweep_native(dst_sorted, w_sorted, row_off, comm,
         float(theta), float(resolution),
         ctypes.c_uint64(int(seed) & (2**64 - 1)), int(n_threads),
         _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return out
+
+
+def core_number_peel_native(row_off, adj, deg_init):
+    """Exact Batagelj–Zaversnik core peeling (builder.cpp
+    core_number_peel); returns core int32[n] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_off = np.ascontiguousarray(row_off, np.int64)
+    adj = np.ascontiguousarray(adj, np.int32)
+    deg_init = np.ascontiguousarray(deg_init, np.int64)
+    n = len(row_off) - 1
+    out = np.empty(n, np.int32)
+    rc = lib.core_number_peel(
+        _ptr(row_off, ctypes.c_int64), _ptr(adj, ctypes.c_int32), n,
+        _ptr(deg_init, ctypes.c_int64), _ptr(out, ctypes.c_int32))
     if rc != 0:
         return None
     return out

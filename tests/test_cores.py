@@ -63,3 +63,34 @@ def test_core_number_directed_pallas_matches_xla(monkeypatch):
         G.from_edgelist(src, dst, None)
         got = ctpu.core_number(G, degree_type=dt)["core_number"].to_numpy()
         assert (got == ref[dt]).all(), dt
+
+
+def test_core_number_native_matches_xla_all_degree_types():
+    """Native B-Z peel vs the XLA h-index fixpoint on random directed and
+    undirected graphs, every degree_type (incl. the bidirectional doubling
+    semantics on reciprocated pairs)."""
+    import cugraph_tpu.core.native as nat
+    import cugraph_tpu as ct
+
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 120, 900)
+    dst = rng.integers(0, 120, 900)
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], 1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+
+    for directed in (False, True):
+        G = ct.Graph(directed=directed)
+        G.from_edgelist(src, dst, None)
+        for dt in (("bidirectional", "incoming", "outgoing") if directed
+                   else ("bidirectional",)):
+            a = ct.core_number(G, degree_type=dt).sort_values("vertex")
+            saved = nat._lib, nat._tried
+            nat._lib, nat._tried = None, True
+            try:
+                b = ct.core_number(G, degree_type=dt).sort_values("vertex")
+            finally:
+                nat._lib, nat._tried = saved
+            np.testing.assert_array_equal(
+                a["core_number"].to_numpy(), b["core_number"].to_numpy(),
+                err_msg=f"directed={directed} dt={dt}")
