@@ -457,13 +457,52 @@ def ecg(G, min_weight: float = 0.05, ensemble_size: int = 16,
     w = np.ones(len(src), np.float32) if w0 is None else w0.astype(np.float32)
     rng = np.random.default_rng(random_state)
     votes = np.zeros(len(src), np.float64)
-    for e in range(ensemble_size):
-        perm = rng.permutation(n).astype(np.int32)
-        inv = np.empty(n, np.int32); inv[perm] = np.arange(n, dtype=np.int32)
-        lab, _ = _louvain_one_level(perm[src], perm[dst], w, n, resolution,
-                                    max_sweeps=2, threshold=threshold)
-        lab_orig = lab[perm]  # label of original vertex v = lab[perm[v]]
-        votes += (lab_orig[src] == lab_orig[dst])
+
+    from cugraph_tpu.core.native import (coarsen_edges_native,
+                                         get_lib,
+                                         louvain_sweep_native)
+
+    if get_lib() is not None and len(src):
+        # ensemble diversity = a random id RANK per member (exactly what
+        # permuting vertex ids changes: direction filters + tie-breaks),
+        # so every member reuses ONE sorted/aggregated graph
+        agg_s, agg_d, agg_w = coarsen_edges_native(
+            src.astype(np.int32), dst.astype(np.int32), w, n)
+        row_off = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(agg_s, minlength=n), out=row_off[1:])
+        w64 = agg_w.astype(np.float64)
+        m2 = max(w64.sum(), 1e-30)
+        kdeg = np.bincount(agg_s, weights=w64, minlength=n)
+
+        def modularity(cl):
+            intra = w64[cl[agg_s] == cl[agg_d]].sum()
+            sigma = np.bincount(cl, weights=kdeg, minlength=n)
+            return intra / m2 - resolution * np.sum((sigma / m2) ** 2)
+
+        for e in range(ensemble_size):
+            rank = np.empty(n, np.int32)
+            rank[rng.permutation(n)] = np.arange(n, dtype=np.int32)
+            cluster = np.arange(n, dtype=np.int32)
+            best_q = modularity(cluster)
+            up_down = True
+            for sweep in range(2):
+                cl2 = louvain_sweep_native(agg_d, agg_w, row_off, cluster,
+                                           up_down, resolution, rank=rank)
+                q2 = modularity(cl2)
+                up_down = not up_down
+                if q2 > best_q + threshold:
+                    best_q, cluster = q2, cl2
+                elif sweep >= 1:
+                    break
+            votes += (cluster[src] == cluster[dst])
+    else:
+        for e in range(ensemble_size):
+            perm = rng.permutation(n).astype(np.int32)
+            lab, _ = _louvain_one_level(perm[src], perm[dst], w, n,
+                                        resolution, max_sweeps=2,
+                                        threshold=threshold)
+            lab_orig = lab[perm]  # label of original v = lab[perm[v]]
+            votes += (lab_orig[src] == lab_orig[dst])
     new_w = min_weight + (1.0 - min_weight) * (votes / ensemble_size)
     new_w = new_w.astype(np.float32)
     from cugraph_tpu.api.graph import Graph

@@ -634,10 +634,14 @@ int64_t dedupe_edges(const int32_t* src, const int32_t* dst, const float* w,
 // against the SNAPSHOT (parallel-sweep semantics, matching the jitted
 // XLA version); per-vertex neighbor-cluster aggregation sorts the row's
 // cluster ids (no hash maps).  Returns 0; new_cluster[v] holds the result.
+// ``rank`` (optional, may be NULL = identity) relabels the id ORDER used
+// by the up/down direction filter and tie-breaking — running the sweep
+// with a random rank is exactly the ensemble-diversity permutation of the
+// reference's ECG without rebuilding/resorting the graph.
 int louvain_sweep(const int32_t* dst, const float* w, int64_t m,
                   int64_t n, const int64_t* row_off,
-                  const int32_t* cluster, int up_down, double resolution,
-                  int n_threads, int32_t* new_cluster) {
+                  const int32_t* cluster, const int32_t* rank, int up_down,
+                  double resolution, int n_threads, int32_t* new_cluster) {
   std::vector<double> k(n, 0.0);
   for (int64_t v = 0; v < n; ++v)
     for (int64_t e = row_off[v]; e < row_off[v + 1]; ++e) k[v] += w[e];
@@ -652,6 +656,7 @@ int louvain_sweep(const int32_t* dst, const float* w, int64_t m,
   // balance threads by edge count
   auto run = [&](int64_t vlo, int64_t vhi) {
     std::vector<std::pair<int32_t, float>> row;
+    auto rk = [&](int32_t c) { return rank ? rank[c] : c; };
     for (int64_t v = vlo; v < vhi; ++v) {
       const int64_t lo = row_off[v], hi = row_off[v + 1];
       const int32_t cur = cluster[v];
@@ -665,19 +670,22 @@ int louvain_sweep(const int32_t* dst, const float* w, int64_t m,
       std::sort(row.begin(), row.end(),
                 [](const auto& a, const auto& b) { return a.first < b.first; });
       const double kv = k[v];
+      const int32_t rcur = rk(cur);
       double w_stay = 0.0, best_gain = -1e30;
-      int32_t best_c = INT32_MAX;
+      int32_t best_c = INT32_MAX, best_r = INT32_MAX;
       size_t i = 0;
       while (i < row.size()) {
         const int32_t c = row[i].first;
         double W = 0.0;
         while (i < row.size() && row[i].first == c) W += row[i++].second;
         if (c == cur) { w_stay = W; continue; }
-        if (up_down ? c <= cur : c >= cur) continue;
+        const int32_t rc = rk(c);
+        if (up_down ? rc <= rcur : rc >= rcur) continue;
         const double gain = W - resolution * kv * sigma[c] * inv_m2;
-        if (gain > best_gain || (gain == best_gain && c < best_c)) {
+        if (gain > best_gain || (gain == best_gain && rc < best_r)) {
           best_gain = gain;
           best_c = c;
+          best_r = rc;
         }
       }
       const double f_stay =

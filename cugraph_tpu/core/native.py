@@ -111,7 +111,7 @@ def get_lib():
                                                 i32p, f32p, f32p]
         lib.louvain_sweep.restype = ctypes.c_int
         lib.louvain_sweep.argtypes = [i32p, f32p, ctypes.c_int64,
-                                      ctypes.c_int64, i64p, i32p,
+                                      ctypes.c_int64, i64p, i32p, i32p,
                                       ctypes.c_int, ctypes.c_double,
                                       ctypes.c_int, i32p]
         lib.coarsen_edges.restype = ctypes.c_int64
@@ -271,10 +271,12 @@ def triangle_support_native(u, v, n, need_support, n_threads=None):
 
 
 def louvain_sweep_native(dst_sorted, w_sorted, row_off, cluster, up_down,
-                         resolution, n_threads=None):
+                         resolution, rank=None, n_threads=None):
     """One native threaded Louvain local-moving sweep (builder.cpp
     louvain_sweep); COO must be pre-sorted by src with row_off[n+1]
-    offsets.  Returns the new cluster array or None."""
+    offsets.  ``rank`` optionally relabels the id ORDER for direction/tie
+    decisions (ECG's ensemble permutation without re-sorting the graph).
+    Returns the new cluster array or None."""
     lib = get_lib()
     if lib is None:
         return None
@@ -284,13 +286,17 @@ def louvain_sweep_native(dst_sorted, w_sorted, row_off, cluster, up_down,
     w_sorted = np.ascontiguousarray(w_sorted, np.float32)
     row_off = np.ascontiguousarray(row_off, np.int64)
     cluster = np.ascontiguousarray(cluster, np.int32)
+    rank_arr = (None if rank is None
+                else np.ascontiguousarray(rank, np.int32))
     n = len(row_off) - 1
     out = np.empty(n, np.int32)
     rc = lib.louvain_sweep(
         _ptr(dst_sorted, ctypes.c_int32), _ptr(w_sorted, ctypes.c_float),
         len(dst_sorted), n, _ptr(row_off, ctypes.c_int64),
-        _ptr(cluster, ctypes.c_int32), int(bool(up_down)),
-        float(resolution), int(n_threads), _ptr(out, ctypes.c_int32))
+        _ptr(cluster, ctypes.c_int32),
+        _ptr(rank_arr, ctypes.c_int32) if rank_arr is not None else None,
+        int(bool(up_down)), float(resolution), int(n_threads),
+        _ptr(out, ctypes.c_int32))
     if rc != 0:
         return None
     return out
