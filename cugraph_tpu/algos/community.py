@@ -480,8 +480,10 @@ def ecg(G, min_weight: float = 0.05, ensemble_size: int = 16,
             return intra / m2 - resolution * np.sum((sigma / m2) ** 2)
 
         for e in range(ensemble_size):
-            rank = np.empty(n, np.int32)
-            rank[rng.permutation(n)] = np.arange(n, dtype=np.int32)
+            # the FORWARD permutation is the relabeling: sweep decisions on
+            # perm-relabelled ids compare perm[c] (verified equal to the
+            # fallback's permuted-graph run)
+            rank = rng.permutation(n).astype(np.int32)
             cluster = np.arange(n, dtype=np.int32)
             best_q = modularity(cluster)
             up_down = True

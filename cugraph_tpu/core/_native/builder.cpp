@@ -615,7 +615,7 @@ int64_t dedupe_edges(const int32_t* src, const int32_t* dst, const float* w,
       ps = src[e];
       pd = dst[e];
       keep_idx_out[out] = e;
-      acc = mode == 2 ? 1e30 : (mode == 3 ? -1e30 : 0.0);
+      acc = mode == 2 ? HUGE_VAL : (mode == 3 ? -HUGE_VAL : 0.0);
     }
     if (mode == 1) acc += w ? w[e] : 1.0;
     else if (mode == 2) acc = std::min(acc, (double)(w ? w[e] : 1.0f));

@@ -257,6 +257,10 @@ def triangle_support_native(u, v, n, need_support, n_threads=None):
         return None
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 16)
+        # per-thread accumulators are (n + M)·8 B — cap the fleet so the
+        # transient stays under ~2 GB at any scale
+        per = (int(n) + len(u)) * 8
+        n_threads = max(1, min(n_threads, (2 << 30) // max(per, 1)))
     u = np.ascontiguousarray(u, np.int64)
     v = np.ascontiguousarray(v, np.int64)
     tri = np.empty(int(n), np.int64)

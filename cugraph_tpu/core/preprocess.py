@@ -27,8 +27,10 @@ def remove_multi_edges(src, dst, weight=None, *, keep="first"):
     """
     n_ids = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1 \
         if len(src) else 0
+    # counting sort pays only for DENSE id spaces: O(max_id) bucket arrays
+    # on sparse huge raw ids (renumber=False) would dwarf O(m log m)
     if (n_ids and np.issubdtype(src.dtype, np.integer)
-            and n_ids < (1 << 31)
+            and n_ids < (1 << 31) and n_ids <= 4 * len(src) + 1024
             and src.min(initial=0) >= 0 and dst.min(initial=0) >= 0):
         from cugraph_tpu.core.native import dedupe_edges_native
 

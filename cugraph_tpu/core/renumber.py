@@ -88,11 +88,11 @@ def renumber_edgelist(
             uniq, src_i, dst_i = nat
             src_i = src_i.astype(np.int64)
             dst_i = dst_i.astype(np.int64)
-            out_dt = src.dtype
+            out_dt = np.result_type(src.dtype, dst.dtype)
             if vertices is not None:
                 extra = np.setdiff1d(np.asarray(vertices, np.int64), uniq)
                 uniq = np.concatenate([uniq, extra])
-                out_dt = np.result_type(src.dtype, np.asarray(vertices).dtype)
+                out_dt = np.result_type(out_dt, np.asarray(vertices).dtype)
             uniq = uniq.astype(out_dt)
             n = uniq.shape[0]
             if not sort_by_degree:

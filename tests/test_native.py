@@ -359,3 +359,26 @@ def test_louvain_sweep_native_matches_xla_quality():
             groups_b.setdefault(l_, set()).add(v_)
         assert sorted(map(sorted, groups_a.values())) == \
             sorted(map(sorted, groups_b.values()))
+
+
+def test_renumber_mixed_width_and_sparse_dedupe():
+    """Review regressions: renumber must widen to the dst dtype (int32 src +
+    int64 dst with huge ids), and sparse huge raw ids must not reach the
+    counting-sort dedupe (falls back to np.unique, stays correct)."""
+    import cugraph_tpu as ct
+    from cugraph_tpu.core.renumber import renumber_edgelist
+
+    src = np.array([0, 1, 2], np.int32)
+    dst = np.array([2**40, 1, 0], np.int64)
+    s, d, nm = renumber_edgelist(src, dst)
+    assert len(np.unique(nm._i2e)) == 4  # no wrapped duplicates
+    assert 2**40 in set(nm._i2e.tolist())
+
+    # sparse ids (max id >> 4·m): the dense-bucket native dedupe must be
+    # skipped in favor of np.unique — answers stay correct either way
+    from cugraph_tpu.core.preprocess import remove_multi_edges
+
+    s2 = np.array([1_000_000, 5, 1_000_000], np.int64)
+    d2 = np.array([7, 9, 7], np.int64)
+    rs, rd, _ = remove_multi_edges(s2, d2)
+    assert len(rs) == 2 and 1_000_000 in set(rs.tolist())
