@@ -54,6 +54,73 @@ class NumberMap:
         pos = np.clip(pos, 0, self._sorted_ext.shape[0] - 1)
         return self._sorted_ext[pos] == external
 
+    # -- reference NumberMap method-name parity (number_map.py:310-599) ----
+
+    def to_internal_vertex_id(self, df, col_names=None):
+        """External-id column(s)/Series → internal ids
+        (reference number_map.py:310)."""
+        if col_names is not None:
+            df = df[col_names[0] if isinstance(col_names, list) else col_names]
+        return self.to_internal(np.asarray(df))
+
+    def from_internal_vertex_id(self, df, internal_column_name=None,
+                                external_column_names=None, drop=False):
+        """Internal-id column → external ids appended as '0'
+        (reference number_map.py:39/:157 semantics, single-column maps)."""
+        import pandas as pd
+
+        if isinstance(df, pd.DataFrame):
+            col = (internal_column_name if internal_column_name is not None
+                   else df.columns[0])
+            out = df.copy()
+            name = (external_column_names[0]
+                    if isinstance(external_column_names, list)
+                    else external_column_names or "0")
+            out[name] = self.to_external(np.asarray(df[col]))
+            if drop:
+                out = out.drop(columns=[col])
+            return out
+        return self.to_external(np.asarray(df))
+
+    def add_internal_vertex_id(self, df, id_column_name, col_names,
+                               drop=False, preserve_order=False):
+        """Add an internal-id column for external-id column(s)
+        (reference number_map.py:350)."""
+        col = col_names[0] if isinstance(col_names, list) else col_names
+        out = df.copy()
+        out[id_column_name] = self.to_internal(np.asarray(df[col]))
+        if drop:
+            out = out.drop(columns=[col])
+        return out
+
+    @staticmethod
+    def renumber(df, src_col_names, dst_col_names, preserve_order=False,
+                 store_transposed=False):
+        """Renumber a DataFrame's endpoint columns (reference
+        number_map.py:592): returns (renumbered df ['src','dst', ...rest],
+        NumberMap)."""
+        src_col = (src_col_names[0] if isinstance(src_col_names, list)
+                   else src_col_names)
+        dst_col = (dst_col_names[0] if isinstance(dst_col_names, list)
+                   else dst_col_names)
+        s, d, nmap = renumber_edgelist(df[src_col].to_numpy(),
+                                       df[dst_col].to_numpy())
+        out = df.drop(columns=[src_col, dst_col]).copy()
+        out.insert(0, "src", s)
+        out.insert(1, "dst", d)
+        return out, nmap
+
+    def unrenumber(self, df, column_name, preserve_order=False,
+                   get_column_names=False):
+        """Map an internal-id column back to external ids
+        (reference number_map.py:599)."""
+        out = df.copy()
+        out[column_name] = self.to_external(np.asarray(df[column_name]))
+        return out
+
+    def vertex_column_size(self):
+        return 1
+
 
 def renumber_edgelist(
     src: np.ndarray,

@@ -195,3 +195,23 @@ def test_review_fixes_pending_nodes_and_unrenumber():
                      np.array([1.0, 2.0], np.float32))
     with pytest.raises(ValueError, match="method"):
         ct.sssp(gd, 0, 1.0)  # old positional cutoff must not pass silently
+
+
+def test_numbermap_reference_method_parity():
+    """Reference NumberMap method names (number_map.py:310-599):
+    renumber/unrenumber/to_internal_vertex_id/add_internal_vertex_id."""
+    import pandas as pd
+
+    from cugraph_tpu.structure import NumberMap
+
+    df = pd.DataFrame({"s": [100, 300], "d": [300, 500], "w": [1.0, 2.0]})
+    rdf, nm = NumberMap.renumber(df, "s", "d")
+    assert {"src", "dst", "w"} <= set(rdf.columns)
+    back = nm.unrenumber(rdf[["src"]].copy(), "src")
+    assert set(back["src"]) == {100, 300}
+    ids = nm.to_internal_vertex_id(pd.DataFrame({"v": [500]}), "v")
+    assert nm.to_external(ids)[0] == 500
+    added = nm.add_internal_vertex_id(pd.DataFrame({"v": [100]}), "iv", "v",
+                                      drop=True)
+    assert list(added.columns) == ["iv"]
+    assert nm.vertex_column_size() == 1
