@@ -27,7 +27,9 @@ def rmat14():
     # dedup parallel edges (scipy csr SUMS duplicates; Graph coalesces) and
     # compact to the touched vertex set so scipy oracles share the Graph's
     # vertex universe (isolated RMAT ids never enter the edge list)
-    pair = np.unique(src * (1 << 21) + dst)
+    # int64 keys: the int32 inputs would overflow src * 2^21 and scramble
+    # pairs (fabricating self-loops the keep filter already removed)
+    pair = np.unique(src.astype(np.int64) * (1 << 21) + dst)
     src, dst = pair >> 21, pair & ((1 << 21) - 1)
     vs, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     src, dst = inv[: len(src)], inv[len(src):]
@@ -102,3 +104,40 @@ def test_sssp_rmat14_vs_scipy(rmat14):
     for v in sample:
         if finite[v]:
             assert abs(got[v] - ref[v]) < 1e-3, (v, got[v], ref[v])
+
+
+def test_triangles_rmat14_cross_engine(rmat14):
+    """Two independent implementations must agree at power-law scale: the
+    oriented wedge engine's per-edge support vs the min-degree probe
+    engine's |N(u)∩N(v)| for sampled adjacent pairs, plus the
+    Σtri = Σsup = 3T invariants and scipy trace(A·A·A)/6."""
+    src, dst, n = rmat14
+    G = ctpu.Graph()
+    G.from_edgelist(src, dst, None)
+
+    tc = ctpu.triangle_count(G).sort_values("vertex")
+    et = ctpu.edge_triangle_count(G)
+    T3 = int(tc["counts"].sum())
+    assert T3 % 3 == 0
+    # per-directed-edge support sums to 6T (each triangle: 3 edges × 2 dirs)
+    assert int(et["counts"].sum()) == 2 * T3
+
+    # scipy oracle: number of triangles = trace(A^3)/6 on the simple
+    # symmetric adjacency
+    s2, d2, _ = G.edgelist_arrays()
+    A = sp.csr_matrix((np.ones(len(s2)), (s2, d2)),
+                      shape=(G.number_of_vertices(),) * 2)
+    A.data[:] = 1.0
+    tr = (A @ A).multiply(A).sum()
+    # (A²∘A).sum() counts each triangle 6× on the symmetric matrix = 2·(3T)
+    assert int(round(tr)) == 2 * T3
+
+    # cross-engine: sampled adjacent pairs, probe engine vs wedge support
+    from cugraph_tpu.prims.intersection import _pair_minprobe_host
+
+    rng = np.random.default_rng(3)
+    sel = rng.choice(len(s2), 400, replace=False)
+    cnt, _, _ = _pair_minprobe_host(G.structure.csr, s2[sel].astype(np.int64),
+                                    d2[sel].astype(np.int64), False)
+    np.testing.assert_array_equal(cnt,
+                                  et["counts"].to_numpy()[sel])
