@@ -908,15 +908,19 @@ def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
 # ---------------------------------------------------------------------------
 
 def _mg_out_degree_counts(g: DistGraph):
-    """UNWEIGHTED out-degree (edge counts) — similarity coefficients are
-    neighbor-set sizes, not weight sums; cached on the DistGraph object."""
+    """UNWEIGHTED out-degree as neighbor-SET sizes (parallel edges deduped,
+    matching the set semantics of the intersection context — similarity
+    coefficients divide set intersections by set sizes); cached on the
+    DistGraph object."""
     cached = getattr(g, "_out_counts", None)
     if cached is not None:
         return cached
     from cugraph_tpu.parallel.louvain import _gather_edges_host
 
-    src, _, _ = _gather_edges_host(g)
-    counts = np.bincount(src, minlength=g.pad_v).astype(np.float64)
+    src, dst, _ = _gather_edges_host(g)
+    key = np.unique(src.astype(np.int64) * np.int64(g.pad_v) + dst)
+    counts = np.bincount((key // g.pad_v).astype(np.int64),
+                         minlength=g.pad_v).astype(np.float64)
     object.__setattr__(g, "_out_counts", counts)
     return counts
 
@@ -1205,7 +1209,13 @@ def mg_negative_sampling(g: DistGraph, mesh, num_samples: int,
             ss, dd = uniq // n, uniq % n
         out_s, out_d = [ss], [dd]
         have = len(ss)
-    ss, dd = out_s[0][:num_samples], out_d[0][:num_samples]
+    ss, dd = out_s[0], out_d[0]
+    if len(ss) > num_samples:
+        # np.unique sorted the survivors by (src, dst); truncating that
+        # order would keep only the lowest-id pairs — take a RANDOM subset
+        sel = np.random.default_rng(seed + 1).choice(
+            len(ss), num_samples, replace=False)
+        ss, dd = ss[sel], dd[sel]
     import pandas as pd
 
     return pd.DataFrame({"src": ss, "dst": dd})
@@ -1380,7 +1390,16 @@ def mg_core_number(g: DistGraph, mesh, degree_type: str = "bidirectional",
             deg += np.bincount(dst_e, minlength=g.pad_v)
         if use_push:
             deg += np.bincount(src_e, minlength=g.pad_v)
-        max_core = int(deg.max()) if deg.size else 1
+        # h-index of the degree SEQUENCE bounds every core number (a k-core
+        # needs >k members of degree ≥ k) — on power-law graphs this is
+        # orders of magnitude below max degree, and the fixpoint kernel's
+        # per-sweep work is linear in the cap
+        if deg.size:
+            ds = np.sort(deg)[::-1]
+            h = int(np.count_nonzero(ds >= np.arange(1, len(ds) + 1)))
+            max_core = max(h, 1)
+        else:
+            max_core = 1
     kern = _mg_core_number_kernel(mesh, g.pmaj, g.pmin, g.chunk,
                                   g.num_vertices, int(max_core),
                                   use_pull, use_push)

@@ -225,24 +225,30 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False,
 _cache: list = []
 
 
-def _get(g, key, builder, mesh=None):
+def _get(g, key, builder, mesh=None, shard=True):
+    # cache rows hold WEAKREFS to both the graph and the mesh: a plan
+    # device_put for one mesh must never serve another (id() can alias
+    # after garbage collection; identity via weakref cannot)
     global _cache
-    _cache = [(r, k, p) for (r, k, p) in _cache if r() is not None]
-    for r, k, p in _cache:
-        if r() is g and k == key:
+    _cache = [(r, k, mr, p) for (r, k, mr, p) in _cache
+              if r() is not None and (mr is None or mr() is not None)]
+    for r, k, mr, p in _cache:
+        if (r() is g and k == key
+                and (mr() if mr is not None else None) is mesh):
             return p
     # plans may be requested lazily inside a jit trace (g closed over as a
     # constant); force eager evaluation so jnp ops build concrete arrays
     with jax.ensure_compile_time_eval():
         p = builder()
-    if mesh is not None:
+    if mesh is not None and shard:
         from jax.sharding import NamedSharding
 
         from cugraph_tpu.parallel.mesh import edge_spec
 
         sh = NamedSharding(mesh, edge_spec())
         p = jax.tree.map(lambda a: jax.device_put(a, sh), p)
-    _cache.append((weakref.ref(g), key, p))
+    _cache.append((weakref.ref(g), key,
+                   weakref.ref(mesh) if mesh is not None else None, p))
     return p
 
 
@@ -288,4 +294,4 @@ def get_mg_spmm_fn(g, mesh, orientation="pull"):
         fwd, bwd = get_stacked_spmm_plans(g, mesh, orientation)
         return mg_spmm_pallas_fn(mesh, g.pmaj, g.pmin, g.chunk, fwd, bwd)
 
-    return _get(g, ("spmm_fn", orientation, id(mesh)), builder)
+    return _get(g, ("spmm_fn", orientation), builder, mesh, shard=False)

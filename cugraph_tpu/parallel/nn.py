@@ -84,27 +84,101 @@ def mg_spmm_pallas_fn(mesh, pmaj: int, pmin: int, chunk: int, fwd, bwd):
     return f
 
 
-def _spmm_call(g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+def mg_spmm_pallas_arg_fn(mesh, pmaj: int, pmin: int, chunk: int):
+    """Like mg_spmm_pallas_fn, but the StackedSpmmPlans flow as ARGUMENTS
+    of the returned f(fwd, bwd, x) — required when f is called inside an
+    outer jit (a closure would embed the plan arrays as HLO constants,
+    which the tunnel's ~200 MB compile-body limit rejects).  Plans get
+    zero/float0 cotangents."""
+    from cugraph_tpu.kernels.spmm_onehot import spmm_onehot
+
+    es, vs = edge_spec(), vertex_spec()
+    nseg = pmaj * chunk
+    B = pmin * chunk
+
+    def k_fwd(fp, x_own):
+        lp = fp.local()
+        x_blk = prims.gather_minor_block(x_own)
+        xp = jnp.pad(x_blk, ((0, lp.pad_v - B), (0, 0)))
+        part = spmm_onehot(lp, xp)[:nseg]
+        return prims.scatter_reduce_major_sum(part)
+
+    def k_bwd(bp, gy_own):
+        lp = bp.local()
+        gy_blk = prims.gather_major_block(gy_own)
+        gp = jnp.pad(gy_blk, ((0, lp.pad_v - nseg), (0, 0)))
+        part = spmm_onehot(lp, gp)[:B]
+        return prims.scatter_reduce_minor_sum(part)
+
+    sm_f = jax.jit(jax.shard_map(k_fwd, mesh=mesh, in_specs=(es, vs),
+                                 out_specs=vs, check_vma=False))
+    sm_b = jax.jit(jax.shard_map(k_bwd, mesh=mesh, in_specs=(es, vs),
+                                 out_specs=vs, check_vma=False))
+
+    def _zero_cot(tree):
+        import numpy as _np
+
+        return jax.tree.map(
+            lambda a: (jnp.zeros_like(a)
+                       if jnp.issubdtype(a.dtype, jnp.floating)
+                       else _np.zeros(a.shape, jax.dtypes.float0)), tree)
+
+    @jax.custom_vjp
+    def f(fwd, bwd, x):
+        return sm_f(fwd, x)
+
+    def f_fwd(fwd, bwd, x):
+        return sm_f(fwd, x), (fwd, bwd)
+
+    def f_bwd(res, gy):
+        fwd, bwd = res
+        return _zero_cot(fwd), _zero_cot(bwd), sm_b(bwd, gy)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _spmm_call(g: DistGraph, mesh, x: jax.Array, plans=None) -> jax.Array:
     from cugraph_tpu.parallel.kernels import (
         get_mg_spmm_fn,
         mg_use_pallas,
     )
 
+    if plans is not None:
+        # plan-argument path (train steps: plans are jit arguments)
+        f = _get_arg_fn(mesh, g.pmaj, g.pmin, g.chunk)
+        return f(plans[0], plans[1], x)
     if mg_use_pallas(g) and not isinstance(g.pull.src_loc, jax.core.Tracer):
         return get_mg_spmm_fn(g, mesh)(x)
     return _mg_spmm(mesh, g.pmaj, g.chunk)(
         g.pull.src_loc, g.pull.dst_loc, g.pull.weight, x)
 
 
-def mg_aggregate_mean(g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+_arg_fns: dict = {}
+
+
+def _get_arg_fn(mesh, pmaj, pmin, chunk):
+    key = (id(mesh), pmaj, pmin, chunk)
+    f = _arg_fns.get(key)
+    if f is None:
+        f = mg_spmm_pallas_arg_fn(mesh, pmaj, pmin, chunk)
+        _arg_fns[key] = (f, mesh)  # hold the mesh so id() cannot alias
+    else:
+        f = f[0]
+    return f
+
+
+def mg_aggregate_mean(g: DistGraph, mesh, x: jax.Array,
+                      plans=None) -> jax.Array:
     """Mean of in-neighbor features, owner-sharded [pad_v, F] → [pad_v, F]."""
-    agg = _spmm_call(g, mesh, x)
+    agg = _spmm_call(g, mesh, x, plans=plans)
     deg = jnp.maximum(g.in_degree, 1.0)
     return agg / deg[:, None]
 
 
-def mg_sage_conv(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:
-    h_nbr = mg_aggregate_mean(g, mesh, x)
+def mg_sage_conv(params, g: DistGraph, mesh, x: jax.Array,
+                 plans=None) -> jax.Array:
+    h_nbr = mg_aggregate_mean(g, mesh, x, plans=plans)
     return (
         jnp.dot(x, params["w_self"], preferred_element_type=jnp.float32)
         + jnp.dot(h_nbr, params["w_nbr"], preferred_element_type=jnp.float32)
@@ -112,10 +186,11 @@ def mg_sage_conv(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:
     )
 
 
-def mg_graphsage_apply(params, g: DistGraph, mesh, x: jax.Array) -> jax.Array:
+def mg_graphsage_apply(params, g: DistGraph, mesh, x: jax.Array,
+                       plans=None) -> jax.Array:
     h = x
     for i, p in enumerate(params):
-        h = mg_sage_conv(p, g, mesh, h)
+        h = mg_sage_conv(p, g, mesh, h, plans=plans)
         if i + 1 < len(params):
             h = jax.nn.relu(h)
     return h
@@ -129,18 +204,31 @@ def mg_masked_cross_entropy(logits, labels, mask):
 
 
 def make_mg_train_step(g: DistGraph, mesh, optimizer: optax.GradientTransformation):
-    """Jitted full training step: fwd + bwd + optimizer update, all sharded."""
+    """Jitted full training step: fwd + bwd + optimizer update, all sharded.
 
-    def loss_fn(params, x, labels, mask):
-        logits = mg_graphsage_apply(params, g, mesh, x)
+    The DistGraph and (on the Pallas path) the stacked SpMM plans flow as
+    JIT ARGUMENTS — closing over them would embed the edge partition as HLO
+    constants and blow the tunnel's ~200 MB compile-body limit."""
+    from cugraph_tpu.parallel.kernels import (get_stacked_spmm_plans,
+                                              mg_use_pallas)
+
+    plans = (get_stacked_spmm_plans(g, mesh, "pull")
+             if mg_use_pallas(g) else None)
+
+    def loss_fn(params, g_, plans_, x, labels, mask):
+        logits = mg_graphsage_apply(params, g_, mesh, x, plans=plans_)
         return mg_masked_cross_entropy(logits, labels, mask)
 
     @jax.jit
-    def train_step(params, opt_state, x, labels, mask):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, labels, mask)
+    def _step(g_, plans_, params, opt_state, x, labels, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, g_, plans_, x,
+                                                  labels, mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def train_step(params, opt_state, x, labels, mask):
+        return _step(g, plans, params, opt_state, x, labels, mask)
 
     return train_step
 

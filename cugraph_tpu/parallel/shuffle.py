@@ -140,21 +140,24 @@ def shuffle_reduce_by_key(mesh, part, keys, values, op: str = "sum"):
     all tuples per key), owner-sharded.
     """
     ko, vo = shuffle_to_owners(mesh, part, keys, values)
-
-    @lru_cache(maxsize=8)
-    def _reduce_kernel(mesh_, chunk, op_):
-        def kernel(k, v):
-            i, j = prims.my_coords()
-            pmin = jax.lax.axis_size(prims.MINOR)
-            base = (i * pmin + j) * chunk
-            local = jnp.where(k >= 0, k - base, chunk)  # invalid → pad slot
-            seg = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
-                   "max": jax.ops.segment_max}[op_]
-            out = seg(v, local, num_segments=chunk + 1)
-            return out[:chunk]
-
-        return jax.jit(jax.shard_map(kernel, mesh=mesh_,
-                                     in_specs=(vertex_spec(), vertex_spec()),
-                                     out_specs=vertex_spec()))
-
     return _reduce_kernel(mesh, part.chunk, op)(ko, vo)
+
+
+# module-level cache: a function-local lru_cache would be rebuilt (and the
+# shard_map re-jitted — 30-200 s per compile through the tunnel) on EVERY
+# shuffle_reduce_by_key call
+@lru_cache(maxsize=8)
+def _reduce_kernel(mesh_, chunk, op_):
+    def kernel(k, v):
+        i, j = prims.my_coords()
+        pmin = jax.lax.axis_size(prims.MINOR)
+        base = (i * pmin + j) * chunk
+        local = jnp.where(k >= 0, k - base, chunk)  # invalid → pad slot
+        seg = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
+               "max": jax.ops.segment_max}[op_]
+        out = seg(v, local, num_segments=chunk + 1)
+        return out[:chunk]
+
+    return jax.jit(jax.shard_map(kernel, mesh=mesh_,
+                                 in_specs=(vertex_spec(), vertex_spec()),
+                                 out_specs=vertex_spec()))
