@@ -181,11 +181,21 @@ def _row_cumweights(g: GraphStructure):
 _BULK_SAMPLE_TILE = 16_000_000
 
 
+def _host_weights(g: GraphStructure) -> np.ndarray:
+    """Cached host copy of CSR weights — per-hop np.asarray would pay a
+    fresh device→host transfer (2-3 s tunnel overhead, ~67 MB at RMAT-20)
+    every hop."""
+    from cugraph_tpu.prims.intersection import _host_csr
+
+    return _host_csr(g.csr, True)[2]
+
+
 def _eidx_lookup(g: GraphStructure, srcs, dsts):
     """First CSR edge index of each (src, dst) pair — vectorized binary
-    search within row spans (host NumPy)."""
-    off = np.asarray(g.csr.offsets)
-    ind = np.asarray(g.csr.indices)
+    search within row spans (host NumPy, cached CSR copies)."""
+    from cugraph_tpu.prims.intersection import _host_csr
+
+    off, ind, _ = _host_csr(g.csr, False)
     lo = off[srcs].astype(np.int64)
     hi = off[srcs + 1].astype(np.int64)
     last = max(len(ind) - 1, 0)
@@ -286,7 +296,7 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
         flat_dst = dst.reshape(-1)
         flat_val = valid.reshape(-1)
         flat_eidx = eidx.reshape(-1)
-        w = np.asarray(g.csr.weights)[flat_eidx]
+        w = _host_weights(g)[flat_eidx]
         fr = pd.DataFrame({
             "sources": srcs[flat_val],
             "destinations": flat_dst[flat_val],
@@ -337,7 +347,7 @@ def homogeneous_biased_neighbor_sample(G, start_list, fanout_vals,
     if not G.is_weighted():
         raise ValueError("biased sampling requires edge weights")
     return _neighbor_sample(G, start_list, fanout_vals, with_replacement,
-                            biased=True, random_state=random_state)
+                            biased=True, random_state=random_state, **kw)
 
 
 # --------------------------------------------------------------------------
@@ -557,8 +567,10 @@ def negative_sampling(G, num_samples: int, vertices=None, src_bias=None,
                       random_state=None):
     """Sample (src, dst) pairs that are NOT edges (reference
     negative_sampling_impl.cuh:270: biased draws + dedup + edge exclusion).
-    Degree-biased by default like the reference's typical GNN usage when
-    biases not given (uniform if src_bias/dst_bias None)."""
+    Uniform endpoint draws when src_bias/dst_bias are None; biases pair
+    with ``vertices`` when given, else with G.nodes() external order
+    (reference negative_sampling_impl.cuh:270 degree-biased usage = pass
+    the degree arrays)."""
     g = G.structure
     n = G.number_of_vertices()
     seed0 = int(random_state) if random_state is not None else 0
@@ -571,6 +583,23 @@ def negative_sampling(G, num_samples: int, vertices=None, src_bias=None,
     db = None if dst_bias is None else np.asarray(dst_bias, np.float64)
     cand = None if vertices is None else np.asarray(
         G.lookup_internal_vertex_id(np.asarray(vertices)), np.int32)
+    # bias arrays pair with the CANDIDATE list when given (reference
+    # negative_sampling contract), else with G.nodes() external order —
+    # never raw internal ids (renumbering would scramble the pairing)
+    for name, b in (("src_bias", sb), ("dst_bias", db)):
+        if b is not None:
+            expect = len(cand) if cand is not None else n
+            if len(b) != expect:
+                raise ValueError(
+                    f"{name} must have length {expect} (one entry per "
+                    f"{'candidate vertex' if cand is not None else 'vertex'})")
+    if cand is None and (sb is not None or db is not None):
+        # align external-node-order biases with internal ids
+        order = np.asarray(G.lookup_internal_vertex_id(G.nodes()))
+        if sb is not None:
+            t = np.zeros(n); t[order] = sb; sb = t
+        if db is not None:
+            t = np.zeros(n); t[order] = db; db = t
     while have < want and attempt < 16:
         rng_key, k1, k2 = jax.random.split(rng_key, 3)
         m = max(2 * (want - have), 1024)
@@ -580,18 +609,26 @@ def negative_sampling(G, num_samples: int, vertices=None, src_bias=None,
             else:
                 pick = np.asarray(jax.random.randint(k1, (m,), 0, len(cand)))
                 s = cand[pick]
-        else:
+        elif cand is None:
             s = np.random.default_rng((seed0, attempt)).choice(
                 n, m, p=sb / sb.sum()).astype(np.int32)
+        else:
+            pick = np.random.default_rng((seed0, attempt)).choice(
+                len(cand), m, p=sb / sb.sum())
+            s = cand[pick]
         if db is None:
             if cand is None:
                 d = np.asarray(jax.random.randint(k2, (m,), 0, n), np.int32)
             else:
                 pick = np.asarray(jax.random.randint(k2, (m,), 0, len(cand)))
                 d = cand[pick]
-        else:
+        elif cand is None:
             d = np.random.default_rng((seed0, attempt, 99)).choice(
                 n, m, p=db / db.sum()).astype(np.int32)
+        else:
+            pick = np.random.default_rng((seed0, attempt, 99)).choice(
+                len(cand), m, p=db / db.sum())
+            d = cand[pick]
         if remove_existing_edges:
             found, _ = lower_bound_rows(g.csr, jnp.asarray(s), jnp.asarray(d))
             mask = ~np.asarray(found)
@@ -777,7 +814,7 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
             fr = pd.DataFrame({
                 "sources": srcs[flat],
                 "destinations": dst.reshape(-1)[flat],
-                "weight": np.asarray(g.csr.weights)[fe],
+                "weight": _host_weights(g)[fe],
                 "hop_id": np.int32(hop),
                 "batch_id": bats[flat],
             })
@@ -830,7 +867,9 @@ def _het_fanouts(G, fanout_vals, num_edge_types):
     masks, types = _type_masks(G)
     ntypes = num_edge_types or int(types.max()) + 1
     fv = list(fanout_vals)
-    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
+    if len(fv) % ntypes != 0:
+        raise ValueError("fanout_vals must be hops × num_edge_types "
+                         f"(got {len(fv)} for {ntypes} edge types)")
     hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
     # fanout slot t applies to edge-TYPE-ID t (reference contract:
     # h_fanout[hop·num_edge_types + edge_type]); absent types are skipped

@@ -19,12 +19,17 @@ def pallas_min_edges() -> int:
                               PALLAS_MIN_EDGES))
 
 
-def use_pallas(G) -> bool:
+def pallas_enabled(num_edges: int) -> bool:
+    """Single source of truth for the Pallas fast-path gate."""
     from cugraph_tpu.kernels.spmv_onehot import spmv_available
 
     if os.environ.get("CUGRAPH_TPU_DISABLE_PALLAS"):
         return False
-    return spmv_available() and G.number_of_edges() >= pallas_min_edges()
+    return spmv_available() and num_edges >= pallas_min_edges()
+
+
+def use_pallas(G) -> bool:
+    return pallas_enabled(G.number_of_edges())
 
 
 def spill_budget_bytes():

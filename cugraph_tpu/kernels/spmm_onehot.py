@@ -504,3 +504,27 @@ def get_structure_spmm_plan(g) -> SpmmPlan:
     plan = build_spmm_plan(src, dst, w, g.num_vertices)
     _plan_cache.append((weakref.ref(g), plan))
     return plan
+
+
+_fn_cache: list = []
+
+
+def get_structure_spmm_fn(g):
+    """Cached DIFFERENTIABLE pull SpMM callable for a GraphStructure —
+    make_spmm_pair over (pull, transpose) plans, so gradient tracers flow
+    through the custom VJP instead of hitting the raw pallas_call (which
+    has no differentiation rule)."""
+    global _fn_cache
+    _fn_cache = [(r, f) for (r, f) in _fn_cache if r() is not None]
+    for r, f in _fn_cache:
+        if r() is g:
+            return f
+    e = g.csc.num_edges
+    src = np.asarray(g.csc.indices)[:e]
+    dst = np.asarray(g.csc.majors)[:e]
+    w = np.asarray(g.csc.weights)[:e]
+    fwd = get_structure_spmm_plan(g)
+    bwd = build_spmm_plan(dst, src, w, g.num_vertices)
+    f = make_spmm_pair(fwd, bwd)
+    _fn_cache.append((weakref.ref(g), f))
+    return f

@@ -40,46 +40,51 @@ def _glorot(key, shape, dtype=jnp.float32):
 # aggregation primitives (SpMM-shaped)
 # ---------------------------------------------------------------------------
 
-# edge count above which the Pallas one-hot SpMM pays for plan + compile
-_SPMM_MIN_EDGES = 200_000
+def _weighted_in_degree(g: GraphStructure) -> jax.Array:
+    """Cached weighted in-degree [pad_v].  Computed HOST-side once per
+    structure: the traced segment_sum alternative scalarizes on this TPU
+    (~0.12 G elem/s — ~140 ms per forward at RMAT-20, dwarfing the SpMM
+    kernel it normalizes).  Falls back to the traced reduce when the graph
+    arrays are tracers (jitted XLA path)."""
+    if isinstance(g.csc.majors, jax.core.Tracer):
+        return g.in_weight_sums()
+    cached = getattr(g, "_w_in_deg_cache", None)
+    if cached is None:
+        import numpy as np
+
+        e = g.csc.num_edges
+        d = np.bincount(np.asarray(g.csc.majors)[:e],
+                        weights=np.asarray(g.csc.weights)[:e],
+                        minlength=g.csc.pad_v).astype(np.float32)
+        cached = jnp.asarray(d)
+        object.__setattr__(g, "_w_in_deg_cache", cached)
+    return cached
 
 
 def _spmm_fast_path_ok(g: GraphStructure) -> bool:
-    import os
+    from cugraph_tpu.kernels.dispatch import pallas_enabled
 
-    from cugraph_tpu.kernels.spmv_onehot import spmv_available
-
-    from cugraph_tpu.kernels.dispatch import pallas_min_edges
-
-    if os.environ.get("CUGRAPH_TPU_DISABLE_PALLAS"):
-        return False
     if isinstance(g.csc.indices, jax.core.Tracer):
-        # under jit/grad the host-side plan builder can't see the arrays;
-        # jitted train steps use the XLA path (or the MG layers, which close
-        # over precomputed plans outside the trace)
+        # under jit the host-side plan builder can't see the arrays; jitted
+        # train steps use the XLA path (or the MG layers, which thread
+        # precomputed plans as arguments).  Gradient tracers in x are FINE:
+        # the aggregation goes through a custom-VJP pair.
         return False
-    return spmv_available() and g.num_edges >= pallas_min_edges()
+    return pallas_enabled(g.num_edges)
 
 
 def _aggregate_pallas(g: GraphStructure, x: jax.Array) -> jax.Array:
-    """Weighted-sum in-neighbor aggregation via the one-hot SpMM kernel
-    (kernels/spmm_onehot.py); handles pad_v mismatch between the graph's
-    128-aligned padding and the plan's window-aligned padding."""
-    from cugraph_tpu.kernels.spmm_onehot import (
-        get_structure_spmm_plan,
-        spmm_onehot,
-    )
+    """Weighted-sum in-neighbor aggregation via the one-hot SpMM kernel —
+    the DIFFERENTIABLE custom-VJP pair (kernels/spmm_onehot.make_spmm_pair):
+    a raw pallas_call has no differentiation rule, so eager value_and_grad
+    through a 2-layer model would crash on the second layer otherwise."""
+    from cugraph_tpu.kernels.spmm_onehot import get_structure_spmm_fn
 
-    plan = get_structure_spmm_plan(g)
-    pv = plan.pad_v
-    if x.shape[0] < pv:
-        xp = jnp.pad(x, ((0, pv - x.shape[0]), (0, 0)))
-    else:
-        xp = x[:pv]
-    agg = spmm_onehot(plan, xp)
-    if agg.shape[0] < x.shape[0]:
-        agg = jnp.pad(agg, ((0, x.shape[0] - agg.shape[0]), (0, 0)))
-    return agg[: x.shape[0]]
+    f = get_structure_spmm_fn(g)
+    out = f(x)
+    if out.shape[0] < x.shape[0]:
+        out = jnp.pad(out, ((0, x.shape[0] - out.shape[0]), (0, 0)))
+    return out[: x.shape[0]]
 
 
 def aggregate_neighbors(
@@ -97,15 +102,15 @@ def aggregate_neighbors(
     if mode in ("sum", "mean") and _spmm_fast_path_ok(g):
         agg = _aggregate_pallas(g, x)
         if mode == "mean":
-            deg = segment_reduce_by_major(adj, adj.weights, "sum").astype(x.dtype)
-            agg = agg / jnp.maximum(deg, 1e-12)[:, None]
+            agg = agg / jnp.maximum(_weighted_in_degree(g),
+                                    1e-12)[:, None].astype(x.dtype)
         return agg
     x = x.at[adj.sink].set(0.0)
     msgs = gather_minor(adj, x)  # [pad_e, F]
     if mode in ("sum", "mean"):
         agg = segment_reduce_by_major(adj, msgs * adj.weights[:, None], "sum")
         if mode == "mean":
-            deg = segment_reduce_by_major(adj, adj.weights, "sum").astype(x.dtype)
+            deg = _weighted_in_degree(g).astype(x.dtype)
             agg = agg / jnp.maximum(deg, 1e-12)[:, None]
         return agg
     if mode == "max":
@@ -154,7 +159,7 @@ def gcn_init(key, in_dim: int, out_dim: int):
 def gcn_conv(params, g: GraphStructure, x: jax.Array) -> jax.Array:
     """Symmetric-normalized propagation with implicit self loops.
     Edge-weighted (deg = weighted in-degree), matching parallel/nn.mg_gcn_conv."""
-    deg = (g.in_weight_sums() + 1).astype(x.dtype)  # +1: self loop
+    deg = (_weighted_in_degree(g) + 1).astype(x.dtype)  # +1: self loop
     inv_sqrt = jax.lax.rsqrt(deg)
     h = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
     h = h * inv_sqrt[:, None]
@@ -282,7 +287,7 @@ def appnp_propagate(g: GraphStructure, z: jax.Array, *, alpha: float = 0.1,
     The inner product is the same symmetric-normalized SpMM as gcn_conv, so
     the TPU fast path (one-hot Pallas SpMM) applies; k is static so the loop
     unrolls into one fused XLA computation."""
-    deg = (g.in_weight_sums() + 1).astype(z.dtype)
+    deg = (_weighted_in_degree(g) + 1).astype(z.dtype)
     inv_sqrt = jax.lax.rsqrt(deg)
 
     def prop(h):

@@ -145,15 +145,21 @@ def make_linkpred_train_step(encoder_apply, decoder, optimizer):
     return train_step
 
 
-def sample_negatives(G, num_samples: int, random_state: int = 0):
+def sample_negatives(G, num_samples: int, random_state: int = 0,
+                     degree_biased: bool = False):
     """Host-side negative pair sampling for training loops; returns
-    (src, dst) int32 device arrays.  Routes through the framework's
-    degree-biased negative_sampling (reference
-    negative_sampling_impl.cuh:270)."""
+    (src, dst) int32 device arrays.  Routes through negative_sampling
+    (reference negative_sampling_impl.cuh:270) — uniform endpoint draws by
+    default; ``degree_biased=True`` weights endpoints by degree like the
+    reference's typical GNN usage."""
     import cugraph_tpu as ct
 
+    kw = {}
+    if degree_biased:
+        deg = G.degree().sort_values("vertex")["degree"].to_numpy(np.float64)
+        kw = dict(src_bias=deg, dst_bias=deg)
     df = ct.negative_sampling(G, num_samples=num_samples,
-                              random_state=random_state)
+                              random_state=random_state, **kw)
     src = np.asarray(G.lookup_internal_vertex_id(np.asarray(df["src"])),
                      np.int32)
     dst = np.asarray(G.lookup_internal_vertex_id(np.asarray(df["dst"])),

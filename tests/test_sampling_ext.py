@@ -433,3 +433,36 @@ def test_sampling_trailing_zero_degree_exact_pad():
         # degree-0 seed contributes no rows; the others sample real edges
         assert (df["sources"] != n - 1).all()
         assert len(df) > 0
+
+
+def test_negative_sampling_bias_vertices_contract():
+    """Review regressions: biases pair with the candidate list (vertices=)
+    or with G.nodes() order; wrong lengths raise; biased draws stay inside
+    the candidate set; biased homogeneous sampling forwards
+    with_edge_properties."""
+    import pytest
+
+    import cugraph_tpu as ct
+
+    rng = np.random.default_rng(2)
+    src = rng.integers(100, 140, 300)
+    dst = rng.integers(100, 140, 300)
+    keep = src != dst
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src[keep], dst[keep],
+                    rng.random(int(keep.sum())).astype(np.float32),
+                    edge_id=np.arange(int(keep.sum())))
+
+    cand = np.array([100, 101, 102])
+    df = ct.negative_sampling(G, 20, vertices=cand,
+                              src_bias=np.array([1.0, 1.0, 5.0]),
+                              dst_bias=np.array([5.0, 1.0, 1.0]))
+    assert set(df["src"]).issubset(set(cand.tolist()))
+    assert set(df["dst"]).issubset(set(cand.tolist()))
+
+    with pytest.raises(ValueError, match="src_bias"):
+        ct.negative_sampling(G, 5, vertices=cand, src_bias=np.ones(7))
+
+    hs = ct.homogeneous_biased_neighbor_sample(
+        G, [100, 105], [3], with_edge_properties=True)
+    assert "edge_id" in hs.columns
