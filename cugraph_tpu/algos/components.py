@@ -168,21 +168,29 @@ def _mis_kernel(g: GraphStructure, key: jax.Array, eligible0: jax.Array):
     """Luby's algorithm on the undirected closure (reference mis_impl.cuh:315)."""
     pad_v = g.pad_v
 
-    def nbr_max(vals):
-        a = segment_reduce_by_major(g.csc, gather_minor(g.csc, vals), "max")
-        b = segment_reduce_by_major(g.csr, gather_minor(g.csr, vals), "max")
+    def nbr_max(vals, neutral):
+        # self-loops must NOT count as neighbors: a loop vertex comparing
+        # against its own priority could never win and the loop would spin
+        # forever
+        ga = gather_minor(g.csc, vals)
+        ga = jnp.where(g.csc.indices == g.csc.majors, neutral, ga)
+        a = segment_reduce_by_major(g.csc, ga, "max")
+        gb = gather_minor(g.csr, vals)
+        gb = jnp.where(g.csr.indices == g.csr.majors, neutral, gb)
+        b = segment_reduce_by_major(g.csr, gb, "max")
         return jnp.maximum(a, b)
 
     def body(state):
         in_set, eligible, k = state
         k, sub = jax.random.split(k)
-        pri = jax.random.uniform(sub, (pad_v,))
-        # deterministic tie-break by vertex id
-        pri = pri + jnp.arange(pad_v) * 1e-12
-        pri = jnp.where(eligible, pri, -1.0)
-        winner = eligible & (pri > nbr_max(pri))
+        # a random PERMUTATION gives strictly distinct int priorities —
+        # no float ties (an f32 epsilon tie-break is below ulp for small
+        # ids), so every round makes progress
+        pri = jax.random.permutation(sub, pad_v).astype(jnp.int32)
+        pri = jnp.where(eligible, pri, -1)
+        winner = eligible & (pri > nbr_max(pri, jnp.int32(-1)))
         in_set = in_set | winner
-        nbr_win = nbr_max(winner.astype(jnp.int32)) > 0
+        nbr_win = nbr_max(winner.astype(jnp.int32), jnp.int32(0)) > 0
         eligible = eligible & ~winner & ~nbr_win
         return in_set, eligible, k
 

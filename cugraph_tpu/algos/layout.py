@@ -233,18 +233,27 @@ def _pm_repulsion(pos, deg, real, grid_dim: int, scaling_ratio):
 
 @partial(jax.jit, static_argnames=("max_iter", "outbound_attraction_distribution",
                                    "lin_log_mode", "strong_gravity_mode",
-                                   "pm_grid_dim"))
+                                   "pm_grid_dim", "edge_weight_influence",
+                                   "both_endpoints"))
 def _fa2_kernel(g: GraphStructure, pos0, max_iter: int, jitter_tolerance,
                 scaling_ratio, gravity, outbound_attraction_distribution: bool,
                 lin_log_mode: bool, strong_gravity_mode: bool,
-                pm_grid_dim: int = 0, state0=None):
+                pm_grid_dim: int = 0, state0=None,
+                edge_weight_influence: float = 1.0,
+                both_endpoints: bool = False):
     """Runs ``max_iter`` FA2 steps; returns the full loop carry
-    (pos, force, speed_eff) so callback mode can re-enter per epoch."""
+    (pos, force, speed_eff) so callback mode can re-enter per epoch.
+    ``edge_weight_influence`` scales attraction by w**influence (reference
+    force_atlas2.cu knob); ``both_endpoints`` applies attraction to BOTH
+    edge endpoints (directed storage holds each edge once — undirected
+    symmetric storage supplies the reverse edge itself)."""
     pad_v = g.pad_v
     n = g.num_vertices
     real = (jnp.arange(pad_v) < n).astype(jnp.float32)
     deg = (g.csr.degrees() + 1).astype(jnp.float32) * real  # mass = deg + 1
     src, dst, w = g.csr.majors, g.csr.indices, g.csr.weights
+    # padding edges carry w=0 and must stay force-free even at influence=0
+    w = jnp.where(w > 0, w ** jnp.float32(edge_weight_influence), 0.0)
 
     def step(i, state):
         pos, speed, speed_eff = state
@@ -266,6 +275,9 @@ def _fa2_kernel(g: GraphStructure, pos0, max_iter: int, jitter_tolerance,
         contrib = -fa[:, None] * pd_
         att = jax.ops.segment_sum(contrib, src, num_segments=pad_v,
                                   indices_are_sorted=True)
+        if both_endpoints:
+            att = att + jax.ops.segment_sum(-contrib, dst,
+                                            num_segments=pad_v)
 
         # --- gravity
         pnorm = jnp.sqrt(jnp.maximum(jnp.sum(pos * pos, axis=1), 1e-18))
@@ -320,11 +332,14 @@ def force_atlas2(G, max_iter: int = 500, pos_list=None,
         rng = np.random.default_rng(random_state)
         pos = np.zeros((g.pad_v, 2), np.float32)
         pos[:n] = rng.uniform(-100, 100, (n, 2)).astype(np.float32)
+    kernel_kw = dict(edge_weight_influence=float(edge_weight_influence),
+                     both_endpoints=G.is_directed())
     args = (jnp.float32(jitter_tolerance), jnp.float32(scaling_ratio),
             jnp.float32(gravity), bool(outbound_attraction_distribution),
             bool(lin_log_mode), bool(strong_gravity_mode), pm_grid_dim)
     if callback is None:
-        out, _, _ = _fa2_kernel(g, jnp.asarray(pos), int(max_iter), *args)
+        out, _, _ = _fa2_kernel(g, jnp.asarray(pos), int(max_iter), *args,
+                                **kernel_kw)
     else:
         # epoch-stepped so the reference's GraphBasedDimRedCallback protocol
         # (internals.pyx) sees positions every epoch
@@ -332,7 +347,7 @@ def force_atlas2(G, max_iter: int = 500, pos_list=None,
         state = None
         p0 = jnp.asarray(pos)
         for _ in range(int(max_iter)):
-            state = _fa2_kernel(g, p0, 1, *args, state0=state)
+            state = _fa2_kernel(g, p0, 1, *args, state0=state, **kernel_kw)
             callback.on_epoch_end(np.asarray(state[0])[:n])
         out = state[0] if state is not None else p0
         callback.on_train_end(np.asarray(out)[:n])

@@ -37,11 +37,16 @@ class EdgeIdLookupTable:
         """DataFrame ['edge_id', 'src', 'dst']; missing ids get -1 endpoints
         (matching the C API's not-found convention)."""
         edge_ids = np.asarray(edge_ids, np.int64)
-        key = np.int64(edge_type) * self._id_base + edge_ids
+        if len(self._key) == 0:
+            ids = np.full(len(edge_ids), -1, np.int64)
+            return pd.DataFrame({"edge_id": edge_ids, "src": ids, "dst": ids})
+        # ids outside [0, id_base) would alias into ANOTHER type's key space
+        in_range = (edge_ids >= 0) & (edge_ids < self._id_base)
+        key = np.int64(edge_type) * self._id_base \
+            + np.where(in_range, edge_ids, 0)
         pos = np.searchsorted(self._key, key)
-        pos = np.clip(pos, 0, max(len(self._key) - 1, 0))
-        found = len(self._key) > 0
-        hit = (self._key[pos] == key) if found else np.zeros(len(key), bool)
+        pos = np.clip(pos, 0, len(self._key) - 1)
+        hit = in_range & (self._key[pos] == key)
         src = np.where(hit, self._src[pos], -1)
         dst = np.where(hit, self._dst[pos], -1)
         nm = self._G.number_map

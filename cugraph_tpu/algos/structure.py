@@ -11,15 +11,26 @@ import numpy as np
 import pandas as pd
 
 
-def symmetrize(df_or_src, dst=None, weight=None, src_name="src", dst_name="dst"):
+def symmetrize(df_or_src, dst=None, weight=None, src_name="src", dst_name="dst", value_col=None):
     """Symmetrize an edge list (reference symmetrize.py /
     symmetrize_graph_impl.cuh).  Accepts arrays or a DataFrame."""
     from cugraph_tpu.core.preprocess import symmetrize_edgelist
     if isinstance(df_or_src, pd.DataFrame):
+        from cugraph_tpu.api.graph import Graph
+
         src = df_or_src[src_name].to_numpy()
         d = df_or_src[dst_name].to_numpy()
-        wcols = [c for c in df_or_src.columns if c not in (src_name, dst_name)]
-        w = df_or_src[wcols[0]].to_numpy() if wcols else None
+        if value_col is not None:
+            w = df_or_src[value_col].to_numpy()
+        else:
+            # only a CONVENTIONALLY-named column is a weight — consuming an
+            # arbitrary leftover column (edge types, timestamps) would
+            # silently min-coalesce it as weights (same rule as
+            # Graph.from_edgelist)
+            wcols = [c for c in df_or_src.columns
+                     if c not in (src_name, dst_name)
+                     and str(c).lower() in Graph._WEIGHT_COL_NAMES]
+            w = df_or_src[wcols[0]].to_numpy() if len(wcols) == 1 else None
     else:
         src, d, w = np.asarray(df_or_src), np.asarray(dst), weight
     # external ids may be non-dense: renumber through factorize
@@ -158,13 +169,22 @@ def renumber_arbitrary_edgelist(src, dst):
 # -- weight utilities (structure/graph_weight_utils_impl.cuh) ----------------
 
 def out_weight_sums(G) -> np.ndarray:
-    g = G.structure
-    return np.asarray(g.out_weight_sums())[: G.number_of_vertices()]
+    # host bincount over the COO: the device path would force a structure
+    # build + a scalarizing segment_sum + a tunnel transfer for a quantity
+    # that is one O(E) host pass
+    src, _, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    if w is None:
+        w = np.ones(len(src), np.float32)
+    return np.bincount(src, weights=w, minlength=n)[:n].astype(np.float32)
 
 
 def in_weight_sums(G) -> np.ndarray:
-    g = G.structure
-    return np.asarray(g.in_weight_sums())[: G.number_of_vertices()]
+    _, dst, w = G.edgelist_arrays()
+    n = G.number_of_vertices()
+    if w is None:
+        w = np.ones(len(dst), np.float32)
+    return np.bincount(dst, weights=w, minlength=n)[:n].astype(np.float32)
 
 
 def total_edge_weight(G) -> float:

@@ -102,6 +102,8 @@ def minimum_spanning_tree(G, weight=None, algorithm="boruvka", ignore_nan=False)
 def maximum_spanning_tree(G, weight=None, algorithm="boruvka", ignore_nan=False):
     """Max spanning tree = MST on negated weights."""
     from cugraph_tpu.api.graph import Graph
+    if G.is_directed():
+        raise ValueError("MST requires an undirected graph")
     src, dst, w = G.edgelist_arrays()
     if w is None:
         w = np.ones(len(src), np.float32)

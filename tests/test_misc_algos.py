@@ -625,3 +625,52 @@ def test_reference_import_paths():
     assert comm_louvain is ctpu.louvain and la_pagerank is ctpu.pagerank
     df = pd.DataFrame({"a": [1]})
     assert replicate_cudf_dataframe(df) is df
+
+
+def test_review_fixes_algos_long_tail():
+    """Review regressions: MIS/coloring terminate on self-loop graphs;
+    edge-id lookup rejects out-of-range ids instead of aliasing across
+    types; FA2 honors edge_weight_influence; max spanning tree rejects
+    directed input; symmetrize only infers conventionally-named weights."""
+    import pytest
+
+    # self-loop graph: MIS must terminate and exclude no valid structure
+    G = ctpu.Graph()
+    G.from_edgelist(np.array([0, 0, 1]), np.array([0, 1, 2]), None)
+    mis = ctpu.maximal_independent_set(G)
+    assert len(mis) >= 1
+    vc = ctpu.vertex_coloring(G)
+    assert len(vc) == 3
+
+    # lookup: out-of-range id must be -1, not another type's edge
+    G2 = ctpu.Graph(directed=True)
+    G2.from_edgelist(np.array([0, 1]), np.array([1, 2]), None,
+                     edge_id=np.array([0, 2]),
+                     edge_type=np.array([0, 1]))
+    t = ctpu.EdgeIdLookupTable(G2)
+    r = t.lookup_vertex_ids([5], edge_type=0)  # 0*3+5 would alias (1,2)
+    assert r["src"].iloc[0] == -1 and r["dst"].iloc[0] == -1
+
+    # FA2 influence=0 must ignore weights: equals the unweighted layout
+    src = np.array([0, 1, 2, 3, 0]); dst = np.array([1, 2, 3, 0, 2])
+    w = np.array([100.0, 0.01, 5.0, 1.0, 2.0], np.float32)
+    Gw = ctpu.Graph(); Gw.from_edgelist(src, dst, w)
+    Gu = ctpu.Graph(); Gu.from_edgelist(src, dst, None)
+    lw = ctpu.force_atlas2(Gw, max_iter=30, edge_weight_influence=0.0,
+                           random_state=5).sort_values("vertex")
+    lu = ctpu.force_atlas2(Gu, max_iter=30, random_state=5) \
+        .sort_values("vertex")
+    np.testing.assert_allclose(lw[["x", "y"]].to_numpy(),
+                               lu[["x", "y"]].to_numpy(), rtol=1e-4,
+                               atol=1e-4)
+
+    Gd = ctpu.Graph(directed=True)
+    Gd.from_edgelist(np.array([0, 1]), np.array([1, 2]),
+                     np.array([1.0, 2.0], np.float32))
+    with pytest.raises(ValueError, match="undirected"):
+        ctpu.maximum_spanning_tree(Gd)
+
+    import pandas as pd
+    df = pd.DataFrame({"src": [0, 1], "dst": [1, 2], "etype": [7, 8]})
+    out = ctpu.symmetrize(df)
+    assert "weight" not in out.columns  # etype must NOT become weights
