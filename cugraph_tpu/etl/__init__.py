@@ -35,12 +35,21 @@ def renumber_strings(df: pd.DataFrame, src_col: str, dst_col: str):
 
 def renumber_multi_columns(df: pd.DataFrame, src_cols: list, dst_cols: list):
     """Multi-column composite-key renumbering (NumberMap multi-column mode,
-    python/cugraph/cugraph/structure/number_map.py:480)."""
-    src_key = df[src_cols].astype(str).agg("\x1f".join, axis=1)
-    dst_key = df[dst_cols].astype(str).agg("\x1f".join, axis=1)
-    tmp = pd.DataFrame({"s": src_key, "d": dst_key})
-    out, map_df = renumber_strings(tmp, "s", "d")
-    parts = map_df["value"].str.split("\x1f", expand=True)
-    parts.columns = [f"key_{i}" for i in range(parts.shape[1])]
-    map_df = pd.concat([map_df[["id"]], parts], axis=1)
-    return out.rename(columns={"s": "src", "d": "dst"}), map_df
+    python/cugraph/cugraph/structure/number_map.py:480).  Keys compare by
+    VALUE with original dtypes (a string-join encoding would split
+    numerically equal keys of different dtypes and collide on separator
+    bytes inside values); the map frame returns typed key columns."""
+    import numpy as np
+
+    src_idx = pd.MultiIndex.from_frame(
+        df[src_cols].set_axis(range(len(src_cols)), axis=1))
+    dst_idx = pd.MultiIndex.from_frame(
+        df[dst_cols].set_axis(range(len(dst_cols)), axis=1))
+    codes, uniques = pd.factorize(src_idx.append(dst_idx))
+    e = len(df)
+    out = pd.DataFrame({"src": codes[:e].astype(np.int32),
+                        "dst": codes[e:].astype(np.int32)})
+    map_df = uniques.to_frame(index=False)
+    map_df.columns = [f"key_{i}" for i in range(map_df.shape[1])]
+    map_df.insert(0, "id", np.arange(len(uniques), dtype=np.int32))
+    return out, map_df

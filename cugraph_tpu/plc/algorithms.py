@@ -29,6 +29,19 @@ def _vert_df(df, value_cols):
     return (v, *[df[c].to_numpy() for c in value_cols])
 
 
+def _seed(random_state) -> int:
+    """Resolve an int seed from None / int / CuGraphRandomState (each use
+    of a state object advances it — repeated calls differ like the
+    reference's rng_state)."""
+    if random_state is None:
+        return 0
+    if isinstance(random_state, (int, np.integer)):
+        return int(random_state)
+    if isinstance(random_state, CuGraphRandomState):
+        return random_state.next_seed()
+    return abs(hash(random_state)) % (2**31)
+
+
 # -- link analysis -----------------------------------------------------------
 
 def pagerank(resource_handle, graph, precomputed_vertex_out_weight_vertices=None,
@@ -47,8 +60,21 @@ def pagerank(resource_handle, graph, precomputed_vertex_out_weight_vertices=None
         p = np.asarray(p)[:n]
         return np.arange(n, dtype=np.int32), p
     G = _sg(graph)
+    import pandas as pd
+
+    kw = {}
+    if precomputed_vertex_out_weight_vertices is not None:
+        kw["precomputed_vertex_out_weight"] = pd.DataFrame({
+            "vertex": np.asarray(precomputed_vertex_out_weight_vertices),
+            "sums": np.asarray(precomputed_vertex_out_weight_sums),
+        })
+    if initial_guess_vertices is not None:
+        kw["nstart"] = pd.DataFrame({
+            "vertex": np.asarray(initial_guess_vertices),
+            "values": np.asarray(initial_guess_values),
+        })
     out = ct.pagerank(G, alpha=alpha, tol=epsilon, max_iter=max_iterations,
-                      fail_on_nonconvergence=fail_on_nonconvergence)
+                      fail_on_nonconvergence=fail_on_nonconvergence, **kw)
     df = out[0] if isinstance(out, tuple) else out
     return _vert_df(df.sort_values("vertex"), ["pagerank"])
 
@@ -81,18 +107,45 @@ def bfs(resource_handle, graph, sources, direction_optimizing=False, depth_limit
         compute_predecessors=True, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    srcs = np.asarray(sources).reshape(-1)
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_bfs
 
-        s = int(np.asarray(sources).reshape(-1)[0])
-        dist, pred = mg_bfs(graph.graph(), graph.mesh, s,
-                            None if depth_limit in (-1, None) else depth_limit)
+        dl = None if depth_limit in (-1, None) else depth_limit
         n = graph.graph().num_vertices
-        return (np.asarray(dist)[:n], np.asarray(pred)[:n],
-                np.arange(n, dtype=np.int32))
-    s = np.asarray(sources).reshape(-1)[0]
-    df = ct.bfs(_sg(graph), start=s,
-                depth_limit=None if depth_limit in (-1, None) else depth_limit)
+        if len(srcs) == 1:
+            dist, pred = mg_bfs(graph.graph(), graph.mesh, int(srcs[0]), dl)
+            return (np.asarray(dist)[:n], np.asarray(pred)[:n],
+                    np.arange(n, dtype=np.int32))
+        # multi-source: elementwise-min over per-source runs (small source
+        # lists are the norm; the SG path uses the batched panel)
+        dist = None
+        pred = None
+        for sv in srcs:
+            d_i, p_i = mg_bfs(graph.graph(), graph.mesh, int(sv), dl)
+            d_i = np.asarray(d_i)[:n]
+            p_i = np.asarray(p_i)[:n]
+            if dist is None:
+                dist, pred = d_i, p_i
+            else:
+                closer = d_i < dist
+                dist = np.where(closer, d_i, dist)
+                pred = np.where(closer, p_i, pred)
+        return dist, pred, np.arange(n, dtype=np.int32)
+    dl = None if depth_limit in (-1, None) else depth_limit
+    if len(srcs) > 1:
+        # multi-source BFS: one batched panel sweep, distances = per-vertex
+        # min, predecessors recovered from the merged level function
+        ms = ct.multi_source_bfs(_sg(graph), srcs.tolist(), depth_limit=dl)
+        ms = ms.sort_values("vertex")
+        dcols = [c for c in ms.columns if c.startswith("distance_")]
+        pcols = [c for c in ms.columns if c.startswith("predecessor_")]
+        D = ms[dcols].to_numpy()
+        P = ms[pcols].to_numpy()
+        best = np.argmin(D, axis=1)
+        rows = np.arange(len(ms))
+        return (D[rows, best], P[rows, best], ms["vertex"].to_numpy())
+    df = ct.bfs(_sg(graph), start=srcs[0], depth_limit=dl)
     df = df.sort_values("vertex")
     # reference order: (distances, predecessors, vertices) — bfs.pyx:196
     return (df["distance"].to_numpy(), df["predecessor"].to_numpy(),
@@ -153,7 +206,7 @@ def betweenness_centrality(resource_handle, graph, k=None, random_state=None,
 
         bc = mg_betweenness_centrality(graph.graph(), graph.mesh, k=k,
                                        normalized=normalized,
-                                       seed=random_state or 0)
+                                       seed=_seed(random_state))
         n = graph.graph().num_vertices
         return np.arange(n, dtype=np.int32), bc[:n]
     df = ct.betweenness_centrality(_sg(graph), k=k, normalized=normalized,
@@ -233,7 +286,8 @@ def triangle_count(resource_handle, graph, start_list=None,
         t = mg_triangle_count(graph.graph(), graph.mesh)
         n = graph.graph().num_vertices
         return np.arange(n, dtype=np.int32), t[:n]
-    df = ct.triangle_count(_sg(graph)).sort_values("vertex")
+    df = ct.triangle_count(_sg(graph), start_list=start_list) \
+        .sort_values("vertex")
     return df["vertex"].to_numpy(), df["counts"].to_numpy()
 
 
@@ -462,7 +516,7 @@ def uniform_random_walks(resource_handle, graph, start_vertices, max_length,
 
         return mg_uniform_random_walks(
             graph.graph(), graph.mesh, start_vertices, max_length,
-            seed=random_state or 0)
+            seed=_seed(random_state))
     df = ct.uniform_random_walks(_sg(graph), start_vertices, max_length,
                                  random_state=random_state)
     return df
@@ -493,7 +547,7 @@ def uniform_neighbor_sample(resource_handle, graph, start_list, fanout_vals,
 
         return mg_uniform_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
-            with_replacement=with_replacement, seed=random_state or 0)
+            with_replacement=with_replacement, seed=_seed(random_state))
     return ct.uniform_neighbor_sample(_sg(graph), start_list, fanout_vals,
                                       with_replacement=with_replacement,
                                       random_state=random_state)
@@ -599,7 +653,7 @@ def generate_rmat_edgelist(resource_handle, random_state, scale, num_edges,
     import cugraph_tpu as ct
 
     df = ct.rmat(scale, num_edges, a, b, c,
-                 seed=random_state if isinstance(random_state, int) else 0,
+                 seed=_seed(random_state),
                  clip_and_flip=clip_and_flip,
                  scramble_vertex_ids=scramble_vertex_ids,
                  include_edge_weights=include_edge_weights,
@@ -693,10 +747,21 @@ def count_multi_edges(resource_handle, graph, do_expensive_check=False):
 
 def renumber_arbitrary_edgelist(resource_handle, renumber_map, src_array,
                                 dst_array):
-    import cugraph_tpu as ct
+    """Ids become POSITIONS in the caller-supplied renumber_map
+    (pylibcugraph renumber_arbitrary_edgelist.pyx contract)."""
+    rmap = np.asarray(renumber_map)
+    order = np.argsort(rmap, kind="stable")
+    sorted_map = rmap[order]
 
-    s32, d32, mp = ct.renumber_arbitrary_edgelist(src_array, dst_array)
-    return s32, d32
+    def to_pos(a):
+        a = np.asarray(a)
+        pos = np.searchsorted(sorted_map, a)
+        pos = np.clip(pos, 0, max(len(sorted_map) - 1, 0))
+        if len(sorted_map) == 0 or not np.all(sorted_map[pos] == a):
+            raise ValueError("edge endpoint not present in renumber_map")
+        return order[pos].astype(np.int32)
+
+    return to_pos(src_array), to_pos(dst_array)
 
 
 def minimum_spanning_tree(resource_handle, graph, do_expensive_check=False):
@@ -712,13 +777,11 @@ def induced_subgraph(resource_handle, graph, subgraph_vertices,
                      subgraph_offsets=None, do_expensive_check=False):
     import cugraph_tpu as ct
 
-    df = ct.induced_subgraph(_sg(graph), subgraph_vertices)
-    if isinstance(df, tuple):
-        df = df[0]
-    src, dst, w = df.edgelist_arrays()
-    return (df.number_map.to_external(src), df.number_map.to_external(dst),
-            w if w is not None else np.ones(len(src), np.float32),
-            np.array([0, len(src)]))
+    df, offsets = ct.induced_subgraph(_sg(graph), subgraph_vertices)
+    w = (df["weight"].to_numpy(np.float32) if "weight" in df.columns
+         else np.ones(len(df), np.float32))
+    return (df["src"].to_numpy(), df["dst"].to_numpy(), w,
+            np.asarray(offsets))
 
 
 def force_atlas2(resource_handle, graph, max_iter=500, **kw):
@@ -765,7 +828,8 @@ class CuGraphRandomState:
     def __init__(self, resource_handle, seed=None):
         import jax
 
-        self._key = jax.random.key(0 if seed is None else int(seed))
+        self._seed0 = 0 if seed is None else int(seed)
+        self._key = jax.random.key(self._seed0)
         self._uses = 0
 
     def next_key(self):
@@ -773,3 +837,9 @@ class CuGraphRandomState:
 
         self._uses += 1
         return jax.random.fold_in(self._key, self._uses)
+
+    def next_seed(self) -> int:
+        """An int seed derived from (seed, use count) — what the plc
+        wrappers feed the engines' stateless RNGs."""
+        self._uses += 1
+        return (self._seed0 * 1_000_003 + self._uses) % (2**31)

@@ -99,7 +99,7 @@ class MGGraph:
     def __init__(self, resource_handle, graph_properties=None,
                  src_array=None, dst_array=None, weight_array=None, *,
                  store_transposed=False, num_arrays=1, do_expensive_check=False,
-                 **kwargs):
+                 symmetrize=False, **kwargs):
         from cugraph_tpu.parallel import build_dist_graph
         from cugraph_tpu.parallel.mesh import shard_dist_graph
 
@@ -114,11 +114,15 @@ class MGGraph:
         dst = np.asarray(dst_array)
         n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
         pmaj, pmin = mesh.devices.shape
+        # is_symmetric DESCRIBES the input (both directions already in the
+        # COO); only an explicit symmetrize=True asks us to ADD reverses —
+        # concatenating reverses of an already-symmetric COO would double
+        # every edge (same contract as SGGraph above)
         g = build_dist_graph(
             src, dst,
             None if weight_array is None else np.asarray(weight_array),
             n, pmaj, pmin,
-            store_push=True, symmetrize=props.is_symmetric)
+            store_push=True, symmetrize=bool(symmetrize))
         self._graph = shard_dist_graph(g, mesh)
         self.mesh = mesh
         self.properties = props

@@ -25,10 +25,13 @@ from cugraph_tpu.prims.vertex_edge import segment_reduce_by_major, gather_minor
 
 
 def bitmap_from_vertices(vertices: jax.Array, pad_v: int) -> jax.Array:
-    """Dense bool [pad_v] mask from a list of vertex ids (ids >= pad_v wrap to
-    the sink row and are harmless)."""
+    """Dense bool [pad_v] mask from a list of vertex ids.  Out-of-range ids
+    (negative sentinels like pred=-1, or ids >= pad_v) are DROPPED — the old
+    clip sent negatives to vertex 0, silently injecting it into frontiers."""
     mask = jnp.zeros((pad_v,), dtype=jnp.bool_)
-    return mask.at[jnp.clip(vertices, 0, pad_v - 1)].set(True)
+    ok = (vertices >= 0) & (vertices < pad_v)
+    idx = jnp.where(ok, vertices, pad_v - 1)
+    return mask.at[idx].max(ok)
 
 
 def vertices_from_bitmap(mask: jax.Array, num_vertices: int) -> jax.Array:

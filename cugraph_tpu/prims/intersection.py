@@ -406,7 +406,9 @@ def pair_intersection_auto(g: GraphStructure, us, vs, max_deg: int,
                            weighted: bool = False):
     """Dispatch: sorted fast path when the padded table fits the budget
     (env CUGRAPH_TPU_ISECT_TABLE_MAX entries, default 2^26 ≈ 256 MB int32),
-    degree-bucketed compact tables otherwise."""
+    degree-bucketed compact tables / min-degree probes otherwise.
+    ``max_deg`` is accepted for signature parity with pair_intersection but
+    does not bound either dispatch target."""
     import os
 
     budget = int(os.environ.get("CUGRAPH_TPU_ISECT_TABLE_MAX",

@@ -128,3 +128,37 @@ def test_plc_mg_routing_extended(rh):
 
     df = plc.uniform_neighbor_sample(h, g, [0, 1], [2, 2], random_state=0)
     assert {"sources", "destinations", "hop_id"} <= set(df.columns)
+
+
+def test_plc_review_fixes():
+    """plc review regressions: induced_subgraph returns arrays, multi-source
+    bfs uses every seed, renumber_arbitrary_edgelist maps to positions in
+    the caller's map, CuGraphRandomState produces distinct streams."""
+    import numpy as np
+
+    from cugraph_tpu import plc
+
+    h = plc.ResourceHandle()
+    src = np.array([0, 1, 2, 3, 4])
+    dst = np.array([1, 2, 3, 4, 0])
+    g = plc.SGGraph(h, plc.GraphProperties(is_symmetric=False),
+                    src, dst, np.ones(5, np.float32))
+
+    s_, d_, w_, offs = plc.induced_subgraph(h, g, np.array([0, 1, 2]))
+    assert len(s_) == len(d_) == len(w_) == 2  # edges 0-1, 1-2
+    assert offs[-1] == len(s_)
+
+    dist, pred, verts = plc.bfs(h, g, np.array([0, 3]))
+    dd = dict(zip(verts, dist))
+    assert dd[3] == 0 and dd[0] == 0 and dd[4] == 1 and dd[1] == 1
+
+    s32, d32 = plc.renumber_arbitrary_edgelist(
+        h, np.array([10, 20, 30, 40]), np.array([20, 30, 40]),
+        np.array([30, 40, 10]))
+    assert list(s32) == [1, 2, 3] and list(d32) == [2, 3, 0]
+
+    r1 = plc.CuGraphRandomState(h, 1)
+    r2 = plc.CuGraphRandomState(h, 2)
+    e1 = plc.generate_rmat_edgelist(h, r1, scale=6, num_edges=100)
+    e2 = plc.generate_rmat_edgelist(h, r2, scale=6, num_edges=100)
+    assert not np.array_equal(np.asarray(e1[0]), np.asarray(e2[0]))
