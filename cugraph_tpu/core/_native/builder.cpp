@@ -88,7 +88,16 @@ int64_t renumber_edgelist64(const int64_t* src, const int64_t* dst, int64_t m,
   std::vector<int64_t> keys(cap, INT64_MIN);
   std::vector<int32_t> vals(cap, -1);
   int64_t n = 0;
+  int32_t min_sentinel_id = -1;  // INT64_MIN collides with the empty-slot
+  //                                marker; intern it out-of-table
   auto intern = [&](int64_t k) -> int32_t {
+    if (k == INT64_MIN) {
+      if (min_sentinel_id < 0) {
+        min_sentinel_id = (int32_t)n;
+        unique_out[n++] = k;
+      }
+      return min_sentinel_id;
+    }
     uint64_t h = (uint64_t)k * 0x9E3779B97F4A7C15ull;
     int64_t i = (int64_t)(h & (uint64_t)(cap - 1));
     while (true) {

@@ -39,21 +39,31 @@ def _build() -> str | None:
     so = _cache_path()
     if os.path.exists(so):
         return so
+    tmp = f"{so}.{os.getpid()}.tmp"  # per-process: concurrent builders
+    #                                  must not interleave into one file
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-pthread", _SRC, "-o", so + ".tmp"],
+             "-pthread", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=180,
         )
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)  # atomic publish
         return so
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
 def get_lib():
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable (no toolchain, or
+    CUGRAPH_TPU_NO_NATIVE set — the documented kill switch for EVERY native
+    path, forcing the NumPy reference implementations)."""
     global _lib, _tried
+    if os.environ.get("CUGRAPH_TPU_NO_NATIVE"):
+        return None
     if _lib is not None or _tried:
         return _lib
     with _lock:
@@ -63,7 +73,10 @@ def get_lib():
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None  # corrupt cache file: fall back to NumPy paths
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         f32p = ctypes.POINTER(ctypes.c_float)

@@ -46,7 +46,19 @@ def remove_multi_edges(src, dst, weight=None, *, keep="first"):
                             None if weight is None else weight[idx])
                 return src[idx], dst[idx], w_out.astype(weight.dtype)
 
-    key = (src.astype(np.int64) << 32) | dst.astype(np.uint32).astype(np.int64)
+    # (src<<32)|uint32(dst) would alias once ids reach 2^32 (this fallback
+    # serves exactly the sparse huge-raw-id case the native guard rejects):
+    # build a collision-free key via factorized endpoints instead
+    if len(src) and (src.max(initial=0) >= (1 << 31)
+                     or dst.max(initial=0) >= (1 << 31)
+                     or src.min(initial=0) < 0 or dst.min(initial=0) < 0):
+        uniq_ids, inv = np.unique(np.concatenate([src, dst]),
+                                  return_inverse=True)
+        e = len(src)
+        key = inv[:e].astype(np.int64) * len(uniq_ids) + inv[e:]
+    else:
+        key = ((src.astype(np.int64) << 32)
+               | dst.astype(np.uint32).astype(np.int64))
     if keep == "first" or weight is None:
         _, idx = np.unique(key, return_index=True)
         idx.sort()

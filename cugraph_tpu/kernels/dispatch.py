@@ -141,8 +141,8 @@ def out_weight_vectors(G, pad_v: int):
     """(inv_out_weight, is_dangling) host vectors sized to the plan."""
     src, dst, w = G.edgelist_arrays()
     n = G.number_of_vertices()
-    out_w = np.zeros(pad_v, np.float32)
-    np.add.at(out_w, src, np.ones(len(src), np.float32) if w is None else w)
+    out_w = np.bincount(src, weights=w, minlength=pad_v)[:pad_v] \
+        .astype(np.float32)
     inv_out = np.divide(1.0, out_w, out=np.zeros_like(out_w),
                         where=out_w > 0).astype(np.float32)
     is_dang = (np.arange(pad_v) < n) & (out_w <= 0)

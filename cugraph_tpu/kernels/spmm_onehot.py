@@ -519,12 +519,15 @@ def get_structure_spmm_fn(g):
     for r, f in _fn_cache:
         if r() is g:
             return f
-    e = g.csc.num_edges
-    src = np.asarray(g.csc.indices)[:e]
-    dst = np.asarray(g.csc.majors)[:e]
-    w = np.asarray(g.csc.weights)[:e]
+    from cugraph_tpu.prims.intersection import _host_csr
+
     fwd = get_structure_spmm_plan(g)
-    bwd = build_spmm_plan(dst, src, w, g.num_vertices)
+    # transpose plan from the CACHED host copies (a fresh np.asarray per
+    # array would repeat the device->host tunnel transfers)
+    offs, ind, w = _host_csr(g.csc, True)
+    e = g.csc.num_edges
+    bwd = build_spmm_plan(np.asarray(g.csc.majors)[:e], ind[:e], w[:e],
+                          g.num_vertices)
     f = make_spmm_pair(fwd, bwd)
     _fn_cache.append((weakref.ref(g), f))
     return f

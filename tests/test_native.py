@@ -382,3 +382,24 @@ def test_renumber_mixed_width_and_sparse_dedupe():
     d2 = np.array([7, 9, 7], np.int64)
     rs, rd, _ = remove_multi_edges(s2, d2)
     assert len(rs) == 2 and 1_000_000 in set(rs.tolist())
+
+
+def test_dedupe_huge_ids_and_renumber_int64min():
+    """Review regressions: the dedupe fallback must not alias edges whose
+    ids exceed 2^32 (the old (src<<32)|uint32(dst) key truncated), and the
+    hash renumber must intern INT64_MIN (it collided with the empty-slot
+    sentinel)."""
+    from cugraph_tpu.core.preprocess import remove_multi_edges
+    from cugraph_tpu.core.renumber import renumber_edgelist
+
+    src = np.array([0, 0], np.int64)
+    dst = np.array([2**32, 0], np.int64)
+    rs, rd, _ = remove_multi_edges(src, dst)
+    assert len(rs) == 2  # (0, 2^32) and (0, 0) are DISTINCT edges
+
+    s = np.array([np.iinfo(np.int64).min, 5], np.int64)
+    d = np.array([5, 7], np.int64)
+    si, di, nm = renumber_edgelist(s, d)
+    assert (si >= 0).all() and (di >= 0).all()
+    assert np.iinfo(np.int64).min in set(nm._i2e.tolist())
+    np.testing.assert_array_equal(nm.to_external(si), s)
