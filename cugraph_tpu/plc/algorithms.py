@@ -246,9 +246,14 @@ def louvain(resource_handle, graph, max_level=100, threshold=1e-7,
     return parts["vertex"].to_numpy(), parts["partition"].to_numpy(), float(mod)
 
 
-def leiden(resource_handle, graph, random_state=None, max_level=100,
+def leiden(resource_handle, random_state=None, graph=None, max_level=100,
            resolution=1.0, theta=1.0, do_expensive_check=False):
+    """Reference positional order (leiden.pyx:50): random_state SECOND,
+    graph third.  Legacy (graph-second) calls are detected and swapped."""
     import cugraph_tpu as ct
+
+    if graph is None or isinstance(random_state, (SGGraph, MGGraph)):
+        random_state, graph = graph, random_state
 
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_leiden
@@ -263,10 +268,15 @@ def leiden(resource_handle, graph, random_state=None, max_level=100,
     return parts["vertex"].to_numpy(), parts["partition"].to_numpy(), float(mod)
 
 
-def ecg(resource_handle, graph, min_weight=0.0001, ensemble_size=16,
-        max_level=10, threshold=1e-7, resolution=1.0, random_state=None,
+def ecg(resource_handle, random_state=None, graph=None, min_weight=0.0001,
+        ensemble_size=16, max_level=10, threshold=1e-7, resolution=1.0,
         do_expensive_check=False):
+    """Reference positional order (ecg.pyx:50): random_state SECOND.
+    Legacy (graph-second) calls are detected and swapped."""
     import cugraph_tpu as ct
+
+    if graph is None or isinstance(random_state, (SGGraph, MGGraph)):
+        random_state, graph = graph, random_state
 
     parts = ct.ecg(_sg(graph), min_weight=min_weight,
                    ensemble_size=ensemble_size)
@@ -553,91 +563,143 @@ def uniform_neighbor_sample(resource_handle, graph, start_list, fanout_vals,
                                       random_state=random_state)
 
 
+def _fanout_compat(starting_vertex_label_offsets, h_fan_out):
+    """Reference order is (..., starting_vertex_label_offsets, h_fan_out);
+    legacy 4-positional calls passed the fanout in the offsets slot."""
+    if h_fan_out is None:
+        return None, starting_vertex_label_offsets
+    return starting_vertex_label_offsets, h_fan_out
+
+
 def homogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
-                                        fanout_vals, **kw):
+                                        starting_vertex_label_offsets=None,
+                                        h_fan_out=None, **kw):
     import cugraph_tpu as ct
 
+    _, fanout_vals = _fanout_compat(starting_vertex_label_offsets, h_fan_out)
     return ct.homogeneous_uniform_neighbor_sample(_sg(graph), start_list,
                                                   fanout_vals, **kw)
 
 
 def homogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
-                                       fanout_vals, **kw):
+                                       starting_vertex_label_offsets=None,
+                                       h_fan_out=None, **kw):
     import cugraph_tpu as ct
+
+    _, fanout_vals = _fanout_compat(starting_vertex_label_offsets, h_fan_out)
 
     return ct.homogeneous_biased_neighbor_sample(_sg(graph), start_list,
                                                  fanout_vals, **kw)
 
 
 def heterogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
-                                          fanout_vals, num_edge_types=None,
-                                          **kw):
+                                          starting_vertex_label_offsets=None,
+                                          vertex_type_offsets=None,
+                                          h_fan_out=None, *,
+                                          num_edge_types=None, **kw):
+    """Reference positional order (heterogeneous_*.pyx:74): label/type
+    offsets precede h_fan_out; legacy (start, fanout, num_edge_types)
+    calls are detected by the missing h_fan_out."""
     import cugraph_tpu as ct
 
+    if h_fan_out is None:
+        h_fan_out = starting_vertex_label_offsets
+        if num_edge_types is None:
+            num_edge_types = vertex_type_offsets
     return ct.heterogeneous_uniform_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types, **kw)
+        _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types, **kw)
 
 
 def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
-                                         fanout_vals, num_edge_types=None,
-                                         **kw):
+                                         starting_vertex_label_offsets=None,
+                                         vertex_type_offsets=None,
+                                         h_fan_out=None, *,
+                                         num_edge_types=None, **kw):
     import cugraph_tpu as ct
 
+    if h_fan_out is None:
+        h_fan_out = starting_vertex_label_offsets
+        if num_edge_types is None:
+            num_edge_types = vertex_type_offsets
     return ct.heterogeneous_biased_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types, **kw)
+        _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types, **kw)
 
 
-def homogeneous_uniform_temporal_neighbor_sample(
-        resource_handle, graph, start_list, fanout_vals, seed_time=0.0,
-        **kw):
+def _temporal_compat(args, kw):
+    """Reference order (homogeneous_uniform_temporal_*.pyx:76):
+    (temporal_property_name, start_vertex_list, starting_vertex_start_times,
+    starting_vertex_label_offsets, h_fan_out).  Legacy calls passed
+    (start_list, fanout_vals[, num_edge_types], seed_time=...).  Detect by
+    the leading string property name."""
+    if args and isinstance(args[0], str):
+        start_list = args[1]
+        start_times = args[2] if len(args) > 2 else None
+        fanout = args[4] if len(args) > 4 else kw.pop("h_fan_out", None)
+        if start_times is not None:
+            kw.setdefault("seed_time", np.asarray(start_times).reshape(-1)[0]
+                          if np.ndim(start_times) else start_times)
+        return start_list, fanout, kw
+    start_list = args[0]
+    fanout = args[1] if len(args) > 1 else kw.pop("h_fan_out", None)
+    if len(args) > 2 and args[2] is not None:
+        kw.setdefault("num_edge_types", args[2])
+    return start_list, fanout, kw
+
+
+def homogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
+                                                 *args, **kw):
     """Temporal variant (reference homogeneous_uniform_temporal_neighbor_
-    sample.pyx / temporal_sampling_impl.cuh)."""
+    sample.pyx / temporal_sampling_impl.cuh); accepts both the reference
+    positional order and the legacy (start, fanout) form."""
     import cugraph_tpu as ct
 
+    start_list, fanout_vals, kw = _temporal_compat(args, kw)
+    kw.pop("num_edge_types", None)
     return ct.homogeneous_uniform_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, seed_time=seed_time, **kw)
+        _sg(graph), start_list, fanout_vals, **kw)
 
 
-def homogeneous_biased_temporal_neighbor_sample(
-        resource_handle, graph, start_list, fanout_vals, seed_time=0.0,
-        **kw):
+def homogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
+                                                *args, **kw):
     import cugraph_tpu as ct
 
+    start_list, fanout_vals, kw = _temporal_compat(args, kw)
+    kw.pop("num_edge_types", None)
     return ct.homogeneous_biased_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, seed_time=seed_time, **kw)
+        _sg(graph), start_list, fanout_vals, **kw)
 
 
-def heterogeneous_uniform_temporal_neighbor_sample(
-        resource_handle, graph, start_list, fanout_vals, num_edge_types=None,
-        seed_time=0.0, **kw):
+def heterogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
+                                                   *args, **kw):
     import cugraph_tpu as ct
 
+    start_list, fanout_vals, kw = _temporal_compat(args, kw)
     return ct.heterogeneous_uniform_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types,
-        seed_time=seed_time, **kw)
+        _sg(graph), start_list, fanout_vals, **kw)
 
 
-def heterogeneous_biased_temporal_neighbor_sample(
-        resource_handle, graph, start_list, fanout_vals, num_edge_types=None,
-        seed_time=0.0, **kw):
+def heterogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
+                                                  *args, **kw):
     import cugraph_tpu as ct
 
+    start_list, fanout_vals, kw = _temporal_compat(args, kw)
     return ct.heterogeneous_biased_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, num_edge_types=num_edge_types,
-        seed_time=seed_time, **kw)
+        _sg(graph), start_list, fanout_vals, **kw)
 
 
-def negative_sampling(resource_handle, graph, num_samples, vertices=None,
-                      src_bias=None, dst_bias=None, remove_duplicates=True,
-                      remove_false_negatives=True, exact_number_of_samples=False,
-                      random_state=None, do_expensive_check=False):
+def negative_sampling(resource_handle, graph, num_samples, random_state=None,
+                      vertices=None, src_bias=None, dst_bias=None,
+                      remove_duplicates=True, remove_false_negatives=True,
+                      exact_number_of_samples=False, do_expensive_check=False):
+    """Reference positional order (negative_sampling.pyx:57):
+    random_state fourth, then vertices/biases."""
     import cugraph_tpu as ct
 
     df = ct.negative_sampling(_sg(graph), num_samples, vertices=vertices,
                               src_bias=src_bias, dst_bias=dst_bias,
                               remove_duplicates=remove_duplicates,
                               remove_existing_edges=remove_false_negatives,
-                              random_state=random_state)
+                              random_state=_seed(random_state))
     return df["src"].to_numpy(), df["dst"].to_numpy()
 
 
