@@ -18,8 +18,25 @@ maps, then coarsen_graph).  TPU decomposition:
   tiny relative to the distributed edge set) — same observable behavior,
   distributed where it matters.
 
-Cluster ids ride the shuffle as float32 payloads → exact for |V| < 2^24
-(single-level ids are vertex ids; fine for the current scale envelope).
+Two interchangeable engines for the per-device grouping work (the sweep's
+cost center):
+
+* ``engine="host"`` (default): each device's edge block is aggregated to
+  (u, cluster[dst], ΣW) runs by the native counting-sort engine
+  (core/_native/builder.cpp ``coarsen_edges``) on its OWNING host; only
+  these aggregates — orders of magnitude fewer than edges — cross between
+  owners.  This is the calibrated placement rule (COVERAGE.md): sort-shaped
+  grouping belongs on the host, per-block and embarrassingly parallel
+  across hosts on a pod.  Ids stay int32 end-to-end (no 2^24 float limit).
+* ``engine="device"``: the original shard_map path (local lax.sort +
+  segment-sum, fixed-capacity shuffle to owners, on-device move kernel).
+  Kept because it is the zero-host-roundtrip variant; on current TPUs its
+  sort/segment ops scalarize (~0.12 G elem/s), so it loses to the host
+  engine — parity-tested against it.  Cluster ids ride its shuffle as
+  float32 payloads → exact for |V| < 2^24.
+
+Both engines implement the identical move rule (snapshot parallel sweep,
+up/down direction filter, min-c tie break, gain > f_stay + 1e-9).
 """
 
 from __future__ import annotations
@@ -163,10 +180,142 @@ def _merge_move_kernel(mesh, pmaj, pmin, chunk, n):
         out_specs=(vertex_spec(), P())))
 
 
+def _blocks_host(g: DistGraph, which: str):
+    """Per-(i,j)-block host COO decompression, cached on the DistGraph.
+
+    Returns a list (row-major over the mesh) of (gathered_global,
+    reduced_global, w) int32/int32/float32 triples with the valid mask
+    applied.  For push blocks the GATHERED endpoint is dst and the REDUCED
+    endpoint is u (src); for pull blocks the roles swap (see CLAUDE.md's
+    EdgeBlocks field-name warning)."""
+    attr = f"_host_blocks_{which}"
+    cached = getattr(g, attr, None)
+    if cached is not None:
+        return cached
+    blocks_dev = g.push if which == "push" else g.pull
+    pmaj, pmin, chunk = g.pmaj, g.pmin, g.chunk
+    B = pmin * chunk
+    gath = np.asarray(blocks_dev.src_loc)
+    red = np.asarray(blocks_dev.dst_loc)
+    w = np.asarray(blocks_dev.weight)
+    valid = np.asarray(blocks_dev.valid)
+    out = []
+    for i in range(pmaj):
+        for j in range(pmin):
+            v = valid[i, j]
+            gg = (i * B + gath[i, j][v].astype(np.int64)).astype(np.int32)
+            slot = red[i, j][v].astype(np.int64)
+            rg = (((slot // chunk) * pmin + j) * chunk
+                  + slot % chunk).astype(np.int32)
+            out.append((gg, rg, w[i, j][v].astype(np.float32)))
+    object.__setattr__(g, attr, out)
+    return out
+
+
+def _agg_pairs(u, c, w, n_keys: int):
+    """Aggregate (u, c) → ΣW; native counting sort with a numpy fallback.
+    Returns (u, c, W) sorted by (u, c) — the kv_store/reduce-by-key role of
+    the reference's cuco aggregation (per_v_transform_reduce_dst_key_
+    aggregated_outgoing_e, louvain_impl.cuh:339)."""
+    from cugraph_tpu.core.native import coarsen_edges_native
+
+    if len(u) == 0:
+        z = np.zeros(0, np.int32)
+        return z, z.copy(), np.zeros(0, np.float32)
+    out = coarsen_edges_native(u, c, w, n_keys)
+    if out is not None:
+        return out
+    key = u.astype(np.int64) * n_keys + c.astype(np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    W = np.zeros(len(uniq), np.float64)
+    np.add.at(W, inv, w)
+    return ((uniq // n_keys).astype(np.int32),
+            (uniq % n_keys).astype(np.int32), W.astype(np.float32))
+
+
+def _move_phase_host(g: DistGraph, resolution: float, max_sweeps: int):
+    """Host-engine distributed local-moving (see module docstring).
+
+    Per sweep each block contributes per-device (u, cluster[dst], ΣW)
+    aggregates via the native engine; owners merge their partials and apply
+    the same snapshot move rule as the device kernel (up/down filter,
+    min-c tie break, gain > f_stay + 1e-9)."""
+    n, pad_v = g.num_vertices, g.pad_v
+    blocks = _blocks_host(g, "push")      # (dst_global, u_global, w)
+    k = np.asarray(g.out_degree, np.float64)
+    m2 = max(float(k.sum()), 1e-30)
+    cluster = np.arange(pad_v, dtype=np.int32)
+
+    def sigma_of(cl):
+        return np.bincount(cl[:n], weights=k[:n], minlength=pad_v)
+
+    def intra_of(cl):
+        return sum(float(w[cl[gdst] == cl[u]].sum())
+                   for (gdst, u, w) in blocks)
+
+    def modularity(cl):
+        sig = sigma_of(cl)
+        return intra_of(cl) / m2 - resolution * float(np.sum((sig / m2) ** 2))
+
+    def move_once(cl, sigma, up_down):
+        # per-device partial aggregation (each block = one device's work)
+        parts = []
+        for (gdst, u, w) in blocks:
+            m = u != gdst                      # self-loops excluded from W
+            parts.append(_agg_pairs(u[m], cl[gdst[m]], w[m], pad_v))
+        # owner-side merge of the shuffled partials
+        mu, mc, mW = _agg_pairs(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]), pad_v)
+        cur = cl[mu]
+        ku = k[mu]
+        stay = mc == cur
+        W_stay = np.zeros(pad_v, np.float64)
+        W_stay[mu[stay]] = mW[stay]            # unique per u post-merge
+        dir_ok = (mc > cur) if up_down else (mc < cur)
+        cand = dir_ok & ~stay
+        if not cand.any():
+            return cl, 0
+        cu_, cc_, cg_ = mu[cand], mc[cand], (
+            mW[cand] - resolution * ku[cand] * sigma[mc[cand]] / m2)
+        order = np.lexsort((cc_, -cg_, cu_))   # by u, desc gain, asc c
+        first = np.concatenate([[True], cu_[order][1:] != cu_[order][:-1]])
+        sel = order[first]
+        bu, bc, bg = cu_[sel], cc_[sel], cg_[sel]
+        f_stay = W_stay[bu] - resolution * k[bu] * (sigma[cl[bu]] - k[bu]) / m2
+        improve = (bg > f_stay + 1e-9) & (bu < n)
+        new_cl = cl.copy()
+        new_cl[bu[improve]] = bc[improve]
+        return new_cl, int(improve.sum())
+
+    best_q = modularity(cluster)
+    up_down = True
+    for sweep in range(max_sweeps):
+        sigma = sigma_of(cluster)
+        cand, moved = move_once(cluster, sigma, up_down)
+        up_down = not up_down
+        q = modularity(cand)
+        if q > best_q + 1e-9:
+            best_q, cluster = q, cand
+        elif moved == 0 or sweep >= 1:
+            break
+    return cluster, best_q
+
+
 def mg_louvain_move_phase(g: DistGraph, mesh, resolution: float = 1.0,
-                          max_sweeps: int = 20):
-    """Distributed local-moving; returns (cluster [pad_v] np array, Q)."""
+                          max_sweeps: int = 20, engine: str | None = None):
+    """Distributed local-moving; returns (cluster [pad_v] np array, Q).
+
+    ``engine``: "host" (default — native per-block aggregation, see module
+    docstring) or "device" (shard_map sort/segment path); overridable via
+    ``CUGRAPH_TPU_MG_SWEEP_ENGINE``."""
     assert g.push is not None, "mg_louvain needs push blocks"
+    if engine is None:
+        import os
+        engine = os.environ.get("CUGRAPH_TPU_MG_SWEEP_ENGINE", "host")
+    if engine == "host":
+        return _move_phase_host(g, resolution, max_sweeps)
     part = g.part
     n, pad_v = g.num_vertices, g.pad_v
     k = np.asarray(g.out_degree) + 0.0   # weighted degree (out == in totals
@@ -260,14 +409,31 @@ def _coarsen_aggregate_kernel(mesh, pmaj, pmin, chunk):
         out_specs=(vertex_spec(), vertex_spec())))
 
 
-def mg_coarsen(g: DistGraph, mesh, labels_full: np.ndarray):
+def mg_coarsen(g: DistGraph, mesh, labels_full: np.ndarray,
+               engine: str | None = None):
     """Distributed graph contraction: labels (compact, [pad_v]) → coarse COO.
 
-    Each device compresses its edge block to distinct (c_src, c_dst, ΣW)
-    runs on device; only these aggregates — orders of magnitude fewer than
-    the edges — reach the host for the final cross-device merge.  The full
-    edge list is never materialized on one host (the reference coarsens
-    distributed too, structure/coarsen_graph_impl.cuh)."""
+    Each device's edge block is compressed to distinct (c_src, c_dst, ΣW)
+    runs FIRST — on its owning host via the native counting-sort engine
+    (default), or on device (``engine="device"``) — so only these
+    aggregates, orders of magnitude fewer than the edges, cross between
+    owners for the final merge.  The full edge list is never materialized
+    in one place (the reference coarsens distributed too,
+    structure/coarsen_graph_impl.cuh)."""
+    if engine is None:
+        import os
+        engine = os.environ.get("CUGRAPH_TPU_MG_SWEEP_ENGINE", "host")
+    nc = int(labels_full.max()) + 1
+    lab = np.asarray(labels_full, np.int32)
+    if engine == "host":
+        parts = [_agg_pairs(lab[sg], lab[rd], w, nc)
+                 for (sg, rd, w) in _blocks_host(g, "pull")]
+        cu, cd, cw = _agg_pairs(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]), nc)
+        return cu.astype(np.int64), cd.astype(np.int64), \
+            cw.astype(np.float32), nc
     agg = _coarsen_aggregate_kernel(mesh, g.pmaj, g.pmin, g.chunk)
     keys, payload = agg(g.pull.src_loc, g.pull.dst_loc, g.pull.weight,
                         g.pull.valid, jnp.asarray(labels_full, jnp.int32))
@@ -277,7 +443,6 @@ def mg_coarsen(g: DistGraph, mesh, labels_full: np.ndarray):
     cu = k[sel].astype(np.int64)
     cd = p[sel, 0].astype(np.int64)
     w = p[sel, 1].astype(np.float64)
-    nc = int(labels_full.max()) + 1
     pair = cu * nc + cd
     uniq, inv = np.unique(pair, return_inverse=True)
     cw = np.zeros(len(uniq), np.float64)
@@ -423,22 +588,15 @@ def mg_leiden(g: DistGraph, mesh, max_level: int = 100,
     _, refined = np.unique(cc, return_inverse=True)
     refined = refined.astype(np.int32)
 
-    # modularity of the refined partition, computed DISTRIBUTED (intra-weight
-    # from the per-device aggregate kernel, σ via the key shuffle) — the full
-    # edge list never lands on one host
-    part = g.part
-    k = np.asarray(g.out_degree).astype(np.float64)
-    m2 = float(k.sum())
+    # modularity of the refined partition: per-block intra-weight partials
+    # (each block = one device's work on its owning host) + a σ bincount —
+    # the full edge list never lands in one place
+    k = np.asarray(g.out_degree, np.float64)
+    m2 = max(float(k.sum()), 1e-30)
     ref_full = np.zeros(pad_v, np.int32)
     ref_full[:n] = refined
-    agg = _local_aggregate_kernel(mesh, g.pmaj, g.pmin, g.chunk)
-    _, _, intra = agg(g.push.src_loc, g.push.dst_loc, g.push.weight,
-                      g.push.valid, jnp.asarray(ref_full))
-    keys = jax.device_put(
-        jnp.asarray(np.where(np.arange(pad_v) < n, ref_full, -1), np.int32),
-        NamedSharding(mesh, vertex_spec()))
-    vals = jax.device_put(jnp.asarray(k, jnp.float32),
-                          NamedSharding(mesh, vertex_spec()))
-    sigma = np.asarray(shuffle_reduce_by_key(mesh, part, keys, vals, "sum"))
-    q_ref = float(intra) / m2 - resolution * float(np.sum((sigma / m2) ** 2))
+    intra = sum(float(w[ref_full[gdst] == ref_full[u]].sum())
+                for (gdst, u, w) in _blocks_host(g, "push"))
+    sigma = np.bincount(refined, weights=k[:n], minlength=n)
+    q_ref = intra / m2 - resolution * float(np.sum((sigma / m2) ** 2))
     return refined, q_ref

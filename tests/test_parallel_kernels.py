@@ -195,3 +195,40 @@ def test_mg_brandes_pallas_matches_sg(mesh, force_pallas):
     sg = ct.betweenness_centrality(G, normalized=True).sort_values("vertex")
     np.testing.assert_allclose(bc, sg["betweenness_centrality"].to_numpy(),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_mg_louvain_sweep_engines_agree(mesh):
+    """Host-engine (native per-block aggregation) and device-engine
+    (shard_map sort/segment) move phases implement the same move rule:
+    same modularity trajectory on a structured graph, and mg_coarsen's two
+    engines produce identical coarse COOs."""
+    from cugraph_tpu.parallel.louvain import (mg_coarsen,
+                                              mg_louvain_move_phase)
+
+    rng = np.random.default_rng(17)
+    n = 48
+    # three blobs of 16 + noise
+    blocks = [rng.integers(0, 16, (2, 220)) + 16 * c for c in range(3)]
+    noise = rng.integers(0, n, (2, 30))
+    src = np.concatenate([b[0] for b in blocks] + [noise[0]])
+    dst = np.concatenate([b[1] for b in blocks] + [noise[1]])
+    keep = src != dst
+    uniq = np.unique(src[keep] * n + dst[keep])
+    src, dst = uniq // n, uniq % n
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True,
+                         symmetrize=True)
+
+    cl_h, q_h = mg_louvain_move_phase(g, mesh, engine="host")
+    cl_d, q_d = mg_louvain_move_phase(g, mesh, engine="device")
+    # identical rule, different arithmetic precision: quality must agree
+    assert q_h == pytest.approx(q_d, abs=5e-4)
+    assert q_h > 0.3
+
+    lab_full = np.zeros(g.pad_v, np.int32)
+    _, lab_full[:n] = np.unique(cl_h[:n], return_inverse=True)
+    ch = mg_coarsen(g, mesh, lab_full, engine="host")
+    cd_ = mg_coarsen(g, mesh, lab_full, engine="device")
+    assert ch[3] == cd_[3]
+    np.testing.assert_array_equal(ch[0], cd_[0])
+    np.testing.assert_array_equal(ch[1], cd_[1])
+    np.testing.assert_allclose(ch[2], cd_[2], rtol=1e-5)
