@@ -470,14 +470,6 @@ def ecg(G, min_weight: float = 0.05, ensemble_size: int = 16,
             src.astype(np.int32), dst.astype(np.int32), w, n)
         row_off = np.zeros(n + 1, np.int64)
         np.cumsum(np.bincount(agg_s, minlength=n), out=row_off[1:])
-        w64 = agg_w.astype(np.float64)
-        m2 = max(w64.sum(), 1e-30)
-        kdeg = np.bincount(agg_s, weights=w64, minlength=n)
-
-        def modularity(cl):
-            intra = w64[cl[agg_s] == cl[agg_d]].sum()
-            sigma = np.bincount(cl, weights=kdeg, minlength=n)
-            return intra / m2 - resolution * np.sum((sigma / m2) ** 2)
 
         for e in range(ensemble_size):
             # the FORWARD permutation is the relabeling: sweep decisions on
@@ -485,17 +477,16 @@ def ecg(G, min_weight: float = 0.05, ensemble_size: int = 16,
             # fallback's permuted-graph run)
             rank = rng.permutation(n).astype(np.int32)
             cluster = np.arange(n, dtype=np.int32)
-            best_q = modularity(cluster)
-            up_down = True
-            for sweep in range(2):
-                cl2 = louvain_sweep_native(agg_d, agg_w, row_off, cluster,
-                                           up_down, resolution, rank=rank)
-                q2 = modularity(cl2)
-                up_down = not up_down
-                if q2 > best_q + threshold:
-                    best_q, cluster = q2, cl2
-                elif sweep >= 1:
-                    break
+            # fixed 2-sweep schedule, no modularity gate: every accepted
+            # move is individually gain-positive, so modularity is monotone
+            # across sweeps and re-evaluating it (3 full-edge bincount
+            # passes/member, ~0.9 s at RMAT-18) only implemented an
+            # early-stop the reference doesn't have either (ecg_impl.cuh:148
+            # runs fixed one-level members)
+            for up_down in (True, False):
+                cluster = louvain_sweep_native(agg_d, agg_w, row_off,
+                                               cluster, up_down, resolution,
+                                               rank=rank)
             votes += (cluster[src] == cluster[dst])
     else:
         for e in range(ensemble_size):

@@ -271,7 +271,7 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
 
 def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
             *, w_src, w_dst, precision, tile_subs=8, reduce="sum",
-            combine="mul"):
+            combine="mul", gather_batch=1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -329,6 +329,39 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
+    if reduce == "sum":
+        # Batched-gather variant: every subtile of a tile shares the x
+        # window, so ``gather_batch`` subtile one-hots concatenate along
+        # lanes into ONE [w_src, G·128] matmul producing an XE panel
+        # [G·128, F].  gather_batch is capped by the caller so the panel
+        # plus one-hot stay inside the Mosaic scoped-VMEM budget (the
+        # uncapped ts=64 × F=256 panel OOMed the worker).  gather_batch=1
+        # reproduces the original per-subtile loop exactly.
+        gb = max(1, min(int(gather_batch), tile_subs))
+        for j0 in range(0, tile_subs, gb):
+            g_n = min(gb, tile_subs - j0)
+            ohs = []
+            for j in range(j0, j0 + g_n):
+                s_row = src_ref[j:j + 1, :]
+                w_raw = w_ref[j:j + 1, :]
+                w_clean = jnp.where(jnp.isnan(w_raw), 0.0, w_raw)
+                # weight folded into the src one-hot: matmul = gather × w
+                O_w = jnp.where(sub_s == s_row, w_clean, 0.0)
+                if not split:
+                    O_w = O_w.astype(odt)
+                ohs.append(O_w)
+            O_cat = ohs[0] if g_n == 1 else jnp.concatenate(ohs, axis=1)
+            xe = _sel(O_cat, x_ref[:], dn_vv)               # [g·128e, F]
+            for jj, j in enumerate(range(j0, j0 + g_n)):
+                d_row = dst_ref[j:j + 1, :]
+                base = jnp.min(d_row[0, :]) // w_dst * w_dst
+                d_rel = d_row - base
+                O_d = (sub_d == d_rel).astype(jnp.float32 if split else odt)
+                xe_j = xe[jj * 128:(jj + 1) * 128, :]
+                contrib = _sel(O_d, xe_j, dn_ed)            # [W_d, F]
+                y_ref[pl.ds(base, w_dst), :] += contrib
+        return
+
     for j in range(tile_subs):
         s_row = src_ref[j:j + 1, :]
         w_raw = w_ref[j:j + 1, :]
@@ -336,17 +369,6 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
         d_row = dst_ref[j:j + 1, :]
         base = jnp.min(d_row[0, :]) // w_dst * w_dst
         d_rel = d_row - base
-
-        if reduce == "sum":
-            # weight folded into the src one-hot: one matmul = gather × w
-            O_w = jnp.where(sub_s == s_row, w_clean, 0.0)
-            if not split:
-                O_w = O_w.astype(odt)
-            xe = _sel(O_w, x_ref[:], dn_vv)                 # [128e, F]
-            O_d = (sub_d == d_rel).astype(jnp.float32 if split else odt)
-            contrib = _sel(O_d, xe, dn_ed)                  # [W_d, F]
-            y_ref[pl.ds(base, w_dst), :] += contrib
-            continue
 
         # -- min/max semirings.  Values live sublane-oriented ([128e, F]);
         # edges within a subtile are dst-sorted, so each dst is a contiguous
@@ -394,11 +416,35 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
             win, jnp.where(contrib_c > 0.5, contrib_v, ident))
 
 
+_VMEM_BUDGET = 15 << 20      # of the 16 MB Mosaic scoped-VMEM limit
+
+
+def _max_feature_chunk(ybv: int, w_src: int) -> int:
+    """Widest feature chunk whose double-buffered y/x blocks leave room
+    for per-subtile scratch.  The y block [ybv, F] f32 is double-buffered
+    by the pipeline (measured: F=256 at ybv=8192 allocates 17.02 MB and
+    is rejected at compile), so F must satisfy
+    8·F·(ybv + w_src) + scratch ≤ budget."""
+    fc = (_VMEM_BUDGET - (3 << 20)) // (8 * (ybv + w_src)) // 128 * 128
+    return max(fc, 128)
+
+
+def _auto_gather_batch(w_src: int, F: int, tile_subs: int, ybv: int) -> int:
+    """Largest gather-batch group whose scratch (concatenated one-hot +
+    XE panel, f32 worst case) fits the scoped-VMEM budget left after the
+    double-buffered y/x blocks — the uncapped ts=64 × F=256 panel OOMed
+    and wedged the TPU worker (CLAUDE.md environment facts)."""
+    avail = _VMEM_BUDGET - 8 * F * (ybv + w_src) - (1 << 20)
+    per_g = 512 * (w_src + F)          # bytes per batched subtile
+    return max(1, min(tile_subs, avail // max(per_g, 1)))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "precision",
-                                             "reduce", "combine"))
+                                             "reduce", "combine",
+                                             "gather_batch"))
 def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
                 precision: str = "default", reduce: str = "sum",
-                combine: str = "mul"):
+                combine: str = "mul", gather_batch: int = 0):
     """Y[dst, :] = reduce_e combine(w, X[src, :]) per the plan's edge set.
 
     x: [pad_v, F] f32 (pad_v = plan.pad_v, F a multiple of 128 — or the
@@ -434,26 +480,43 @@ def spmm_onehot(plan: SpmmPlan, x: jax.Array, *, interpret: bool = False,
                          "(plan.split_safe); use \"highest\" instead")
 
     ts = plan.tile_subs
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(plan.num_tiles,),
-        in_specs=[
-            pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
-            pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
-            pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
-            pl.BlockSpec((plan.w_src, F), lambda i, xw, yb: (xw[i], 0)),
-        ],
-        out_specs=pl.BlockSpec((plan.ybv, F), lambda i, xw, yb: (yb[i], 0)),
-    )
-    y = pl.pallas_call(
-        functools.partial(_kernel, w_src=plan.w_src, w_dst=plan.w_dst,
-                          precision=precision, tile_subs=ts, reduce=reduce,
-                          combine=combine),
-        out_shape=jax.ShapeDtypeStruct((plan.n_yblocks * plan.ybv, F),
-                                       jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(plan.xwin, plan.yblk, plan.src_rel, plan.dst_rel, plan.weight, x)
+
+    def _call(xc):
+        fc = xc.shape[1]
+        gb = (gather_batch if gather_batch > 0
+              else _auto_gather_batch(plan.w_src, fc, ts, plan.ybv))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(plan.num_tiles,),
+            in_specs=[
+                pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
+                pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
+                pl.BlockSpec((ts, 128), lambda i, xw, yb: (i, 0)),
+                pl.BlockSpec((plan.w_src, fc), lambda i, xw, yb: (xw[i], 0)),
+            ],
+            out_specs=pl.BlockSpec((plan.ybv, fc),
+                                   lambda i, xw, yb: (yb[i], 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, w_src=plan.w_src, w_dst=plan.w_dst,
+                              precision=precision, tile_subs=ts,
+                              reduce=reduce, combine=combine,
+                              gather_batch=gb),
+            out_shape=jax.ShapeDtypeStruct((plan.n_yblocks * plan.ybv, fc),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(plan.xwin, plan.yblk, plan.src_rel, plan.dst_rel, plan.weight, xc)
+
+    # feature chunking: double-buffered [ybv, F] y blocks exceed the 16 MB
+    # scoped-VMEM limit past F≈180 at the default ybv — wide feature
+    # matrices (GNN hidden layers) run one plan sweep per VMEM-sized chunk
+    fc_max = _max_feature_chunk(plan.ybv, plan.w_src)
+    if F <= fc_max:
+        y = _call(x)
+    else:
+        y = jnp.concatenate(
+            [_call(x[:, i:i + fc_max]) for i in range(0, F, fc_max)], axis=1)
     return y[: plan.pad_v]
 
 

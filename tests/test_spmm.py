@@ -190,3 +190,72 @@ def test_spmm_sum_rejects_bad_combine():
     with pytest.raises(ValueError, match="combine"):
         spmm_onehot(plan, jnp.zeros((plan.pad_v, 8)), interpret=True,
                     reduce="sum", combine="add")
+
+
+@pytest.mark.parametrize("prec", ["highest", "split", "default"])
+def test_spmm_gather_batch_parity(prec):
+    """Batched-gather grouping is bit-identical to the per-subtile loop in
+    every precision mode, and the auto cap respects the VMEM budget."""
+    from cugraph_tpu.kernels.spmm_onehot import _auto_gather_batch
+
+    rng = np.random.default_rng(7)
+    n, m, F = 700, 4000, 128
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = None if prec == "split" else rng.random(m).astype(np.float32)
+    plan = build_spmm_plan(src, dst, w, n, tile_subs=16)
+    x = jnp.asarray(rng.random((plan.pad_v, F)).astype(np.float32))
+    y1 = np.asarray(spmm_onehot(plan, x, interpret=True, precision=prec,
+                                gather_batch=1))
+    for gb in (4, 16, 0):        # 0 = auto
+        yb = np.asarray(spmm_onehot(plan, x, interpret=True, precision=prec,
+                                    gather_batch=gb))
+        assert np.array_equal(y1, yb)
+    # the auto choice keeps (one-hot + XE panel) inside the VMEM budget
+    # left after the double-buffered y/x blocks
+    from cugraph_tpu.kernels.spmm_onehot import _VMEM_BUDGET
+
+    gb = _auto_gather_batch(plan.w_src, F, plan.tile_subs, plan.ybv)
+    assert 1 <= gb <= plan.tile_subs
+    assert (8 * F * (plan.ybv + plan.w_src)
+            + 512 * (plan.w_src + F) * gb) <= _VMEM_BUDGET
+
+
+def test_spmm_feature_chunking_parity():
+    """Wide feature matrices split into VMEM-sized chunks (the
+    double-buffered [ybv, F] y block exceeds the 16 MB scoped-VMEM limit
+    past F≈180 at the default ybv); chunked == whole bit-exactly,
+    including non-multiple-of-128 widths and the min semiring."""
+    import cugraph_tpu.kernels.spmm_onehot as so
+
+    rng = np.random.default_rng(0)
+    n, m = 700, 4000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m).astype(np.float32)
+    plan = so.build_spmm_plan(src, dst, w, n, tile_subs=16)
+    orig = so._VMEM_BUDGET
+    try:
+        for F in (256, 250):
+            x = jnp.asarray(rng.random((plan.pad_v, F)).astype(np.float32))
+            so._VMEM_BUDGET = orig
+            so.spmm_onehot.clear_cache()
+            y_w = np.asarray(so.spmm_onehot(plan, x, interpret=True,
+                                            precision="highest"))
+            m_w = np.asarray(so.spmm_onehot(plan, x, interpret=True,
+                                            precision="highest",
+                                            reduce="min", combine="add"))
+            # shrink the budget so fc_max drops to 128 -> forced chunking
+            so._VMEM_BUDGET = (3 << 20) + 8 * (plan.ybv + plan.w_src) * 128
+            so.spmm_onehot.clear_cache()
+            assert so._max_feature_chunk(plan.ybv, plan.w_src) == 128
+            y_c = np.asarray(so.spmm_onehot(plan, x, interpret=True,
+                                            precision="highest"))
+            m_c = np.asarray(so.spmm_onehot(plan, x, interpret=True,
+                                            precision="highest",
+                                            reduce="min", combine="add"))
+            assert np.array_equal(y_w, y_c)
+            assert np.array_equal(m_w, m_c)
+    finally:
+        so._VMEM_BUDGET = orig
+        so.spmm_onehot.clear_cache()
