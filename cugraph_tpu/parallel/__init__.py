@@ -57,6 +57,8 @@ from cugraph_tpu.parallel.algos import (
     mg_k_hop_nbrs,
     mg_egonet,
     mg_induced_subgraph,
+    mg_two_hop_neighbors,
+    mg_heterogeneous_temporal_neighbor_sample,
 )
 
 # ---------------------------------------------------------------------------

@@ -425,12 +425,22 @@ def _mg_hits_kernel(mesh, pmaj, pmin, chunk, n, max_iter, normalized):
 
 
 def mg_hits(g: DistGraph, mesh, tol: float = 1e-5, max_iter: int = 100,
-            normalized: bool = True):
-    """Distributed HITS; needs push blocks (store_push=True)."""
+            normalized: bool = True, nstart=None):
+    """Distributed HITS; needs push blocks (store_push=True).
+
+    ``nstart`` is a dense [num_vertices] initial hubs guess (the reference
+    plumbs it through hits_impl.cuh:47 `has_initial_hubs_guess`)."""
     assert g.push is not None, "mg_hits needs push blocks"
     vsh = NamedSharding(mesh, vertex_spec())
     h0 = np.zeros(g.pad_v, np.float32)
-    h0[: g.num_vertices] = 1.0 / max(g.num_vertices, 1)
+    if nstart is None:
+        h0[: g.num_vertices] = 1.0 / max(g.num_vertices, 1)
+    else:
+        v = np.asarray(nstart, np.float32).reshape(-1)
+        h0[: len(v)] = v
+        s = h0.sum()
+        if s > 0:
+            h0 /= s
     h0 = jax.device_put(jnp.asarray(h0), vsh)
     kern = _mg_hits_kernel(mesh, g.pmaj, g.pmin, g.chunk, g.num_vertices,
                            int(max_iter), bool(normalized))
@@ -1917,3 +1927,98 @@ def mg_induced_subgraph(g: DistGraph, mesh, vertices):
     src, dst, w = _gather_edges_host(g)
     keep = member[src] & member[dst]
     return src[keep], dst[keep], w[keep]
+
+
+def mg_two_hop_neighbors(g: DistGraph, mesh, start_vertices=None):
+    """All (first, second) pairs two hops apart (reference
+    c_api/graph_functions.cpp:85 MG path).  Extraction-shaped output — the
+    reference returns the full pair list to the client too — so the edge
+    list is gathered to the owning host and squared there (sparse A@A),
+    matching mg_triangle_count's placement rule for sort/intersection work.
+    Returns (first, second) int64 arrays sorted by (first, second)."""
+    import scipy.sparse as sp
+
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    src, dst, _ = _gather_edges_host(g)
+    n = g.num_vertices
+    A = sp.csr_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    P2 = (A @ A).tocoo()
+    mask = P2.row != P2.col
+    first, second = P2.row[mask], P2.col[mask]
+    if start_vertices is not None:
+        sv = np.zeros(n, bool)
+        sv[np.asarray(start_vertices).reshape(-1)] = True
+        keep = sv[first]
+        first, second = first[keep], second[keep]
+    order = np.lexsort((second, first))
+    return first[order].astype(np.int64), second[order].astype(np.int64)
+
+
+def mg_heterogeneous_temporal_neighbor_sample(
+        g: DistGraph, mesh, start_list, fanout_vals, num_edge_types=None,
+        seed_time: float = 0.0, strict: bool = True, seed: int = 0,
+        biased: bool = False, with_replacement: bool = False):
+    """Distributed per-edge-type TEMPORAL neighbor sampling (reference MG
+    heterogeneous_{uniform,biased}_temporal_neighbor_sample.pyx): combines
+    the per-type eligibility masks of mg_heterogeneous_neighbor_sample with
+    the arrival-time regime of mg_temporal_neighbor_sample — both ride the
+    same mg_sample_one_hop kernel (edge_ok ∧ time-eligibility are AND-ed
+    in-kernel).  ``fanout_vals`` is flattened [hop0_type0, hop0_type1, …]."""
+    import pandas as pd
+
+    if g.push is None or g.push.etype is None or g.push.etime is None:
+        raise ValueError("heterogeneous temporal MG sampling requires push "
+                         "blocks built with edge_type and edge_time")
+    et = np.asarray(g.push.etype)
+    valid = np.asarray(g.push.valid)
+    types = np.unique(et[valid]) if valid.any() else np.array([], np.int32)
+    ntypes = num_edge_types or (int(types.max()) + 1 if len(types) else 1)
+    fv = list(fanout_vals)
+    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
+    hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
+    masks = {int(t): jnp.asarray(valid & (et == t)) for t in types}
+
+    frontier = np.asarray(start_list, np.int64)
+    vtimes = np.zeros(g.pad_v, np.float32)
+    vtimes[frontier] = np.float32(seed_time)
+    batch_of = {int(v): b for b, v in enumerate(frontier)}
+    frames = []
+    for hop, hop_fans in enumerate(hops):
+        if len(frontier) == 0:
+            break
+        hop_frames = []
+        for t, k in enumerate(hop_fans):
+            if int(k) <= 0 or t not in masks:
+                continue
+            samp, st = mg_sample_one_hop(
+                g, mesh, frontier, int(k), seed + hop * 101 + t,
+                with_replacement, biased, edge_ok=masks[t],
+                frontier_times=vtimes, strict=strict)
+            samp, st = np.asarray(samp), np.asarray(st)
+            srcs, cols = np.nonzero(samp >= 0)
+            keep = np.isin(srcs, frontier)
+            s = srcs[keep]
+            d = samp[srcs[keep], cols[keep]]
+            tt = st[srcs[keep], cols[keep]]
+            hop_frames.append(pd.DataFrame({
+                "sources": s, "destinations": d, "edge_time": tt,
+                "edge_type": np.int32(t), "hop_id": np.int32(hop),
+                "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
+            }))
+        if not hop_frames:
+            break
+        hf = pd.concat(hop_frames, ignore_index=True)
+        frames.append(hf)
+        fb = hf.groupby("destinations")["batch_id"].min()
+        for v, b in fb.items():
+            batch_of.setdefault(int(v), int(b))
+        ft = hf.groupby("destinations")["edge_time"].min()
+        frontier = ft.index.to_numpy().astype(np.int64)
+        vtimes = np.zeros(g.pad_v, np.float32)
+        vtimes[frontier] = ft.to_numpy().astype(np.float32)
+    cols = ["sources", "destinations", "edge_time", "edge_type", "hop_id",
+            "batch_id"]
+    if not frames:
+        return pd.DataFrame(columns=cols)
+    return pd.concat(frames, ignore_index=True)

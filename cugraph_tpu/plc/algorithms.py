@@ -85,6 +85,17 @@ def personalized_pagerank(resource_handle, graph, personalization_vertices,
     import cugraph_tpu as ct
     import pandas as pd
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_pagerank
+
+        n = graph.graph().num_vertices
+        pers = np.zeros(n, np.float32)
+        pers[np.asarray(personalization_vertices)] = \
+            np.asarray(personalization_values, np.float32)
+        p, err, iters = mg_pagerank(graph.graph(), graph.mesh, alpha=alpha,
+                                    tol=epsilon, max_iter=max_iterations,
+                                    personalization=pers)
+        return np.arange(n, dtype=np.int32), np.asarray(p)[:n]
     G = _sg(graph)
     pers = pd.DataFrame({"vertex": np.asarray(personalization_vertices),
                          "values": np.asarray(personalization_values)})
@@ -97,7 +108,30 @@ def hits(resource_handle, graph, tol=1e-5, max_iter=100, initial_hubs_guess_vert
          initial_hubs_guess_values=None, normalized=True, do_expensive_check=False):
     import cugraph_tpu as ct
 
-    df = ct.hits(_sg(graph), max_iter=max_iter, tol=tol, normalized=normalized)
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_hits
+
+        n = graph.graph().num_vertices
+        nstart = None
+        if initial_hubs_guess_vertices is not None:
+            nstart = np.zeros(n, np.float32)
+            nstart[np.asarray(initial_hubs_guess_vertices)] = \
+                np.asarray(initial_hubs_guess_values, np.float32)
+        h, a, err, iters = mg_hits(graph.graph(), graph.mesh, tol=tol,
+                                   max_iter=max_iter, normalized=normalized,
+                                   nstart=nstart)
+        return (np.arange(n, dtype=np.int32), np.asarray(h)[:n],
+                np.asarray(a)[:n])
+    kw = {}
+    if initial_hubs_guess_vertices is not None:
+        import pandas as pd
+
+        kw["nstart"] = pd.DataFrame({
+            "vertex": np.asarray(initial_hubs_guess_vertices),
+            "values": np.asarray(initial_hubs_guess_values),
+        })
+    df = ct.hits(_sg(graph), max_iter=max_iter, tol=tol, normalized=normalized,
+                 **kw)
     return _vert_df(df.sort_values("vertex"), ["hubs", "authorities"])
 
 
@@ -191,6 +225,13 @@ def eigenvector_centrality(resource_handle, graph, epsilon=1e-6,
                            max_iterations=100, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_eigenvector_centrality
+
+        c, err, iters = mg_eigenvector_centrality(
+            graph.graph(), graph.mesh, tol=epsilon, max_iter=max_iterations)
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), np.asarray(c)[:n]
     df = ct.eigenvector_centrality(_sg(graph), tol=epsilon,
                                    max_iter=max_iterations)
     return _vert_df(df.sort_values("vertex"), ["eigenvector_centrality"])
@@ -220,6 +261,14 @@ def edge_betweenness_centrality(resource_handle, graph, k=None,
                                 do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_edge_betweenness_centrality
+
+        df = mg_edge_betweenness_centrality(graph.graph(), graph.mesh, k=k,
+                                            normalized=normalized,
+                                            seed=_seed(random_state))
+        return (df["src"].to_numpy(), df["dst"].to_numpy(),
+                df["betweenness_centrality"].to_numpy())
     df = ct.edge_betweenness_centrality(_sg(graph), k=k, normalized=normalized,
                                         seed=random_state)
     return (df["src"].to_numpy(), df["dst"].to_numpy(),
@@ -278,6 +327,16 @@ def ecg(resource_handle, random_state=None, graph=None, min_weight=0.0001,
     if graph is None or isinstance(random_state, (SGGraph, MGGraph)):
         random_state, graph = graph, random_state
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_ecg
+
+        labels, mod = mg_ecg(graph.graph(), graph.mesh,
+                             min_weight=min_weight,
+                             ensemble_size=ensemble_size,
+                             max_level=max_level, threshold=threshold,
+                             resolution=resolution, seed=_seed(random_state))
+        n = graph.graph().num_vertices
+        return np.arange(n, dtype=np.int32), np.asarray(labels)[:n]
     parts = ct.ecg(_sg(graph), min_weight=min_weight,
                    ensemble_size=ensemble_size)
     if isinstance(parts, tuple):
@@ -295,7 +354,12 @@ def triangle_count(resource_handle, graph, start_list=None,
 
         t = mg_triangle_count(graph.graph(), graph.mesh)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), t[:n]
+        verts = np.arange(n, dtype=np.int32)
+        t = np.asarray(t)[:n]
+        if start_list is not None:
+            sel = np.asarray(start_list).reshape(-1)
+            return verts[sel], t[sel]
+        return verts, t
     df = ct.triangle_count(_sg(graph), start_list=start_list) \
         .sort_values("vertex")
     return df["vertex"].to_numpy(), df["counts"].to_numpy()
@@ -304,6 +368,11 @@ def triangle_count(resource_handle, graph, start_list=None,
 def k_truss_subgraph(resource_handle, graph, k, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_k_truss
+
+        src, dst, w = mg_k_truss(graph.graph(), graph.mesh, k)
+        return src, dst, w
     H = ct.ktruss_subgraph(_sg(graph), k)
     src, dst, w = H.edgelist_arrays()
     return (H.number_map.to_external(src), H.number_map.to_external(dst),
@@ -314,6 +383,11 @@ def egonet(resource_handle, graph, source_vertices, radius,
            do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_egonet
+
+        return mg_egonet(graph.graph(), graph.mesh, source_vertices,
+                         radius=radius)
     df, offsets = ct.batched_ego_graphs(_sg(graph), source_vertices, radius)
     return (df["src"].to_numpy(), df["dst"].to_numpy(),
             df["weight"].to_numpy() if "weight" in df else
@@ -395,6 +469,12 @@ def k_core(resource_handle, graph, k=None, degree_type="bidirectional",
            core_result=None, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_k_core
+
+        src, dst, w, _core = mg_k_core(graph.graph(), graph.mesh, k=k,
+                                       degree_type=degree_type)
+        return src, dst, w
     H = ct.k_core(_sg(graph), k=k, degree_type=degree_type)
     src, dst, w = H.edgelist_arrays()
     return (H.number_map.to_external(src), H.number_map.to_external(dst),
@@ -456,10 +536,19 @@ def jaccard_coefficients(resource_handle, graph, first, second,
     return _sim(ct.jaccard, graph, first, second)
 
 
+def _mg_sim(mg_fn, graph, first, second):
+    c = mg_fn(graph.graph(), graph.mesh, first, second)
+    return np.asarray(first), np.asarray(second), np.asarray(c)
+
+
 def sorensen_coefficients(resource_handle, graph, first, second,
                           use_weight=False, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_sorensen_coefficients
+
+        return _mg_sim(mg_sorensen_coefficients, graph, first, second)
     return _sim(ct.sorensen, graph, first, second)
 
 
@@ -467,6 +556,10 @@ def overlap_coefficients(resource_handle, graph, first, second,
                          use_weight=False, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_overlap_coefficients
+
+        return _mg_sim(mg_overlap_coefficients, graph, first, second)
     return _sim(ct.overlap, graph, first, second)
 
 
@@ -474,11 +567,21 @@ def cosine_coefficients(resource_handle, graph, first, second,
                         use_weight=False, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_cosine_coefficients
+
+        return _mg_sim(mg_cosine_coefficients, graph, first, second)
     return _sim(ct.cosine, graph, first, second)
 
 
-def _all_pairs(fn, graph, vertices, topk):
-    df = fn(_sg(graph), vertices=vertices, topk=topk)
+def _all_pairs(fn, graph, vertices, topk, kind=None):
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_all_pairs_similarity
+
+        df = mg_all_pairs_similarity(graph.graph(), graph.mesh, kind=kind,
+                                     vertices=vertices, topk=topk)
+    else:
+        df = fn(_sg(graph), vertices=vertices, topk=topk)
     col = [c for c in df.columns if c.endswith("_coeff")][0]
     return df["first"].to_numpy(), df["second"].to_numpy(), df[col].to_numpy()
 
@@ -488,7 +591,7 @@ def all_pairs_jaccard_coefficients(resource_handle, graph, vertices=None,
                                    do_expensive_check=False):
     import cugraph_tpu as ct
 
-    return _all_pairs(ct.all_pairs_jaccard, graph, vertices, topk)
+    return _all_pairs(ct.all_pairs_jaccard, graph, vertices, topk, "jaccard")
 
 
 def all_pairs_sorensen_coefficients(resource_handle, graph, vertices=None,
@@ -496,7 +599,7 @@ def all_pairs_sorensen_coefficients(resource_handle, graph, vertices=None,
                                     do_expensive_check=False):
     import cugraph_tpu as ct
 
-    return _all_pairs(ct.all_pairs_sorensen, graph, vertices, topk)
+    return _all_pairs(ct.all_pairs_sorensen, graph, vertices, topk, "sorensen")
 
 
 def all_pairs_overlap_coefficients(resource_handle, graph, vertices=None,
@@ -504,7 +607,7 @@ def all_pairs_overlap_coefficients(resource_handle, graph, vertices=None,
                                    do_expensive_check=False):
     import cugraph_tpu as ct
 
-    return _all_pairs(ct.all_pairs_overlap, graph, vertices, topk)
+    return _all_pairs(ct.all_pairs_overlap, graph, vertices, topk, "overlap")
 
 
 def all_pairs_cosine_coefficients(resource_handle, graph, vertices=None,
@@ -512,7 +615,7 @@ def all_pairs_cosine_coefficients(resource_handle, graph, vertices=None,
                                   do_expensive_check=False):
     import cugraph_tpu as ct
 
-    return _all_pairs(ct.all_pairs_cosine, graph, vertices, topk)
+    return _all_pairs(ct.all_pairs_cosine, graph, vertices, topk, "cosine")
 
 
 # -- sampling / walks --------------------------------------------------------
@@ -536,6 +639,12 @@ def biased_random_walks(resource_handle, graph, start_vertices, max_length,
                         random_state=None):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_biased_random_walks
+
+        return mg_biased_random_walks(graph.graph(), graph.mesh,
+                                      start_vertices, max_length,
+                                      seed=_seed(random_state))
     return ct.biased_random_walks(_sg(graph), start_vertices, max_length,
                                   random_state=random_state)
 
@@ -544,6 +653,12 @@ def node2vec_random_walks(resource_handle, graph, start_vertices, max_length,
                           p=1.0, q=1.0, random_state=None):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_node2vec_random_walks
+
+        return mg_node2vec_random_walks(graph.graph(), graph.mesh,
+                                        start_vertices, max_length, p=p, q=q,
+                                        seed=_seed(random_state))
     return ct.node2vec_random_walks(_sg(graph), start_vertices, max_length,
                                     p=p, q=q, random_state=random_state)
 
@@ -571,12 +686,26 @@ def _fanout_compat(starting_vertex_label_offsets, h_fan_out):
     return starting_vertex_label_offsets, h_fan_out
 
 
+def _mg_sample_kw(kw):
+    """Map plc sampler kwargs onto the MG engine's (with_replacement, seed)."""
+    return {
+        "with_replacement": bool(kw.get("with_replacement", False)),
+        "seed": _seed(kw.get("random_state")),
+    }
+
+
 def homogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
                                         starting_vertex_label_offsets=None,
                                         h_fan_out=None, **kw):
     import cugraph_tpu as ct
 
     _, fanout_vals = _fanout_compat(starting_vertex_label_offsets, h_fan_out)
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_uniform_neighbor_sample
+
+        return mg_uniform_neighbor_sample(graph.graph(), graph.mesh,
+                                          start_list, fanout_vals,
+                                          **_mg_sample_kw(kw))
     return ct.homogeneous_uniform_neighbor_sample(_sg(graph), start_list,
                                                   fanout_vals, **kw)
 
@@ -588,6 +717,12 @@ def homogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
 
     _, fanout_vals = _fanout_compat(starting_vertex_label_offsets, h_fan_out)
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_biased_neighbor_sample
+
+        return mg_biased_neighbor_sample(graph.graph(), graph.mesh,
+                                         start_list, fanout_vals,
+                                         **_mg_sample_kw(kw))
     return ct.homogeneous_biased_neighbor_sample(_sg(graph), start_list,
                                                  fanout_vals, **kw)
 
@@ -606,6 +741,12 @@ def heterogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
         h_fan_out = starting_vertex_label_offsets
         if num_edge_types is None:
             num_edge_types = vertex_type_offsets
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
+
+        return mg_heterogeneous_neighbor_sample(
+            graph.graph(), graph.mesh, start_list, h_fan_out,
+            num_edge_types=num_edge_types, **_mg_sample_kw(kw))
     return ct.heterogeneous_uniform_neighbor_sample(
         _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types, **kw)
 
@@ -621,6 +762,12 @@ def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
         h_fan_out = starting_vertex_label_offsets
         if num_edge_types is None:
             num_edge_types = vertex_type_offsets
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
+
+        return mg_heterogeneous_neighbor_sample(
+            graph.graph(), graph.mesh, start_list, h_fan_out,
+            num_edge_types=num_edge_types, biased=True, **_mg_sample_kw(kw))
     return ct.heterogeneous_biased_neighbor_sample(
         _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types, **kw)
 
@@ -655,6 +802,12 @@ def homogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
 
     start_list, fanout_vals, kw = _temporal_compat(args, kw)
     kw.pop("num_edge_types", None)
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_temporal_neighbor_sample
+
+        return mg_temporal_neighbor_sample(
+            graph.graph(), graph.mesh, start_list, fanout_vals,
+            seed_time=float(kw.get("seed_time", 0.0)), **_mg_sample_kw(kw))
     return ct.homogeneous_uniform_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -665,6 +818,13 @@ def homogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
 
     start_list, fanout_vals, kw = _temporal_compat(args, kw)
     kw.pop("num_edge_types", None)
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_temporal_neighbor_sample
+
+        return mg_temporal_neighbor_sample(
+            graph.graph(), graph.mesh, start_list, fanout_vals,
+            seed_time=float(kw.get("seed_time", 0.0)), biased=True,
+            **_mg_sample_kw(kw))
     return ct.homogeneous_biased_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -674,6 +834,14 @@ def heterogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
     import cugraph_tpu as ct
 
     start_list, fanout_vals, kw = _temporal_compat(args, kw)
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import (
+            mg_heterogeneous_temporal_neighbor_sample)
+
+        return mg_heterogeneous_temporal_neighbor_sample(
+            graph.graph(), graph.mesh, start_list, fanout_vals,
+            num_edge_types=kw.get("num_edge_types"),
+            seed_time=float(kw.get("seed_time", 0.0)), **_mg_sample_kw(kw))
     return ct.heterogeneous_uniform_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -683,6 +851,15 @@ def heterogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
     import cugraph_tpu as ct
 
     start_list, fanout_vals, kw = _temporal_compat(args, kw)
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import (
+            mg_heterogeneous_temporal_neighbor_sample)
+
+        return mg_heterogeneous_temporal_neighbor_sample(
+            graph.graph(), graph.mesh, start_list, fanout_vals,
+            num_edge_types=kw.get("num_edge_types"),
+            seed_time=float(kw.get("seed_time", 0.0)), biased=True,
+            **_mg_sample_kw(kw))
     return ct.heterogeneous_biased_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -695,6 +872,15 @@ def negative_sampling(resource_handle, graph, num_samples, random_state=None,
     random_state fourth, then vertices/biases."""
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_negative_sampling
+
+        df = mg_negative_sampling(
+            graph.graph(), graph.mesh, num_samples, seed=_seed(random_state),
+            remove_duplicates=remove_duplicates,
+            remove_existing_edges=remove_false_negatives,
+            src_bias=src_bias, dst_bias=dst_bias)
+        return df["src"].to_numpy(), df["dst"].to_numpy()
     df = ct.negative_sampling(_sg(graph), num_samples, vertices=vertices,
                               src_bias=src_bias, dst_bias=dst_bias,
                               remove_duplicates=remove_duplicates,
@@ -739,12 +925,42 @@ def two_hop_neighbors(resource_handle, graph, start_vertices=None,
                       do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_two_hop_neighbors
+
+        return mg_two_hop_neighbors(graph.graph(), graph.mesh,
+                                    start_vertices=start_vertices)
     df = ct.two_hop_neighbors(_sg(graph))
     return df["first"].to_numpy(), df["second"].to_numpy()
 
 
+def _mg_degree_arrays(graph):
+    # edge COUNTS (the plc degrees contract) — DistGraph.in/out_degree hold
+    # WEIGHT sums (the pagerank normalizer); count from the cached host COO
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    g = graph.graph()
+    n = g.num_vertices
+    src, dst, _w = _gather_edges_host(g)
+    return (np.arange(n, dtype=np.int32),
+            np.bincount(dst, minlength=n)[:n].astype(np.int64),
+            np.bincount(src, minlength=n)[:n].astype(np.int64))
+
+
+def _subset_deg(verts, deg, source_vertices):
+    if source_vertices is None:
+        return verts, deg
+    sel = np.asarray(source_vertices).reshape(-1)
+    return verts[sel], deg[sel]
+
+
 def degrees(resource_handle, graph, source_vertices=None,
             do_expensive_check=False):
+    if isinstance(graph, MGGraph):
+        verts, din, dout = _mg_degree_arrays(graph)
+        v1, din = _subset_deg(verts, din, source_vertices)
+        _, dout = _subset_deg(verts, dout, source_vertices)
+        return v1, din, dout
     G = _sg(graph)
     df = G.degrees().sort_values("vertex")
     return (df["vertex"].to_numpy(), df["in_degree"].to_numpy(),
@@ -752,12 +968,18 @@ def degrees(resource_handle, graph, source_vertices=None,
 
 
 def in_degrees(resource_handle, graph, source_vertices=None, **kw):
+    if isinstance(graph, MGGraph):
+        verts, din, _ = _mg_degree_arrays(graph)
+        return _subset_deg(verts, din, source_vertices)
     G = _sg(graph)
     df = G.in_degree().sort_values("vertex")
     return df["vertex"].to_numpy(), df["degree"].to_numpy()
 
 
 def out_degrees(resource_handle, graph, source_vertices=None, **kw):
+    if isinstance(graph, MGGraph):
+        verts, _, dout = _mg_degree_arrays(graph)
+        return _subset_deg(verts, dout, source_vertices)
     G = _sg(graph)
     df = G.out_degree().sort_values("vertex")
     return df["vertex"].to_numpy(), df["degree"].to_numpy()
@@ -766,14 +988,27 @@ def out_degrees(resource_handle, graph, source_vertices=None, **kw):
 def select_random_vertices(resource_handle, graph, random_state, num_vertices):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        n = graph.graph().num_vertices
+        rng = np.random.default_rng(_seed(random_state))
+        return rng.choice(n, size=min(int(num_vertices), n), replace=False)
     return ct.select_random_vertices(_sg(graph), num_vertices,
                                      random_state=random_state)
+
+
+def _mg_edges_host(graph):
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    return _gather_edges_host(graph.graph())
 
 
 def replicate_edgelist(resource_handle, src_array=None, dst_array=None,
                        weight_array=None, graph=None, **kw):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        src, dst, _w = _mg_edges_host(graph)
+        return src, dst
     if graph is not None:
         df = ct.replicate_edgelist(_sg(graph))
         return df["src"].to_numpy(), df["dst"].to_numpy()
@@ -783,6 +1018,8 @@ def replicate_edgelist(resource_handle, src_array=None, dst_array=None,
 def decompress_to_edgelist(resource_handle, graph, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        return _mg_edges_host(graph)
     df = ct.decompress_to_edgelist(_sg(graph))
     out = [df["src"].to_numpy(), df["dst"].to_numpy()]
     if "weight" in df:
@@ -793,10 +1030,16 @@ def decompress_to_edgelist(resource_handle, graph, do_expensive_check=False):
 def extract_vertex_list(resource_handle, graph, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        return np.arange(graph.graph().num_vertices, dtype=np.int64)
     return ct.extract_vertex_list(_sg(graph))
 
 
 def has_vertex(resource_handle, graph, vertices):
+    if isinstance(graph, MGGraph):
+        n = graph.graph().num_vertices
+        v = np.asarray(vertices).reshape(-1)
+        return (v >= 0) & (v < n)
     G = _sg(graph)
     return np.array([G.has_vertex(v) for v in np.asarray(vertices).reshape(-1)])
 
@@ -804,6 +1047,12 @@ def has_vertex(resource_handle, graph, vertices):
 def count_multi_edges(resource_handle, graph, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        src, dst, _w = _mg_edges_host(graph)
+        n = graph.graph().pad_v
+        keys = src.astype(np.int64) * np.int64(n) + dst
+        _, counts = np.unique(keys, return_counts=True)
+        return int((counts - 1).sum())
     return ct.count_multi_edges(_sg(graph))
 
 
@@ -839,6 +1088,12 @@ def induced_subgraph(resource_handle, graph, subgraph_vertices,
                      subgraph_offsets=None, do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_induced_subgraph
+
+        src, dst, w = mg_induced_subgraph(graph.graph(), graph.mesh,
+                                          subgraph_vertices)
+        return src, dst, w, np.asarray([0, len(src)])
     df, offsets = ct.induced_subgraph(_sg(graph), subgraph_vertices)
     w = (df["weight"].to_numpy(np.float32) if "weight" in df.columns
          else np.ones(len(df), np.float32))
@@ -874,6 +1129,11 @@ def get_two_hop_neighbors(resource_handle, graph, start_vertices,
     Returns (first, second) sorted vertex-pair arrays two hops apart."""
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel import mg_two_hop_neighbors
+
+        return mg_two_hop_neighbors(graph.graph(), graph.mesh,
+                                    start_vertices=start_vertices)
     df = ct.two_hop_neighbors(_sg(graph))
     if start_vertices is not None:
         sv = set(np.asarray(start_vertices).tolist())

@@ -99,17 +99,24 @@ class MGGraph:
     def __init__(self, resource_handle, graph_properties=None,
                  src_array=None, dst_array=None, weight_array=None, *,
                  store_transposed=False, num_arrays=1, do_expensive_check=False,
-                 symmetrize=False, **kwargs):
+                 symmetrize=False, edge_id_array=None, edge_type_array=None,
+                 edge_start_time_array=None, drop_self_loops=False,
+                 drop_multi_edges=False, **kwargs):
         from cugraph_tpu.parallel import build_dist_graph
         from cugraph_tpu.parallel.mesh import shard_dist_graph
 
         mesh = resource_handle.get_mesh()
         props = graph_properties or GraphProperties()
-        if isinstance(src_array, (list, tuple)):  # per-worker chunk lists
-            src_array = np.concatenate([np.asarray(a) for a in src_array])
-            dst_array = np.concatenate([np.asarray(a) for a in dst_array])
-            if weight_array is not None:
-                weight_array = np.concatenate([np.asarray(a) for a in weight_array])
+
+        def _cat(a):
+            if isinstance(a, (list, tuple)):  # per-worker chunk lists
+                return np.concatenate([np.asarray(x) for x in a])
+            return a
+
+        src_array, dst_array = _cat(src_array), _cat(dst_array)
+        weight_array, edge_id_array = _cat(weight_array), _cat(edge_id_array)
+        edge_type_array = _cat(edge_type_array)
+        edge_start_time_array = _cat(edge_start_time_array)
         src = np.asarray(src_array)
         dst = np.asarray(dst_array)
         n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
@@ -122,10 +129,19 @@ class MGGraph:
             src, dst,
             None if weight_array is None else np.asarray(weight_array),
             n, pmaj, pmin,
-            store_push=True, symmetrize=bool(symmetrize))
+            store_push=True, symmetrize=bool(symmetrize),
+            edge_type=(None if edge_type_array is None
+                       else np.asarray(edge_type_array)),
+            edge_time=(None if edge_start_time_array is None
+                       else np.asarray(edge_start_time_array)),
+            drop_self_loops=bool(drop_self_loops),
+            drop_multi_edges=bool(drop_multi_edges))
         self._graph = shard_dist_graph(g, mesh)
         self.mesh = mesh
         self.properties = props
+        # edge ids kept host-side for lookup/post-processing parity
+        self.edge_ids = (None if edge_id_array is None
+                         else np.asarray(edge_id_array))
 
     def graph(self):
         return self._graph
