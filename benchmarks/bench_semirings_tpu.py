@@ -29,6 +29,12 @@ SEMIRINGS = {
     "bfs_max_left": dict(reduce="max", combine="left"),
     "sssp_min_add": dict(reduce="min", combine="add"),
     "wcc_min_left": dict(reduce="min", combine="left"),
+    # what BFS/WCC actually run past 2^16 vertices (bit-exact id selection;
+    # see kernels/spmv_onehot._sel split3)
+    "bfs_max_left_split3": dict(reduce="max", combine="left",
+                                precision="split3"),
+    "wcc_min_left_split3": dict(reduce="min", combine="left",
+                                precision="split3"),
 }
 
 
@@ -54,10 +60,11 @@ def main():
         @jax.jit
         def run(iters, plan, x0, _kw=tuple(kw.items())):
             kw2 = dict(_kw)
+            prec = kw2.pop("precision", "split")
 
             def body(state):
                 x, it = state
-                y = spmv_onehot(plan, x, precision="split", **kw2)
+                y = spmv_onehot(plan, x, precision=prec, **kw2)
                 # keep iterates finite and data-flow alive; cost is
                 # data-independent so the transform does not matter
                 x = jnp.clip(y, 1e-6, BIG) * 0.5 + x * 0.25

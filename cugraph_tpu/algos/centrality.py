@@ -243,7 +243,8 @@ _BRANDES_BATCH = 128  # sources per sweep = one MXU lane width
 
 
 def _brandes_sweep_batched(spmm_pull, spmm_push, pad_v: int, n: int,
-                           sources: jax.Array, csr=None):
+                           sources: jax.Array, csr=None,
+                           endpoints: bool = False):
     """Forward sigma + backward delta for a batch of sources.
 
     ``sources``: int32 [B] internal ids, -1 = padding column (contributes 0).
@@ -253,6 +254,11 @@ def _brandes_sweep_batched(spmm_pull, spmm_push, pad_v: int, n: int,
     None).  Edge accumulation rides ROW gathers of the [pad_v, B] panels
     (jnp.take along axis 0 — the one gather shape this TPU runs at bandwidth;
     see docs/performance.md), not element gathers.
+
+    ``endpoints=True`` adds the path-endpoint contributions (reference
+    betweenness_centrality_impl.cuh:1225-1303 / networkx
+    _accumulate_endpoints): per source s, bc[s] += |reachable from s|−1 and
+    every reached w≠s gets +1 on top of its dependency.
     """
     B = sources.shape[0]
     varange = jnp.arange(pad_v)
@@ -304,12 +310,18 @@ def _brandes_sweep_batched(spmm_pull, spmm_push, pad_v: int, n: int,
         lambda st: st[2] >= 0, bwd_body,
         (jnp.zeros((pad_v, B), jnp.float32), edep0, max_level - 1))
     delta = jnp.where(src1h, 0.0, delta)
+    if endpoints:
+        # reached (excluding the source itself; padding columns have
+        # dist == -1 everywhere, so they contribute nothing)
+        reached = (dist >= 0) & real & jnp.logical_not(src1h)
+        per_src = jnp.sum(reached.astype(jnp.float32), axis=0)      # [B]
+        delta = delta + reached + jnp.where(src1h, per_src[None, :], 0.0)
     return jnp.sum(delta, axis=1), (edep if csr is not None else None)
 
 
-@partial(jax.jit, static_argnames=("n", "edges"))
+@partial(jax.jit, static_argnames=("n", "edges", "endpoints"))
 def _brandes_batch_xla(g: GraphStructure, sources: jax.Array, n: int,
-                       edges: bool = False):
+                       edges: bool = False, endpoints: bool = False):
     """Batched Brandes on the XLA path ([pad_v, B] gathers/segment sums)."""
 
     def pull(x):
@@ -319,12 +331,14 @@ def _brandes_batch_xla(g: GraphStructure, sources: jax.Array, n: int,
         return segment_reduce_by_major(g.csr, gather_minor(g.csr, x), "sum")
 
     return _brandes_sweep_batched(pull, push, g.pad_v, n, sources,
-                                  csr=g.csr if edges else None)
+                                  csr=g.csr if edges else None,
+                                  endpoints=endpoints)
 
 
-@partial(jax.jit, static_argnames=("n", "edges"))
+@partial(jax.jit, static_argnames=("n", "edges", "endpoints"))
 def _brandes_batch_pallas(pull_plan, push_plan, g: GraphStructure,
-                          sources: jax.Array, n: int, edges: bool = False):
+                          sources: jax.Array, n: int, edges: bool = False,
+                          endpoints: bool = False):
     """Batched Brandes through the one-hot SpMM kernel (unit weights are
     bf16-exact, so split precision gives ~2^-16-relative sigma sums)."""
     from cugraph_tpu.kernels.spmm_onehot import _fit_rows, spmm_onehot
@@ -342,7 +356,8 @@ def _brandes_batch_pallas(pull_plan, push_plan, g: GraphStructure,
         return _fit_rows(y, P)
 
     return _brandes_sweep_batched(pull, push, P, n, sources,
-                                  csr=g.csr if edges else None)
+                                  csr=g.csr if edges else None,
+                                  endpoints=endpoints)
 
 
 def _get_brandes_spmm_plan(G, orientation: str):
@@ -373,7 +388,8 @@ def _get_brandes_spmm_plans(G):
             _get_brandes_spmm_plan(G, "push"))
 
 
-def _bc_batched(G, sources_internal: np.ndarray, edges: bool = False):
+def _bc_batched(G, sources_internal: np.ndarray, edges: bool = False,
+                endpoints: bool = False):
     """Accumulate (vertex, edge) betweenness over sources in batches of 128.
     Returns (bc [>=n], edge_dep [pad_e] csr-order or None)."""
     from cugraph_tpu.kernels.dispatch import use_pallas
@@ -393,22 +409,29 @@ def _bc_batched(G, sources_internal: np.ndarray, edges: bool = False):
     for chunk, _, _ in source_panels(sources_internal, _BRANDES_BATCH):
         if fast:
             d, ed = _brandes_batch_pallas(pull_plan, push_plan, g,
-                                          jnp.asarray(chunk), n, edges)
+                                          jnp.asarray(chunk), n, edges,
+                                          endpoints)
         else:
-            d, ed = _brandes_batch_xla(g, jnp.asarray(chunk), n, edges)
+            d, ed = _brandes_batch_xla(g, jnp.asarray(chunk), n, edges,
+                                       endpoints)
         bc = bc + d
         if edges:
             ebc = ebc + ed
     return np.asarray(bc), (np.asarray(ebc) if edges else None)
 
 
-def _bc_scale(G, k, normalized, n):
+def _bc_scale(G, k, normalized, n, endpoints=False):
     directed = G.is_directed()
     if normalized:
         # raw accumulation counts each unordered pair twice for undirected
         # graphs (all sources), which is exactly the networkx/cuGraph
-        # convention, so no extra undirected factor here.
-        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+        # convention, so no extra undirected factor here.  With endpoints the
+        # pair count includes the endpoints themselves: 1/(n(n−1))
+        # (networkx _rescale; betweenness_centrality_impl.cuh:1225-1303).
+        if endpoints:
+            scale = 1.0 / (n * (n - 1)) if n > 1 else 1.0
+        else:
+            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
     else:
         scale = 1.0 if directed else 0.5
     if k is not None and k < n:
@@ -430,14 +453,10 @@ def betweenness_centrality(G, k=None, normalized: bool = True, weight=None,
         sources = rng.choice(n, size=int(k), replace=False).astype(np.int32)
     else:
         sources = normalize_start(G, k)
-    bc, _ = _bc_batched(G, sources)
+    bc, _ = _bc_batched(G, sources, endpoints=endpoints)
     # list-form k gets the same n/|sources| extrapolation as scalar k
     nsrc = len(sources) if (k is not None and len(sources) < n) else None
-    scale = _bc_scale(G, nsrc, normalized, n)
-    if endpoints:
-        # add (number of reachable pairs) endpoint contributions — follow nx:
-        # s gets |{t reachable}|-? ; omitted: reference also defaults False
-        raise NotImplementedError("endpoints=True not yet supported")
+    scale = _bc_scale(G, nsrc, normalized, n, endpoints=endpoints)
     return vertex_frame(G, {"betweenness_centrality": bc * scale})
 
 

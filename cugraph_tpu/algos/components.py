@@ -58,18 +58,23 @@ def _wcc_kernel(g: GraphStructure):
 @partial(jax.jit, static_argnames=("interpret",))
 def _wcc_kernel_pallas(plan, n: jax.Array, interpret: bool = False):
     """Min-label propagation over (min, left) one-hot sweeps + pointer
-    jumping; labels ride f32 (exact for ids < 2^24)."""
+    jumping; labels ride f32 (ids < 2^24 stay f32-exact, and the selection
+    matmuls run bit-exact via split3 past 2^16 vertices)."""
     from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG, spmv_onehot
 
     pad_v = plan.pad_v
     ids = jnp.arange(pad_v)
     real = ids < n
     label0 = jnp.where(real, ids, pad_v - 1).astype(jnp.float32)
+    # labels are vertex ids: 2-limb split is only ~16-bit exact and can merge
+    # or split components past 2^16 vertices; split3 is bit-exact (see
+    # kernels/spmv_onehot._sel)
+    idprec = "split" if pad_v <= (1 << 16) else "split3"
 
     def body(state):
         label, _ = state
         y = spmv_onehot(plan, label, reduce="min", combine="left",
-                        precision="split", interpret=interpret)
+                        precision=idprec, interpret=interpret)
         new = jnp.minimum(label, jnp.where(real, y, SEMIRING_BIG))
         new = jnp.minimum(new, jnp.take(new, new.astype(jnp.int32)))
         new = jnp.where(real, new, pad_v - 1)

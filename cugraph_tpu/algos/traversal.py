@@ -131,16 +131,21 @@ def _bfs_kernel_diropt(g: GraphStructure, plan, source: jax.Array,
     if use_plan:
         from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
 
-        idf = (ids + 1).astype(jnp.float32)
-
+        # The dense sweep propagates the 0/1 frontier MASK, not vertex-id
+        # payloads: 0/1 values are exact in bf16, so the fast 2-limb split
+        # stays sound at ANY vertex count.  (Selecting ids in-kernel needs
+        # the 3-limb split past 2^16 vertices — measured 20.9 vs 13.2 ms/iter
+        # at RMAT-20, bench_semirings_tpu.py — and the 2-limb id select
+        # CORRUPTED predecessors by ±4 at 2^20.)  Predecessors for
+        # dense-reached vertices stay -1 here and are recovered host-side
+        # (_bfs_pred_host), the same split as SSSP's _sssp_pred_host.
         def dense_level(state):
             dist, pred, mask, level = state
-            y = spmv_onehot(plan, jnp.where(mask, idf, 0.0),
+            y = spmv_onehot(plan, mask.astype(jnp.float32),
                             reduce="max", combine="left", precision="split",
                             interpret=interpret)
             reached = (y > 0.5) & (dist == INT32_INF) & real
             dist = jnp.where(reached, level + 1, dist)
-            pred = jnp.where(reached, (y - 1.0).astype(jnp.int32), pred)
             return dist, pred, reached, level + 1
     else:
         def dense_level(state):
@@ -167,6 +172,24 @@ def _bfs_kernel_diropt(g: GraphStructure, plan, source: jax.Array,
     return dist, pred
 
 
+def _bfs_pred_host(G, dist: np.ndarray, pred: np.ndarray, source: int,
+                   n: int) -> np.ndarray:
+    """Fill predecessors the dense sweep left at -1: any in-neighbor u with
+    dist[u] + 1 == dist[v] (max id, matching the sparse path's .at[].max).
+    One vectorized host pass over the edge list — the BFS analog of
+    _sssp_pred_host."""
+    missing = (pred < 0) & (dist > 0) & (dist < INT32_INF)
+    missing[source] = False
+    if not missing.any():
+        return pred
+    src, dst, _ = G.edgelist_arrays()
+    ds = dist[src].astype(np.int64)  # int64: INT32_INF + 1 must not wrap
+    match = (ds + 1 == dist[dst]) & missing[dst]
+    out = pred.astype(np.int64, copy=True)
+    np.maximum.at(out, dst[match], src[match])
+    return out
+
+
 def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
         i_start=None, directed=None, return_predecessors=True):
     """BFS from ``start``; returns ['distance', 'vertex', 'predecessor'].
@@ -186,7 +209,7 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
     s = int(normalize_start(G, start)[0])
     n = G.number_of_vertices()
     dl = int(depth_limit) if depth_limit is not None else n
-    if use_pallas(G) and n < (1 << 24):  # f32-exact vertex ids
+    if use_pallas(G):
         plan = get_pull_plan(G)
         dist, pred = _bfs_kernel_diropt(G.structure, plan, jnp.int32(s), dl,
                                         n, True)
@@ -197,6 +220,8 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
     pred = np.asarray(pred)[:n]
     if not return_predecessors:  # reference keeps the column, skips compute
         pred = np.full(n, -1, pred.dtype)
+    else:
+        pred = _bfs_pred_host(G, dist, pred, s, n)
     return pd.DataFrame({
         "distance": dist,
         "vertex": G.number_map.to_external(np.arange(n)),

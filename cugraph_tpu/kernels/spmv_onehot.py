@@ -397,7 +397,8 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
 
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
-    split = precision == "split"
+    split = precision in ("split", "split3")
+    limbs = 3 if precision == "split3" else 2
     i = pl.program_id(0)
     BIG = SEMIRING_BIG
     init = {"sum": 0.0, "min": BIG, "max": -BIG}[reduce]
@@ -419,20 +420,29 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
     odt = jnp.bfloat16 if split else jnp.float32
 
     def _sel(data_f32, onehot, dims):
-        """data @ onehot at full MXU rate, exactly (split) or per `prec`."""
+        """data @ onehot at full MXU rate, exactly (split/split3) or `prec`.
+
+        "split": f32 → 2 bf16 limbs; each one-hot product selects one addend,
+        so both bf16 matmuls are exact selections and their f32 sum recovers
+        the value to ~2^-16 RELATIVE — NOT enough for integer vertex ids
+        ≥ 2^16 (measured ±4 at 2^20: tests/test_kernels.py::
+        test_split3_id_selection_exact).  "split3" adds the third limb
+        (8+8+8 = 24 significand bits): BIT-exact for every normal f32 at 3
+        passes instead of "highest"'s 6 — use it whenever the selected
+        payloads are vertex ids and the graph may exceed 2^16 vertices.
+        """
         if not split:
             return jax.lax.dot_general(data_f32, onehot, dims,
                                        preferred_element_type=jnp.float32,
                                        precision=prec)
-        # exact f32 → bf16 pair: each one-hot product selects one addend, so
-        # both bf16 matmuls are exact selections; their f32 sum recovers the
-        # value to ~2^-16 relative (split-precision selection trick)
-        d_hi = data_f32.astype(jnp.bfloat16)
-        d_lo = (data_f32 - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (jax.lax.dot_general(d_hi, onehot, dims,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(d_lo, onehot, dims,
-                                      preferred_element_type=jnp.float32))
+        out, rem = None, data_f32
+        for _ in range(limbs):
+            limb = rem.astype(jnp.bfloat16)
+            rem = rem - limb.astype(jnp.float32)
+            term = jax.lax.dot_general(limb, onehot, dims,
+                                       preferred_element_type=jnp.float32)
+            out = term if out is None else out + term
+        return out
 
     # -- gather, batched across the tile's 8 subtiles: ONE wide [128, 1024]
     # one-hot matmul keeps the MXU pipelined instead of 8 narrow dispatches.
@@ -448,6 +458,13 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
         O_loT = jnp.concatenate(O_lo_cols, axis=1)
         R_T = _sel(x_ref[:], O_hiT, dn_hh)           # [l, 8·128]
         xe_all = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
+
+    # NOTE (measured, do not repeat): batching the min/max 7-step run scan
+    # across all tile_subs as one [ts,128] block made the semiring kernels
+    # SLOWER (13.2 → 14.7 ms/iter at RMAT-20) — the [1,128]-lane-slice →
+    # sublane-row relayout (64 concat copies per tile) costs more than the
+    # narrow per-subtile scan it replaces.  bench logs: /tmp/semiring_*.log,
+    # benchmarks/bench_semirings_tpu.py.
 
     # -- scatter per subtile (each has its own dst window)
     for j in range(tile_subs):

@@ -19,6 +19,12 @@ reference which syncs a host scalar every iteration (pagerank_impl.cuh:209).
 """
 
 from cugraph_tpu.parallel.partition import Partition2D, DistGraph, build_dist_graph
+from cugraph_tpu.parallel.construct import (
+    DistNumberMap,
+    build_dist_graph_from_chunks,
+    build_dist_graph_sharded,
+    renumber_edgelist_sharded,
+)
 from cugraph_tpu.parallel.mesh import make_mesh_2d, mesh_shape_for
 from cugraph_tpu.parallel import prims
 from cugraph_tpu.parallel.shuffle import shuffle_to_owners, shuffle_reduce_by_key

@@ -1458,7 +1458,8 @@ def _source_panels(sources, W=_MG_BRANDES_PANEL):
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=32)
-def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
+def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False,
+                       endpoints=False):
     """Batched distributed Brandes: a PANEL of sources runs simultaneously
     as [chunk, NS] dist/sigma/delta columns, so each forward/backward level
     is one [*, NS] gather + segment reduce + reduce-scatter instead of one
@@ -1536,6 +1537,14 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
             bwd_cond, bwd, (delta0, eacc0, max_level - 1))
         bc = jnp.sum(jnp.where(~is_src & (dist < INT_INF), delta, 0.0),
                      axis=-1)
+        if endpoints:
+            # path-endpoint contributions (SG _brandes_sweep_batched analog,
+            # betweenness_centrality_impl.cuh:1225-1303): every reached w≠s
+            # gets +1, the source gets its global reachable count − itself
+            reached = (~is_src & (dist < INT_INF)).astype(jnp.float32)
+            per_src = prims.psum_all(jnp.sum(reached, axis=0))      # [NS]
+            bc = bc + jnp.sum(reached, axis=-1) + jnp.sum(
+                jnp.where(is_src, per_src[None, :], 0.0), axis=-1)
         if accumulate_edges:
             return bc, eacc[None, None]
         return bc
@@ -1546,7 +1555,7 @@ def _mg_brandes_kernel(mesh, pmaj, pmin, chunk, n, accumulate_edges=False):
 
 
 @lru_cache(maxsize=32)
-def _mg_brandes_kernel_pl(mesh, pmaj, pmin, chunk, n):
+def _mg_brandes_kernel_pl(mesh, pmaj, pmin, chunk, n, endpoints=False):
     """Pallas variant of the batched distributed Brandes: each panel level's
     forward/backward SpMM runs the per-device one-hot kernel on UNIT-weight
     plans (sigma counts must not see edge weights) between the usual
@@ -1598,8 +1607,14 @@ def _mg_brandes_kernel_pl(mesh, pmaj, pmin, chunk, n):
 
         delta, _ = jax.lax.while_loop(
             lambda st: st[1] >= 0, bwd, (delta0, max_level - 1))
-        return jnp.sum(jnp.where(~is_src & (dist < INT_INF), delta, 0.0),
-                       axis=-1)
+        bc = jnp.sum(jnp.where(~is_src & (dist < INT_INF), delta, 0.0),
+                     axis=-1)
+        if endpoints:
+            reached = (~is_src & (dist < INT_INF)).astype(jnp.float32)
+            per_src = prims.psum_all(jnp.sum(reached, axis=0))
+            bc = bc + jnp.sum(reached, axis=-1) + jnp.sum(
+                jnp.where(is_src, per_src[None, :], 0.0), axis=-1)
+        return bc
 
     es = edge_spec()
     return jax.jit(jax.shard_map(
@@ -1609,7 +1624,8 @@ def _mg_brandes_kernel_pl(mesh, pmaj, pmin, chunk, n):
 
 def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
                               sources=None, normalized: bool = True,
-                              directed: bool = True, seed: int = 0):
+                              directed: bool = True, seed: int = 0,
+                              endpoints: bool = False):
     """Distributed Brandes betweenness.  ``k`` samples that many sources
     (reference's k-source approximation); sources=None, k=None → exact
     (all sources).  Scaling matches the SG path (_bc_scale): normalized →
@@ -1630,20 +1646,25 @@ def mg_betweenness_centrality(g: DistGraph, mesh, k: int | None = None,
     if mg_use_pallas(g):
         pull = get_stacked_spmm_plan_unit(g, mesh, "pull")
         push = get_stacked_spmm_plan_unit(g, mesh, "push")
-        kern = _mg_brandes_kernel_pl(mesh, g.pmaj, g.pmin, g.chunk, n)
+        kern = _mg_brandes_kernel_pl(mesh, g.pmaj, g.pmin, g.chunk, n,
+                                     endpoints=endpoints)
         # no per-edge panel intermediates on the kernel path → full-width
         # 128-source panels (one MXU lane width)
         for panel in _source_panels(sources, 128):
             bc += np.asarray(kern(pull, push, panel), np.float64)
     else:
-        kern = _mg_brandes_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)
+        kern = _mg_brandes_kernel(mesh, g.pmaj, g.pmin, g.chunk, n,
+                                  endpoints=endpoints)
         for panel in _source_panels(sources):
             bc += np.asarray(kern(g.pull.src_loc, g.pull.dst_loc,
                                   g.pull.valid, g.push.src_loc,
                                   g.push.dst_loc, g.push.valid,
                                   panel), np.float64)
     if normalized:
-        scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
+        if endpoints:
+            scale = 1.0 / (n * (n - 1)) if n > 1 else 1.0
+        else:
+            scale = 1.0 / ((n - 1) * (n - 2)) if n > 2 else 1.0
     else:
         scale = 1.0 if directed else 0.5
     if len(sources) < n:

@@ -1,0 +1,608 @@
+"""Distributed (sharded) graph construction: per-device COO chunks → DistGraph
+with no process ever materializing the full edge list.
+
+TPU-native analog of the reference's multi-GPU ingest pipeline:
+
+* ``cugraph::shuffle_ext_edges`` (cpp/src/c_api/graph_mg.cpp:140,
+  shuffle_functions.hpp:90) — here one count-exchange prologue plus one
+  fixed-capacity ``jax.lax.all_to_all`` over both mesh axes routes every edge
+  to the device that owns it under the 2D rule (Partition2D.edge_device).
+* distributed renumbering (structure/renumber_edgelist_impl.cuh:95-318) —
+  ``renumber_edgelist_sharded``: unique external ids + degree counts are
+  hash-routed to owner devices, each owner sorts its set by (-degree, ext id)
+  and assigns a contiguous id range; edge endpoints are resolved by a
+  request/reply exchange pair (the reference's kv_store collect_values_for_keys
+  pattern, utilities/collect_comm.cuh).
+* per-partition CSR compression (create_graph_from_edgelist_impl.cuh) — each
+  device builds its own padded, dst-sorted EdgeBlocks slice from its arrivals;
+  the global stacked arrays are assembled shard-by-shard
+  (jax.make_array_from_single_device_arrays), never on one host.
+
+Work placement follows the repo rule: sort/bucket-shaped work runs host-side
+per SHARD (numpy on O(E/P) chunks — in a multi-host deployment each process
+touches only its addressable shards), while all cross-device movement is jax
+collectives.  Degrees are computed on device from the routed blocks (bincount
++ psum), so no rank ever sees a dense global vector either.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cugraph_tpu.parallel.partition import (
+    DistGraph, E_ALIGN, EdgeBlocks, Partition2D)
+
+BOTH = ("major", "minor")
+
+
+# --------------------------------------------------------------------------
+# low-level exchange machinery
+# --------------------------------------------------------------------------
+
+def _mesh_devices(mesh):
+    return list(mesh.devices.flatten())
+
+
+def _shard_global(mesh, per_dev, trailing_shape, dtype):
+    """Per-device numpy buffers (each [k, ...]) → one global sharded array
+    [P·k, ...] with shard d on device d (row-major mesh order)."""
+    devs = _mesh_devices(mesh)
+    k = per_dev[0].shape[0]
+    shape = (len(devs) * k,) + tuple(trailing_shape)
+    sh = NamedSharding(mesh, P(BOTH))
+    shards = [jax.device_put(np.asarray(b, dtype), d)
+              for b, d in zip(per_dev, devs)]
+    return jax.make_array_from_single_device_arrays(shape, sh, shards)
+
+
+def _unshard(arr, mesh):
+    """Sharded array → per-device numpy blocks in mesh row-major order."""
+    by_dev = {s.device: np.asarray(s.data) for s in arr.addressable_shards}
+    return [by_dev[d] for d in _mesh_devices(mesh)]
+
+
+@lru_cache(maxsize=16)
+def _a2a_kernel(mesh, n_fields):
+    def k(*arrs):
+        return tuple(
+            jax.lax.all_to_all(a, BOTH, split_axis=0, concat_axis=0,
+                               tiled=True) for a in arrs)
+
+    spec = P(BOTH)
+    return jax.jit(jax.shard_map(k, mesh=mesh,
+                                 in_specs=(spec,) * n_fields,
+                                 out_specs=(spec,) * n_fields))
+
+
+@lru_cache(maxsize=16)
+def _count_kernel(mesh):
+    """Count-exchange prologue: per-device [P] send counts → (received
+    per-sender counts [P], global max single-bucket count, global max
+    per-device arrival total) — the static capacities every subsequent
+    fixed-shape exchange needs (the reference exchanges counts before every
+    variable-size shuffle too, utilities/shuffle_comm.cuh:139)."""
+
+    def k(cnt):
+        recv = jax.lax.all_to_all(cnt.reshape(-1, 1), BOTH, split_axis=0,
+                                  concat_axis=0, tiled=True).reshape(-1)
+        cap = jax.lax.pmax(jnp.max(cnt), BOTH)
+        emax = jax.lax.pmax(jnp.sum(recv), BOTH)
+        return recv, cap, emax
+
+    # check_vma off: pmax over both axes is replicated, but the checker
+    # cannot infer it statically for the tiled all_to_all mix
+    return jax.jit(jax.shard_map(
+        k, mesh=mesh, in_specs=P(BOTH), out_specs=(P(BOTH), P(), P()),
+        check_vma=False))
+
+
+@lru_cache(maxsize=16)
+def _scalar_allgather_kernel(mesh):
+    def k(x):
+        return jax.lax.all_gather(x, BOTH, axis=0, tiled=True)
+
+    return jax.jit(jax.shard_map(k, mesh=mesh, in_specs=P(BOTH),
+                                 out_specs=P(), check_vma=False))
+
+
+def allgather_scalars(mesh, values):
+    """One int per device → replicated [P] numpy (host-scalar allgather,
+    utilities/host_scalar_comm.hpp analog)."""
+    g = _shard_global(mesh, [np.asarray([v]) for v in values], (), np.int64)
+    return np.asarray(_scalar_allgather_kernel(mesh)(g))
+
+
+def _split64(a):
+    a = np.asarray(a, np.int64)
+    return (a & 0xFFFFFFFF).astype(np.uint32).astype(np.int32), \
+        (a >> 32).astype(np.int32)
+
+
+def _merge64(lo, hi):
+    return (np.asarray(hi, np.int64) << 32) | \
+        np.asarray(lo, np.int64).astype(np.uint32).astype(np.int64)
+
+
+class _Router:
+    """One bucketed exchange: tuples routed to explicit target devices.
+
+    Keeps the per-sender arrival structure (needed for request/reply flows)
+    and remembers the send permutation so replies can be scattered back.
+    """
+
+    def __init__(self, mesh, targets_list):
+        self.mesh = mesh
+        self.P = mesh.devices.size
+        self.targets = [np.asarray(t, np.int64) for t in targets_list]
+        self.orders = [np.argsort(t, kind="stable") for t in self.targets]
+        counts = [np.bincount(t, minlength=self.P).astype(np.int32)
+                  for t in self.targets]
+        self.send_counts = counts
+        g = _shard_global(mesh, counts, (), np.int32)
+        recv, cap, emax = _count_kernel(mesh)(g)
+        self.recv_counts = _unshard(recv, mesh)       # per device: [P]
+        self.cap = max(int(cap), 1)
+        self.max_arrivals = int(emax)
+
+    def _pack(self, field_list, dtype):
+        bufs = []
+        for d in range(self.P):
+            buf = np.zeros((self.P, self.cap), dtype)
+            f = np.asarray(field_list[d], dtype)[self.orders[d]]
+            c = self.send_counts[d]
+            off = 0
+            for t in range(self.P):
+                buf[t, : c[t]] = f[off : off + c[t]]
+                off += c[t]
+            bufs.append(buf)
+        return bufs
+
+    def exchange(self, *fields):
+        """fields: tuples (per_device_list, dtype).  Returns, per field, a
+        per-device list of [P, cap] arrays (per-sender blocks; trim with
+        recv_counts)."""
+        packed = [self._pack(fl, dt) for fl, dt in fields]
+        glob = [_shard_global(self.mesh, bufs, (self.cap,), bufs[0].dtype)
+                for bufs in packed]
+        out = _a2a_kernel(self.mesh, len(glob))(*glob)
+        return [_unshard(o, self.mesh) for o in out]
+
+    def gather_arrivals(self, exchanged):
+        """[P, cap] per-sender blocks → one concatenated array per device."""
+        out = []
+        for d in range(self.P):
+            c = self.recv_counts[d]
+            out.append(np.concatenate(
+                [exchanged[d][s, : c[s]] for s in range(self.P)])
+                if c.sum() else exchanged[d][:0, 0])
+        return out
+
+    def reply(self, reply_blocks_list, dtype):
+        """Owner-side per-sender reply blocks [P, cap] → per-device flat
+        replies aligned with each sender's ORIGINAL tuple order."""
+        glob = _shard_global(self.mesh, [np.asarray(b, dtype)
+                                         for b in reply_blocks_list],
+                             (self.cap,), dtype)
+        back = _a2a_kernel(self.mesh, 1)(glob)[0]
+        per_dev = _unshard(back, self.mesh)
+        out = []
+        for d in range(self.P):
+            c = self.send_counts[d]
+            flat = np.concatenate(
+                [per_dev[d][t, : c[t]] for t in range(self.P)]) \
+                if c.sum() else per_dev[d][:0, 0]
+            res = np.empty(self.targets[d].shape[0], dtype)
+            res[self.orders[d]] = flat
+            out.append(res)
+        return out
+
+
+# --------------------------------------------------------------------------
+# distributed renumbering
+# --------------------------------------------------------------------------
+
+class DistNumberMap:
+    """Distributed external↔internal id map (renumber_edgelist_impl.cuh:95-318).
+
+    ``tables[d]`` = (ext_sorted, int_ids) held by device d's process (hash
+    owner: ext % P); ``bases`` gives each owner's contiguous internal range.
+    In a multi-host deployment each process keeps only its own tables and the
+    lookup methods run the same request/reply exchanges used at build time;
+    in-process they short-circuit to local numpy.
+    """
+
+    def __init__(self, mesh, bases, tables):
+        self.mesh = mesh
+        self.P = mesh.devices.size
+        self.bases = bases              # [P+1] int64
+        self.tables = tables            # per device: (ext sorted asc, int32)
+
+    @property
+    def num_vertices(self) -> int:
+        return int(self.bases[-1])
+
+    def to_internal(self, external):
+        ext = np.asarray(external, np.int64)
+        owner = (ext % self.P + self.P) % self.P
+        out = np.empty(ext.shape[0], np.int64)
+        missing = []
+        for d in range(self.P):
+            m = owner == d
+            if not m.any():
+                continue
+            tab_ext, tab_int = self.tables[d]
+            if len(tab_ext) == 0:
+                missing.append(ext[m])
+                continue
+            pos = np.clip(np.searchsorted(tab_ext, ext[m]), 0,
+                          len(tab_ext) - 1)
+            found = tab_ext[pos] == ext[m]
+            if not found.all():
+                missing.append(ext[m][~found])
+            out[m] = np.where(found, tab_int[pos], -1)
+        if missing:
+            bad = np.concatenate(missing)
+            raise ValueError(f"vertex ids not in graph: {bad[:10]!r}")
+        return out.astype(np.int32)
+
+    def to_external(self, internal):
+        ids = np.asarray(internal, np.int64)
+        owner = np.searchsorted(self.bases, ids, side="right") - 1
+        out = np.empty(ids.shape[0], np.int64)
+        for d in range(self.P):
+            m = owner == d
+            if not m.any():
+                continue
+            tab_ext, tab_int = self.tables[d]
+            inv = np.empty(len(tab_int), np.int64)
+            inv[tab_int - self.bases[d]] = tab_ext
+            out[m] = inv[ids[m] - self.bases[d]]
+        return out
+
+
+def renumber_edgelist_sharded(mesh, src_chunks, dst_chunks, *,
+                              sort_by_degree: bool = True):
+    """Distributed renumber: per-device external-id COO chunks → per-device
+    int32 internal-id chunks + a DistNumberMap, with every step O(E/P) per
+    process.
+
+    Internal ids are contiguous [0, V): hash-owner d (ext % P) assigns the
+    range [bases[d], bases[d+1]), ordered by (-global degree, ext id) within
+    the range — the reference's per-partition degree-descending order
+    (renumber_edgelist_impl.cuh:95-318; the global map there is also only
+    degree-sorted per vertex partition, not globally).
+    """
+    Pn = mesh.devices.size
+    src_chunks = [np.asarray(c, np.int64) for c in src_chunks]
+    dst_chunks = [np.asarray(c, np.int64) for c in dst_chunks]
+    assert len(src_chunks) == Pn, "one chunk per device"
+
+    # 1. local unique ids + local degree contributions
+    uniqs, cnts = [], []
+    for s, d in zip(src_chunks, dst_chunks):
+        u, c = np.unique(np.concatenate([s, d]), return_counts=True)
+        uniqs.append(u)
+        cnts.append(c.astype(np.int32))
+
+    # 2. hash-route (ext, count) to owners
+    owners = [(u % Pn + Pn) % Pn for u in uniqs]
+    r1 = _Router(mesh, owners)
+    lo_hi = [_split64(u) for u in uniqs]
+    ex = r1.exchange(([lh[0] for lh in lo_hi], np.int32),
+                     ([lh[1] for lh in lo_hi], np.int32),
+                     (cnts, np.int32))
+    lo_a = r1.gather_arrivals(ex[0])
+    hi_a = r1.gather_arrivals(ex[1])
+    cnt_a = r1.gather_arrivals(ex[2])
+
+    # 3. owner-side: merge duplicates, global degree, per-owner order
+    tables = []
+    n_local = []
+    for d in range(Pn):
+        ext = _merge64(lo_a[d], hi_a[d])
+        u, inv = np.unique(ext, return_inverse=True)
+        deg = np.zeros(len(u), np.int64)
+        np.add.at(deg, inv, cnt_a[d].astype(np.int64))
+        order = np.lexsort((u, -deg)) if sort_by_degree else np.arange(len(u))
+        tables.append(u[order])
+        n_local.append(len(u))
+
+    # 4. contiguous bases (host-scalar allgather)
+    ns = allgather_scalars(mesh, n_local)
+    bases = np.concatenate([[0], np.cumsum(ns)]).astype(np.int64)
+    # int id of table entry = base + rank in the (-deg, ext) order; re-key by
+    # ext ascending for searchsorted lookups
+    keyed = []
+    for d in range(Pn):
+        t = tables[d]
+        ids = bases[d] + np.arange(len(t), dtype=np.int64)
+        o = np.argsort(t, kind="stable")
+        keyed.append((t[o], ids[o].astype(np.int32)))
+    nmap = DistNumberMap(mesh, bases, keyed)
+
+    # 5. resolve edge endpoints: request/reply exchange per endpoint set
+    def _lookup(chunks):
+        owners_q = [(c % Pn + Pn) % Pn for c in chunks]
+        r = _Router(mesh, owners_q)
+        lo_hi_q = [_split64(c) for c in chunks]
+        exq = r.exchange(([lh[0] for lh in lo_hi_q], np.int32),
+                         ([lh[1] for lh in lo_hi_q], np.int32))
+        replies = []
+        for d in range(Pn):
+            tab_ext, tab_int = keyed[d]
+            rep = np.zeros((Pn, r.cap), np.int32)
+            for s in range(Pn):
+                c = r.recv_counts[d][s]
+                if not c:
+                    continue
+                q = _merge64(exq[0][d][s, :c], exq[1][d][s, :c])
+                pos = np.searchsorted(tab_ext, q)
+                pos = np.clip(pos, 0, max(len(tab_ext) - 1, 0))
+                if len(tab_ext) == 0 or not (tab_ext[pos] == q).all():
+                    raise ValueError("edge endpoint missing from renumber map")
+                rep[s, :c] = tab_int[pos]
+            replies.append(rep)
+        return r.reply(replies, np.int32)
+
+    src_i = _lookup(src_chunks)
+    dst_i = _lookup(dst_chunks)
+    return src_i, dst_i, nmap
+
+
+# --------------------------------------------------------------------------
+# sharded DistGraph build
+# --------------------------------------------------------------------------
+
+def _assemble_blocks(mesh, part, per_dev, e_local, has_type, has_time):
+    """Per-device padded local arrays → stacked sharded EdgeBlocks."""
+    pmaj, pmin = part.pmaj, part.pmin
+    devs = _mesh_devices(mesh)
+    sh = NamedSharding(mesh, P("major", "minor"))
+
+    def glob(field_idx, dtype, fill):
+        shards = []
+        for d, dev in enumerate(devs):
+            a = per_dev[d][field_idx]
+            buf = np.full((1, 1, e_local), fill, dtype)
+            buf[0, 0, : a.shape[0]] = a.astype(dtype)
+            shards.append(jax.device_put(buf, dev))
+        return jax.make_array_from_single_device_arrays(
+            (pmaj, pmin, e_local), sh, shards)
+
+    pad_dst = part.pmaj * part.chunk - 1
+    return EdgeBlocks(
+        src_loc=glob(0, np.int32, 0),
+        dst_loc=glob(1, np.int32, pad_dst),
+        weight=glob(2, np.float32, 0.0),
+        valid=glob(3, bool, False),
+        etype=glob(4, np.int32, 0) if has_type else None,
+        etime=glob(5, np.float32, 0.0) if has_time else None,
+    )
+
+
+@lru_cache(maxsize=16)
+def _degree_kernel(mesh, pmaj, pmin, chunk):
+    """Weighted out/in degrees from the sharded pull blocks: per-device
+    bincounts + axis psums; no dense global vector on any device (the
+    O(V/pmaj)+O(V/pmin) footprints match gather/scatter replication)."""
+    B = pmin * chunk
+
+    def k(src_loc, dst_loc, w, valid):
+        ww = jnp.where(valid[0, 0], w[0, 0], 0.0)
+        out_blk = jnp.zeros((B,), jnp.float32).at[src_loc[0, 0]].add(ww)
+        out_blk = jax.lax.psum(out_blk, "minor")
+        j = jax.lax.axis_index("minor")
+        out_own = jax.lax.dynamic_slice_in_dim(out_blk, j * chunk, chunk)
+        in_col = jnp.zeros((pmaj * chunk,), jnp.float32) \
+            .at[dst_loc[0, 0]].add(ww)
+        in_col = jax.lax.psum(in_col, "major")
+        i = jax.lax.axis_index("major")
+        in_own = jax.lax.dynamic_slice_in_dim(in_col, i * chunk, chunk)
+        return out_own, in_own
+
+    es = P("major", "minor")
+    vs = P(BOTH)
+    return jax.jit(jax.shard_map(k, mesh=mesh,
+                                 in_specs=(es, es, es, es),
+                                 out_specs=(vs, vs)))
+
+
+def build_dist_graph_sharded(
+    mesh,
+    src_chunks,
+    dst_chunks,
+    weight_chunks=None,
+    *,
+    num_vertices: int,
+    store_push: bool = True,
+    symmetrize: bool = False,
+    drop_self_loops: bool = False,
+    drop_multi_edges: bool = False,
+    edge_type_chunks=None,
+    edge_time_chunks=None,
+) -> tuple[DistGraph, dict]:
+    """Per-device COO chunks (internal int32 ids) → sharded DistGraph.
+
+    The distributed analog of ``build_dist_graph`` (partition.py:240): same
+    arrays, same padding and in-block (dst_loc, src_loc) sort order, but no
+    process ever holds more than O(E/P) edges — chunks are routed to their 2D
+    owners by one all_to_all per orientation (shuffle_ext_edges,
+    c_api/graph_mg.cpp:140) and each device compresses only its own block.
+
+    ``drop_multi_edges`` runs as a dedicated routing pass BEFORE symmetrize
+    (duplicates of a pair always land on the same device under the pull
+    rule), matching the host build's dedupe-then-mirror order; the kept
+    duplicate is the first in (sender, input) order — identical to the host
+    build whenever duplicate pairs carry equal weights.
+
+    Returns (graph, stats); ``stats`` records the largest per-device buffer
+    the build materialized (the memory claim a test can assert).
+    """
+    pmaj, pmin = mesh.devices.shape
+    Pn = pmaj * pmin
+    part = Partition2D.create(num_vertices, pmaj, pmin)
+    src_chunks = [np.asarray(c, np.int64) for c in src_chunks]
+    dst_chunks = [np.asarray(c, np.int64) for c in dst_chunks]
+    assert len(src_chunks) == Pn, "one chunk per device"
+    if weight_chunks is None:
+        weight_chunks = [np.ones(len(c), np.float32) for c in src_chunks]
+    weight_chunks = [np.asarray(w, np.float32) for w in weight_chunks]
+    et_chunks = (None if edge_type_chunks is None
+                 else [np.asarray(c, np.int32) for c in edge_type_chunks])
+    tm_chunks = (None if edge_time_chunks is None
+                 else [np.asarray(c, np.float32) for c in edge_time_chunks])
+
+    # local prep (O(E/P) per device): self-loop filter, then (optionally) the
+    # global dedupe pass, then local mirroring — the host build's order
+    stats = {"max_device_buffer_elems": 0}
+
+    def _apply(fn):
+        for d in range(Pn):
+            s, t, w = src_chunks[d], dst_chunks[d], weight_chunks[d]
+            e = None if et_chunks is None else et_chunks[d]
+            m = None if tm_chunks is None else tm_chunks[d]
+            s, t, w, e, m = fn(s, t, w, e, m)
+            src_chunks[d], dst_chunks[d], weight_chunks[d] = s, t, w
+            if et_chunks is not None:
+                et_chunks[d] = e
+            if tm_chunks is not None:
+                tm_chunks[d] = m
+
+    if drop_self_loops:
+        def _dsl(s, t, w, e, m):
+            keep = s != t
+            return (s[keep], t[keep], w[keep],
+                    None if e is None else e[keep],
+                    None if m is None else m[keep])
+        _apply(_dsl)
+
+    if drop_multi_edges:
+        # dedupe routing pass: route by the pull owner so duplicates of a
+        # pair co-locate, keep the first per (src, dst), and continue with
+        # the arrival sets as the new chunks
+        targets = []
+        for d in range(Pn):
+            i, j = part.edge_device(src_chunks[d], dst_chunks[d])
+            targets.append(i * pmin + j)
+        r = _Router(mesh, targets)
+        fields = [(src_chunks, np.int32), (dst_chunks, np.int32),
+                  (weight_chunks, np.float32)]
+        if et_chunks is not None:
+            fields.append((et_chunks, np.int32))
+        if tm_chunks is not None:
+            fields.append((tm_chunks, np.float32))
+        ex = r.exchange(*fields)
+        arrivals = [r.gather_arrivals(e) for e in ex]
+        stats["max_device_buffer_elems"] = max(
+            stats["max_device_buffer_elems"], Pn * r.cap)
+        for d in range(Pn):
+            s = arrivals[0][d].astype(np.int64)
+            t = arrivals[1][d].astype(np.int64)
+            order = np.lexsort((np.arange(len(s)), t, s))
+            s, t = s[order], t[order]
+            new = np.empty(len(s), bool)
+            if len(s):
+                new[0] = True
+                new[1:] = (s[1:] != s[:-1]) | (t[1:] != t[:-1])
+            src_chunks[d], dst_chunks[d] = s[new], t[new]
+            weight_chunks[d] = arrivals[2][d][order][new]
+            it = iter(arrivals[3:])
+            if et_chunks is not None:
+                et_chunks[d] = next(it)[d][order][new]
+            if tm_chunks is not None:
+                tm_chunks[d] = next(it)[d][order][new]
+
+    if symmetrize:
+        def _sym(s, t, w, e, m):
+            return (np.concatenate([s, t]), np.concatenate([t, s]),
+                    np.concatenate([w, w]),
+                    None if e is None else np.concatenate([e, e]),
+                    None if m is None else np.concatenate([m, m]))
+        _apply(_sym)
+
+    def _build_orientation(minor_chunks, major_chunks):
+        # route each edge to its 2D owner
+        targets = []
+        for d in range(Pn):
+            i, j = part.edge_device(minor_chunks[d], major_chunks[d])
+            targets.append(i * pmin + j)
+        r = _Router(mesh, targets)
+        fields = [(minor_chunks, np.int32), (major_chunks, np.int32),
+                  (weight_chunks, np.float32)]
+        if et_chunks is not None:
+            fields.append((et_chunks, np.int32))
+        if tm_chunks is not None:
+            fields.append((tm_chunks, np.float32))
+        ex = r.exchange(*fields)
+        arrivals = [r.gather_arrivals(e) for e in ex]
+        stats["max_device_buffer_elems"] = max(
+            stats["max_device_buffer_elems"], Pn * r.cap)
+
+        per_dev, counts = [], []
+        for d in range(Pn):
+            mn = arrivals[0][d].astype(np.int64)
+            mj = arrivals[1][d].astype(np.int64)
+            w = arrivals[2][d]
+            extra = [a[d] for a in arrivals[3:]]
+            i = mn // part.row_block
+            sl = part.src_local(mn, i).astype(np.int64)
+            dl = part.dst_local(mj).astype(np.int64)
+            order = np.lexsort((sl, dl))
+            sl, dl, w = sl[order], dl[order], w[order]
+            extra = [x[order] for x in extra]
+            row = [sl.astype(np.int32), dl.astype(np.int32), w,
+                   np.ones(len(sl), bool)]
+            it = iter(extra)
+            row.append(next(it) if et_chunks is not None else None)
+            row.append(next(it) if tm_chunks is not None else None)
+            per_dev.append(row)
+            counts.append(len(sl))
+
+        gcounts = allgather_scalars(mesh, counts)
+        e_local = max(int(-(-max(gcounts.max(), 1) // E_ALIGN) * E_ALIGN),
+                      E_ALIGN)
+        stats["max_device_buffer_elems"] = max(
+            stats["max_device_buffer_elems"], e_local)
+        blocks = _assemble_blocks(mesh, part, per_dev, e_local,
+                                  et_chunks is not None, tm_chunks is not None)
+        return blocks, int(gcounts.sum())
+
+    pull, num_edges = _build_orientation(src_chunks, dst_chunks)
+    push = None
+    if store_push:
+        push, _ = _build_orientation(dst_chunks, src_chunks)
+
+    out_deg, in_deg = _degree_kernel(mesh, pmaj, pmin, part.chunk)(
+        pull.src_loc, pull.dst_loc, pull.weight, pull.valid)
+
+    g = DistGraph(
+        pull=pull, push=push,
+        out_degree=out_deg, in_degree=in_deg,
+        num_vertices=num_vertices, num_edges=num_edges,
+        pmaj=pmaj, pmin=pmin, chunk=part.chunk,
+    )
+    return g, stats
+
+
+def build_dist_graph_from_chunks(mesh, src_chunks, dst_chunks,
+                                 weight_chunks=None, *, renumber=True,
+                                 **kwargs):
+    """Convenience: distributed renumber (optional) + sharded build.
+
+    Returns (DistGraph, DistNumberMap | None, stats).  The full MG ingest
+    path of the reference (graph_mg.cpp:140 shuffle → renumber → compress)
+    with per-process O(E/P) memory throughout.
+    """
+    nmap = None
+    if renumber:
+        src_chunks, dst_chunks, nmap = renumber_edgelist_sharded(
+            mesh, src_chunks, dst_chunks)
+        kwargs.setdefault("num_vertices", nmap.num_vertices)
+    g, stats = build_dist_graph_sharded(mesh, src_chunks, dst_chunks,
+                                        weight_chunks, **kwargs)
+    return g, nmap, stats

@@ -247,7 +247,8 @@ def betweenness_centrality(resource_handle, graph, k=None, random_state=None,
 
         bc = mg_betweenness_centrality(graph.graph(), graph.mesh, k=k,
                                        normalized=normalized,
-                                       seed=_seed(random_state))
+                                       seed=_seed(random_state),
+                                       endpoints=include_endpoints)
         n = graph.graph().num_vertices
         return np.arange(n, dtype=np.int32), bc[:n]
     df = ct.betweenness_centrality(_sg(graph), k=k, normalized=normalized,

@@ -101,12 +101,25 @@ class MGGraph:
                  store_transposed=False, num_arrays=1, do_expensive_check=False,
                  symmetrize=False, edge_id_array=None, edge_type_array=None,
                  edge_start_time_array=None, drop_self_loops=False,
-                 drop_multi_edges=False, **kwargs):
+                 drop_multi_edges=False, build="host", **kwargs):
         from cugraph_tpu.parallel import build_dist_graph
         from cugraph_tpu.parallel.mesh import shard_dist_graph
 
         mesh = resource_handle.get_mesh()
         props = graph_properties or GraphProperties()
+
+        if build == "sharded":
+            # distributed ingest: per-device chunk lists are routed to their
+            # 2D owners by all_to_all; no process concatenates the full COO
+            # (reference shuffle_ext_edges, c_api/graph_mg.cpp:140)
+            self._init_sharded(
+                mesh, props, src_array, dst_array, weight_array,
+                symmetrize=symmetrize, edge_id_array=edge_id_array,
+                edge_type_array=edge_type_array,
+                edge_start_time_array=edge_start_time_array,
+                drop_self_loops=drop_self_loops,
+                drop_multi_edges=drop_multi_edges)
+            return
 
         def _cat(a):
             if isinstance(a, (list, tuple)):  # per-worker chunk lists
@@ -142,6 +155,41 @@ class MGGraph:
         # edge ids kept host-side for lookup/post-processing parity
         self.edge_ids = (None if edge_id_array is None
                          else np.asarray(edge_id_array))
+
+    def _init_sharded(self, mesh, props, src_array, dst_array, weight_array,
+                      *, symmetrize, edge_id_array, edge_type_array,
+                      edge_start_time_array, drop_self_loops,
+                      drop_multi_edges):
+        from cugraph_tpu.parallel import build_dist_graph_from_chunks
+
+        n_dev = mesh.devices.size
+
+        def _chunks(a):
+            if a is None:
+                return None
+            if isinstance(a, (list, tuple)):
+                if len(a) != n_dev:
+                    raise ValueError(
+                        f"sharded build needs {n_dev} chunks, got {len(a)}")
+                return [np.asarray(x) for x in a]
+            return np.array_split(np.asarray(a), n_dev)
+
+        g, nmap, stats = build_dist_graph_from_chunks(
+            mesh, _chunks(src_array), _chunks(dst_array),
+            _chunks(weight_array), renumber=True, store_push=True,
+            symmetrize=bool(symmetrize),
+            drop_self_loops=bool(drop_self_loops),
+            drop_multi_edges=bool(drop_multi_edges),
+            edge_type_chunks=_chunks(edge_type_array),
+            edge_time_chunks=_chunks(edge_start_time_array))
+        self._graph = g
+        self.mesh = mesh
+        self.properties = props
+        self.number_map = nmap
+        self.build_stats = stats
+        self.edge_ids = (None if edge_id_array is None else
+                         np.concatenate([np.asarray(c) for c in
+                                         _chunks(edge_id_array)]))
 
     def graph(self):
         return self._graph

@@ -1,0 +1,86 @@
+"""Worker for the multi-process MG validation test (run via subprocess).
+
+The reference genuinely runs its MG tests as MPI ranks + NCCL comms
+(cpp/tests/utilities/mg_utilities.cpp:19-46); single-process 8-virtual-device
+simulation cannot exercise cross-process collectives.  This worker is one
+rank of a ``jax.distributed`` CPU cluster: N processes × 4 virtual CPU
+devices each form one global mesh, the DistGraph is laid out across BOTH
+processes, and mg_pagerank's all_gather / psum_scatter / psum actually cross
+the process boundary.
+
+Usage: python tests/_mp_worker.py <process_id> <num_processes> <port>
+Prints "MP_OK <checksum>" on success.
+"""
+
+import os
+import sys
+
+
+def main():
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
+                               process_id=pid,
+                               initialization_timeout=60)
+    assert jax.device_count() == 4 * nproc, jax.devices()
+    assert len(jax.local_devices()) == 4
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cugraph_tpu.parallel import build_dist_graph, make_mesh_2d, \
+        mg_pagerank, mg_bfs
+    from cugraph_tpu.parallel.mesh import shard_dist_graph
+
+    # identical edge list on every process (host-replicated input; the
+    # device arrays are globally sharded by shard_dist_graph)
+    rng = np.random.default_rng(0)
+    n, m = 240, 2000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    key = np.unique(src * n + dst)
+    src, dst = (key // n).astype(np.int64), (key % n).astype(np.int64)
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+
+    from cugraph_tpu.parallel import mesh_shape_for
+
+    pmaj, pmin = mesh_shape_for(4 * nproc)
+    g = build_dist_graph(src, dst, w, n, pmaj, pmin, store_push=True)
+    mesh = make_mesh_2d(pmaj, pmin, jax.devices())
+    g = shard_dist_graph(g, mesh)
+
+    p, err, iters = mg_pagerank(g, mesh, tol=1e-8, max_iter=200)
+    d, pred = mg_bfs(g, mesh, int(src[0]))
+
+    from jax.experimental import multihost_utils
+
+    p_full = np.asarray(multihost_utils.process_allgather(p, tiled=True))[:n]
+    d_full = np.asarray(multihost_utils.process_allgather(d, tiled=True))[:n]
+
+    # serial oracle (networkx) on every rank
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_weighted_edges_from(zip(src.tolist(), dst.tolist(), w.tolist()))
+    ref = nx.pagerank(Gx, alpha=0.85, tol=1e-10, weight="weight")
+    np.testing.assert_allclose(p_full, [ref[v] for v in range(n)], atol=1e-6)
+    refd = nx.single_source_shortest_path_length(Gx, int(src[0]))
+    INT_INF = np.iinfo(np.int32).max
+    expect_d = np.array([refd.get(v, INT_INF) for v in range(n)])
+    got_d = np.where(d_full >= INT_INF, INT_INF, d_full)
+    np.testing.assert_array_equal(got_d, expect_d)
+
+    print(f"MP_OK {float(np.sum(p_full)):.6f}", flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

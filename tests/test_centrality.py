@@ -50,6 +50,33 @@ def test_betweenness_directed_unnormalized():
     compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-3)
 
 
+def test_betweenness_endpoints_karate():
+    G, Gnx = karate()
+    df = ctpu.betweenness_centrality(G, endpoints=True)
+    ref = nx.betweenness_centrality(Gnx, endpoints=True)
+    compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-5)
+
+
+def test_betweenness_endpoints_directed_unnormalized():
+    G, Gnx = random_directed(n=40, m=160, seed=3)
+    df = ctpu.betweenness_centrality(G, normalized=False, endpoints=True)
+    ref = nx.betweenness_centrality(Gnx, normalized=False, endpoints=True)
+    compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-3)
+
+
+def test_betweenness_endpoints_disconnected():
+    # reachable-count term must respect components, not use n-1
+    G = ctpu.Graph(directed=True)
+    src = np.array([0, 1, 3, 4])
+    dst = np.array([1, 2, 4, 5])
+    G.from_edgelist(src, dst, None)
+    Gnx = nx.DiGraph()
+    Gnx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    df = ctpu.betweenness_centrality(G, normalized=False, endpoints=True)
+    ref = nx.betweenness_centrality(Gnx, normalized=False, endpoints=True)
+    compare_vertex_values(df, "betweenness_centrality", ref, atol=1e-6)
+
+
 def test_betweenness_sampled_k():
     G, Gnx = karate()
     df = ctpu.betweenness_centrality(G, k=10, seed=42)

@@ -1,0 +1,189 @@
+"""Distributed (sharded) construction parity vs the host build.
+
+Reference analog: the MG ingest path shuffle_ext_edges → renumber_edgelist →
+create_graph_from_edgelist (cpp/src/c_api/graph_mg.cpp:140,
+structure/renumber_edgelist_impl.cuh:95-318,
+structure/create_graph_from_edgelist_impl.cuh), validated like the
+reference's MG tests: build distributed, compare against the single-host
+path on the same edges (tests/utilities/conversion_utilities.hpp pattern).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cugraph_tpu.parallel import (
+    build_dist_graph,
+    build_dist_graph_from_chunks,
+    build_dist_graph_sharded,
+    make_mesh_2d,
+    mg_pagerank,
+    renumber_edgelist_sharded,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_mesh_2d(4, 2, jax.devices()[:8])
+
+
+def _random_coo(n, m, seed=0, unique=True):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    if unique:
+        k = np.unique(src * n + dst)
+        src, dst = k // n, k % n
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    return src, dst, w
+
+
+def _chunks(a, p):
+    return np.array_split(a, p)
+
+
+def _assert_blocks_equal(b_sharded, b_host):
+    """Same per-device edge multisets + the dst-sorted layout invariant.
+
+    Exact lane order within equal dst_loc runs is NOT a system invariant
+    (the native host tiler keeps input order there, the numpy fallback sorts
+    by src_loc); consumers only rely on dst_loc-sortedness + padding shape.
+    """
+    sv, hv = np.asarray(b_sharded.valid), np.asarray(b_host.valid)
+    np.testing.assert_array_equal(sv, hv)
+    assert b_sharded.src_loc.shape == b_host.src_loc.shape
+    for f in ("src_loc", "dst_loc", "weight"):
+        s = np.asarray(getattr(b_sharded, f))
+        h = np.asarray(getattr(b_host, f))
+        np.testing.assert_array_equal(np.where(sv, 0, s), np.where(hv, 0, h),
+                                      err_msg=f"{f} padding")
+    pmaj, pmin, _ = sv.shape
+    for i in range(pmaj):
+        for j in range(pmin):
+            v = sv[i, j]
+            dl_s = np.asarray(b_sharded.dst_loc)[i, j]
+            assert (np.diff(dl_s) >= 0).all(), "dst_loc must stay sorted"
+            trip_s = np.stack([np.asarray(b_sharded.dst_loc)[i, j][v],
+                               np.asarray(b_sharded.src_loc)[i, j][v],
+                               np.asarray(b_sharded.weight)[i, j][v]])
+            trip_h = np.stack([np.asarray(b_host.dst_loc)[i, j][v],
+                               np.asarray(b_host.src_loc)[i, j][v],
+                               np.asarray(b_host.weight)[i, j][v]])
+            order_s = np.lexsort(trip_s[::-1])
+            order_h = np.lexsort(trip_h[::-1])
+            np.testing.assert_array_equal(trip_s[:, order_s],
+                                          trip_h[:, order_h])
+
+
+@pytest.mark.parametrize("flags", [
+    dict(),
+    dict(symmetrize=True),
+    dict(drop_self_loops=True, drop_multi_edges=True),
+    dict(symmetrize=True, drop_multi_edges=True),
+])
+def test_sharded_build_matches_host(mesh, flags):
+    n, m = 300, 2400
+    src, dst, w = _random_coo(n, m, seed=3)
+    host = build_dist_graph(src, dst, w, n, 4, 2, store_push=True, **flags)
+    g, stats = build_dist_graph_sharded(
+        mesh, _chunks(src, 8), _chunks(dst, 8), _chunks(w, 8),
+        num_vertices=n, store_push=True, **flags)
+
+    assert g.num_edges == host.num_edges
+    assert (g.pmaj, g.pmin, g.chunk) == (host.pmaj, host.pmin, host.chunk)
+    _assert_blocks_equal(g.pull, host.pull)
+    _assert_blocks_equal(g.push, host.push)
+    np.testing.assert_allclose(np.asarray(g.out_degree),
+                               np.asarray(host.out_degree), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g.in_degree),
+                               np.asarray(host.in_degree), rtol=1e-6)
+
+
+def test_sharded_build_edge_properties(mesh):
+    n, m = 120, 700
+    src, dst, w = _random_coo(n, m, seed=5)
+    et = (src * 7 + dst) % 3
+    tm = (src + 2.0 * dst).astype(np.float32)
+    host = build_dist_graph(src, dst, w, n, 4, 2, store_push=True,
+                            edge_type=et, edge_time=tm)
+    g, _ = build_dist_graph_sharded(
+        mesh, _chunks(src, 8), _chunks(dst, 8), _chunks(w, 8),
+        num_vertices=n, store_push=True,
+        edge_type_chunks=_chunks(et, 8), edge_time_chunks=_chunks(tm, 8))
+    _assert_blocks_equal(g.pull, host.pull)
+    np.testing.assert_array_equal(np.asarray(g.pull.etype),
+                                  np.asarray(host.pull.etype))
+    np.testing.assert_allclose(np.asarray(g.pull.etime),
+                               np.asarray(host.pull.etime))
+
+
+def test_sharded_build_memory_bound(mesh):
+    """No device buffer exceeds ~2/P of the edge list (+ alignment slack):
+    the property the single-host build cannot offer (VERDICT round-2 §2)."""
+    n, m = 1000, 16000
+    src, dst, w = _random_coo(n, m, seed=7, unique=False)
+    g, stats = build_dist_graph_sharded(
+        mesh, _chunks(src, 8), _chunks(dst, 8), _chunks(w, 8),
+        num_vertices=n, store_push=True)
+    e_total = len(src)
+    bound = 2 * e_total // 8 + 8 * 128 + 256
+    assert stats["max_device_buffer_elems"] <= bound, \
+        (stats, e_total, bound)
+    assert g.num_edges == e_total
+
+
+def test_renumber_sharded_contiguous_and_invertible(mesh):
+    rng = np.random.default_rng(11)
+    # sparse external ids incl. negatives and huge values
+    pool = np.concatenate([
+        rng.integers(-(1 << 40), 1 << 40, 300),
+        rng.integers(0, 50, 100)])
+    src = rng.choice(pool, 2000)
+    dst = rng.choice(pool, 2000)
+    si, di, nmap = renumber_edgelist_sharded(
+        mesh, _chunks(src, 8), _chunks(dst, 8))
+    s_all = np.concatenate(si)
+    d_all = np.concatenate(di)
+    n = nmap.num_vertices
+    assert n == len(np.unique(np.concatenate([src, dst])))
+    assert s_all.min() >= 0 and max(s_all.max(), d_all.max()) < n
+    # ids invert back to the original external ids
+    np.testing.assert_array_equal(nmap.to_external(s_all), src)
+    np.testing.assert_array_equal(nmap.to_external(d_all), dst)
+    # and the forward map agrees
+    np.testing.assert_array_equal(nmap.to_internal(src), s_all)
+    with pytest.raises(ValueError):
+        nmap.to_internal(np.array([1 << 60]))
+
+
+def test_full_chunked_ingest_pagerank_parity(mesh):
+    """End-to-end: external-id chunks → renumber_sharded + sharded build →
+    mg_pagerank matches the host-built graph keyed by external id."""
+    rng = np.random.default_rng(23)
+    n_ext = 400
+    ext_ids = rng.choice(np.arange(10**6), n_ext, replace=False)
+    src_e = rng.choice(ext_ids, 3000)
+    dst_e = rng.choice(ext_ids, 3000)
+    keep = src_e != dst_e
+    src_e, dst_e = src_e[keep], dst_e[keep]
+    k = np.unique(src_e * (10**6) + dst_e)
+    src_e, dst_e = k // (10**6), k % (10**6)
+    w = rng.uniform(0.5, 2.0, len(src_e)).astype(np.float32)
+
+    g, nmap, _ = build_dist_graph_from_chunks(
+        mesh, _chunks(src_e, 8), _chunks(dst_e, 8), _chunks(w, 8),
+        store_push=True)
+    pr_sharded = np.asarray(mg_pagerank(g, mesh)[0])[: g.num_vertices]
+
+    # host path: its own (different) renumbering
+    from cugraph_tpu.core.renumber import renumber_edgelist
+    si, di, hmap = renumber_edgelist(src_e, dst_e)
+    host = build_dist_graph(si, di, w, hmap.num_vertices, 4, 2)
+    pr_host = np.asarray(mg_pagerank(host, mesh)[0])[: hmap.num_vertices]
+
+    # compare keyed by external id
+    ext_order = np.sort(np.unique(np.concatenate([src_e, dst_e])))
+    a = pr_sharded[nmap.to_internal(ext_order)]
+    b = pr_host[hmap.to_internal(ext_order)]
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)

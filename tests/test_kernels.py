@@ -213,6 +213,66 @@ def test_wcc_pallas_matches_xla():
         G.number_map.to_external(label)[order], slow["labels"].to_numpy())
 
 
+def test_split3_id_selection_exact():
+    """Vertex-id payloads through the selection matmuls: the 2-limb split is
+    only ~16-bit exact (ids at 2^20 came back off by ±4 — the bug that
+    silently corrupted BFS predecessors / WCC labels past 2^16 vertices);
+    split3 must be bit-exact."""
+    n = 1 << 20
+    rng = np.random.default_rng(0)
+    src = rng.integers(1 << 16, n, 200)
+    dst = rng.integers(0, 1 << 14, 200)
+    src, dst = np.unique(np.stack([src, dst], 1), axis=0).T
+    plan = build_spmv_plan(src, dst, None, n)
+    x = (jnp.arange(plan.pad_v) + 1.0).astype(jnp.float32)
+    expect = np.zeros(plan.pad_v)
+    np.maximum.at(expect, dst, src + 1.0)
+    mask = expect > 0
+
+    y2 = np.asarray(spmv_onehot(plan, x, reduce="max", combine="left",
+                                precision="split", interpret=True))
+    assert np.abs(y2[mask] - expect[mask]).max() > 0, \
+        "2-limb split unexpectedly exact — keep split3 anyway, but update " \
+        "the gate comments"
+    y3 = np.asarray(spmv_onehot(plan, x, reduce="max", combine="left",
+                                precision="split3", interpret=True))
+    np.testing.assert_array_equal(y3[mask], expect[mask])
+
+
+def test_bfs_pred_exact_past_2p16_vertices(monkeypatch):
+    """End-to-end regression: BFS predecessors on a graph with > 2^16
+    vertices must be exact.  The dense bottom-up level used to select
+    parent IDS through the 2-limb split (only ~16-bit exact → corrupted
+    parents); it now propagates the exact 0/1 mask and the public bfs()
+    recovers predecessors host-side (_bfs_pred_host)."""
+    import cugraph_tpu
+
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    n = (1 << 17) + 1000
+    rng = np.random.default_rng(8)
+    # frontier of 5000 > _TD_K=4096 forces the DENSE level for the
+    # hubs→leaves expansion
+    hubs = rng.choice(np.arange(1 << 16, n), 5000, replace=False)
+    leaves = hubs % 1024
+    src = np.concatenate([np.zeros(5000, np.int64), hubs])
+    dst = np.concatenate([hubs, leaves])
+    G = cugraph_tpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None, vertices=np.arange(n), renumber=False)
+    df = cugraph_tpu.bfs(G, 0)
+    dist = np.empty(n, np.int64)
+    pred = np.empty(n, np.int64)
+    dist[df["vertex"].to_numpy()] = df["distance"].to_numpy()
+    pred[df["vertex"].to_numpy()] = df["predecessor"].to_numpy()
+    reach = (dist < np.iinfo(np.int32).max) & (np.arange(n) != 0)
+    assert reach.sum() > 5000
+    # every predecessor must be a REAL in-neighbor one level up
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for v in np.flatnonzero(reach):
+        assert (int(pred[v]), int(v)) in edge_set, (v, pred[v])
+        assert dist[pred[v]] + 1 == dist[v]
+
+
 def test_core_number_pallas_matches_xla():
     import cugraph_tpu
     from cugraph_tpu.algos.cores import _core_number_kernel_pallas

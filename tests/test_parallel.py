@@ -416,6 +416,25 @@ def test_mg_betweenness_matches_networkx(mesh):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_mg_betweenness_endpoints_matches_networkx(mesh):
+    src, dst, _ = _random_coo(n=40, m=200, seed=15, weighted=False)
+    n = 40
+    g = build_dist_graph(src, dst, None, n, 4, 2, store_push=True)
+    from cugraph_tpu.parallel import mg_betweenness_centrality
+
+    bc = mg_betweenness_centrality(g, mesh, normalized=True,
+                                   endpoints=True)[:n]
+
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    expect = nx.betweenness_centrality(Gx, normalized=True, endpoints=True)
+    np.testing.assert_allclose(bc, [expect[v] for v in range(n)],
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_mg_biased_sampling_prefers_heavy_edges(mesh):
     # vertex 0 → {1..9}: edge to 5 has weight 100, others 0.01
     src = np.zeros(9, np.int64)
