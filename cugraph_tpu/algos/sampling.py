@@ -235,7 +235,23 @@ def _bulk_sample_with_replacement(G, g, frontier, key, k):
 
 
 def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
-                     random_state, with_edge_properties=False):
+                     random_state, with_edge_properties=False, *,
+                     prior_sources_behavior="default",
+                     dedupe_sources=False, return_hops=True,
+                     batch_id_list=None):
+    """Multi-hop sampling core with the reference's ``sampling_flags_t``
+    semantics (sampling_functions.hpp:36-76):
+
+    * frontiers are PER BATCH (label) and carry multiplicity — a vertex
+      reached twice in one batch is passed twice to the next hop unless
+      ``dedupe_sources`` (reference: "passed once (for each label)");
+      two batches reaching the same vertex each sample independently;
+    * ``prior_sources_behavior``: "default" (next frontier = sampled
+      destinations), "carry_over" (+ all prior sources of the batch),
+      "exclude" (drop destinations already used as a source in the batch);
+    * ``return_hops`` controls the hop_id column;
+    * ``batch_id_list`` labels each seed (defaults to one batch per seed).
+    """
     g = G.structure
     seeds = normalize_start(G, start_list).astype(np.int32)
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
@@ -245,13 +261,30 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
     # cumw kept even when tables exist: the dense-CDF path falls back to the
     # binary search when F*k*D exceeds its tensor budget
     cumw = _row_cumweights(g) if biased else None
+    prior_sources_behavior = (prior_sources_behavior or "default").lower()
+    if prior_sources_behavior not in ("default", "carry_over", "exclude"):
+        raise ValueError(f"unknown prior_sources_behavior "
+                         f"{prior_sources_behavior!r}")
+
+    def _key(v, b):
+        return b.astype(np.int64) * max(n, 1) + v
 
     frames = []
     frontier = seeds
-    batch_ids = np.arange(len(seeds), dtype=np.int32)
+    if batch_id_list is None:
+        batch_ids = np.arange(len(seeds), dtype=np.int32)
+    else:
+        batch_ids = np.asarray(batch_id_list, np.int32)
+        if len(batch_ids) != len(seeds):
+            raise ValueError("batch_id_list must align with start_list")
+    prior_keys = np.empty(0, np.int64)  # (batch, vertex) sources seen so far
     for hop, k in enumerate(fanout_vals):
         if len(frontier) == 0:
             break
+        if dedupe_sources and len(frontier):
+            _, idx = np.unique(_key(frontier, batch_ids), return_index=True)
+            idx.sort()
+            frontier, batch_ids = frontier[idx], batch_ids[idx]
         key, sub = jax.random.split(key)
         if int(k) < 0:
             # k == -1 means "all neighbors" in the reference API
@@ -307,19 +340,41 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
         if with_edge_properties:
             fr = _attach_edge_props(G, fr, flat_eidx[flat_val])
         frames.append(fr)
-        # next frontier: unique sampled destinations (dedupe like
-        # prepare_next_frontier_impl.cuh); batch routing keeps first batch
-        nxt, first_idx = np.unique(fr["destinations"].to_numpy(),
-                                   return_index=True)
-        frontier = nxt.astype(np.int32)
-        batch_ids = fr["batch_id"].to_numpy()[first_idx]
+        # next frontier (prepare_next_frontier_impl.cuh): per-batch sampled
+        # destinations WITH multiplicity; prior-source handling per flag
+        src_keys = np.unique(_key(frontier, batch_ids))
+        nv = fr["destinations"].to_numpy().astype(np.int32)
+        nb = fr["batch_id"].to_numpy()
+        if prior_sources_behavior == "exclude":
+            prior_keys = np.union1d(prior_keys, src_keys)
+            keep = ~np.isin(_key(nv, nb), prior_keys)
+            nv, nb = nv[keep], nb[keep]
+        elif prior_sources_behavior == "carry_over":
+            nv = np.concatenate([nv, frontier])
+            nb = np.concatenate([nb, batch_ids])
+        frontier, batch_ids = nv, nb.astype(np.int32)
 
+    cols = ["sources", "destinations", "weight", "hop_id", "batch_id"]
     if not frames:
-        return pd.DataFrame(columns=["sources", "destinations", "weight",
-                                     "hop_id", "batch_id"])
+        return pd.DataFrame(columns=[c for c in cols
+                                     if return_hops or c != "hop_id"])
     out = pd.concat(frames, ignore_index=True)
     out["sources"] = unrenumber_column(G, out["sources"].to_numpy())
     out["destinations"] = unrenumber_column(G, out["destinations"].to_numpy())
+    if not return_hops:
+        out = out.drop(columns=["hop_id"])
+    return out
+
+
+def _sampling_flags(kwargs: dict) -> dict:
+    """Extract the reference sampling_flags_t knobs from a kwargs dict
+    (sampling_functions.hpp:36-76); other reference-parity kwargs are
+    accepted and ignored, as before."""
+    out = {}
+    for name in ("prior_sources_behavior", "dedupe_sources", "return_hops",
+                 "batch_id_list"):
+        if name in kwargs and kwargs[name] is not None:
+            out[name] = kwargs[name]
     return out
 
 
@@ -332,7 +387,8 @@ def uniform_neighbor_sample(G, start_list, fanout_vals,
     Returns ['sources','destinations','weight','hop_id','batch_id']."""
     return _neighbor_sample(G, start_list, fanout_vals, with_replacement,
                             biased=False, random_state=random_state,
-                            with_edge_properties=with_edge_properties)
+                            with_edge_properties=with_edge_properties,
+                            **_sampling_flags(kwargs))
 
 
 def homogeneous_uniform_neighbor_sample(G, start_list, fanout_vals, **kw):
@@ -750,17 +806,27 @@ def _attach_edge_props(G, frame, eidx):
 
 def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
                             random_state=None, seed_time=None, strict=True,
-                            biased=False):
+                            biased=False, prior_sources_behavior="default",
+                            dedupe_sources=False, return_hops=True,
+                            batch_id_list=None):
     """Shared driver: per hop, per (type, fanout) masked sampling.
 
     fanouts_per_hop: list of lists [(type_key, k), ...] per hop.
     masks_by_type: type_key → bool [pad_e] eligibility in CSR edge order.
+    Flag semantics match _neighbor_sample (sampling_functions.hpp:36-76).
     """
     g = G.structure
     seeds = normalize_start(G, start_list).astype(np.int32)
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
     n = G.number_of_vertices()
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
+    prior_sources_behavior = (prior_sources_behavior or "default").lower()
+    if prior_sources_behavior not in ("default", "carry_over", "exclude"):
+        raise ValueError(f"unknown prior_sources_behavior "
+                         f"{prior_sources_behavior!r}")
+
+    def _bkey(v, b):
+        return b.astype(np.int64) * max(n, 1) + v
 
     et_host = (_csr_prop(G, G.edge_times).astype(np.float32)
                if G.edge_times is not None and seed_time is not None else None)
@@ -788,10 +854,22 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
 
     frames = []
     frontier = seeds
-    batch_ids = np.arange(len(seeds), dtype=np.int32)
+    if batch_id_list is None:
+        batch_ids = np.arange(len(seeds), dtype=np.int32)
+    else:
+        batch_ids = np.asarray(batch_id_list, np.int32)
+        if len(batch_ids) != len(seeds):
+            raise ValueError("batch_id_list must align with start_list")
+    prior_keys = np.empty(0, np.int64)
     for hop, fanouts in enumerate(fanouts_per_hop):
         if len(frontier) == 0:
             break
+        if dedupe_sources and len(frontier):
+            _, idx = np.unique(_bkey(frontier, batch_ids), return_index=True)
+            idx.sort()
+            frontier, batch_ids = frontier[idx], batch_ids[idx]
+            if times is not None:
+                times = times[idx]
         hop_frames = []
         for type_key, k in fanouts:
             if int(k) <= 0:
@@ -824,18 +902,34 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
             break
         hf = pd.concat(hop_frames, ignore_index=True)
         frames.append(hf)
-        nxt, first_idx = np.unique(hf["destinations"].to_numpy(), return_index=True)
-        frontier = nxt.astype(np.int32)
-        batch_ids = hf["batch_id"].to_numpy()[first_idx]
-        if times is not None:
-            times = hf["edge_time"].to_numpy()[first_idx].astype(np.float32)
+        # next frontier: per-batch destinations WITH multiplicity (each row
+        # carries its traversed edge's time on the temporal path)
+        src_keys = np.unique(_bkey(frontier, batch_ids))
+        nv = hf["destinations"].to_numpy().astype(np.int32)
+        nb = hf["batch_id"].to_numpy().astype(np.int32)
+        nt = (hf["edge_time"].to_numpy().astype(np.float32)
+              if times is not None else None)
+        if prior_sources_behavior == "exclude":
+            prior_keys = np.union1d(prior_keys, src_keys)
+            keep = ~np.isin(_bkey(nv, nb), prior_keys)
+            nv, nb = nv[keep], nb[keep]
+            nt = nt[keep] if nt is not None else None
+        elif prior_sources_behavior == "carry_over":
+            nv = np.concatenate([nv, frontier])
+            nb = np.concatenate([nb, batch_ids])
+            if nt is not None:
+                nt = np.concatenate([nt, times])
+        frontier, batch_ids, times = nv, nb, nt
 
     cols = ["sources", "destinations", "weight", "hop_id", "batch_id"]
     if not frames:
-        return pd.DataFrame(columns=cols)
+        return pd.DataFrame(columns=[c for c in cols
+                                     if return_hops or c != "hop_id"])
     out = pd.concat(frames, ignore_index=True)
     out["sources"] = unrenumber_column(G, out["sources"].to_numpy())
     out["destinations"] = unrenumber_column(G, out["destinations"].to_numpy())
+    if not return_hops:
+        out = out.drop(columns=["hop_id"])
     return out
 
 
@@ -860,7 +954,9 @@ def heterogeneous_uniform_neighbor_sample(G, start_list, fanout_vals,
     [hop0_type0, hop0_type1, ..., hop1_type0, ...]."""
     masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
-                                   masks_by_type=masks, random_state=random_state)
+                                   masks_by_type=masks,
+                                   random_state=random_state,
+                                   **_sampling_flags(kw))
 
 
 def _het_fanouts(G, fanout_vals, num_edge_types):
@@ -890,7 +986,8 @@ def heterogeneous_biased_neighbor_sample(G, start_list, fanout_vals,
     masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
                                    masks_by_type=masks,
-                                   random_state=random_state, biased=True)
+                                   random_state=random_state, biased=True,
+                                   **_sampling_flags(kw))
 
 
 def homogeneous_biased_temporal_neighbor_sample(
@@ -913,7 +1010,7 @@ def homogeneous_biased_temporal_neighbor_sample(
                                    masks_by_type=masks,
                                    random_state=random_state,
                                    seed_time=seed_time, strict=strict,
-                                   biased=True)
+                                   biased=True, **_sampling_flags(kw))
 
 
 def heterogeneous_biased_temporal_neighbor_sample(
@@ -930,7 +1027,7 @@ def heterogeneous_biased_temporal_neighbor_sample(
                                    masks_by_type=masks,
                                    random_state=random_state,
                                    seed_time=seed_time, strict=strict,
-                                   biased=True)
+                                   biased=True, **_sampling_flags(kw))
 
 
 def homogeneous_uniform_temporal_neighbor_sample(
@@ -951,7 +1048,8 @@ def homogeneous_uniform_temporal_neighbor_sample(
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
                                    masks_by_type=masks,
                                    random_state=random_state,
-                                   seed_time=seed_time, strict=strict)
+                                   seed_time=seed_time, strict=strict,
+                                   **_sampling_flags(kw))
 
 
 def heterogeneous_uniform_temporal_neighbor_sample(
@@ -963,4 +1061,5 @@ def heterogeneous_uniform_temporal_neighbor_sample(
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
                                    masks_by_type=masks,
                                    random_state=random_state,
-                                   seed_time=seed_time, strict=strict)
+                                   seed_time=seed_time, strict=strict,
+                                   **_sampling_flags(kw))

@@ -85,3 +85,156 @@ def sampling_results_to_batches(df: pd.DataFrame):
     """One-call convenience: raw sampled frame → per-batch compressed CSR."""
     renum, maps = renumber_sampled_edgelist(df)
     return compress_per_hop_csr(renum, maps)
+
+
+# ---------------------------------------------------------------------------
+# Full compression matrix (reference renumber_and_compress_sampled_edgelist,
+# sampling_functions.hpp:900-1015 + sampling_post_processing_impl.cuh):
+# per-label renumber by min (hop, major<minor) pair, sort by (hop, major,
+# minor), compress to CSR/CSC (src_is_major) or DCSR/DCSC (doubly_compress),
+# per-hop or whole-label (compress_per_hop), with edge weight/id/type
+# carried through and the reference's offsets-array bookkeeping
+# (label_hop_offsets, renumber_map, renumber_map_offsets).
+# ---------------------------------------------------------------------------
+
+_EDGE_PROP_COLS = ("weight", "edge_id", "edge_type", "edge_time")
+
+
+def _renumber_one_label(grp: pd.DataFrame, major_col: str, minor_col: str,
+                        seed_vertices=None):
+    """Renumber map for one label: vertices ordered by their minimum
+    (hop, flag) pair, flag=major(0) < minor(1); seed vertices count as
+    (hop 0, major) so isolated seeds still get ids (reference rule 1)."""
+    hops = (grp["hop_id"].to_numpy() if "hop_id" in grp
+            else np.zeros(len(grp), np.int64))
+    majors = grp[major_col].to_numpy()
+    minors = grp[minor_col].to_numpy()
+    vs, keys = [majors, minors], [hops * 2, hops * 2 + 1]
+    if seed_vertices is not None and len(seed_vertices):
+        vs.insert(0, np.asarray(seed_vertices))
+        keys.insert(0, np.full(len(seed_vertices), -1, np.int64))
+    allv = np.concatenate(vs)
+    allk = np.concatenate(keys)
+    order = np.argsort(allk, kind="stable")
+    stream = allv[order]
+    uniq, first = np.unique(stream, return_index=True)
+    vmap = uniq[np.argsort(first, kind="stable")]
+    rank = {int(v): i for i, v in enumerate(vmap)}
+    return vmap, rank
+
+
+def renumber_and_compress_sampled_edgelist(
+    df: pd.DataFrame,
+    *,
+    src_is_major: bool = True,
+    compress_per_hop: bool = False,
+    doubly_compress: bool = False,
+    batch_col: str = "batch_id",
+    seed_vertices_per_label: dict | None = None,
+) -> dict:
+    """Sampled edge frame → the reference's compressed GNN-feed tensors.
+
+    Returns a dict mirroring the reference output tuple / the pyx result
+    names (sampling_utilities.py): ``major_offsets`` (all (label, hop-group)
+    offset arrays concatenated), ``majors`` (DCSR/DCSC nonzero-major ids, or
+    None when ``doubly_compress=False``), ``minors``, per-edge property
+    columns present in ``df`` (weight / edge_id / edge_type / edge_time,
+    sorted consistently), ``label_hop_offsets`` (start of each (label, hop)
+    segment in ``major_offsets``; one segment per label when hops are
+    compressed together), ``renumber_map`` and ``renumber_map_offsets``.
+
+    ``compress_per_hop=True`` requires hop ids and (per reference) excludes
+    ``doubly_compress``.
+    """
+    if compress_per_hop and doubly_compress:
+        raise ValueError("compress_per_hop requires doubly_compress=False "
+                         "(reference contract)")
+    if compress_per_hop and "hop_id" not in df:
+        raise ValueError("compress_per_hop requires hop ids")
+    major_col, minor_col = (("sources", "destinations") if src_is_major
+                            else ("destinations", "sources"))
+    has_hops = "hop_id" in df
+    labels = (np.unique(df[batch_col].to_numpy()) if batch_col in df
+              else np.array([0]))
+    prop_cols = [c for c in _EDGE_PROP_COLS if c in df]
+    num_hops = int(df["hop_id"].max()) + 1 if has_hops and len(df) else 1
+
+    all_offsets, nzd_majors, minors_out = [], [], []
+    props_out = {c: [] for c in prop_cols}
+    label_hop_offsets = [0]
+    renumber_map, renumber_map_offsets = [], [0]
+
+    for lab in labels:
+        grp = df[df[batch_col] == lab] if batch_col in df else df
+        seeds = (None if seed_vertices_per_label is None
+                 else seed_vertices_per_label.get(int(lab)))
+        vmap, rank = _renumber_one_label(grp, major_col, minor_col, seeds)
+        renumber_map.append(vmap)
+        renumber_map_offsets.append(renumber_map_offsets[-1] + len(vmap))
+
+        maj = np.array([rank[int(v)] for v in grp[major_col]], np.int64)
+        mnr = np.array([rank[int(v)] for v in grp[minor_col]], np.int64)
+        hops = (grp["hop_id"].to_numpy().astype(np.int64) if has_hops
+                else np.zeros(len(grp), np.int64))
+        # per-hop compression keeps the reference's (hop, major, minor)
+        # order; whole-label compression sorts by (major, minor, hop) so the
+        # CSR rows align even when the reference's majors-monotone-in-hop
+        # precondition (sampling_functions.hpp:931-935) does not hold
+        order = (np.lexsort((mnr, maj, hops)) if compress_per_hop
+                 else np.lexsort((hops, mnr, maj)))
+        maj, mnr, hops = maj[order], mnr[order], hops[order]
+        for c in prop_cols:
+            props_out[c].append(grp[c].to_numpy()[order])
+        minors_out.append(mnr)
+
+        if compress_per_hop:
+            # reference size rule: hop h's offsets cover the larger of this
+            # hop's max major and the max vertex id of all PREVIOUS hops'
+            # edges (seeds count as hop-0 majors)
+            prev_max = -1
+            if seeds is not None and len(seeds):
+                prev_max = max(rank[int(v)] for v in seeds)
+            for h in range(num_hops):
+                sel = hops == h
+                hm = maj[sel]
+                hi = int(hm.max()) if len(hm) else -1
+                n_rows = max(hi, prev_max) + 1
+                prev_max = max(prev_max, hi,
+                               int(mnr[sel].max(initial=-1)))
+                offs = np.zeros(n_rows + 1, np.int64)
+                np.add.at(offs, hm + 1, 1)
+                np.cumsum(offs, out=offs)
+                all_offsets.append(offs)
+        else:
+            n_rows = int(maj.max()) + 1 if len(maj) else len(vmap)
+            offs = np.zeros(n_rows + 1, np.int64)
+            np.add.at(offs, maj + 1, 1)
+            np.cumsum(offs, out=offs)
+            if doubly_compress:
+                nz = np.flatnonzero(np.diff(offs) > 0)
+                nzd_majors.append(nz)
+                d_offs = np.concatenate([[0], np.cumsum(np.diff(offs)[nz])])
+                all_offsets.append(d_offs)
+            else:
+                all_offsets.append(offs)
+
+    # label_hop_offsets: start index of each (label[, hop]) offsets segment
+    # in the concatenated major_offsets array
+    seg_lens = [len(o) for o in all_offsets]
+    label_hop_offsets = np.concatenate([[0], np.cumsum(seg_lens)])
+
+    out = {
+        "major_offsets": (np.concatenate(all_offsets)
+                          if all_offsets else np.zeros(1, np.int64)),
+        "majors": (np.concatenate(nzd_majors) if doubly_compress else None),
+        "minors": (np.concatenate(minors_out)
+                   if minors_out else np.zeros(0, np.int64)),
+        "label_hop_offsets": label_hop_offsets,
+        "renumber_map": (np.concatenate(renumber_map)
+                         if renumber_map else np.zeros(0, np.int64)),
+        "renumber_map_offsets": np.asarray(renumber_map_offsets, np.int64),
+    }
+    for c in prop_cols:
+        out[c] = np.concatenate(props_out[c]) if props_out[c] else \
+            np.zeros(0)
+    return out

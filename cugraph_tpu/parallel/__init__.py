@@ -39,10 +39,6 @@ from cugraph_tpu.parallel.algos import (
     mg_hits,
     mg_eigenvector_centrality,
     mg_sample_one_hop,
-    mg_uniform_neighbor_sample,
-    mg_biased_neighbor_sample,
-    mg_heterogeneous_neighbor_sample,
-    mg_temporal_neighbor_sample,
     mg_all_pairs_similarity,
     mg_negative_sampling,
     mg_ecg,
@@ -64,6 +60,12 @@ from cugraph_tpu.parallel.algos import (
     mg_egonet,
     mg_induced_subgraph,
     mg_two_hop_neighbors,
+)
+from cugraph_tpu.parallel.sampling_mg import (
+    mg_uniform_neighbor_sample,
+    mg_biased_neighbor_sample,
+    mg_heterogeneous_neighbor_sample,
+    mg_temporal_neighbor_sample,
     mg_heterogeneous_temporal_neighbor_sample,
 )
 

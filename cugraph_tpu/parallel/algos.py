@@ -614,162 +614,6 @@ def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
                 jnp.int32(seed), g.push.weight, etime, ft)
 
 
-def mg_biased_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
-                              with_replacement: bool = False, seed: int = 0):
-    """Weight-biased distributed neighbor sampling
-    (homogeneous_biased_neighbor_sample's MG role)."""
-    return mg_uniform_neighbor_sample(g, mesh, start_list, fanout_vals,
-                                      with_replacement=with_replacement,
-                                      seed=seed, biased=True)
-
-
-def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
-                               with_replacement: bool = False, seed: int = 0,
-                               biased: bool = False):
-    """Multi-hop distributed uniform neighbor sampling.
-
-    Returns a pandas frame ['sources','destinations','hop_id','batch_id'] in
-    global vertex ids (the reference's MG homogeneous_uniform_neighbor_sample
-    output shape, minus per-edge properties).
-    """
-    import pandas as pd
-
-    frontier = np.asarray(start_list, np.int64)
-    batch_of = {int(v): b for b, v in enumerate(frontier)}
-    frames = []
-    for hop, k in enumerate(fanout_vals):
-        if len(frontier) == 0:
-            break
-        samp, _ = mg_sample_one_hop(g, mesh, frontier, int(k),
-                                    seed + hop, with_replacement, biased)
-        samp = np.asarray(samp)
-        srcs, dsts = np.nonzero(samp >= 0)
-        keep = np.isin(srcs, frontier)
-        s, d = srcs[keep], samp[srcs[keep], dsts[keep]]
-        frames.append(pd.DataFrame({
-            "sources": s, "destinations": d,
-            "hop_id": np.int32(hop),
-            "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
-        }))
-        # route each new destination to the LOWEST batch that reached it
-        # (deterministic; the reference samples per batch independently —
-        # here batches share one frontier, so ties resolve by min batch id)
-        fb = frames[-1].groupby("destinations")["batch_id"].min()
-        for v, b in fb.items():
-            batch_of.setdefault(int(v), int(b))
-        frontier = np.unique(d)
-    if not frames:
-        return pd.DataFrame(columns=["sources", "destinations", "hop_id",
-                                     "batch_id"])
-    return pd.concat(frames, ignore_index=True)
-
-
-def mg_heterogeneous_neighbor_sample(g: DistGraph, mesh, start_list,
-                                     fanout_vals, num_edge_types=None,
-                                     seed: int = 0, biased: bool = False,
-                                     with_replacement: bool = False):
-    """Distributed per-edge-type neighbor sampling (the reference's MG
-    heterogeneous_{uniform,biased}_neighbor_sample): ``fanout_vals`` is
-    flattened [hop0_type0, hop0_type1, ...]; eligibility per type comes from
-    masking the push blocks' valid flags with etype == t."""
-    import pandas as pd
-
-    if g.push is None or g.push.etype is None:
-        raise ValueError("heterogeneous MG sampling requires push blocks "
-                         "built with edge_type")
-    et = np.asarray(g.push.etype)
-    valid = np.asarray(g.push.valid)
-    types = np.unique(et[valid]) if valid.any() else np.array([], np.int32)
-    ntypes = num_edge_types or (int(types.max()) + 1 if len(types) else 1)
-    fv = list(fanout_vals)
-    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
-    hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
-    masks = {int(t): jnp.asarray(valid & (et == t)) for t in types}
-
-    frontier = np.asarray(start_list, np.int64)
-    batch_of = {int(v): b for b, v in enumerate(frontier)}
-    frames = []
-    for hop, hop_fans in enumerate(hops):
-        if len(frontier) == 0:
-            break
-        hop_frames = []
-        for t, k in enumerate(hop_fans):
-            if int(k) <= 0 or t not in masks:
-                continue
-            samp, _ = mg_sample_one_hop(
-                g, mesh, frontier, int(k), seed + hop * 101 + t,
-                with_replacement, biased, edge_ok=masks[t])
-            samp = np.asarray(samp)
-            srcs, cols = np.nonzero(samp >= 0)
-            keep = np.isin(srcs, frontier)
-            s, d = srcs[keep], samp[srcs[keep], cols[keep]]
-            hop_frames.append(pd.DataFrame({
-                "sources": s, "destinations": d,
-                "edge_type": np.int32(t), "hop_id": np.int32(hop),
-                "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
-            }))
-        if not hop_frames:
-            break
-        hf = pd.concat(hop_frames, ignore_index=True)
-        frames.append(hf)
-        fb = hf.groupby("destinations")["batch_id"].min()
-        for v, b in fb.items():
-            batch_of.setdefault(int(v), int(b))
-        frontier = np.unique(hf["destinations"].to_numpy())
-    cols = ["sources", "destinations", "edge_type", "hop_id", "batch_id"]
-    if not frames:
-        return pd.DataFrame(columns=cols)
-    return pd.concat(frames, ignore_index=True)
-
-
-def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
-                                seed_time: float = 0.0, strict: bool = True,
-                                seed: int = 0, biased: bool = False,
-                                with_replacement: bool = False):
-    """Distributed temporal neighbor sampling (reference MG
-    homogeneous_{uniform,biased}_temporal): eligible edges have time past the
-    frontier vertex's arrival time; sampled vertices inherit the traversed
-    edge's time."""
-    import pandas as pd
-
-    if g.push is None or g.push.etime is None:
-        raise ValueError("temporal MG sampling requires push blocks built "
-                         "with edge_time")
-    frontier = np.asarray(start_list, np.int64)
-    vtimes = np.zeros(g.pad_v, np.float32)
-    vtimes[frontier] = np.float32(seed_time)
-    batch_of = {int(v): b for b, v in enumerate(frontier)}
-    frames = []
-    for hop, k in enumerate(fanout_vals):
-        if len(frontier) == 0:
-            break
-        samp, st = mg_sample_one_hop(
-            g, mesh, frontier, int(k), seed + hop, with_replacement, biased,
-            frontier_times=vtimes, strict=strict)
-        samp, st = np.asarray(samp), np.asarray(st)
-        srcs, cols = np.nonzero(samp >= 0)
-        keep = np.isin(srcs, frontier)
-        s = srcs[keep]
-        d = samp[srcs[keep], cols[keep]]
-        tt = st[srcs[keep], cols[keep]]
-        frames.append(pd.DataFrame({
-            "sources": s, "destinations": d, "edge_time": tt,
-            "hop_id": np.int32(hop),
-            "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
-        }))
-        hf = frames[-1]
-        fb = hf.groupby("destinations")["batch_id"].min()
-        for v, b in fb.items():
-            batch_of.setdefault(int(v), int(b))
-        # next frontier inherits the traversed edge's time (min over ties)
-        ft = hf.groupby("destinations")["edge_time"].min()
-        frontier = ft.index.to_numpy().astype(np.int64)
-        vtimes = np.zeros(g.pad_v, np.float32)
-        vtimes[frontier] = ft.to_numpy().astype(np.float32)
-    cols = ["sources", "destinations", "edge_time", "hop_id", "batch_id"]
-    if not frames:
-        return pd.DataFrame(columns=cols)
-    return pd.concat(frames, ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1974,72 +1818,3 @@ def mg_two_hop_neighbors(g: DistGraph, mesh, start_vertices=None):
         first, second = first[keep], second[keep]
     order = np.lexsort((second, first))
     return first[order].astype(np.int64), second[order].astype(np.int64)
-
-
-def mg_heterogeneous_temporal_neighbor_sample(
-        g: DistGraph, mesh, start_list, fanout_vals, num_edge_types=None,
-        seed_time: float = 0.0, strict: bool = True, seed: int = 0,
-        biased: bool = False, with_replacement: bool = False):
-    """Distributed per-edge-type TEMPORAL neighbor sampling (reference MG
-    heterogeneous_{uniform,biased}_temporal_neighbor_sample.pyx): combines
-    the per-type eligibility masks of mg_heterogeneous_neighbor_sample with
-    the arrival-time regime of mg_temporal_neighbor_sample — both ride the
-    same mg_sample_one_hop kernel (edge_ok ∧ time-eligibility are AND-ed
-    in-kernel).  ``fanout_vals`` is flattened [hop0_type0, hop0_type1, …]."""
-    import pandas as pd
-
-    if g.push is None or g.push.etype is None or g.push.etime is None:
-        raise ValueError("heterogeneous temporal MG sampling requires push "
-                         "blocks built with edge_type and edge_time")
-    et = np.asarray(g.push.etype)
-    valid = np.asarray(g.push.valid)
-    types = np.unique(et[valid]) if valid.any() else np.array([], np.int32)
-    ntypes = num_edge_types or (int(types.max()) + 1 if len(types) else 1)
-    fv = list(fanout_vals)
-    assert len(fv) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
-    hops = [fv[i:i + ntypes] for i in range(0, len(fv), ntypes)]
-    masks = {int(t): jnp.asarray(valid & (et == t)) for t in types}
-
-    frontier = np.asarray(start_list, np.int64)
-    vtimes = np.zeros(g.pad_v, np.float32)
-    vtimes[frontier] = np.float32(seed_time)
-    batch_of = {int(v): b for b, v in enumerate(frontier)}
-    frames = []
-    for hop, hop_fans in enumerate(hops):
-        if len(frontier) == 0:
-            break
-        hop_frames = []
-        for t, k in enumerate(hop_fans):
-            if int(k) <= 0 or t not in masks:
-                continue
-            samp, st = mg_sample_one_hop(
-                g, mesh, frontier, int(k), seed + hop * 101 + t,
-                with_replacement, biased, edge_ok=masks[t],
-                frontier_times=vtimes, strict=strict)
-            samp, st = np.asarray(samp), np.asarray(st)
-            srcs, cols = np.nonzero(samp >= 0)
-            keep = np.isin(srcs, frontier)
-            s = srcs[keep]
-            d = samp[srcs[keep], cols[keep]]
-            tt = st[srcs[keep], cols[keep]]
-            hop_frames.append(pd.DataFrame({
-                "sources": s, "destinations": d, "edge_time": tt,
-                "edge_type": np.int32(t), "hop_id": np.int32(hop),
-                "batch_id": np.array([batch_of[int(v)] for v in s], np.int32),
-            }))
-        if not hop_frames:
-            break
-        hf = pd.concat(hop_frames, ignore_index=True)
-        frames.append(hf)
-        fb = hf.groupby("destinations")["batch_id"].min()
-        for v, b in fb.items():
-            batch_of.setdefault(int(v), int(b))
-        ft = hf.groupby("destinations")["edge_time"].min()
-        frontier = ft.index.to_numpy().astype(np.int64)
-        vtimes = np.zeros(g.pad_v, np.float32)
-        vtimes[frontier] = ft.to_numpy().astype(np.float32)
-    cols = ["sources", "destinations", "edge_time", "edge_type", "hop_id",
-            "batch_id"]
-    if not frames:
-        return pd.DataFrame(columns=cols)
-    return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,328 @@
+"""Distributed multi-hop neighbor sampling (the MG GNN feed path).
+
+Reference: sampling/neighbor_sampling_impl.cuh:166 per-hop loop +
+prepare_next_frontier_impl.cuh (frontier maintenance per label) +
+sampling_functions.hpp:36-76 (``sampling_flags_t`` semantics), MG mechanics
+in prims/detail/sample_and_compute_local_nbr_indices.cuh.
+
+Design: the one-hop engine (``mg_sample_one_hop``, parallel/algos.py) draws k
+out-neighbors per GRAPH VERTEX as owner-sharded [pad_v, k] panels.  The
+reference samples per (vertex, label) KEY — a vertex in two batches (or twice
+in one batch without ``dedupe_sources``) draws independently per occurrence.
+We recover key semantics by OCCURRENCE LAYERING: frontier (vertex, batch)
+pairs are ranked per vertex, and layer r (the r-th occurrence of every
+vertex) runs one one-hop round with its own RNG stream.  GNN minibatch
+frontiers have small multiplicity, so this costs ~1-2 rounds per hop.
+
+Per-edge properties (weight / edge_type / edge_time) ride the sampled rows
+via a sorted (src,dst)-key table decompressed once per DistGraph from the
+pull blocks (multi-edges resolve to the first key match — exact whenever
+parallel edges carry equal properties or the graph was built with
+drop_multi_edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cugraph_tpu.parallel.partition import DistGraph
+
+
+def _host_eprop_table(g: DistGraph):
+    """Sorted (src·pad_v + dst) key table with weight/etype/etime payloads
+    (cached per DistGraph like _host_coo)."""
+    cached = getattr(g, "_host_eprop_table", None)
+    if cached is not None:
+        return cached
+    pmaj, pmin, chunk = g.pmaj, g.pmin, g.chunk
+    B = pmin * chunk
+    src_loc = np.asarray(g.pull.src_loc)
+    dst_loc = np.asarray(g.pull.dst_loc)
+    w = np.asarray(g.pull.weight)
+    valid = np.asarray(g.pull.valid)
+    et = None if g.pull.etype is None else np.asarray(g.pull.etype)
+    tm = None if g.pull.etime is None else np.asarray(g.pull.etime)
+    srcs, dsts, ws, ets, tms = [], [], [], [], []
+    for i in range(pmaj):
+        for j in range(pmin):
+            v = valid[i, j]
+            s = i * B + src_loc[i, j][v]
+            dl = dst_loc[i, j][v]
+            d = (dl // chunk * pmin + j) * chunk + dl % chunk
+            srcs.append(s)
+            dsts.append(d)
+            ws.append(w[i, j][v])
+            if et is not None:
+                ets.append(et[i, j][v])
+            if tm is not None:
+                tms.append(tm[i, j][v])
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    key = src * g.pad_v + dst
+    order = np.argsort(key, kind="stable")
+    table = {
+        "keys": key[order],
+        "weight": np.concatenate(ws).astype(np.float32)[order],
+        "etype": (np.concatenate(ets)[order] if et is not None else None),
+        "etime": (np.concatenate(tms).astype(np.float32)[order]
+                  if tm is not None else None),
+    }
+    object.__setattr__(g, "_host_eprop_table", table)
+    return table
+
+
+def _attach_props(g: DistGraph, frame: pd.DataFrame) -> pd.DataFrame:
+    tab = _host_eprop_table(g)
+    key = frame["sources"].to_numpy().astype(np.int64) * g.pad_v \
+        + frame["destinations"].to_numpy().astype(np.int64)
+    pos = np.searchsorted(tab["keys"], key)
+    pos = np.clip(pos, 0, max(len(tab["keys"]) - 1, 0))
+    ok = len(tab["keys"]) > 0 and bool((tab["keys"][pos] == key).all())
+    if not ok:
+        raise RuntimeError("sampled edge missing from property table")
+    frame["weight"] = tab["weight"][pos]
+    if tab["etype"] is not None and "edge_type" not in frame:
+        frame["edge_type"] = tab["etype"][pos]
+    if tab["etime"] is not None and "edge_time" not in frame:
+        frame["edge_time"] = tab["etime"][pos]
+    return frame
+
+
+def _occurrence_rank(v: np.ndarray) -> np.ndarray:
+    """occ[i] = rank of row i among rows with the same vertex (stable)."""
+    order = np.argsort(v, kind="stable")
+    vs = v[order]
+    first = np.zeros(len(v), bool)
+    if len(v):
+        first[0] = True
+        first[1:] = vs[1:] != vs[:-1]
+    run_start = np.maximum.accumulate(np.where(first, np.arange(len(v)), 0))
+    occ_sorted = np.arange(len(v)) - run_start
+    occ = np.empty(len(v), np.int64)
+    occ[order] = occ_sorted
+    return occ
+
+
+def _mg_neighbor_sample_core(
+    g: DistGraph, mesh, start_list, hop_plans, *, seed: int,
+    with_replacement: bool, biased: bool, masks=None,
+    temporal: bool = False, seed_time: float = 0.0, strict: bool = True,
+    prior_sources_behavior: str = "default", dedupe_sources: bool = False,
+    return_hops: bool = True, with_edge_properties: bool = False,
+    batch_id_list=None,
+):
+    """Shared MG multi-hop driver.  ``hop_plans``: per hop, a list of
+    (type_key_or_None, fanout) pairs; ``masks``: type_key → edge_ok blocks."""
+    from cugraph_tpu.parallel.algos import mg_sample_one_hop
+
+    prior_sources_behavior = (prior_sources_behavior or "default").lower()
+    if prior_sources_behavior not in ("default", "carry_over", "exclude"):
+        raise ValueError(f"unknown prior_sources_behavior "
+                         f"{prior_sources_behavior!r}")
+    fv = np.asarray(start_list, np.int64)
+    if batch_id_list is None:
+        fb = np.arange(len(fv), dtype=np.int32)
+    else:
+        fb = np.asarray(batch_id_list, np.int32)
+        if len(fb) != len(fv):
+            raise ValueError("batch_id_list must align with start_list")
+    ft = np.full(len(fv), np.float32(seed_time)) if temporal else None
+    prior_keys = np.empty(0, np.int64)
+    pad = g.pad_v
+
+    def _key(v, b):
+        return b.astype(np.int64) * pad + v
+
+    frames = []
+    for hop, fanouts in enumerate(hop_plans):
+        if len(fv) == 0:
+            break
+        if dedupe_sources and len(fv):
+            _, idx = np.unique(_key(fv, fb), return_index=True)
+            idx.sort()
+            fv, fb = fv[idx], fb[idx]
+            ft = ft[idx] if ft is not None else None
+        occ = _occurrence_rank(fv)
+        hop_frames = []
+        n_layers = int(occ.max()) + 1 if len(fv) else 0
+        for r in range(n_layers):
+            sel = occ == r
+            verts = fv[sel]
+            bats = fb[sel]
+            vt = None
+            if temporal:
+                vt = np.zeros(pad, np.float32)
+                vt[verts] = ft[sel]
+            for tk, k in fanouts:
+                if int(k) <= 0 or (masks is not None and tk not in masks):
+                    continue
+                samp, st = mg_sample_one_hop(
+                    g, mesh, verts, int(k),
+                    seed + hop * 1009 + r * 131 + (0 if tk is None else tk) * 7,
+                    with_replacement, biased,
+                    edge_ok=None if masks is None else masks[tk],
+                    frontier_times=vt, strict=strict)
+                sub = np.asarray(samp)[verts]                    # [F, k]
+                ok = sub >= 0
+                flat = ok.reshape(-1)
+                kk = sub.shape[1]
+                row = {
+                    "sources": np.repeat(verts, kk)[flat],
+                    "destinations": sub.reshape(-1)[flat],
+                    "hop_id": np.int32(hop),
+                    "batch_id": np.repeat(bats, kk)[flat],
+                }
+                if temporal:
+                    row["edge_time"] = \
+                        np.asarray(st)[verts].reshape(-1)[flat]
+                if tk is not None:
+                    row["edge_type"] = np.int32(tk)
+                hop_frames.append(pd.DataFrame(row))
+        if not hop_frames:
+            break
+        hf = pd.concat(hop_frames, ignore_index=True)
+        frames.append(hf)
+        # next frontier: per-batch destinations WITH multiplicity
+        # (prepare_next_frontier_impl.cuh)
+        src_keys = np.unique(_key(fv, fb))
+        nv = hf["destinations"].to_numpy().astype(np.int64)
+        nb = hf["batch_id"].to_numpy().astype(np.int32)
+        nt = (hf["edge_time"].to_numpy().astype(np.float32)
+              if temporal else None)
+        if prior_sources_behavior == "exclude":
+            prior_keys = np.union1d(prior_keys, src_keys)
+            keep = ~np.isin(_key(nv, nb), prior_keys)
+            nv, nb = nv[keep], nb[keep]
+            nt = nt[keep] if nt is not None else None
+        elif prior_sources_behavior == "carry_over":
+            nv = np.concatenate([nv, fv])
+            nb = np.concatenate([nb, fb])
+            if nt is not None:
+                nt = np.concatenate([nt, ft])
+        fv, fb, ft = nv, nb, nt
+
+    cols = ["sources", "destinations", "hop_id", "batch_id"]
+    if temporal:
+        cols.insert(2, "edge_time")
+    if masks is not None:
+        cols.insert(2, "edge_type")
+    if not frames:
+        return pd.DataFrame(columns=[c for c in cols
+                                     if return_hops or c != "hop_id"])
+    out = pd.concat(frames, ignore_index=True)
+    if with_edge_properties:
+        out = _attach_props(g, out)
+    if not return_hops:
+        out = out.drop(columns=["hop_id"])
+    return out
+
+
+def _flag_kwargs(kw):
+    return dict(
+        prior_sources_behavior=kw.pop("prior_sources_behavior", "default"),
+        dedupe_sources=bool(kw.pop("dedupe_sources", False)),
+        return_hops=bool(kw.pop("return_hops", True)),
+        with_edge_properties=bool(kw.pop("with_edge_properties", False)),
+        batch_id_list=kw.pop("batch_id_list", None),
+    )
+
+
+def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
+                               with_replacement: bool = False, seed: int = 0,
+                               biased: bool = False, **kw):
+    """Multi-hop distributed uniform neighbor sampling (reference MG
+    homogeneous_uniform_neighbor_sample).  Returns
+    ['sources','destinations','hop_id','batch_id'] (+ 'weight'/'edge_type'/
+    'edge_time' with ``with_edge_properties=True``); batches keep independent
+    frontiers with multiplicity per sampling_flags_t semantics."""
+    flags = _flag_kwargs(kw)
+    assert not kw, f"unknown kwargs {sorted(kw)}"
+    assert g.push is not None, "sampling needs push blocks"
+    plans = [[(None, int(k))] for k in fanout_vals]
+    return _mg_neighbor_sample_core(
+        g, mesh, start_list, plans, seed=seed,
+        with_replacement=with_replacement, biased=biased, **flags)
+
+
+def mg_biased_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
+                              with_replacement: bool = False, seed: int = 0,
+                              **kw):
+    """Weight-biased distributed neighbor sampling
+    (homogeneous_biased_neighbor_sample's MG role)."""
+    return mg_uniform_neighbor_sample(g, mesh, start_list, fanout_vals,
+                                      with_replacement=with_replacement,
+                                      seed=seed, biased=True, **kw)
+
+
+def _het_masks_plans(g: DistGraph, fanout_vals, num_edge_types):
+    import jax.numpy as jnp
+
+    et = np.asarray(g.push.etype)
+    valid = np.asarray(g.push.valid)
+    types = np.unique(et[valid]) if valid.any() else np.array([], np.int32)
+    ntypes = num_edge_types or (int(types.max()) + 1 if len(types) else 1)
+    fvs = list(fanout_vals)
+    assert len(fvs) % ntypes == 0, "fanout_vals must be hops × num_edge_types"
+    hops = [fvs[i:i + ntypes] for i in range(0, len(fvs), ntypes)]
+    masks = {int(t): jnp.asarray(valid & (et == t)) for t in types}
+    plans = [[(t, int(k)) for t, k in enumerate(hop_fans)] for hop_fans in hops]
+    return masks, plans
+
+
+def mg_heterogeneous_neighbor_sample(g: DistGraph, mesh, start_list,
+                                     fanout_vals, num_edge_types=None,
+                                     seed: int = 0, biased: bool = False,
+                                     with_replacement: bool = False, **kw):
+    """Distributed per-edge-type neighbor sampling (reference MG
+    heterogeneous_{uniform,biased}_neighbor_sample): ``fanout_vals`` is
+    flattened [hop0_type0, hop0_type1, ...]."""
+    flags = _flag_kwargs(kw)
+    assert not kw, f"unknown kwargs {sorted(kw)}"
+    if g.push is None or g.push.etype is None:
+        raise ValueError("heterogeneous MG sampling requires push blocks "
+                         "built with edge_type")
+    masks, plans = _het_masks_plans(g, fanout_vals, num_edge_types)
+    return _mg_neighbor_sample_core(
+        g, mesh, start_list, plans, seed=seed,
+        with_replacement=with_replacement, biased=biased, masks=masks,
+        **flags)
+
+
+def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
+                                seed_time: float = 0.0, strict: bool = True,
+                                seed: int = 0, biased: bool = False,
+                                with_replacement: bool = False, **kw):
+    """Distributed temporal neighbor sampling (reference MG
+    homogeneous_{uniform,biased}_temporal): eligible edges have time past the
+    frontier vertex's arrival time; sampled vertices inherit the traversed
+    edge's time (each (vertex, batch) frontier pair carries its own time)."""
+    flags = _flag_kwargs(kw)
+    assert not kw, f"unknown kwargs {sorted(kw)}"
+    if g.push is None or g.push.etime is None:
+        raise ValueError("temporal MG sampling requires push blocks built "
+                         "with edge_time")
+    plans = [[(None, int(k))] for k in fanout_vals]
+    return _mg_neighbor_sample_core(
+        g, mesh, start_list, plans, seed=seed,
+        with_replacement=with_replacement, biased=biased,
+        temporal=True, seed_time=seed_time, strict=strict, **flags)
+
+
+def mg_heterogeneous_temporal_neighbor_sample(
+        g: DistGraph, mesh, start_list, fanout_vals, num_edge_types=None,
+        seed_time: float = 0.0, strict: bool = True, seed: int = 0,
+        biased: bool = False, with_replacement: bool = False, **kw):
+    """Distributed per-edge-type TEMPORAL sampling (reference MG
+    heterogeneous_{uniform,biased}_temporal_neighbor_sample.pyx): per-type
+    eligibility masks AND the arrival-time regime in one one-hop kernel."""
+    flags = _flag_kwargs(kw)
+    assert not kw, f"unknown kwargs {sorted(kw)}"
+    if g.push is None or g.push.etype is None or g.push.etime is None:
+        raise ValueError("heterogeneous temporal MG sampling requires push "
+                         "blocks built with edge_type and edge_time")
+    masks, plans = _het_masks_plans(g, fanout_vals, num_edge_types)
+    return _mg_neighbor_sample_core(
+        g, mesh, start_list, plans, seed=seed,
+        with_replacement=with_replacement, biased=biased, masks=masks,
+        temporal=True, seed_time=seed_time, strict=strict, **flags)

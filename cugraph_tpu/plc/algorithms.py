@@ -688,11 +688,28 @@ def _fanout_compat(starting_vertex_label_offsets, h_fan_out):
 
 
 def _mg_sample_kw(kw):
-    """Map plc sampler kwargs onto the MG engine's (with_replacement, seed)."""
-    return {
+    """Map plc sampler kwargs onto the MG engine's knobs, including the
+    reference sampling_flags_t fields (sampling_functions.hpp:36-76)."""
+    out = {
         "with_replacement": bool(kw.get("with_replacement", False)),
         "seed": _seed(kw.get("random_state")),
     }
+    for name in ("prior_sources_behavior", "dedupe_sources", "return_hops",
+                 "with_edge_properties", "batch_id_list"):
+        if kw.get(name) is not None:
+            out[name] = kw[name]
+    return out
+
+
+def _mg_attach_ids(graph, df, kw):
+    """Attach sampled edge ids when the MGGraph carries an id table and the
+    caller asked for edge properties (gather_sampled_properties.cuh role)."""
+    if (kw.get("with_edge_properties")
+            and getattr(graph, "_edge_id_table", None) is not None
+            and len(df)):
+        df["edge_id"] = graph.lookup_edge_ids(df["sources"].to_numpy(),
+                                              df["destinations"].to_numpy())
+    return df
 
 
 def homogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
@@ -704,9 +721,10 @@ def homogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_uniform_neighbor_sample
 
-        return mg_uniform_neighbor_sample(graph.graph(), graph.mesh,
-                                          start_list, fanout_vals,
-                                          **_mg_sample_kw(kw))
+        df = mg_uniform_neighbor_sample(graph.graph(), graph.mesh,
+                                        start_list, fanout_vals,
+                                        **_mg_sample_kw(kw))
+        return _mg_attach_ids(graph, df, kw)
     return ct.homogeneous_uniform_neighbor_sample(_sg(graph), start_list,
                                                   fanout_vals, **kw)
 
@@ -721,9 +739,10 @@ def homogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_biased_neighbor_sample
 
-        return mg_biased_neighbor_sample(graph.graph(), graph.mesh,
-                                         start_list, fanout_vals,
-                                         **_mg_sample_kw(kw))
+        df = mg_biased_neighbor_sample(graph.graph(), graph.mesh,
+                                       start_list, fanout_vals,
+                                       **_mg_sample_kw(kw))
+        return _mg_attach_ids(graph, df, kw)
     return ct.homogeneous_biased_neighbor_sample(_sg(graph), start_list,
                                                  fanout_vals, **kw)
 

@@ -152,9 +152,30 @@ class MGGraph:
         self._graph = shard_dist_graph(g, mesh)
         self.mesh = mesh
         self.properties = props
-        # edge ids kept host-side for lookup/post-processing parity
+        # edge ids kept host-side for lookup/post-processing parity; the
+        # sorted (src,dst)-key table lets MG samplers attach sampled edge ids
+        # (the reference returns them via gather_sampled_properties.cuh)
         self.edge_ids = (None if edge_id_array is None
                          else np.asarray(edge_id_array))
+        if self.edge_ids is not None:
+            key = np.asarray(src, np.int64) * g.pad_v \
+                + np.asarray(dst, np.int64)
+            order = np.argsort(key, kind="stable")
+            self._edge_id_table = (key[order], self.edge_ids[order])
+        else:
+            self._edge_id_table = None
+
+    def lookup_edge_ids(self, sources, destinations):
+        """Edge ids for (src, dst) pairs (first match on multi-edges)."""
+        if self._edge_id_table is None:
+            return None
+        keys, ids = self._edge_id_table
+        q = np.asarray(sources, np.int64) * self._graph.pad_v \
+            + np.asarray(destinations, np.int64)
+        pos = np.clip(np.searchsorted(keys, q), 0, max(len(keys) - 1, 0))
+        if len(keys) == 0 or not (keys[pos] == q).all():
+            raise ValueError("edge id lookup: pair not in graph")
+        return ids[pos]
 
     def _init_sharded(self, mesh, props, src_array, dst_array, weight_array,
                       *, symmetrize, edge_id_array, edge_type_array,

@@ -48,6 +48,77 @@ def test_batches_are_static_shaped_and_consistent():
     assert len(shapes) == 1  # one compiled step serves every batch
 
 
+def test_minibatch_matches_full_graph_accuracy():
+    """BASELINE.md "downstream GNN accuracy match" on a FIXED synthetic
+    split: a GraphSAGE trained from sampler+post outputs alone must reach
+    the full-graph loop's validation accuracy (within 5 points, both ≥ 85%).
+    Reference role: the cugraph-pyg/DGL feed path (SURVEY §3.5)."""
+    from cugraph_tpu.nn.models import graphsage_apply, make_train_step
+
+    G, n, labels = _community_graph(n_half=60, seed=7)
+    rng = np.random.default_rng(13)
+    feats = rng.normal(size=(n, 8)).astype(np.float32)
+    feats[:, 0] += labels * 1.0
+    feats[:, 1] -= labels * 0.4
+    # fixed split: 60% train / 40% val (deterministic permutation)
+    perm = np.random.default_rng(99).permutation(n)
+    train_ids, val_ids = perm[: int(0.6 * n)], perm[int(0.6 * n):]
+
+    g_full = G.structure
+    pad_v = g_full.pad_v
+    y_full = np.zeros(pad_v, np.int32)
+    y_full[:n] = labels
+    x_full = np.zeros((pad_v, 8), np.float32)
+    x_full[:n] = feats
+    train_mask = np.zeros(pad_v, bool)
+    train_mask[train_ids] = True
+
+    def val_acc(params):
+        logits = np.asarray(graphsage_apply(params, g_full,
+                                            jnp.asarray(x_full)))
+        return float((logits[val_ids].argmax(1) == labels[val_ids]).mean())
+
+    # -- full-graph training --------------------------------------------
+    params_f = graphsage_init(jax.random.key(0), 8, 16, 2)
+    opt = optax.adam(1e-2)
+    step = jax.jit(make_train_step(graphsage_apply, opt))
+    st = opt.init(params_f)
+    for _ in range(60):
+        params_f, st, _ = step(params_f, st, g_full, jnp.asarray(x_full),
+                               jnp.asarray(y_full), jnp.asarray(train_mask))
+    acc_full = val_acc(params_f)
+
+    # -- minibatch training from sampler + post-processing outputs -------
+    params_m = graphsage_init(jax.random.key(0), 8, 16, 2)
+    st_m = opt.init(params_m)
+
+    @jax.jit
+    def mb_step(params, opt_state, batch, x, y, m):
+        def loss_fn(p):
+            return masked_cross_entropy(
+                sage_minibatch_forward(p, batch, x), y, m)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    for epoch in range(20):
+        for batch, x in make_batches(G, train_ids, [8, 5], batch_size=24,
+                                     features=feats, random_state=epoch):
+            gid = np.asarray(batch.global_ids)
+            valid = gid >= 0
+            y = np.zeros(batch.g.pad_v, np.int32)
+            y[valid] = labels[gid[valid]]
+            m = np.asarray(batch.seed_mask) & valid
+            params_m, st_m, _ = mb_step(params_m, st_m, batch, x,
+                                        jnp.asarray(y), jnp.asarray(m))
+    acc_mb = val_acc(params_m)
+
+    assert acc_full >= 0.85, acc_full
+    assert acc_mb >= 0.85, acc_mb
+    assert acc_mb >= acc_full - 0.05, (acc_mb, acc_full)
+
+
 def test_minibatch_training_learns():
     G, n, labels = _community_graph()
     feats = np.random.default_rng(2).normal(size=(n, 8)).astype(np.float32)

@@ -1,0 +1,254 @@
+"""sampling_flags_t semantics + the post-processing compression matrix.
+
+Reference: sampling_functions.hpp:36-76 (prior_sources_behavior /
+dedupe_sources / return_hops), :900-1015
+(renumber_and_compress_sampled_edgelist), prepare_next_frontier_impl.cuh
+(per-label frontiers).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cugraph_tpu as ct
+from cugraph_tpu.parallel import (build_dist_graph, make_mesh_2d,
+                                  mg_uniform_neighbor_sample)
+
+
+def _path_plus_fan(n_fan=4):
+    """0 → {1..n_fan}; every fan vertex → 100; 100 → 0 (a cycle back)."""
+    src = np.concatenate([np.zeros(n_fan, np.int64),
+                          np.arange(1, n_fan + 1), [100]])
+    dst = np.concatenate([np.arange(1, n_fan + 1),
+                          np.full(n_fan, 100), [0]])
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, None, vertices=np.arange(101), renumber=False)
+    return G
+
+
+def test_frontier_multiplicity_default():
+    """A vertex reached r times in one batch is passed r times (reference:
+    dedupe only 'if dedupe_sources')."""
+    G = _path_plus_fan(4)
+    df = ct.uniform_neighbor_sample(G, [0], [4, 4], with_replacement=False,
+                                    random_state=0,
+                                    batch_id_list=[7])
+    h1 = df[df.hop_id == 1]
+    # hop0 emits 4 edges into distinct fan vertices; each fan vertex has ONE
+    # out-neighbor (100), so hop 1 must emit exactly 4 rows (4 sources × 1)
+    assert len(h1) == 4
+    assert set(h1.destinations) == {100}
+    # hop 2 would then carry vertex 100 with multiplicity 4
+    df2 = ct.uniform_neighbor_sample(G, [0], [4, 4, 1],
+                                     with_replacement=False, random_state=0,
+                                     batch_id_list=[7])
+    h2 = df2[df2.hop_id == 2]
+    assert len(h2) == 4 and set(h2.sources) == {100} \
+        and set(h2.destinations) == {0}
+    assert set(df2.batch_id) == {7}
+
+
+def test_dedupe_sources():
+    G = _path_plus_fan(4)
+    df = ct.uniform_neighbor_sample(G, [0], [4, 4, 1],
+                                    with_replacement=False, random_state=0,
+                                    dedupe_sources=True)
+    # with dedupe, vertex 100 is passed once → one hop-2 row
+    assert len(df[df.hop_id == 2]) == 1
+
+
+def test_prior_sources_exclude():
+    G = _path_plus_fan(2)
+    # cycle 0 → fan → 100 → 0: with EXCLUDE, 0 (a prior source) never
+    # re-enters the frontier, so no hop-3 rows out of 0
+    df = ct.uniform_neighbor_sample(G, [0], [2, 2, 1, 2],
+                                    with_replacement=False, random_state=0,
+                                    prior_sources_behavior="exclude")
+    assert len(df[df.hop_id == 3]) == 0
+    # DEFAULT revisits 0 and samples again
+    df2 = ct.uniform_neighbor_sample(G, [0], [2, 2, 1, 2],
+                                     with_replacement=False, random_state=0)
+    assert len(df2[df2.hop_id == 3]) > 0
+
+
+def test_prior_sources_carry_over():
+    G = _path_plus_fan(2)
+    df = ct.uniform_neighbor_sample(G, [0], [2, 1],
+                                    with_replacement=False, random_state=0,
+                                    prior_sources_behavior="carry_over")
+    # hop 1 frontier carries 0 over → 0 samples again at hop 1
+    h1 = df[df.hop_id == 1]
+    assert (h1.sources == 0).any() and (h1.sources != 0).any()
+
+
+def test_return_hops_false_drops_column():
+    G = _path_plus_fan(2)
+    df = ct.uniform_neighbor_sample(G, [0], [2, 1], with_replacement=False,
+                                    return_hops=False, random_state=0)
+    assert "hop_id" not in df.columns
+
+
+def test_batches_sample_independently():
+    """Two batches seeded at the same vertex each get their own tree."""
+    G = _path_plus_fan(4)
+    df = ct.uniform_neighbor_sample(G, [0, 0], [2], with_replacement=False,
+                                    random_state=0, batch_id_list=[3, 9])
+    assert set(df.batch_id) == {3, 9}
+    assert (df.batch_id == 3).sum() == 2 and (df.batch_id == 9).sum() == 2
+
+
+def test_mg_sampler_flags_and_props(mesh=None):
+    import jax
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    src = np.concatenate([np.zeros(4, np.int64), np.arange(1, 5), [100]])
+    dst = np.concatenate([np.arange(1, 5), np.full(4, 100), [0]])
+    w = (src * 10 + dst).astype(np.float32)
+    et = ((src + dst) % 3).astype(np.int32)
+    g = build_dist_graph(src, dst, w, 101, 4, 2, store_push=True,
+                         edge_type=et)
+    df = mg_uniform_neighbor_sample(g, mesh, [0], [4, 4, 1],
+                                    with_replacement=False, seed=1,
+                                    with_edge_properties=True,
+                                    batch_id_list=[5])
+    # multiplicity: hop 2 carries vertex 100 four times
+    assert len(df[df.hop_id == 2]) == 4
+    assert set(df.batch_id) == {5}
+    # edge properties looked up correctly
+    expect_w = df.sources.to_numpy() * 10 + df.destinations.to_numpy()
+    np.testing.assert_allclose(df.weight.to_numpy(), expect_w)
+    np.testing.assert_array_equal(
+        df.edge_type.to_numpy(),
+        (df.sources.to_numpy() + df.destinations.to_numpy()) % 3)
+    # dedupe_sources collapses the hop-2 multiplicity
+    df2 = mg_uniform_neighbor_sample(g, mesh, [0], [4, 4, 1],
+                                     with_replacement=False, seed=1,
+                                     dedupe_sources=True)
+    assert len(df2[df2.hop_id == 2]) == 1
+    # exclude: the 100 → 0 → fan re-entry is cut
+    df3 = mg_uniform_neighbor_sample(g, mesh, [0], [4, 4, 1, 4],
+                                     with_replacement=False, seed=1,
+                                     prior_sources_behavior="exclude")
+    assert len(df3[df3.hop_id == 3]) == 0
+    # return_hops=False
+    df4 = mg_uniform_neighbor_sample(g, mesh, [0], [2],
+                                     with_replacement=False, seed=1,
+                                     return_hops=False)
+    assert "hop_id" not in df4.columns
+
+
+def test_plc_mg_sampler_attaches_edge_ids():
+    import jax
+    from cugraph_tpu.plc import ResourceHandle, MGGraph
+    from cugraph_tpu.plc.algorithms import homogeneous_uniform_neighbor_sample
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    src = np.concatenate([np.zeros(4, np.int64), np.arange(1, 5)])
+    dst = np.concatenate([np.arange(1, 5), np.full(4, 20)])
+    eid = src * 1000 + dst
+    g = MGGraph(ResourceHandle(mesh=mesh), None, src, dst, None,
+                edge_id_array=eid)
+    df = homogeneous_uniform_neighbor_sample(
+        None, g, [0], h_fan_out=[4, 1], with_edge_properties=True,
+        random_state=0)
+    assert "edge_id" in df.columns and len(df) == 8
+    np.testing.assert_array_equal(
+        df.edge_id.to_numpy(),
+        df.sources.to_numpy() * 1000 + df.destinations.to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# compression matrix round-trips
+# ---------------------------------------------------------------------------
+
+def _toy_frame():
+    rng = np.random.default_rng(3)
+    rows = []
+    for b in (0, 1):
+        seeds = [b * 50, b * 50 + 1]
+        cur = seeds
+        for hop in range(3):
+            nxt = []
+            for s in cur:
+                for _ in range(2):
+                    d = int(rng.integers(0, 100))
+                    rows.append((s, d, hop, b))
+                    nxt.append(d)
+            cur = nxt
+    df = pd.DataFrame(rows, columns=["sources", "destinations", "hop_id",
+                                     "batch_id"])
+    df["weight"] = rng.random(len(df)).astype(np.float32)
+    df["edge_id"] = np.arange(len(df), dtype=np.int64)
+    df["edge_type"] = rng.integers(0, 3, len(df)).astype(np.int32)
+    return df
+
+
+def _decode(out, df, src_is_major, compress_per_hop, doubly):
+    """Reconstruct the per-label edge multiset from the compressed output."""
+    num_labels = len(out["renumber_map_offsets"]) - 1
+    lho = out["label_hop_offsets"]
+    segs = len(lho) - 1
+    per_label_segs = segs // num_labels
+    edges = []
+    minor_pos = 0
+    nzd_pos = 0
+    for li in range(num_labels):
+        m0, m1 = out["renumber_map_offsets"][li], \
+            out["renumber_map_offsets"][li + 1]
+        vmap = out["renumber_map"][m0:m1]
+        for sj in range(per_label_segs):
+            si = li * per_label_segs + sj
+            offs = out["major_offsets"][lho[si]:lho[si + 1]]
+            counts = np.diff(offs)
+            if doubly:
+                nz = out["majors"][nzd_pos:nzd_pos + len(counts)]
+                nzd_pos += len(counts)
+                majors_r = np.repeat(nz, counts)
+            else:
+                majors_r = np.repeat(np.arange(len(counts)), counts)
+            k = int(counts.sum())
+            minors_r = out["minors"][minor_pos:minor_pos + k]
+            w = out["weight"][minor_pos:minor_pos + k]
+            eid = out["edge_id"][minor_pos:minor_pos + k]
+            et = out["edge_type"][minor_pos:minor_pos + k]
+            minor_pos += k
+            for a, bb, ww, ii, tt in zip(vmap[majors_r], vmap[minors_r],
+                                         w, eid, et):
+                edges.append((li, int(a), int(bb), float(np.float32(ww)),
+                              int(ii), int(tt)))
+    expect = []
+    for _, r in df.iterrows():
+        a, bb = ((r.sources, r.destinations) if src_is_major
+                 else (r.destinations, r.sources))
+        expect.append((int(r.batch_id), int(a), int(bb),
+                       float(np.float32(r.weight)), int(r.edge_id),
+                       int(r.edge_type)))
+    assert sorted(edges) == sorted(expect)
+
+
+@pytest.mark.parametrize("src_is_major", [True, False])
+@pytest.mark.parametrize("mode", ["plain", "per_hop", "doubly"])
+def test_compress_matrix_roundtrip(src_is_major, mode):
+    df = _toy_frame()
+    out = ct.renumber_and_compress_sampled_edgelist(
+        df, src_is_major=src_is_major,
+        compress_per_hop=(mode == "per_hop"),
+        doubly_compress=(mode == "doubly"))
+    _decode(out, df, src_is_major, mode == "per_hop", mode == "doubly")
+    # renumber invariant: seeds (hop-0 majors) take the lowest ids per label
+    for li in (0, 1):
+        m0 = out["renumber_map_offsets"][li]
+        grp = df[df.batch_id == li]
+        mj = "sources" if src_is_major else "destinations"
+        hop0_majors = set(grp[grp.hop_id == 0][mj])
+        lead = set(out["renumber_map"][m0:m0 + len(hop0_majors)])
+        assert lead == hop0_majors
+
+
+def test_compress_per_hop_requires_hops():
+    df = _toy_frame().drop(columns=["hop_id"])
+    with pytest.raises(ValueError):
+        ct.renumber_and_compress_sampled_edgelist(df, compress_per_hop=True)
+    with pytest.raises(ValueError):
+        ct.renumber_and_compress_sampled_edgelist(
+            _toy_frame(), compress_per_hop=True, doubly_compress=True)
