@@ -112,14 +112,22 @@ def katz_centrality(G, alpha=None, beta: float = 1.0, max_iter: int = 100,
     if nstart is not None:
         ids = G.lookup_internal_vertex_id(nstart["vertex"].to_numpy())
         x0[ids] = nstart["values"].to_numpy()
+    # scalar beta, or a per-vertex beta vector (the reference's `betas`,
+    # katz_centrality.pyx) padded to the kernel shape
+    if np.ndim(beta) == 0:
+        beta_dev = jnp.float32(beta)
+    else:
+        bv = np.zeros(pad, np.float32)
+        bv[: len(np.asarray(beta))] = np.asarray(beta, np.float32)
+        beta_dev = jnp.asarray(bv)
     # convergence threshold follows the reference: L1 diff < n * tol
     if fast:
         x, err, iters = _katz_kernel_pallas(
-            get_pull_plan(G), jnp.float32(alpha), jnp.float32(beta),
+            get_pull_plan(G), jnp.float32(alpha), beta_dev,
             jnp.float32(n * tol), jnp.asarray(x0), int(max_iter), normalized,
             n, _kernel_precision(precision))
     else:
-        x, err, iters = _katz_kernel(g, jnp.float32(alpha), jnp.float32(beta),
+        x, err, iters = _katz_kernel(g, jnp.float32(alpha), beta_dev,
                                      jnp.float32(n * tol), jnp.asarray(x0),
                                      int(max_iter), normalized)
     if not bool(err < n * tol):

@@ -872,11 +872,15 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
                 times = times[idx]
         hop_frames = []
         for type_key, k in fanouts:
-            if int(k) <= 0:
+            if int(k) == 0:
                 continue
+            # k == -1 means "all eligible neighbors" (reference fanout
+            # contract): the Gumbel top-max_deg pick returns every valid
+            # lane, so it degrades to full enumeration
+            kk = max_deg if int(k) < 0 else int(k)
             key, sub = jax.random.split(key)
             dst, eidx, valid = _sample_neighbors_masked(
-                g, jnp.asarray(frontier), sub, int(k), max_deg,
+                g, jnp.asarray(frontier), sub, kk, max_deg,
                 masks_by_type[type_key] if tables is None else None,
                 jnp.asarray(times) if times is not None else None,
                 edge_times, strict, biased, tables,

@@ -171,18 +171,23 @@ def _mg_bfs_kernel(mesh, pmaj, pmin, chunk, n, max_depth):
     B = pmin * chunk
     nseg = pmaj * chunk
 
-    def kernel(src_loc, dst_loc, w, valid, source):
+    def kernel(src_loc, dst_loc, w, valid, sources):
+        # ``sources``: replicated [S] root ids (-1 padding) — a multi-root
+        # seed set runs as ONE traversal (the reference bfs accepts a source
+        # list the same way, bfs_impl.cuh:875 / bfs.pyx)
         src_loc, valid = _sq(src_loc), _sq(valid)
         dst_loc = _sq(dst_loc)
         gidx = prims.global_vertex_ids(chunk)
         i = jax.lax.axis_index(prims.MAJOR)
         gsrc = i * B + src_loc  # global id of each edge's source
 
-        dist0 = jnp.where(gidx == source, 0, INT_INF)
+        is_root = jnp.any((gidx[:, None] == sources[None, :])
+                          & (sources[None, :] >= 0), axis=1)
+        dist0 = jnp.where(is_root, 0, INT_INF)
         # constant carries must be cast to device-varying for the while_loop
         pred0 = jax.lax.pcast(jnp.full((chunk,), -1, jnp.int32),
                               (prims.MAJOR, prims.MINOR), to="varying")
-        f0 = gidx == source
+        f0 = is_root
 
         def body(state):
             dist, pred, f, level, _ = state
@@ -209,12 +214,16 @@ def _mg_bfs_kernel(mesh, pmaj, pmin, chunk, n, max_depth):
     return _shard_wrap(mesh, kernel, 4, 0, 1, (vertex_spec(), vertex_spec()))
 
 
-def mg_bfs(g: DistGraph, mesh, source: int, depth_limit: int | None = None):
-    """Distributed BFS. Returns (distance, predecessor) owner-sharded [pad_v];
-    unreachable vertices have distance INT32_MAX and predecessor -1."""
+def mg_bfs(g: DistGraph, mesh, source, depth_limit: int | None = None):
+    """Distributed BFS from one root or a root LIST (one multi-root
+    traversal — no per-source loop; reference bfs_impl.cuh:875 takes a
+    source span the same way).  Returns (distance, predecessor)
+    owner-sharded [pad_v]; unreachable vertices have distance INT32_MAX and
+    predecessor -1."""
     max_depth = int(depth_limit) if depth_limit is not None else g.num_vertices
     kern = _mg_bfs_kernel(mesh, g.pmaj, g.pmin, g.chunk, g.num_vertices, max_depth)
-    return kern(*_edge_args(g.pull), jnp.asarray(source, jnp.int32))
+    sources = np.asarray(source, np.int32).reshape(-1)
+    return kern(*_edge_args(g.pull), jnp.asarray(sources))
 
 
 # ---------------------------------------------------------------------------

@@ -155,7 +155,12 @@ def _mg_neighbor_sample_core(
                 vt = np.zeros(pad, np.float32)
                 vt[verts] = ft[sel]
             for tk, k in fanouts:
-                if int(k) <= 0 or (masks is not None and tk not in masks):
+                if int(k) < 0:
+                    raise ValueError(
+                        "fanout -1 (all neighbors) is not supported on the "
+                        "MG sampler — the dense one-hop kernel needs a "
+                        "static k; pass the max degree instead")
+                if int(k) == 0 or (masks is not None and tk not in masks):
                     continue
                 samp, st = mg_sample_one_hop(
                     g, mesh, verts, int(k),

@@ -147,25 +147,12 @@ def bfs(resource_handle, graph, sources, direction_optimizing=False, depth_limit
 
         dl = None if depth_limit in (-1, None) else depth_limit
         n = graph.graph().num_vertices
-        if len(srcs) == 1:
-            dist, pred = mg_bfs(graph.graph(), graph.mesh, int(srcs[0]), dl)
-            return (np.asarray(dist)[:n], np.asarray(pred)[:n],
-                    np.arange(n, dtype=np.int32))
-        # multi-source: elementwise-min over per-source runs (small source
-        # lists are the norm; the SG path uses the batched panel)
-        dist = None
-        pred = None
-        for sv in srcs:
-            d_i, p_i = mg_bfs(graph.graph(), graph.mesh, int(sv), dl)
-            d_i = np.asarray(d_i)[:n]
-            p_i = np.asarray(p_i)[:n]
-            if dist is None:
-                dist, pred = d_i, p_i
-            else:
-                closer = d_i < dist
-                dist = np.where(closer, d_i, dist)
-                pred = np.where(closer, p_i, pred)
-        return dist, pred, np.arange(n, dtype=np.int32)
+        # single OR multi-source: one multi-root traversal (the per-source
+        # loop this replaced cost |S| full sweeps; distances are identical)
+        dist, pred = mg_bfs(graph.graph(), graph.mesh, srcs, dl)
+        pred = (np.asarray(pred)[:n] if compute_predecessors
+                else np.full(n, -1, np.int32))
+        return (np.asarray(dist)[:n], pred, np.arange(n, dtype=np.int32))
     dl = None if depth_limit in (-1, None) else depth_limit
     if len(srcs) > 1:
         # multi-source BFS: one batched panel sweep, distances = per-vertex
@@ -178,8 +165,11 @@ def bfs(resource_handle, graph, sources, direction_optimizing=False, depth_limit
         P = ms[pcols].to_numpy()
         best = np.argmin(D, axis=1)
         rows = np.arange(len(ms))
-        return (D[rows, best], P[rows, best], ms["vertex"].to_numpy())
-    df = ct.bfs(_sg(graph), start=srcs[0], depth_limit=dl)
+        pv = (P[rows, best] if compute_predecessors
+              else np.full(len(ms), -1, np.int64))
+        return (D[rows, best], pv, ms["vertex"].to_numpy())
+    df = ct.bfs(_sg(graph), start=srcs[0], depth_limit=dl,
+                return_predecessors=compute_predecessors)
     df = df.sort_values("vertex")
     # reference order: (distances, predecessors, vertices) — bfs.pyx:196
     return (df["distance"].to_numpy(), df["predecessor"].to_numpy(),
@@ -198,8 +188,9 @@ def sssp(resource_handle, graph, source, cutoff=np.inf,
         return (np.arange(n, dtype=np.int32), np.asarray(dist)[:n],
                 np.asarray(pred)[:n])
     df = ct.sssp(_sg(graph), source=source, cutoff=cutoff).sort_values("vertex")
-    return (df["vertex"].to_numpy(), df["distance"].to_numpy(),
-            df["predecessor"].to_numpy())
+    pred = (df["predecessor"].to_numpy() if compute_predecessors
+            else np.full(len(df), -1, np.int64))
+    return df["vertex"].to_numpy(), df["distance"].to_numpy(), pred
 
 
 # -- centrality --------------------------------------------------------------
@@ -211,13 +202,25 @@ def katz_centrality(resource_handle, graph, betas=None, alpha=0.1, beta=1.0,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_katz_centrality
 
+        if betas is not None:
+            raise NotImplementedError("per-vertex betas: SG only")
         c, err, it = mg_katz_centrality(graph.graph(), graph.mesh, alpha=alpha,
                                         beta=beta, tol=epsilon,
                                         max_iter=max_iterations)
         n = graph.graph().num_vertices
         return np.arange(n, dtype=np.int32), np.asarray(c)[:n]
-    df = ct.katz_centrality(_sg(graph), alpha=alpha, beta=beta, tol=epsilon,
-                            max_iter=max_iterations)
+    G = _sg(graph)
+    if betas is not None:
+        # betas align with the wrapper's output order (vertices sorted by
+        # external id); re-index into the engine's internal id space
+        n = G.number_of_vertices()
+        ext_sorted = np.sort(G.number_map.to_external(np.arange(n)))
+        b_int = np.zeros(n, np.float32)
+        b_int[G.lookup_internal_vertex_id(ext_sorted)] = \
+            np.asarray(betas, np.float32)
+        beta = b_int
+    df = ct.katz_centrality(G, alpha=alpha, beta=beta,
+                            tol=epsilon, max_iter=max_iterations)
     return _vert_df(df.sort_values("vertex"), ["katz_centrality"])
 
 
@@ -308,12 +311,15 @@ def leiden(resource_handle, random_state=None, graph=None, max_level=100,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_leiden
 
+        # theta: N/A on the MG path — the distributed refinement enforces
+        # the Leiden guarantee by WCC-splitting communities, not by
+        # theta-tempered merge sampling (parallel/louvain.py mg_leiden)
         labels, mod = mg_leiden(graph.graph(), graph.mesh,
                                 max_level=max_level, resolution=resolution)
         n = graph.graph().num_vertices
         return np.arange(n, dtype=np.int32), labels, float(mod)
     parts, mod = ct.leiden(_sg(graph), max_iter=max_level, resolution=resolution,
-                           random_state=random_state)
+                           random_state=random_state, theta=theta)
     parts = parts.sort_values("vertex")
     return parts["vertex"].to_numpy(), parts["partition"].to_numpy(), float(mod)
 
@@ -402,7 +408,9 @@ def balanced_cut_clustering(resource_handle, graph, num_clusters,
     import cugraph_tpu as ct
 
     df = ct.spectralBalancedCutClustering(
-        _sg(graph), num_clusters, num_eigen_vects=num_eigenvectors)
+        _sg(graph), num_clusters, num_eigen_vects=num_eigenvectors,
+        evs_tolerance=evs_tolerance, evs_max_iter=evs_max_iterations,
+        kmean_tolerance=kmean_tolerance, kmean_max_iter=kmean_max_iterations)
     df = df.sort_values("vertex")
     return df["vertex"].to_numpy(), df["cluster"].to_numpy()
 
@@ -476,7 +484,17 @@ def k_core(resource_handle, graph, k=None, degree_type="bidirectional",
         src, dst, w, _core = mg_k_core(graph.graph(), graph.mesh, k=k,
                                        degree_type=degree_type)
         return src, dst, w
-    H = ct.k_core(_sg(graph), k=k, degree_type=degree_type)
+    core_df = None
+    if core_result is not None:
+        import pandas as pd
+
+        if isinstance(core_result, tuple):
+            core_df = pd.DataFrame({"vertex": np.asarray(core_result[0]),
+                                    "core_number": np.asarray(core_result[1])})
+        else:
+            core_df = core_result
+    H = ct.k_core(_sg(graph), k=k, degree_type=degree_type,
+                  core_number_df=core_df)
     src, dst, w = H.edgelist_arrays()
     return (H.number_map.to_external(src), H.number_map.to_external(dst),
             w if w is not None else np.ones(len(src), np.float32))
@@ -484,11 +502,27 @@ def k_core(resource_handle, graph, k=None, degree_type="bidirectional",
 
 # -- components --------------------------------------------------------------
 
+def _legacy_csr_graph(offsets, indices, weights):
+    """Legacy CSR-input path of the reference wcc/scc pyx (graph=None)."""
+    import cugraph_tpu as ct
+
+    offs = np.asarray(offsets)
+    idx = np.asarray(indices)
+    src = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    w = None if weights is None else np.asarray(weights)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, idx, w, vertices=np.arange(len(offs) - 1),
+                    renumber=False)
+    return G
+
+
 def weakly_connected_components(resource_handle, graph, offsets=None,
                                 indices=None, weights=None, labels=None,
                                 do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if graph is None and offsets is not None:
+        graph = _legacy_csr_graph(offsets, indices, weights)
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_wcc
 
@@ -504,6 +538,8 @@ def strongly_connected_components(resource_handle, graph, offsets=None,
                                   do_expensive_check=False):
     import cugraph_tpu as ct
 
+    if graph is None and offsets is not None:
+        graph = _legacy_csr_graph(offsets, indices, weights)
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_strongly_connected_components
 
@@ -516,11 +552,12 @@ def strongly_connected_components(resource_handle, graph, offsets=None,
 
 # -- similarity --------------------------------------------------------------
 
-def _sim(fn, graph, first, second):
+def _sim(fn, graph, first, second, use_weight=False):
     import pandas as pd
 
     df = fn(_sg(graph), pd.DataFrame({"first": np.asarray(first),
-                                      "second": np.asarray(second)}))
+                                      "second": np.asarray(second)}),
+            use_weight=use_weight)
     col = [c for c in df.columns if c.endswith("_coeff")][0]
     return df["first"].to_numpy(), df["second"].to_numpy(), df[col].to_numpy()
 
@@ -534,7 +571,7 @@ def jaccard_coefficients(resource_handle, graph, first, second,
 
         c = mg_jaccard_coefficients(graph.graph(), graph.mesh, first, second)
         return np.asarray(first), np.asarray(second), c
-    return _sim(ct.jaccard, graph, first, second)
+    return _sim(ct.jaccard, graph, first, second, use_weight)
 
 
 def _mg_sim(mg_fn, graph, first, second):
@@ -550,7 +587,7 @@ def sorensen_coefficients(resource_handle, graph, first, second,
         from cugraph_tpu.parallel import mg_sorensen_coefficients
 
         return _mg_sim(mg_sorensen_coefficients, graph, first, second)
-    return _sim(ct.sorensen, graph, first, second)
+    return _sim(ct.sorensen, graph, first, second, use_weight)
 
 
 def overlap_coefficients(resource_handle, graph, first, second,
@@ -561,7 +598,7 @@ def overlap_coefficients(resource_handle, graph, first, second,
         from cugraph_tpu.parallel import mg_overlap_coefficients
 
         return _mg_sim(mg_overlap_coefficients, graph, first, second)
-    return _sim(ct.overlap, graph, first, second)
+    return _sim(ct.overlap, graph, first, second, use_weight)
 
 
 def cosine_coefficients(resource_handle, graph, first, second,
@@ -572,7 +609,7 @@ def cosine_coefficients(resource_handle, graph, first, second,
         from cugraph_tpu.parallel import mg_cosine_coefficients
 
         return _mg_sim(mg_cosine_coefficients, graph, first, second)
-    return _sim(ct.cosine, graph, first, second)
+    return _sim(ct.cosine, graph, first, second, use_weight)
 
 
 def _all_pairs(fn, graph, vertices, topk, kind=None):
@@ -905,6 +942,7 @@ def negative_sampling(resource_handle, graph, num_samples, random_state=None,
                               src_bias=src_bias, dst_bias=dst_bias,
                               remove_duplicates=remove_duplicates,
                               remove_existing_edges=remove_false_negatives,
+                              exact_number_of_samples=exact_number_of_samples,
                               random_state=_seed(random_state))
     return df["src"].to_numpy(), df["dst"].to_numpy()
 
@@ -926,9 +964,20 @@ def generate_rmat_edgelist(resource_handle, random_state, scale, num_edges,
                  scramble_vertex_ids=scramble_vertex_ids,
                  include_edge_weights=include_edge_weights,
                  minimum_weight=minimum_weight, maximum_weight=maximum_weight)
+    # multi_gpu: N/A here — generation is host-side and the MGGraph build
+    # shards the result (the reference flag picks the MG C++ generator)
     out = [df["src"].to_numpy(), df["dst"].to_numpy()]
     if include_edge_weights:
-        out.append(df["weights"].to_numpy())
+        w = df["weights"].to_numpy()
+        out.append(w.astype(dtype) if dtype is not None else w)
+    if include_edge_ids:
+        out.append(np.arange(len(df), dtype=np.int64))
+    if include_edge_types:
+        rng_t = np.random.default_rng(_seed(random_state) + 7)
+        out.append(rng_t.integers(min_edge_type_value,
+                                  max(max_edge_type_value,
+                                      min_edge_type_value) + 1,
+                                  len(df)).astype(np.int32))
     return tuple(out)
 
 
@@ -936,7 +985,8 @@ def generate_rmat_edgelists(resource_handle, random_state, n_edgelists,
                             min_scale, max_scale, edge_factor=16, **kw):
     from cugraph_tpu.generators.rmat import generate_rmat_edgelists as gen
 
-    return gen(n_edgelists, min_scale, max_scale, edge_factor=edge_factor)
+    return gen(n_edgelists, min_scale, max_scale, edge_factor=edge_factor,
+               seed=_seed(random_state))
 
 
 # -- structure / misc --------------------------------------------------------
@@ -1032,6 +1082,9 @@ def replicate_edgelist(resource_handle, src_array=None, dst_array=None,
     if graph is not None:
         df = ct.replicate_edgelist(_sg(graph))
         return df["src"].to_numpy(), df["dst"].to_numpy()
+    if weight_array is not None:
+        return (np.asarray(src_array), np.asarray(dst_array),
+                np.asarray(weight_array))
     return np.asarray(src_array), np.asarray(dst_array)
 
 
@@ -1114,6 +1167,24 @@ def induced_subgraph(resource_handle, graph, subgraph_vertices,
         src, dst, w = mg_induced_subgraph(graph.graph(), graph.mesh,
                                           subgraph_vertices)
         return src, dst, w, np.asarray([0, len(src)])
+    if subgraph_offsets is not None and len(subgraph_offsets) > 2:
+        # multiple induced subgraphs in one call (induced_subgraph.pyx):
+        # offsets delimit vertex groups; results concatenate with edge
+        # offsets per group
+        so = np.asarray(subgraph_offsets)
+        sv = np.asarray(subgraph_vertices)
+        srcs, dsts, ws, eoff = [], [], [], [0]
+        for gi in range(len(so) - 1):
+            df, _ = ct.induced_subgraph(_sg(graph), sv[so[gi]:so[gi + 1]])
+            srcs.append(df["src"].to_numpy())
+            dsts.append(df["dst"].to_numpy())
+            ws.append(df["weight"].to_numpy(np.float32) if "weight" in df
+                      else np.ones(len(df), np.float32))
+            eoff.append(eoff[-1] + len(df))
+        return (np.concatenate(srcs) if srcs else np.empty(0, np.int64),
+                np.concatenate(dsts) if dsts else np.empty(0, np.int64),
+                np.concatenate(ws) if ws else np.empty(0, np.float32),
+                np.asarray(eoff))
     df, offsets = ct.induced_subgraph(_sg(graph), subgraph_vertices)
     w = (df["weight"].to_numpy(np.float32) if "weight" in df.columns
          else np.ones(len(df), np.float32))

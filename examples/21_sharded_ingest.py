@@ -1,0 +1,65 @@
+"""Distributed (sharded) graph ingest: per-host COO chunks → DistGraph with
+no process ever holding the full edge list — the billion-edge multi-host
+construction path (reference shuffle_ext_edges + distributed renumber,
+c_api/graph_mg.cpp:140, renumber_edgelist_impl.cuh:95-318).
+
+Run: python examples/21_sharded_ingest.py
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from cugraph_tpu.parallel import (build_dist_graph_from_chunks, make_mesh_2d,
+                                  mg_pagerank, mg_wcc)
+
+mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+P = mesh.devices.size
+
+# Simulate per-host ingest: every "host" (device here) reads its own chunk
+# of an edge list with SPARSE EXTERNAL ids (e.g. 64-bit hashes)
+rng = np.random.default_rng(11)
+ext_pool = np.unique(rng.integers(0, 10**12, 520, dtype=np.int64))[:500]
+src_chunks, dst_chunks, w_chunks = [], [], []
+for d in range(P):
+    r = np.random.default_rng(100 + d)
+    s = r.choice(ext_pool, 1200)
+    t = r.choice(ext_pool, 1200)
+    keep = s != t
+    src_chunks.append(s[keep])
+    dst_chunks.append(t[keep])
+    w_chunks.append(r.uniform(0.5, 2.0, keep.sum()).astype(np.float32))
+
+total_edges = sum(len(c) for c in src_chunks)
+print(f"{P} chunks, {total_edges} edges, external ids up to 10^12")
+
+# distributed renumber + shuffle-construct: edges route to their 2D owners
+# by all_to_all; the renumber map stays sharded across owners
+g, nmap, stats = build_dist_graph_from_chunks(
+    mesh, src_chunks, dst_chunks, w_chunks, store_push=True)
+print(f"DistGraph: {g.num_vertices} vertices / {g.num_edges} edges; "
+      f"largest per-device buffer {stats['max_device_buffer_elems']} elems "
+      f"(~{stats['max_device_buffer_elems'] / total_edges:.2f}x E/P x P)")
+assert stats["max_device_buffer_elems"] <= 2 * total_edges // P + 1024
+
+# run MG analytics straight off the sharded build
+pr, err, iters = mg_pagerank(g, mesh, tol=1e-7)
+pr = np.asarray(pr)[: g.num_vertices]
+labels = np.asarray(mg_wcc(g, mesh))[: g.num_vertices]
+print(f"pagerank converged in {int(iters)} iters; "
+      f"{len(np.unique(labels))} weakly-connected components")
+
+# unrenumber: report the top-5 influential EXTERNAL ids
+top = np.argsort(pr)[::-1][:5]
+for i, v in enumerate(top):
+    print(f"  #{i + 1}: external id {nmap.to_external([v])[0]} "
+          f"pagerank {pr[v]:.5f}")
+assert abs(pr.sum() - 1.0) < 1e-3
+print("sharded ingest OK")

@@ -416,6 +416,34 @@ def test_mg_betweenness_matches_networkx(mesh):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_mg_bfs_multi_root_matches_networkx(mesh):
+    src, dst, _ = _random_coo(n=80, m=400, seed=21, weighted=False)
+    g = build_dist_graph(src, dst, None, 80, 4, 2, store_push=True)
+    roots = [3, 40, 77]
+    dist, pred = mg_bfs(g, mesh, roots)
+    dist = np.asarray(dist)[:80]
+    pred = np.asarray(pred)[:80]
+
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(80))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    INT_INF = np.iinfo(np.int32).max
+    expect = np.full(80, INT_INF, np.int64)
+    for r in roots:
+        for v, d in nx.single_source_shortest_path_length(Gx, r).items():
+            expect[v] = min(expect[v], d)
+    np.testing.assert_array_equal(np.where(dist >= INT_INF, INT_INF, dist),
+                                  expect)
+    # predecessors: any in-neighbor one level closer
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for v in range(80):
+        if expect[v] not in (0, INT_INF):
+            assert (int(pred[v]), v) in edge_set
+            assert expect[pred[v]] + 1 == expect[v]
+
+
 def test_mg_betweenness_endpoints_matches_networkx(mesh):
     src, dst, _ = _random_coo(n=40, m=200, seed=15, weighted=False)
     n = 40

@@ -137,6 +137,28 @@ def test_mg_sampler_flags_and_props(mesh=None):
     assert "hop_id" not in df4.columns
 
 
+def test_temporal_fanout_minus_one_takes_all_eligible():
+    """fanout -1 = all eligible neighbors on the masked (het/temporal) path
+    too — it used to silently skip the hop."""
+    src = np.array([0, 1, 2, 0, 3, 3])
+    dst = np.array([1, 2, 3, 3, 4, 5])
+    times = np.array([1.0, 2.0, 3.0, 0.5, 4.0, 2.5], np.float32)
+    G = ct.Graph(directed=True)
+    G.from_edgelist(src, dst, None, edge_time=times, renumber=False)
+    df = ct.homogeneous_uniform_temporal_neighbor_sample(
+        G, [0], [-1, -1, -1], seed_time=0.0, strict=True, random_state=0)
+    assert {1, 2, 3, 4, 5} <= set(df["destinations"])
+    # MG refuses -1 explicitly instead of silently skipping
+    import jax
+    from cugraph_tpu.parallel import mg_temporal_neighbor_sample
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    g = build_dist_graph(src, dst, None, 6, 4, 2, store_push=True,
+                         edge_time=times)
+    with pytest.raises(ValueError):
+        mg_temporal_neighbor_sample(g, mesh, [0], [-1])
+
+
 def test_plc_mg_sampler_attaches_edge_ids():
     import jax
     from cugraph_tpu.plc import ResourceHandle, MGGraph
