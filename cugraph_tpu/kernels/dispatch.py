@@ -158,11 +158,12 @@ def per_v_random_select(G, key, *, interpret: bool = False):
     Two semiring passes over the push plan, no gathers:
       1. reduce=max / combine="right" over per-edge random priorities
          (gather side skipped entirely — scatter-only cost);
-      2. reduce=max / combine="eqsel" at precision="highest": where the
+      2. reduce=max / combine="eqsel" at precision="split3": where the
          gathered per-vertex maximum equals an edge's priority, the value is
          the neighbor's absolute id, reconstructed in-kernel.
-    Exact-equality soundness requires the bit-exact 3-way-split gather, hence
-    "highest"; ids stay exact in f32 below 2^24 vertices.
+    Exact-equality soundness needs BIT-exact selections: split3 (3 bf16
+    limbs) provides them at 3 matmul passes vs "highest"'s 6 (see
+    spmv_onehot._sel); ids stay exact in f32 below 2^24 vertices.
     """
     import dataclasses
 
@@ -181,8 +182,8 @@ def per_v_random_select(G, key, *, interpret: bool = False):
     p2 = dataclasses.replace(plan, weight=w_pri)
     zeros = jnp.zeros((p2.pad_v,), jnp.float32)
     y1 = spmv_onehot(p2, zeros, reduce="max", combine="right",
-                     precision="highest", interpret=interpret)
+                     precision="split3", interpret=interpret)
     y2 = spmv_onehot(p2, y1, reduce="max", combine="eqsel", gather="dst",
-                     precision="highest", interpret=interpret)
+                     precision="split3", interpret=interpret)
     has = y1 > -SEMIRING_BIG / 2
     return jnp.where(has, y2.astype(jnp.int32), -1)

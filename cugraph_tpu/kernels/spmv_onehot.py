@@ -479,11 +479,13 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
 
         if gather == "dst":
             # gather x at the REDUCE endpoint (x is y-block shaped): reuse
-            # the dst one-hots — R_D[l, e] = Σ_r x[off+r, l]·D_hiT[r, e]
+            # the dst one-hots — R_D[l, e] = Σ_r x[off+r, l]·D_hiT[r, e].
+            # _sel keeps the selection BIT-exact under "highest" (6-pass)
+            # or "split3" (3 bf16 limbs, ~2x cheaper) — eqsel's equality
+            # test needs exactness, so plain "split" is rejected below.
             x_slice = x_ref[pl.ds(off, dw_rows), :]
-            R_D = jax.lax.dot_general(x_slice, D_hiT, dn_hh,
-                                      preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
+            R_D = _sel(x_slice, D_hiT if not split
+                       else D_hiT.astype(odt), dn_hh)
             xe = jnp.sum(R_D * D_loT.astype(jnp.float32), axis=0,
                          keepdims=True)
         elif combine != "right":
@@ -568,6 +570,9 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if combine == "eqsel" and precision not in ("highest", "split3"):
+        raise ValueError("eqsel needs a BIT-exact selection precision "
+                         "('highest' or 'split3'); 'split' is ~16-bit")
     interpret = interpret or _interpret_forced()
     n_rows, yb = plan.n_rows, plan.yb_rows
     yb_pad_rows = plan.n_yblocks * yb
