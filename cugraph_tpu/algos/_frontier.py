@@ -1,0 +1,80 @@
+"""Shared sampling-frontier state machine (sampling_flags_t semantics,
+reference sampling_functions.hpp:36-76 + prepare_next_frontier_impl.cuh).
+
+One implementation of the per-label frontier rules consumed by all three
+multi-hop drivers (SG homogeneous, SG masked het/temporal, MG core):
+
+* frontiers are per-BATCH (label) (vertex, batch[, time]) tuples WITH
+  multiplicity — dedupe only under ``dedupe_sources``;
+* ``prior_sources_behavior``: "default" (next frontier = sampled
+  destinations), "carry_over" (+ the current frontier, hence inductively
+  every prior source), "exclude" (drop destinations already used as a
+  source in the batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BEHAVIORS = ("default", "carry_over", "exclude")
+
+
+class FrontierState:
+    """(vertex, batch[, time]) frontier with the reference's flag rules.
+
+    ``key_mod``: multiplier making (batch, vertex) keys unique
+    (≥ the vertex id space size).
+    """
+
+    def __init__(self, vertices, batches, key_mod: int, *,
+                 prior_sources_behavior: str = "default",
+                 dedupe_sources: bool = False, times=None,
+                 batch_id_list=None):
+        self.behavior = (prior_sources_behavior or "default").lower()
+        if self.behavior not in BEHAVIORS:
+            raise ValueError(f"unknown prior_sources_behavior "
+                             f"{prior_sources_behavior!r}")
+        self.dedupe = bool(dedupe_sources)
+        self.key_mod = max(int(key_mod), 1)
+        self.v = np.asarray(vertices)
+        if batch_id_list is not None:
+            batches = np.asarray(batch_id_list, np.int32)
+            if len(batches) != len(self.v):
+                raise ValueError("batch_id_list must align with start_list")
+        self.b = np.asarray(batches, np.int32)
+        self.t = None if times is None else np.asarray(times, np.float32)
+        self._prior = np.empty(0, np.int64)
+
+    def __len__(self):
+        return len(self.v)
+
+    def _key(self, v, b):
+        return b.astype(np.int64) * self.key_mod + v
+
+    def begin_hop(self):
+        """Apply dedupe_sources; returns the (v, b[, t]) arrays to sample."""
+        if self.dedupe and len(self.v):
+            _, idx = np.unique(self._key(self.v, self.b), return_index=True)
+            idx.sort()
+            self.v, self.b = self.v[idx], self.b[idx]
+            if self.t is not None:
+                self.t = self.t[idx]
+        return self.v, self.b, self.t
+
+    def advance(self, dest_v, dest_b, dest_t=None):
+        """Fold this hop's sampled destinations into the next frontier."""
+        nv = np.asarray(dest_v)
+        nb = np.asarray(dest_b, np.int32)
+        nt = None if dest_t is None else np.asarray(dest_t, np.float32)
+        src_keys = np.unique(self._key(self.v, self.b))
+        if self.behavior == "exclude":
+            self._prior = np.union1d(self._prior, src_keys)
+            keep = ~np.isin(self._key(nv, nb), self._prior)
+            nv, nb = nv[keep], nb[keep]
+            nt = nt[keep] if nt is not None else None
+        elif self.behavior == "carry_over":
+            nv = np.concatenate([nv, self.v])
+            nb = np.concatenate([nb, self.b])
+            if nt is not None:
+                nt = np.concatenate([nt, self.t])
+        self.v, self.b, self.t = nv.astype(self.v.dtype), nb, nt

@@ -261,30 +261,18 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
     # cumw kept even when tables exist: the dense-CDF path falls back to the
     # binary search when F*k*D exceeds its tensor budget
     cumw = _row_cumweights(g) if biased else None
-    prior_sources_behavior = (prior_sources_behavior or "default").lower()
-    if prior_sources_behavior not in ("default", "carry_over", "exclude"):
-        raise ValueError(f"unknown prior_sources_behavior "
-                         f"{prior_sources_behavior!r}")
+    from cugraph_tpu.algos._frontier import FrontierState
 
-    def _key(v, b):
-        return b.astype(np.int64) * max(n, 1) + v
+    state = FrontierState(seeds, np.arange(len(seeds), dtype=np.int32), n,
+                          prior_sources_behavior=prior_sources_behavior,
+                          dedupe_sources=dedupe_sources,
+                          batch_id_list=batch_id_list)
 
     frames = []
-    frontier = seeds
-    if batch_id_list is None:
-        batch_ids = np.arange(len(seeds), dtype=np.int32)
-    else:
-        batch_ids = np.asarray(batch_id_list, np.int32)
-        if len(batch_ids) != len(seeds):
-            raise ValueError("batch_id_list must align with start_list")
-    prior_keys = np.empty(0, np.int64)  # (batch, vertex) sources seen so far
     for hop, k in enumerate(fanout_vals):
-        if len(frontier) == 0:
+        if len(state) == 0:
             break
-        if dedupe_sources and len(frontier):
-            _, idx = np.unique(_key(frontier, batch_ids), return_index=True)
-            idx.sort()
-            frontier, batch_ids = frontier[idx], batch_ids[idx]
+        frontier, batch_ids, _ = state.begin_hop()
         key, sub = jax.random.split(key)
         if int(k) < 0:
             # k == -1 means "all neighbors" in the reference API
@@ -342,17 +330,8 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
         frames.append(fr)
         # next frontier (prepare_next_frontier_impl.cuh): per-batch sampled
         # destinations WITH multiplicity; prior-source handling per flag
-        src_keys = np.unique(_key(frontier, batch_ids))
-        nv = fr["destinations"].to_numpy().astype(np.int32)
-        nb = fr["batch_id"].to_numpy()
-        if prior_sources_behavior == "exclude":
-            prior_keys = np.union1d(prior_keys, src_keys)
-            keep = ~np.isin(_key(nv, nb), prior_keys)
-            nv, nb = nv[keep], nb[keep]
-        elif prior_sources_behavior == "carry_over":
-            nv = np.concatenate([nv, frontier])
-            nb = np.concatenate([nb, batch_ids])
-        frontier, batch_ids = nv, nb.astype(np.int32)
+        state.advance(fr["destinations"].to_numpy().astype(np.int32),
+                      fr["batch_id"].to_numpy())
 
     cols = ["sources", "destinations", "weight", "hop_id", "batch_id"]
     if not frames:
@@ -820,13 +799,7 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
     n = G.number_of_vertices()
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
-    prior_sources_behavior = (prior_sources_behavior or "default").lower()
-    if prior_sources_behavior not in ("default", "carry_over", "exclude"):
-        raise ValueError(f"unknown prior_sources_behavior "
-                         f"{prior_sources_behavior!r}")
-
-    def _bkey(v, b):
-        return b.astype(np.int64) * max(n, 1) + v
+    from cugraph_tpu.algos._frontier import FrontierState
 
     et_host = (_csr_prop(G, G.edge_times).astype(np.float32)
                if G.edge_times is not None and seed_time is not None else None)
@@ -853,23 +826,14 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
         edge_times = jnp.asarray(et_host)
 
     frames = []
-    frontier = seeds
-    if batch_id_list is None:
-        batch_ids = np.arange(len(seeds), dtype=np.int32)
-    else:
-        batch_ids = np.asarray(batch_id_list, np.int32)
-        if len(batch_ids) != len(seeds):
-            raise ValueError("batch_id_list must align with start_list")
-    prior_keys = np.empty(0, np.int64)
+    state = FrontierState(seeds, np.arange(len(seeds), dtype=np.int32), n,
+                          prior_sources_behavior=prior_sources_behavior,
+                          dedupe_sources=dedupe_sources, times=times,
+                          batch_id_list=batch_id_list)
     for hop, fanouts in enumerate(fanouts_per_hop):
-        if len(frontier) == 0:
+        if len(state) == 0:
             break
-        if dedupe_sources and len(frontier):
-            _, idx = np.unique(_bkey(frontier, batch_ids), return_index=True)
-            idx.sort()
-            frontier, batch_ids = frontier[idx], batch_ids[idx]
-            if times is not None:
-                times = times[idx]
+        frontier, batch_ids, times = state.begin_hop()
         hop_frames = []
         for type_key, k in fanouts:
             if int(k) == 0:
@@ -908,22 +872,10 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
         frames.append(hf)
         # next frontier: per-batch destinations WITH multiplicity (each row
         # carries its traversed edge's time on the temporal path)
-        src_keys = np.unique(_bkey(frontier, batch_ids))
-        nv = hf["destinations"].to_numpy().astype(np.int32)
-        nb = hf["batch_id"].to_numpy().astype(np.int32)
-        nt = (hf["edge_time"].to_numpy().astype(np.float32)
-              if times is not None else None)
-        if prior_sources_behavior == "exclude":
-            prior_keys = np.union1d(prior_keys, src_keys)
-            keep = ~np.isin(_bkey(nv, nb), prior_keys)
-            nv, nb = nv[keep], nb[keep]
-            nt = nt[keep] if nt is not None else None
-        elif prior_sources_behavior == "carry_over":
-            nv = np.concatenate([nv, frontier])
-            nb = np.concatenate([nb, batch_ids])
-            if nt is not None:
-                nt = np.concatenate([nt, times])
-        frontier, batch_ids, times = nv, nb, nt
+        state.advance(hf["destinations"].to_numpy().astype(np.int32),
+                      hf["batch_id"].to_numpy(),
+                      hf["edge_time"].to_numpy().astype(np.float32)
+                      if times is not None else None)
 
     cols = ["sources", "destinations", "weight", "hop_id", "batch_id"]
     if not frames:

@@ -119,8 +119,14 @@ def _renumber_one_label(grp: pd.DataFrame, major_col: str, minor_col: str,
     stream = allv[order]
     uniq, first = np.unique(stream, return_index=True)
     vmap = uniq[np.argsort(first, kind="stable")]
-    rank = {int(v): i for i, v in enumerate(vmap)}
-    return vmap, rank
+    sorter = np.argsort(vmap, kind="stable")
+
+    def rank_of(vals):
+        """vectorized vmap-position lookup (the per-edge hot path)."""
+        vals = np.asarray(vals)
+        return sorter[np.searchsorted(vmap, vals, sorter=sorter)]
+
+    return vmap, rank_of
 
 
 def renumber_and_compress_sampled_edgelist(
@@ -164,16 +170,18 @@ def renumber_and_compress_sampled_edgelist(
     label_hop_offsets = [0]
     renumber_map, renumber_map_offsets = [], [0]
 
+    groups = (dict(tuple(df.groupby(batch_col, sort=True)))
+              if batch_col in df else {0: df})
     for lab in labels:
-        grp = df[df[batch_col] == lab] if batch_col in df else df
+        grp = groups[lab]
         seeds = (None if seed_vertices_per_label is None
                  else seed_vertices_per_label.get(int(lab)))
-        vmap, rank = _renumber_one_label(grp, major_col, minor_col, seeds)
+        vmap, rank_of = _renumber_one_label(grp, major_col, minor_col, seeds)
         renumber_map.append(vmap)
         renumber_map_offsets.append(renumber_map_offsets[-1] + len(vmap))
 
-        maj = np.array([rank[int(v)] for v in grp[major_col]], np.int64)
-        mnr = np.array([rank[int(v)] for v in grp[minor_col]], np.int64)
+        maj = rank_of(grp[major_col].to_numpy()).astype(np.int64)
+        mnr = rank_of(grp[minor_col].to_numpy()).astype(np.int64)
         hops = (grp["hop_id"].to_numpy().astype(np.int64) if has_hops
                 else np.zeros(len(grp), np.int64))
         # per-hop compression keeps the reference's (hop, major, minor)
@@ -193,7 +201,7 @@ def renumber_and_compress_sampled_edgelist(
             # edges (seeds count as hop-0 majors)
             prev_max = -1
             if seeds is not None and len(seeds):
-                prev_max = max(rank[int(v)] for v in seeds)
+                prev_max = int(rank_of(np.asarray(seeds)).max())
             for h in range(num_hops):
                 sel = hops == h
                 hm = maj[sel]

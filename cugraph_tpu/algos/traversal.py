@@ -183,10 +183,14 @@ def _bfs_pred_host(G, dist: np.ndarray, pred: np.ndarray, source: int,
     if not missing.any():
         return pred
     src, dst, _ = G.edgelist_arrays()
+    out = pred.astype(np.int64, copy=True)
+    from cugraph_tpu.core.native import bfs_pred_from_dist_native
+
+    if bfs_pred_from_dist_native(src, dst, np.asarray(dist, np.int32), out):
+        return out  # engine fills exactly the missing slots
     ds = dist[src].astype(np.int64)  # int64: INT32_INF + 1 must not wrap
     match = (ds + 1 == dist[dst]) & missing[dst]
-    out = pred.astype(np.int64, copy=True)
-    np.maximum.at(out, dst[match], src[match])
+    out[dst[match]] = src[match]     # any valid parent (last edge wins)
     return out
 
 

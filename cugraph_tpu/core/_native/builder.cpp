@@ -941,4 +941,42 @@ int pair_intersection_probe(const int64_t* us, const int64_t* vs, int64_t P,
   return 0;
 }
 
+// BFS predecessor recovery from converged int32 levels: for every vertex v
+// with pred[v] < 0 and 0 < dist[v] < INT32_MAX, any edge (u, v) with
+// dist[u] + 1 == dist[v] supplies a parent (last writer wins per thread
+// range — any valid parent satisfies the BFS contract).  Threaded over the
+// edge list; the numpy fallback lives in algos/traversal._bfs_pred_host.
+int bfs_pred_from_dist(const int32_t* src, const int32_t* dst,
+                       const int32_t* dist, int64_t m, int64_t n,
+                       int64_t* pred, int n_threads) {
+  const int32_t INF = 2147483647;
+  std::vector<uint8_t> missing(n, 0);
+  for (int64_t v = 0; v < n; ++v)
+    missing[v] = (pred[v] < 0 && dist[v] > 0 && dist[v] < INF) ? 1 : 0;
+  auto run = [&](int64_t lo, int64_t hi) {
+    for (int64_t e = lo; e < hi; ++e) {
+      int32_t d = dst[e];
+      if (!missing[d]) continue;
+      int32_t u = src[e];
+      if (dist[u] != INF && dist[u] + 1 == dist[d]) pred[d] = u;
+    }
+  };
+  int T = n_threads > 0 ? n_threads : 1;
+  if (T == 1 || m < (1 << 16)) {
+    run(0, m);
+  } else {
+    // racy last-writer-wins across threads is fine: every candidate written
+    // is a valid parent, and int64 stores are atomic on x86/ARM
+    std::vector<std::thread> ts;
+    int64_t chunk = (m + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(m, lo + chunk);
+      if (lo >= hi) break;
+      ts.emplace_back(run, lo, hi);
+    }
+    for (auto& th : ts) th.join();
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -113,6 +113,10 @@ def get_lib():
                                       ctypes.c_double, ctypes.c_double,
                                       ctypes.c_double, ctypes.c_uint64,
                                       ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.bfs_pred_from_dist.restype = ctypes.c_int
+        lib.bfs_pred_from_dist.argtypes = [i32p, i32p, i32p, ctypes.c_int64,
+                                           ctypes.c_int64, i64p,
+                                           ctypes.c_int]
         lib.triangle_support.restype = ctypes.c_int
         lib.triangle_support.argtypes = [i64p, i64p, ctypes.c_int64,
                                          ctypes.c_int64, ctypes.c_int,
@@ -212,6 +216,26 @@ def degrees_native(src, dst, weight, num_vertices):
                 m, num_vertices,
                 _ptr(out_deg, ctypes.c_float), _ptr(in_deg, ctypes.c_float))
     return out_deg, in_deg
+
+
+def bfs_pred_from_dist_native(src, dst, dist, pred, n_threads=None):
+    """Threaded BFS predecessor recovery: fill pred[v] (<0, reached, non-
+    root) with any in-neighbor one level up.  Mutates ``pred`` (int64
+    [n]) in place; returns True when the native engine ran."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    dist = np.ascontiguousarray(dist, np.int32)
+    assert pred.dtype == np.int64 and pred.flags.c_contiguous
+    t = n_threads or min(16, os.cpu_count() or 1)
+    lib.bfs_pred_from_dist(_ptr(src, ctypes.c_int32),
+                           _ptr(dst, ctypes.c_int32),
+                           _ptr(dist, ctypes.c_int32),
+                           src.shape[0], pred.shape[0],
+                           _ptr(pred, ctypes.c_int64), int(t))
+    return True
 
 
 def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,

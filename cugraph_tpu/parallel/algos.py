@@ -1023,32 +1023,46 @@ def mg_all_pairs_similarity(g: DistGraph, mesh, kind: str = "jaccard",
 def mg_negative_sampling(g: DistGraph, mesh, num_samples: int,
                          seed: int = 0, remove_duplicates: bool = True,
                          remove_existing_edges: bool = True,
-                         src_bias=None, dst_bias=None, batch: int = 4096):
+                         src_bias=None, dst_bias=None, batch: int = 4096,
+                         vertices=None,
+                         exact_number_of_samples: bool = False):
     """Distributed negative sampling (reference
     sampling/negative_sampling_impl.cuh:270): degree-biased endpoint draws,
     dedup, existing-edge exclusion — the exclusion test is a batched
-    indicator SpMM over the mesh (no host edge list)."""
+    indicator SpMM over the mesh (no host edge list).  ``vertices`` limits
+    the candidate endpoints (biases pair positionally when given);
+    ``exact_number_of_samples`` keeps retrying until the post-dedup count
+    reaches num_samples (negative_sampling.pyx contract)."""
     from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
 
     n = g.num_vertices
     rng = np.random.default_rng(seed)
+    cand = None if vertices is None else np.asarray(vertices, np.int64)
+    ncand = n if cand is None else len(cand)
+    deg_all_s = np.asarray(g.out_degree, np.float64)
+    deg_all_d = np.asarray(g.in_degree, np.float64)
     deg_s = (np.asarray(src_bias, np.float64) if src_bias is not None
-             else np.asarray(g.out_degree, np.float64)[:n])
+             else (deg_all_s[:n] if cand is None else deg_all_s[cand]))
     deg_d = (np.asarray(dst_bias, np.float64) if dst_bias is not None
-             else np.asarray(g.in_degree, np.float64)[:n])
+             else (deg_all_d[:n] if cand is None else deg_all_d[cand]))
+    if len(deg_s) != ncand or len(deg_d) != ncand:
+        raise ValueError("src/dst bias length must match the candidate set")
     ps = deg_s / deg_s.sum() if deg_s.sum() > 0 else None
     pd_ = deg_d / deg_d.sum() if deg_d.sum() > 0 else None
 
     spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
     out_s, out_d = [], []
     have = 0
-    for _ in range(8):   # capacity-retry rounds
+    rounds = 32 if exact_number_of_samples else 8
+    for _ in range(rounds):   # capacity-retry rounds
         want = max(num_samples - have, 0)
         if want == 0:
             break
         draw = int(want * 1.5) + 16
-        s = rng.choice(n, size=draw, p=ps)
-        d = rng.choice(n, size=draw, p=pd_)
+        s = rng.choice(ncand, size=draw, p=ps)
+        d = rng.choice(ncand, size=draw, p=pd_)
+        if cand is not None:
+            s, d = cand[s], cand[d]
         ok = s != d
         s, d = s[ok], d[ok]
         if remove_existing_edges and len(s):
@@ -1817,13 +1831,18 @@ def mg_two_hop_neighbors(g: DistGraph, mesh, start_vertices=None):
     src, dst, _ = _gather_edges_host(g)
     n = g.num_vertices
     A = sp.csr_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
-    P2 = (A @ A).tocoo()
-    mask = P2.row != P2.col
-    first, second = P2.row[mask], P2.col[mask]
     if start_vertices is not None:
-        sv = np.zeros(n, bool)
-        sv[np.asarray(start_vertices).reshape(-1)] = True
-        keep = sv[first]
-        first, second = first[keep], second[keep]
+        # slice BEFORE squaring: only the requested rows of A@A are needed
+        # (computing the full product first cost O(Σ deg²) over the whole
+        # graph for a handful of start vertices)
+        sv = np.asarray(start_vertices, np.int64).reshape(-1)
+        P2 = (A[sv] @ A).tocoo()
+        first = sv[P2.row]
+        second = P2.col
+    else:
+        P2 = (A @ A).tocoo()
+        first, second = P2.row, P2.col
+    mask = first != second
+    first, second = first[mask], second[mask]
     order = np.lexsort((second, first))
     return first[order].astype(np.int64), second[order].astype(np.int64)

@@ -111,10 +111,16 @@ def _scalar_allgather_kernel(mesh):
 
 
 def allgather_scalars(mesh, values):
-    """One int per device → replicated [P] numpy (host-scalar allgather,
-    utilities/host_scalar_comm.hpp analog)."""
-    g = _shard_global(mesh, [np.asarray([v]) for v in values], (), np.int64)
-    return np.asarray(_scalar_allgather_kernel(mesh)(g))
+    """One int per device → replicated [P] numpy int64 (host-scalar
+    allgather, utilities/host_scalar_comm.hpp analog).  Values ride as two
+    int32 limbs: jax under the default x64-disabled config SILENTLY casts
+    int64 device_put inputs to int32 (verified), which would truncate
+    counts past 2^31."""
+    lo_hi = [_split64(np.asarray([v], np.int64)) for v in values]
+    glo = _shard_global(mesh, [lh[0] for lh in lo_hi], (), np.int32)
+    ghi = _shard_global(mesh, [lh[1] for lh in lo_hi], (), np.int32)
+    k = _scalar_allgather_kernel(mesh)
+    return _merge64(np.asarray(k(glo)), np.asarray(k(ghi)))
 
 
 def _split64(a):
@@ -249,6 +255,22 @@ class DistNumberMap:
             bad = np.concatenate(missing)
             raise ValueError(f"vertex ids not in graph: {bad[:10]!r}")
         return out.astype(np.int32)
+
+    def contains(self, external):
+        ext = np.asarray(external, np.int64)
+        owner = (ext % self.P + self.P) % self.P
+        out = np.zeros(ext.shape[0], bool)
+        for d in range(self.P):
+            m = owner == d
+            if not m.any():
+                continue
+            tab_ext, _ = self.tables[d]
+            if len(tab_ext) == 0:
+                continue
+            pos = np.clip(np.searchsorted(tab_ext, ext[m]), 0,
+                          len(tab_ext) - 1)
+            out[m] = tab_ext[pos] == ext[m]
+        return out
 
     def to_external(self, internal):
         ids = np.asarray(internal, np.int64)

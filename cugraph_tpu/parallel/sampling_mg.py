@@ -114,35 +114,23 @@ def _mg_neighbor_sample_core(
 ):
     """Shared MG multi-hop driver.  ``hop_plans``: per hop, a list of
     (type_key_or_None, fanout) pairs; ``masks``: type_key → edge_ok blocks."""
+    from cugraph_tpu.algos._frontier import FrontierState
     from cugraph_tpu.parallel.algos import mg_sample_one_hop
 
-    prior_sources_behavior = (prior_sources_behavior or "default").lower()
-    if prior_sources_behavior not in ("default", "carry_over", "exclude"):
-        raise ValueError(f"unknown prior_sources_behavior "
-                         f"{prior_sources_behavior!r}")
-    fv = np.asarray(start_list, np.int64)
-    if batch_id_list is None:
-        fb = np.arange(len(fv), dtype=np.int32)
-    else:
-        fb = np.asarray(batch_id_list, np.int32)
-        if len(fb) != len(fv):
-            raise ValueError("batch_id_list must align with start_list")
-    ft = np.full(len(fv), np.float32(seed_time)) if temporal else None
-    prior_keys = np.empty(0, np.int64)
+    fv0 = np.asarray(start_list, np.int64)
     pad = g.pad_v
-
-    def _key(v, b):
-        return b.astype(np.int64) * pad + v
+    state = FrontierState(
+        fv0, np.arange(len(fv0), dtype=np.int32), pad,
+        prior_sources_behavior=prior_sources_behavior,
+        dedupe_sources=dedupe_sources, batch_id_list=batch_id_list,
+        times=(np.full(len(fv0), np.float32(seed_time)) if temporal
+               else None))
 
     frames = []
     for hop, fanouts in enumerate(hop_plans):
-        if len(fv) == 0:
+        if len(state) == 0:
             break
-        if dedupe_sources and len(fv):
-            _, idx = np.unique(_key(fv, fb), return_index=True)
-            idx.sort()
-            fv, fb = fv[idx], fb[idx]
-            ft = ft[idx] if ft is not None else None
+        fv, fb, ft = state.begin_hop()
         occ = _occurrence_rank(fv)
         hop_frames = []
         n_layers = int(occ.max()) + 1 if len(fv) else 0
@@ -190,22 +178,10 @@ def _mg_neighbor_sample_core(
         frames.append(hf)
         # next frontier: per-batch destinations WITH multiplicity
         # (prepare_next_frontier_impl.cuh)
-        src_keys = np.unique(_key(fv, fb))
-        nv = hf["destinations"].to_numpy().astype(np.int64)
-        nb = hf["batch_id"].to_numpy().astype(np.int32)
-        nt = (hf["edge_time"].to_numpy().astype(np.float32)
-              if temporal else None)
-        if prior_sources_behavior == "exclude":
-            prior_keys = np.union1d(prior_keys, src_keys)
-            keep = ~np.isin(_key(nv, nb), prior_keys)
-            nv, nb = nv[keep], nb[keep]
-            nt = nt[keep] if nt is not None else None
-        elif prior_sources_behavior == "carry_over":
-            nv = np.concatenate([nv, fv])
-            nb = np.concatenate([nb, fb])
-            if nt is not None:
-                nt = np.concatenate([nt, ft])
-        fv, fb, ft = nv, nb, nt
+        state.advance(hf["destinations"].to_numpy().astype(np.int64),
+                      hf["batch_id"].to_numpy(),
+                      hf["edge_time"].to_numpy().astype(np.float32)
+                      if temporal else None)
 
     cols = ["sources", "destinations", "hop_id", "batch_id"]
     if temporal:
@@ -242,7 +218,8 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     'edge_time' with ``with_edge_properties=True``); batches keep independent
     frontiers with multiplicity per sampling_flags_t semantics."""
     flags = _flag_kwargs(kw)
-    assert not kw, f"unknown kwargs {sorted(kw)}"
+    if kw:
+        raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
     assert g.push is not None, "sampling needs push blocks"
     plans = [[(None, int(k))] for k in fanout_vals]
     return _mg_neighbor_sample_core(
@@ -283,7 +260,8 @@ def mg_heterogeneous_neighbor_sample(g: DistGraph, mesh, start_list,
     heterogeneous_{uniform,biased}_neighbor_sample): ``fanout_vals`` is
     flattened [hop0_type0, hop0_type1, ...]."""
     flags = _flag_kwargs(kw)
-    assert not kw, f"unknown kwargs {sorted(kw)}"
+    if kw:
+        raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
     if g.push is None or g.push.etype is None:
         raise ValueError("heterogeneous MG sampling requires push blocks "
                          "built with edge_type")
@@ -303,7 +281,8 @@ def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     frontier vertex's arrival time; sampled vertices inherit the traversed
     edge's time (each (vertex, batch) frontier pair carries its own time)."""
     flags = _flag_kwargs(kw)
-    assert not kw, f"unknown kwargs {sorted(kw)}"
+    if kw:
+        raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
     if g.push is None or g.push.etime is None:
         raise ValueError("temporal MG sampling requires push blocks built "
                          "with edge_time")
@@ -322,7 +301,8 @@ def mg_heterogeneous_temporal_neighbor_sample(
     heterogeneous_{uniform,biased}_temporal_neighbor_sample.pyx): per-type
     eligibility masks AND the arrival-time regime in one one-hop kernel."""
     flags = _flag_kwargs(kw)
-    assert not kw, f"unknown kwargs {sorted(kw)}"
+    if kw:
+        raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
     if g.push is None or g.push.etype is None or g.push.etime is None:
         raise ValueError("heterogeneous temporal MG sampling requires push "
                          "blocks built with edge_type and edge_time")

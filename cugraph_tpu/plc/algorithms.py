@@ -864,7 +864,8 @@ def homogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
 
         return mg_temporal_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
-            seed_time=float(kw.get("seed_time", 0.0)), **_mg_sample_kw(kw))
+            seed_time=float(kw.get("seed_time", 0.0)),
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
     return ct.homogeneous_uniform_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -881,7 +882,7 @@ def homogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
         return mg_temporal_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
             seed_time=float(kw.get("seed_time", 0.0)), biased=True,
-            **_mg_sample_kw(kw))
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
     return ct.homogeneous_biased_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -898,7 +899,8 @@ def heterogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
         return mg_heterogeneous_temporal_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
             num_edge_types=kw.get("num_edge_types"),
-            seed_time=float(kw.get("seed_time", 0.0)), **_mg_sample_kw(kw))
+            seed_time=float(kw.get("seed_time", 0.0)),
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
     return ct.heterogeneous_uniform_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -916,7 +918,7 @@ def heterogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
             graph.graph(), graph.mesh, start_list, fanout_vals,
             num_edge_types=kw.get("num_edge_types"),
             seed_time=float(kw.get("seed_time", 0.0)), biased=True,
-            **_mg_sample_kw(kw))
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
     return ct.heterogeneous_biased_temporal_neighbor_sample(
         _sg(graph), start_list, fanout_vals, **kw)
 
@@ -936,7 +938,8 @@ def negative_sampling(resource_handle, graph, num_samples, random_state=None,
             graph.graph(), graph.mesh, num_samples, seed=_seed(random_state),
             remove_duplicates=remove_duplicates,
             remove_existing_edges=remove_false_negatives,
-            src_bias=src_bias, dst_bias=dst_bias)
+            src_bias=src_bias, dst_bias=dst_bias, vertices=vertices,
+            exact_number_of_samples=exact_number_of_samples)
         return df["src"].to_numpy(), df["dst"].to_numpy()
     df = ct.negative_sampling(_sg(graph), num_samples, vertices=vertices,
                               src_bias=src_bias, dst_bias=dst_bias,
@@ -1110,8 +1113,11 @@ def extract_vertex_list(resource_handle, graph, do_expensive_check=False):
 
 def has_vertex(resource_handle, graph, vertices):
     if isinstance(graph, MGGraph):
-        n = graph.graph().num_vertices
         v = np.asarray(vertices).reshape(-1)
+        nmap = getattr(graph, "number_map", None)
+        if nmap is not None:          # sharded build: EXTERNAL id space
+            return nmap.contains(v)
+        n = graph.graph().num_vertices
         return (v >= 0) & (v < n)
     G = _sg(graph)
     return np.array([G.has_vertex(v) for v in np.asarray(vertices).reshape(-1)])

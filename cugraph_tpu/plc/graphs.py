@@ -157,13 +157,24 @@ class MGGraph:
         # (the reference returns them via gather_sampled_properties.cuh)
         self.edge_ids = (None if edge_id_array is None
                          else np.asarray(edge_id_array))
-        if self.edge_ids is not None:
-            key = np.asarray(src, np.int64) * g.pad_v \
-                + np.asarray(dst, np.int64)
-            order = np.argsort(key, kind="stable")
-            self._edge_id_table = (key[order], self.edge_ids[order])
-        else:
-            self._edge_id_table = None
+        self._edge_id_table = self._build_edge_id_table(
+            np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            self.edge_ids, g.pad_v, symmetrize=bool(symmetrize))
+
+    @staticmethod
+    def _build_edge_id_table(src, dst, ids, pad_v, *, symmetrize):
+        """Sorted (src,dst)-key → edge id table.  With ``symmetrize`` the
+        graph also stores mirrored edges, which inherit the input edge's id
+        (the sampler may traverse either direction)."""
+        if ids is None:
+            return None
+        if symmetrize:
+            src, dst = (np.concatenate([src, dst]),
+                        np.concatenate([dst, src]))
+            ids = np.concatenate([ids, ids])
+        key = src * pad_v + dst
+        order = np.argsort(key, kind="stable")
+        return key[order], ids[order]
 
     def lookup_edge_ids(self, sources, destinations):
         """Edge ids for (src, dst) pairs (first match on multi-edges)."""
@@ -211,6 +222,18 @@ class MGGraph:
         self.edge_ids = (None if edge_id_array is None else
                          np.concatenate([np.asarray(c) for c in
                                          _chunks(edge_id_array)]))
+        if self.edge_ids is not None:
+            # id keys live in INTERNAL id space (the sampler's output space);
+            # the map query gathers to this host — same O(E) residency as
+            # the edge_ids array itself
+            si = nmap.to_internal(np.concatenate(_chunks(src_array))) \
+                .astype(np.int64)
+            di = nmap.to_internal(np.concatenate(_chunks(dst_array))) \
+                .astype(np.int64)
+            self._edge_id_table = self._build_edge_id_table(
+                si, di, self.edge_ids, g.pad_v, symmetrize=bool(symmetrize))
+        else:
+            self._edge_id_table = None
 
     def graph(self):
         return self._graph

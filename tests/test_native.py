@@ -403,3 +403,38 @@ def test_dedupe_huge_ids_and_renumber_int64min():
     assert (si >= 0).all() and (di >= 0).all()
     assert np.iinfo(np.int64).min in set(nm._i2e.tolist())
     np.testing.assert_array_equal(nm.to_external(si), s)
+
+
+def test_bfs_pred_from_dist_native_matches_numpy():
+    """Native threaded BFS predecessor recovery == the numpy fallback's
+    validity contract: every filled pred is an in-neighbor one level up,
+    every missing reached vertex gets filled."""
+    import pytest
+
+    from cugraph_tpu.core.native import bfs_pred_from_dist_native, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(5)
+    n, m = 500, 4000
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    # synthetic valid BFS levels from vertex 0 via networkx
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    INT_INF = np.iinfo(np.int32).max
+    dist = np.full(n, INT_INF, np.int32)
+    for v, d in nx.single_source_shortest_path_length(Gx, 0).items():
+        dist[v] = d
+    pred = np.full(n, -1, np.int64)
+    assert bfs_pred_from_dist_native(src, dst, dist, pred)
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    for v in range(n):
+        if dist[v] in (0, INT_INF):
+            assert pred[v] == -1
+        else:
+            assert (int(pred[v]), v) in edge_set
+            assert dist[pred[v]] + 1 == dist[v]

@@ -179,6 +179,92 @@ def test_plc_mg_sampler_attaches_edge_ids():
         df.sources.to_numpy() * 1000 + df.destinations.to_numpy())
 
 
+def test_plc_mg_edge_ids_symmetrized_and_sharded():
+    """Round-3 review findings: (a) the edge-id table must cover mirrored
+    edges on symmetrize=True graphs; (b) the sharded build must construct
+    the table in INTERNAL id space (it previously never built one)."""
+    import jax
+    from cugraph_tpu.plc import ResourceHandle, MGGraph
+    from cugraph_tpu.plc.algorithms import homogeneous_uniform_neighbor_sample
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    src = np.arange(0, 8, dtype=np.int64)
+    dst = np.arange(1, 9, dtype=np.int64)
+    eid = np.arange(100, 108, dtype=np.int64)
+    # (a) symmetrized: sampling walks BOTH directions
+    g = MGGraph(ResourceHandle(mesh=mesh), None, src, dst, None,
+                symmetrize=True, edge_id_array=eid)
+    df = homogeneous_uniform_neighbor_sample(
+        None, g, [4], h_fan_out=[2, 2], with_edge_properties=True,
+        random_state=0)
+    assert "edge_id" in df.columns and len(df) > 0
+    # every looked-up id matches the input edge in either direction
+    by_pair = {}
+    for s, d, i in zip(src, dst, eid):
+        by_pair[(s, d)] = i
+        by_pair[(d, s)] = i
+    for s, d, i in zip(df.sources, df.destinations, df.edge_id):
+        assert by_pair[(int(s), int(d))] == i
+
+    # (b) sharded build: external ids, internal-keyed table
+    ext = np.array([10**9 + 5 * k for k in range(9)], np.int64)
+    g2 = MGGraph(ResourceHandle(mesh=mesh), None,
+                 np.array_split(ext[:8], 8), np.array_split(ext[1:], 8),
+                 None, build="sharded",
+                 edge_id_array=np.array_split(eid, 8))
+    df2 = homogeneous_uniform_neighbor_sample(
+        None, g2, g2.number_map.to_internal(ext[:1]), h_fan_out=[1],
+        with_edge_properties=True, random_state=0)
+    assert "edge_id" in df2.columns and len(df2) == 1
+    s_ext = g2.number_map.to_external(df2.sources.to_numpy())
+    d_ext = g2.number_map.to_external(df2.destinations.to_numpy())
+    k = np.flatnonzero((ext[:8] == s_ext[0]) & (ext[1:] == d_ext[0]))
+    assert eid[k[0]] == df2.edge_id.iloc[0]
+
+    # has_vertex consults the sharded number map (external id space)
+    from cugraph_tpu.plc.algorithms import has_vertex
+    got = has_vertex(None, g2, np.array([ext[0], ext[0] + 1]))
+    np.testing.assert_array_equal(got, [True, False])
+
+
+def test_plc_mg_temporal_strict_forwarded():
+    import jax
+    from cugraph_tpu.plc import ResourceHandle, MGGraph
+    from cugraph_tpu.plc.algorithms import (
+        homogeneous_uniform_temporal_neighbor_sample)
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    src = np.array([0, 1]); dst = np.array([1, 2])
+    tm = np.array([0.0, 0.0], np.float32)  # times EQUAL to seed_time
+    g = MGGraph(ResourceHandle(mesh=mesh), None, src, dst, None,
+                edge_start_time_array=tm)
+    # strict=True: time must EXCEED 0.0 → nothing sampled
+    d1 = homogeneous_uniform_temporal_neighbor_sample(
+        None, g, "t", [0], [0.0], None, [1, 1], strict=True, random_state=0)
+    assert len(d1) == 0
+    # strict=False (>=) reaches 1 then 2 — was silently dropped before
+    d2 = homogeneous_uniform_temporal_neighbor_sample(
+        None, g, "t", [0], [0.0], None, [1, 1], strict=False, random_state=0)
+    assert set(d2["destinations"]) == {1, 2}
+
+
+def test_mg_negative_sampling_vertices_and_exact(mesh=None):
+    import jax
+    from cugraph_tpu.parallel import mg_negative_sampling
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 40, 200); dst = rng.integers(0, 40, 200)
+    keep = src != dst
+    g = build_dist_graph(src[keep], dst[keep], None, 40, 4, 2,
+                         store_push=True)
+    cand = np.arange(10, 20)
+    df = mg_negative_sampling(g, mesh, 30, seed=3, vertices=cand,
+                              exact_number_of_samples=True)
+    assert len(df) == 30
+    assert df["src"].isin(cand).all() and df["dst"].isin(cand).all()
+
+
 # ---------------------------------------------------------------------------
 # compression matrix round-trips
 # ---------------------------------------------------------------------------
