@@ -39,6 +39,7 @@ from cugraph_tpu.parallel.algos import (
     mg_hits,
     mg_eigenvector_centrality,
     mg_sample_one_hop,
+    mg_sample_multihop_device,
     mg_all_pairs_similarity,
     mg_negative_sampling,
     mg_ecg,

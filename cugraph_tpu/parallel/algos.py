@@ -507,81 +507,89 @@ def mg_eigenvector_centrality(g: DistGraph, mesh, tol: float = 1e-6,
 # indices, SURVEY.md §3.5).  With- and without-replacement via re-masking.
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=32)
-def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
-                            biased=False, temporal=False, strict=True):
+def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
+                       pmaj, pmin, chunk, with_replacement, biased,
+                       temporal, strict, f_time):
+    """One sampling hop executed INSIDE shard_map: k random-priority argmax
+    rounds per frontier vertex over the push blocks.  Shared by the one-hop
+    kernel and the fused multi-hop kernel.  Returns ([chunk, k] global dst
+    ids owner-sharded, [chunk, k] traversed edge times)."""
     B = pmin * chunk
     nseg = pmaj * chunk
     NEG = jnp.float32(-jnp.inf) if biased else jnp.float32(-1.0)
     F32_BIG = jnp.float32(3.0e38)
+    i = jax.lax.axis_index(prims.MAJOR)
+    j = jax.lax.axis_index(prims.MINOR)
+    gdst = i * B + gath                     # global dst id per edge
+    E = gath.shape[0]
 
+    f_seg = prims.gather_major_block(f_own)  # frontier flags by src slot
+    elig0 = valid_ & f_seg[red]
+    if temporal:
+        # edge time must advance past the frontier vertex's arrival time
+        # (reference temporal comparison, sampling_functions.hpp:75)
+        t_seg = prims.gather_major_block(f_time)   # times by src slot
+        lim = t_seg[red]
+        elig0 = elig0 & (et_ > lim if strict else et_ >= lim)
+
+    def round_body(r, carry):
+        taken, out_dst, out_time = carry
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
+        if biased:
+            # Gumbel trick: argmax(log w + G) samples ∝ edge weight
+            gumb = -jnp.log(-jnp.log(
+                jax.random.uniform(key, (E,), jnp.float32, 1e-20, 1.0)))
+            score = jnp.log(jnp.maximum(w_, 1e-30)) + gumb
+        else:
+            score = jax.random.uniform(key, (E,), jnp.float32, 1e-6, 1.0)
+        elig = elig0 if with_replacement else (elig0 & ~taken)
+        score = jnp.where(elig & (w_ > 0 if biased else True), score, NEG)
+        part = prims.block_segment_reduce(score, red, nseg, "max")
+        mx = prims.scatter_reduce_major(
+            jnp.maximum(part, NEG), chunk, "max")     # [chunk] per owner
+        mx_seg = prims.gather_major_block(mx)          # back to slot space
+        win = elig & (score == mx_seg[red]) & (score > NEG)
+        # tie-break: min dst among winners
+        cand = jnp.where(win, gdst, INT_INF)
+        part2 = prims.block_segment_reduce(cand, red, nseg, "min")
+        sel = prims.scatter_reduce_major(
+            jnp.minimum(part2, INT_INF), chunk, "min")
+        out_dst = out_dst.at[:, r].set(jnp.where(sel == INT_INF, -1, sel))
+        chosen = win & (gdst == jnp.clip(prims.gather_major_block(sel)[red],
+                                         0, INT_INF))
+        # traversed edge's time (min over multi-edge ties)
+        tc = jnp.where(chosen, et_, F32_BIG)
+        part3 = prims.block_segment_reduce(tc, red, nseg, "min")
+        t_sel = prims.scatter_reduce_major(
+            jnp.minimum(part3, F32_BIG), chunk, "min")
+        out_time = out_time.at[:, r].set(
+            jnp.where(t_sel >= F32_BIG / 2, 0.0, t_sel))
+        return taken | chosen, out_dst, out_time
+
+    taken0 = jax.lax.pcast(jnp.zeros((E,), bool),
+                           (prims.MAJOR, prims.MINOR), to="varying")
+    out0 = jax.lax.pcast(jnp.full((chunk, k), -1, jnp.int32),
+                         (prims.MAJOR, prims.MINOR), to="varying")
+    outt0 = jax.lax.pcast(jnp.zeros((chunk, k), jnp.float32),
+                          (prims.MAJOR, prims.MINOR), to="varying")
+    _, out_dst, out_time = jax.lax.fori_loop(
+        0, k, round_body, (taken0, out0, outt0))
+    return out_dst, out_time
+
+
+@lru_cache(maxsize=32)
+def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
+                            biased=False, temporal=False, strict=True):
     def kernel(src_loc, dst_loc, valid, f_own, seed, w, etime, f_time):
         # push blocks: the GATHERED role (EdgeBlocks.src_loc) is the dst
         # endpoint in row-block space [0, B); the REDUCED role
         # (EdgeBlocks.dst_loc) is the src endpoint in slot space [0, pmaj·Vc)
-        gath = _sq(src_loc)   # dst endpoint, gathered space
-        red = _sq(dst_loc)    # src endpoint, reduction slots
-        valid_ = _sq(valid)
-        i = jax.lax.axis_index(prims.MAJOR)
-        j = jax.lax.axis_index(prims.MINOR)
-        gdst = i * B + gath                     # global dst id per edge
-        E = gath.shape[0]
-
-        f_seg = prims.gather_major_block(f_own)  # frontier flags by src slot
-        elig0 = valid_ & f_seg[red]
-        et_ = _sq(etime)
-        if temporal:
-            # edge time must advance past the frontier vertex's arrival time
-            # (reference temporal comparison, sampling_functions.hpp:75)
-            t_seg = prims.gather_major_block(f_time)   # times by src slot
-            lim = t_seg[red]
-            elig0 = elig0 & (et_ > lim if strict else et_ >= lim)
-
-        w_ = _sq(w)
-
-        def round_body(r, carry):
-            taken, out_dst, out_time = carry
-            key = jax.random.fold_in(jax.random.fold_in(
-                jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
-            if biased:
-                # Gumbel trick: argmax(log w + G) samples ∝ edge weight
-                gumb = -jnp.log(-jnp.log(
-                    jax.random.uniform(key, (E,), jnp.float32, 1e-20, 1.0)))
-                score = jnp.log(jnp.maximum(w_, 1e-30)) + gumb
-            else:
-                score = jax.random.uniform(key, (E,), jnp.float32, 1e-6, 1.0)
-            elig = elig0 if with_replacement else (elig0 & ~taken)
-            score = jnp.where(elig & (w_ > 0 if biased else True), score, NEG)
-            part = prims.block_segment_reduce(score, red, nseg, "max")
-            mx = prims.scatter_reduce_major(
-                jnp.maximum(part, NEG), chunk, "max")     # [chunk] per owner
-            mx_seg = prims.gather_major_block(mx)          # back to slot space
-            win = elig & (score == mx_seg[red]) & (score > NEG)
-            # tie-break: min dst among winners
-            cand = jnp.where(win, gdst, INT_INF)
-            part2 = prims.block_segment_reduce(cand, red, nseg, "min")
-            sel = prims.scatter_reduce_major(
-                jnp.minimum(part2, INT_INF), chunk, "min")
-            out_dst = out_dst.at[:, r].set(jnp.where(sel == INT_INF, -1, sel))
-            chosen = win & (gdst == jnp.clip(prims.gather_major_block(sel)[red],
-                                             0, INT_INF))
-            # traversed edge's time (min over multi-edge ties)
-            tc = jnp.where(chosen, et_, F32_BIG)
-            part3 = prims.block_segment_reduce(tc, red, nseg, "min")
-            t_sel = prims.scatter_reduce_major(
-                jnp.minimum(part3, F32_BIG), chunk, "min")
-            out_time = out_time.at[:, r].set(
-                jnp.where(t_sel >= F32_BIG / 2, 0.0, t_sel))
-            return taken | chosen, out_dst, out_time
-
-        taken0 = jax.lax.pcast(jnp.zeros((E,), bool),
-                               (prims.MAJOR, prims.MINOR), to="varying")
-        out0 = jax.lax.pcast(jnp.full((chunk, k), -1, jnp.int32),
-                             (prims.MAJOR, prims.MINOR), to="varying")
-        outt0 = jax.lax.pcast(jnp.zeros((chunk, k), jnp.float32),
-                              (prims.MAJOR, prims.MINOR), to="varying")
-        _, out_dst, out_time = jax.lax.fori_loop(
-            0, k, round_body, (taken0, out0, outt0))
+        out_dst, out_time = _sample_hop_device(
+            _sq(src_loc), _sq(dst_loc), _sq(valid), _sq(w), _sq(etime),
+            f_own, seed, k, pmaj=pmaj, pmin=pmin, chunk=chunk,
+            with_replacement=with_replacement, biased=biased,
+            temporal=temporal, strict=strict, f_time=f_time)
         return out_dst, out_time
 
     es, vs = edge_spec(), vertex_spec()
@@ -621,6 +629,79 @@ def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
                                    temporal, bool(strict))
     return kern(g.push.src_loc, g.push.dst_loc, valid, f,
                 jnp.int32(seed), g.push.weight, etime, ft)
+
+
+@lru_cache(maxsize=32)
+def _mg_sample_multihop_kernel(mesh, pmaj, pmin, chunk, ks: tuple,
+                               with_replacement, biased):
+    """FUSED multi-hop sampler: the frontier mask lives on DEVICE across
+    hops (one psum + owner slice per hop instead of a host round-trip) and
+    every hop's [chunk, k] dst panel comes back in one transfer at the end —
+    the device-resident answer to the per-hop host bounce flagged by the
+    round-2 review (weak #2).  Set semantics (dedupe_sources), default
+    prior-source behavior, non-temporal."""
+    pad_v = pmaj * pmin * chunk
+    kmax = max(ks)
+
+    def kernel(src_loc, dst_loc, valid, f_own0, seed, w):
+        gath, red = _sq(src_loc), _sq(dst_loc)
+        valid_, w_ = _sq(valid), _sq(w)
+        i = jax.lax.axis_index(prims.MAJOR)
+        j = jax.lax.axis_index(prims.MINOR)
+        base = (i * jax.lax.axis_size(prims.MINOR) + j) * chunk
+        f_own = f_own0
+        outs = []
+        for hop, k in enumerate(ks):
+            out_dst, _ = _sample_hop_device(
+                gath, red, valid_, w_, w_, f_own,
+                seed + jnp.int32(hop * 1009), int(k),
+                pmaj=pmaj, pmin=pmin, chunk=chunk,
+                with_replacement=with_replacement, biased=biased,
+                temporal=False, strict=True, f_time=None)
+            if k < kmax:
+                out_dst = jnp.pad(out_dst, ((0, 0), (0, kmax - k)),
+                                  constant_values=-1)
+            outs.append(out_dst)
+            if hop + 1 < len(ks):
+                # next frontier = union of sampled destinations: scatter
+                # each device's [chunk·k] global ids into a dense global
+                # mask, OR-reduce across the mesh, slice the owned chunk
+                # (per-device dense [pad_v] bound gates this path ≤ 2^24)
+                flat = out_dst[:, :k].reshape(-1)
+                mask = jnp.zeros((pad_v,), jnp.float32)
+                mask = mask.at[jnp.clip(flat, 0, pad_v - 1)].max(
+                    (flat >= 0).astype(jnp.float32))
+                mask = jax.lax.pmax(mask, (prims.MAJOR, prims.MINOR))
+                f_own = jax.lax.dynamic_slice_in_dim(
+                    mask, base, chunk) > 0.5
+        return jnp.stack(outs, axis=0)          # [n_hops, chunk, kmax]
+
+    es, vs = edge_spec(), vertex_spec()
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(es, es, es, vs, P(), es),
+        out_specs=P(None, ("major", "minor"), None), check_vma=False))
+
+
+def mg_sample_multihop_device(g: DistGraph, mesh, start_list, fanout_vals,
+                              seed: int = 0, with_replacement: bool = False,
+                              biased: bool = False):
+    """Device-resident multi-hop sampling: returns [n_hops, pad_v, kmax]
+    global-dst panels (row v of hop h = v's samples if v was in hop h's
+    frontier, else all −1).  One device→host transfer for the whole walk.
+    Requires pad_v ≤ 2^24 (dense in-kernel frontier mask)."""
+    assert g.push is not None, "sampling needs push blocks"
+    if g.pad_v > (1 << 24):
+        raise ValueError("device multihop sampler needs pad_v <= 2^24")
+    f = np.zeros(g.pad_v, bool)
+    f[np.asarray(start_list, np.int64)] = True
+    vsh = NamedSharding(mesh, vertex_spec())
+    f = jax.device_put(jnp.asarray(f), vsh)
+    kern = _mg_sample_multihop_kernel(
+        mesh, g.pmaj, g.pmin, g.chunk, tuple(int(k) for k in fanout_vals),
+        bool(with_replacement), bool(biased))
+    return kern(g.push.src_loc, g.push.dst_loc, g.push.valid, f,
+                jnp.int32(seed), g.push.weight)
 
 
 

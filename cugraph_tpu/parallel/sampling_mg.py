@@ -221,10 +221,61 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     if kw:
         raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
     assert g.push is not None, "sampling needs push blocks"
+    bl = flags["batch_id_list"]
+    one_batch = (len(np.unique(bl)) <= 1 if bl is not None
+                 else len(np.asarray(start_list)) <= 1)
+    if (flags["dedupe_sources"] and one_batch
+            and flags["prior_sources_behavior"] == "default"
+            and g.pad_v <= (1 << 24) and len(list(fanout_vals))
+            and min(int(k) for k in fanout_vals) > 0):
+        return _mg_sample_device_path(g, mesh, start_list, fanout_vals,
+                                      seed=seed, biased=biased,
+                                      with_replacement=with_replacement,
+                                      **flags)
     plans = [[(None, int(k))] for k in fanout_vals]
     return _mg_neighbor_sample_core(
         g, mesh, start_list, plans, seed=seed,
         with_replacement=with_replacement, biased=biased, **flags)
+
+
+def _mg_sample_device_path(g, mesh, start_list, fanout_vals, *, seed,
+                           biased, with_replacement, prior_sources_behavior,
+                           dedupe_sources, return_hops,
+                           with_edge_properties, batch_id_list):
+    """Fused device-resident fast path (one kernel, one readback) for the
+    set-semantics GNN case: dedupe_sources + default prior behavior + one
+    batch label.  Output frame identical in shape to the layered path."""
+    from cugraph_tpu.parallel.algos import mg_sample_multihop_device
+
+    panels = np.asarray(mg_sample_multihop_device(
+        g, mesh, start_list, fanout_vals, seed=seed,
+        with_replacement=with_replacement, biased=biased))
+    label = (int(np.asarray(batch_id_list).reshape(-1)[0])
+             if batch_id_list is not None and len(np.asarray(
+                 batch_id_list).reshape(-1)) else 0)
+    frames = []
+    for hop in range(panels.shape[0]):
+        k = int(fanout_vals[hop])
+        sub = panels[hop, :, :k]
+        srcs, cols = np.nonzero(sub >= 0)
+        if not len(srcs):
+            break
+        frames.append(pd.DataFrame({
+            "sources": srcs.astype(np.int64),
+            "destinations": sub[srcs, cols].astype(np.int64),
+            "hop_id": np.int32(hop),
+            "batch_id": np.int32(label),
+        }))
+    cols_out = ["sources", "destinations", "hop_id", "batch_id"]
+    if not frames:
+        return pd.DataFrame(columns=[c for c in cols_out
+                                     if return_hops or c != "hop_id"])
+    out = pd.concat(frames, ignore_index=True)
+    if with_edge_properties:
+        out = _attach_props(g, out)
+    if not return_hops:
+        out = out.drop(columns=["hop_id"])
+    return out
 
 
 def mg_biased_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,

@@ -179,6 +179,46 @@ def test_plc_mg_sampler_attaches_edge_ids():
         df.sources.to_numpy() * 1000 + df.destinations.to_numpy())
 
 
+def test_mg_device_multihop_matches_layered_path():
+    """The fused device-resident sampler (one kernel, frontier mask on
+    device) must reproduce the layered per-hop path EXACTLY under its
+    gating config (dedupe_sources, one batch, default prior): same seed →
+    identical RNG folds → identical samples."""
+    import jax
+    from cugraph_tpu.parallel.sampling_mg import (_mg_neighbor_sample_core,
+                                                  _mg_sample_device_path)
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    rng = np.random.default_rng(17)
+    n, m = 120, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=True)
+    seeds = [3, 40, 99]
+    for biased, wr in ((False, False), (True, True)):
+        df_fast = mg_uniform_neighbor_sample(
+            g, mesh, seeds, [4, 3], seed=5, dedupe_sources=True,
+            with_replacement=wr, biased=biased,
+            batch_id_list=[2, 2, 2], with_edge_properties=True)
+        plans = [[(None, 4)], [(None, 3)]]
+        df_ref = _mg_neighbor_sample_core(
+            g, mesh, seeds, plans, seed=5, with_replacement=wr,
+            biased=biased, dedupe_sources=True, batch_id_list=[2, 2, 2],
+            with_edge_properties=True)
+        key = lambda d: sorted(zip(d.hop_id, d.sources, d.destinations))
+        assert key(df_fast) == key(df_ref), (biased, wr)
+        assert set(df_fast.batch_id) == {2}
+        np.testing.assert_allclose(
+            np.sort(df_fast.weight.to_numpy()),
+            np.sort(df_ref.weight.to_numpy()))
+    # gate: multiplicities (no dedupe) must stay on the layered path
+    df_multi = mg_uniform_neighbor_sample(g, mesh, [3, 3], [2, 2], seed=1)
+    assert len(set(df_multi.batch_id)) == 2
+
+
 def test_plc_mg_edge_ids_symmetrized_and_sharded():
     """Round-3 review findings: (a) the edge-id table must cover mirrored
     edges on symmetrize=True graphs; (b) the sharded build must construct
