@@ -18,6 +18,41 @@ import numpy as np
 
 BEHAVIORS = ("default", "carry_over", "exclude")
 
+# reference temporal comparison modes (sampling_functions.hpp:38-46,
+# temporal_sampling_comparison_t; pyx spelling, heterogeneous_*_temporal_
+# neighbor_sample.pyx:210-212).  "last" = deterministic recency: among
+# edges in the vertex's past, take the k most recent.
+TEMPORAL_COMPARISONS = ("strictly_increasing", "monotonically_increasing",
+                        "strictly_decreasing", "monotonically_decreasing",
+                        "last")
+
+
+def resolve_temporal_comparison(comparison, strict: bool = True) -> str:
+    """Normalize the (comparison, legacy strict bool) pair to one mode."""
+    if comparison is None:
+        return "strictly_increasing" if strict else "monotonically_increasing"
+    c = str(comparison).lower()
+    if c not in TEMPORAL_COMPARISONS:
+        raise ValueError(f"unknown temporal_sampling_comparison {comparison!r}"
+                         f"; options: {TEMPORAL_COMPARISONS}")
+    return c
+
+
+def temporal_eligible(t, lim, comparison: str):
+    """Edge-time eligibility vs the frontier vertex's arrival time (works on
+    numpy and jax arrays)."""
+    if comparison == "strictly_increasing":
+        return t > lim
+    if comparison == "monotonically_increasing":
+        return t >= lim
+    if comparison == "strictly_decreasing":
+        return t < lim
+    if comparison == "monotonically_decreasing":
+        return t <= lim
+    if comparison == "last":
+        return t < lim
+    raise ValueError(comparison)
+
 
 class FrontierState:
     """(vertex, batch[, time]) frontier with the reference's flag rules.
@@ -31,6 +66,8 @@ class FrontierState:
                  dedupe_sources: bool = False, times=None,
                  batch_id_list=None):
         self.behavior = (prior_sources_behavior or "default").lower()
+        if self.behavior == "carryover":   # the reference pyx spelling
+            self.behavior = "carry_over"
         if self.behavior not in BEHAVIORS:
             raise ValueError(f"unknown prior_sources_behavior "
                              f"{prior_sources_behavior!r}")

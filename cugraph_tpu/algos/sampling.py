@@ -348,13 +348,26 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
 def _sampling_flags(kwargs: dict) -> dict:
     """Extract the reference sampling_flags_t knobs from a kwargs dict
     (sampling_functions.hpp:36-76); other reference-parity kwargs are
-    accepted and ignored, as before."""
+    accepted and ignored, as before.  ``deduplicate_sources`` is the pyx
+    spelling of dedupe_sources."""
     out = {}
     for name in ("prior_sources_behavior", "dedupe_sources", "return_hops",
                  "batch_id_list"):
         if name in kwargs and kwargs[name] is not None:
             out[name] = kwargs[name]
+    if "dedupe_sources" not in out and kwargs.get("deduplicate_sources") \
+            is not None:
+        out["dedupe_sources"] = kwargs["deduplicate_sources"]
     return out
+
+
+def _check_disjoint(kw, temporal: bool):
+    """disjoint_sampling acceptance: our per-batch frontiers are disjoint by
+    construction; temporal sampling REQUIRES it (the reference raises on
+    False — heterogeneous_*_temporal pyx:214-217)."""
+    v = kw.get("disjoint_sampling")
+    if temporal and v is False:
+        raise ValueError("temporal sampling requires disjoint sampling")
 
 
 def uniform_neighbor_sample(G, start_list, fanout_vals,
@@ -381,8 +394,11 @@ def homogeneous_biased_neighbor_sample(G, start_list, fanout_vals,
     homogeneous_biased_neighbor_sample)."""
     if not G.is_weighted():
         raise ValueError("biased sampling requires edge weights")
-    return _neighbor_sample(G, start_list, fanout_vals, with_replacement,
-                            biased=True, random_state=random_state, **kw)
+    return _neighbor_sample(
+        G, start_list, fanout_vals, with_replacement, biased=True,
+        random_state=random_state,
+        with_edge_properties=bool(kw.get("with_edge_properties", False)),
+        **_sampling_flags(kw))
 
 
 # --------------------------------------------------------------------------
@@ -717,13 +733,14 @@ def _csr_prop(G, prop):
     return out
 
 
-@partial(jax.jit, static_argnames=("k", "max_deg", "strict", "biased"))
+@partial(jax.jit, static_argnames=("k", "max_deg", "comparison", "biased"))
 def _sample_neighbors_masked(g: GraphStructure, frontier: jax.Array,
                              key: jax.Array, k: int, max_deg: int,
                              edge_ok: jax.Array,
                              seed_times: jax.Array | None,
                              edge_times: jax.Array | None,
-                             strict: bool = True, biased: bool = False,
+                             comparison: str = "strictly_increasing",
+                             biased: bool = False,
                              tables=None, ok_tab: jax.Array | None = None,
                              time_tab: jax.Array | None = None):
     """Gumbel top-k sampling restricted to an eligibility mask — the masked
@@ -751,18 +768,27 @@ def _sample_neighbors_masked(g: GraphStructure, frontier: jax.Array,
             t = jnp.take(time_tab, frontier, axis=0)[:, :max_deg]
         else:
             t = jnp.take(edge_times, safe)
+        from cugraph_tpu.algos._frontier import temporal_eligible
+
         lim = seed_times[:, None]
-        ok = ok & (t > lim if strict else t >= lim)
-    gumbel = -jnp.log(-jnp.log(
-        jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
-    if biased:
-        if wt is not None:
-            wts = jnp.take(wt, frontier, axis=0)[:, :max_deg]
-        else:
-            wts = jnp.take(adj.weights, safe)
-        ok = ok & (wts > 0)
-        gumbel = gumbel + jnp.log(jnp.maximum(wts, 1e-30))
-    score = jnp.where(ok, gumbel, -jnp.inf)
+        ok = ok & temporal_eligible(t, lim, comparison)
+    else:
+        t = None
+    if comparison == "last" and t is not None:
+        # recency sampling: the k MOST RECENT past edges, deterministic
+        # (reference temporal_sampling_comparison_t::LAST)
+        score = jnp.where(ok, t, -jnp.inf)
+    else:
+        gumbel = -jnp.log(-jnp.log(
+            jax.random.uniform(key, (F, max_deg), minval=1e-20, maxval=1.0)))
+        if biased:
+            if wt is not None:
+                wts = jnp.take(wt, frontier, axis=0)[:, :max_deg]
+            else:
+                wts = jnp.take(adj.weights, safe)
+            ok = ok & (wts > 0)
+            gumbel = gumbel + jnp.log(jnp.maximum(wts, 1e-30))
+        score = jnp.where(ok, gumbel, -jnp.inf)
     _, top = jax.lax.top_k(score, min(k, max_deg))
     picked = jnp.take_along_axis(score, top, axis=1) > -jnp.inf
     eidx = jnp.take_along_axis(eidx_tile, top, axis=1)
@@ -787,7 +813,8 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
                             random_state=None, seed_time=None, strict=True,
                             biased=False, prior_sources_behavior="default",
                             dedupe_sources=False, return_hops=True,
-                            batch_id_list=None):
+                            batch_id_list=None,
+                            temporal_sampling_comparison=None):
     """Shared driver: per hop, per (type, fanout) masked sampling.
 
     fanouts_per_hop: list of lists [(type_key, k), ...] per hop.
@@ -799,7 +826,11 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
     key = jax.random.PRNGKey(random_state if random_state is not None else 0)
     n = G.number_of_vertices()
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
-    from cugraph_tpu.algos._frontier import FrontierState
+    from cugraph_tpu.algos._frontier import (FrontierState,
+                                             resolve_temporal_comparison)
+
+    comparison = resolve_temporal_comparison(temporal_sampling_comparison,
+                                             strict)
 
     et_host = (_csr_prop(G, G.edge_times).astype(np.float32)
                if G.edge_times is not None and seed_time is not None else None)
@@ -847,7 +878,7 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
                 g, jnp.asarray(frontier), sub, kk, max_deg,
                 masks_by_type[type_key] if tables is None else None,
                 jnp.asarray(times) if times is not None else None,
-                edge_times, strict, biased, tables,
+                edge_times, comparison, biased, tables,
                 ok_tabs[type_key] if ok_tabs is not None else None,
                 time_tab)
             dst = np.asarray(dst); eidx = np.asarray(eidx)
@@ -956,6 +987,7 @@ def homogeneous_biased_temporal_neighbor_sample(
         raise ValueError("biased sampling requires edge weights")
     if G.edge_times is None:
         raise ValueError("temporal sampling requires edge_time on the graph")
+    _check_disjoint(kw, temporal=True)
     pad_e = G.structure.csr.pad_e
     m = G.structure.csr.num_edges
     all_ok = np.zeros(pad_e, bool)
@@ -966,7 +998,10 @@ def homogeneous_biased_temporal_neighbor_sample(
                                    masks_by_type=masks,
                                    random_state=random_state,
                                    seed_time=seed_time, strict=strict,
-                                   biased=True, **_sampling_flags(kw))
+                                   biased=True,
+                                   temporal_sampling_comparison=kw.get(
+                                       "temporal_sampling_comparison"),
+                                   **_sampling_flags(kw))
 
 
 def heterogeneous_biased_temporal_neighbor_sample(
@@ -978,12 +1013,16 @@ def heterogeneous_biased_temporal_neighbor_sample(
         raise ValueError("biased sampling requires edge weights")
     if G.edge_times is None:
         raise ValueError("temporal sampling requires edge_time on the graph")
+    _check_disjoint(kw, temporal=True)
     masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
                                    masks_by_type=masks,
                                    random_state=random_state,
                                    seed_time=seed_time, strict=strict,
-                                   biased=True, **_sampling_flags(kw))
+                                   biased=True,
+                                   temporal_sampling_comparison=kw.get(
+                                       "temporal_sampling_comparison"),
+                                   **_sampling_flags(kw))
 
 
 def homogeneous_uniform_temporal_neighbor_sample(
@@ -995,6 +1034,7 @@ def homogeneous_uniform_temporal_neighbor_sample(
     sampling_functions.hpp:75)."""
     if G.edge_times is None:
         raise ValueError("temporal sampling requires edge_time on the graph")
+    _check_disjoint(kw, temporal=True)
     pad_e = G.structure.csr.pad_e
     m = G.structure.csr.num_edges  # internal (symmetrized) edge count
     all_ok = np.zeros(pad_e, bool)
@@ -1005,6 +1045,8 @@ def homogeneous_uniform_temporal_neighbor_sample(
                                    masks_by_type=masks,
                                    random_state=random_state,
                                    seed_time=seed_time, strict=strict,
+                                   temporal_sampling_comparison=kw.get(
+                                       "temporal_sampling_comparison"),
                                    **_sampling_flags(kw))
 
 
@@ -1013,9 +1055,12 @@ def heterogeneous_uniform_temporal_neighbor_sample(
         seed_time=0.0, strict: bool = True, random_state=None, **kw):
     if G.edge_times is None:
         raise ValueError("temporal sampling requires edge_time on the graph")
+    _check_disjoint(kw, temporal=True)
     masks, fanouts_per_hop = _het_fanouts(G, fanout_vals, num_edge_types)
     return _masked_neighbor_sample(G, start_list, fanouts_per_hop,
                                    masks_by_type=masks,
                                    random_state=random_state,
                                    seed_time=seed_time, strict=strict,
+                                   temporal_sampling_comparison=kw.get(
+                                       "temporal_sampling_comparison"),
                                    **_sampling_flags(kw))

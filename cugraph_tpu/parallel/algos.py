@@ -509,7 +509,7 @@ def mg_eigenvector_centrality(g: DistGraph, mesh, tol: float = 1e-6,
 
 def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
                        pmaj, pmin, chunk, with_replacement, biased,
-                       temporal, strict, f_time):
+                       temporal, comparison, f_time):
     """One sampling hop executed INSIDE shard_map: k random-priority argmax
     rounds per frontier vertex over the push blocks.  Shared by the one-hop
     kernel and the fused multi-hop kernel.  Returns ([chunk, k] global dst
@@ -526,17 +526,22 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
     f_seg = prims.gather_major_block(f_own)  # frontier flags by src slot
     elig0 = valid_ & f_seg[red]
     if temporal:
-        # edge time must advance past the frontier vertex's arrival time
-        # (reference temporal comparison, sampling_functions.hpp:75)
+        # edge-time eligibility vs the frontier vertex's arrival time — all
+        # five reference comparison modes (sampling_functions.hpp:38-46)
+        from cugraph_tpu.algos._frontier import temporal_eligible
+
         t_seg = prims.gather_major_block(f_time)   # times by src slot
         lim = t_seg[red]
-        elig0 = elig0 & (et_ > lim if strict else et_ >= lim)
+        elig0 = elig0 & temporal_eligible(et_, lim, comparison)
 
     def round_body(r, carry):
         taken, out_dst, out_time = carry
         key = jax.random.fold_in(jax.random.fold_in(
             jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
-        if biased:
+        if temporal and comparison == "last":
+            # deterministic recency: most recent past edges win
+            score = et_
+        elif biased:
             # Gumbel trick: argmax(log w + G) samples ∝ edge weight
             gumb = -jnp.log(-jnp.log(
                 jax.random.uniform(key, (E,), jnp.float32, 1e-20, 1.0)))
@@ -544,7 +549,9 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
         else:
             score = jax.random.uniform(key, (E,), jnp.float32, 1e-6, 1.0)
         elig = elig0 if with_replacement else (elig0 & ~taken)
-        score = jnp.where(elig & (w_ > 0 if biased else True), score, NEG)
+        w_ok = (w_ > 0) if (biased and not (temporal and comparison == "last")) \
+            else True
+        score = jnp.where(elig & w_ok, score, NEG)
         part = prims.block_segment_reduce(score, red, nseg, "max")
         mx = prims.scatter_reduce_major(
             jnp.maximum(part, NEG), chunk, "max")     # [chunk] per owner
@@ -580,7 +587,8 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
 
 @lru_cache(maxsize=32)
 def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
-                            biased=False, temporal=False, strict=True):
+                            biased=False, temporal=False,
+                            comparison="strictly_increasing"):
     def kernel(src_loc, dst_loc, valid, f_own, seed, w, etime, f_time):
         # push blocks: the GATHERED role (EdgeBlocks.src_loc) is the dst
         # endpoint in row-block space [0, B); the REDUCED role
@@ -589,7 +597,7 @@ def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
             _sq(src_loc), _sq(dst_loc), _sq(valid), _sq(w), _sq(etime),
             f_own, seed, k, pmaj=pmaj, pmin=pmin, chunk=chunk,
             with_replacement=with_replacement, biased=biased,
-            temporal=temporal, strict=strict, f_time=f_time)
+            temporal=temporal, comparison=comparison, f_time=f_time)
         return out_dst, out_time
 
     es, vs = edge_spec(), vertex_spec()
@@ -603,7 +611,8 @@ def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
                       seed: int = 0, with_replacement: bool = False,
                       biased: bool = False, edge_ok=None,
                       frontier_times: np.ndarray | None = None,
-                      strict: bool = True):
+                      strict: bool = True,
+                      temporal_sampling_comparison: str | None = None):
     """One hop of distributed uniform/biased sampling: k out-neighbors per
     frontier vertex.  Returns (dst int32 [pad_v, k], time f32 [pad_v, k])
     owner-sharded (−1 dst = none).  ``biased`` samples ∝ edge weight via the
@@ -622,11 +631,15 @@ def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
     ft = (jax.device_put(jnp.asarray(frontier_times, jnp.float32), vsh)
           if temporal
           else jax.device_put(jnp.zeros(g.pad_v, jnp.float32), vsh))
+    from cugraph_tpu.algos._frontier import resolve_temporal_comparison
+
+    comparison = resolve_temporal_comparison(temporal_sampling_comparison,
+                                             strict)
     etime = g.push.etime if g.push.etime is not None else g.push.weight
     valid = g.push.valid if edge_ok is None else edge_ok
     kern = _mg_sample_round_kernel(mesh, g.pmaj, g.pmin, g.chunk, int(k),
                                    bool(with_replacement), bool(biased),
-                                   temporal, bool(strict))
+                                   temporal, comparison)
     return kern(g.push.src_loc, g.push.dst_loc, valid, f,
                 jnp.int32(seed), g.push.weight, etime, ft)
 
@@ -657,7 +670,7 @@ def _mg_sample_multihop_kernel(mesh, pmaj, pmin, chunk, ks: tuple,
                 seed + jnp.int32(hop * 1009), int(k),
                 pmaj=pmaj, pmin=pmin, chunk=chunk,
                 with_replacement=with_replacement, biased=biased,
-                temporal=False, strict=True, f_time=None)
+                temporal=False, comparison=None, f_time=None)
             if k < kmax:
                 out_dst = jnp.pad(out_dst, ((0, 0), (0, kmax - k)),
                                   constant_values=-1)

@@ -108,6 +108,7 @@ def _mg_neighbor_sample_core(
     g: DistGraph, mesh, start_list, hop_plans, *, seed: int,
     with_replacement: bool, biased: bool, masks=None,
     temporal: bool = False, seed_time: float = 0.0, strict: bool = True,
+    temporal_sampling_comparison=None,
     prior_sources_behavior: str = "default", dedupe_sources: bool = False,
     return_hops: bool = True, with_edge_properties: bool = False,
     batch_id_list=None,
@@ -155,7 +156,8 @@ def _mg_neighbor_sample_core(
                     seed + hop * 1009 + r * 131 + (0 if tk is None else tk) * 7,
                     with_replacement, biased,
                     edge_ok=None if masks is None else masks[tk],
-                    frontier_times=vt, strict=strict)
+                    frontier_times=vt, strict=strict,
+                    temporal_sampling_comparison=temporal_sampling_comparison)
                 sub = np.asarray(samp)[verts]                    # [F, k]
                 ok = sub >= 0
                 flat = ok.reshape(-1)
@@ -200,9 +202,14 @@ def _mg_neighbor_sample_core(
 
 
 def _flag_kwargs(kw):
+    dedupe = kw.pop("dedupe_sources", None)
+    if dedupe is None:  # the reference pyx spelling
+        dedupe = kw.pop("deduplicate_sources", False)
+    else:
+        kw.pop("deduplicate_sources", None)
     return dict(
         prior_sources_behavior=kw.pop("prior_sources_behavior", "default"),
-        dedupe_sources=bool(kw.pop("dedupe_sources", False)),
+        dedupe_sources=bool(dedupe),
         return_hops=bool(kw.pop("return_hops", True)),
         with_edge_properties=bool(kw.pop("with_edge_properties", False)),
         batch_id_list=kw.pop("batch_id_list", None),
@@ -217,6 +224,7 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     ['sources','destinations','hop_id','batch_id'] (+ 'weight'/'edge_type'/
     'edge_time' with ``with_edge_properties=True``); batches keep independent
     frontiers with multiplicity per sampling_flags_t semantics."""
+    kw.pop("disjoint_sampling", None)  # per-batch frontiers are disjoint
     flags = _flag_kwargs(kw)
     if kw:
         raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
@@ -310,6 +318,7 @@ def mg_heterogeneous_neighbor_sample(g: DistGraph, mesh, start_list,
     """Distributed per-edge-type neighbor sampling (reference MG
     heterogeneous_{uniform,biased}_neighbor_sample): ``fanout_vals`` is
     flattened [hop0_type0, hop0_type1, ...]."""
+    kw.pop("disjoint_sampling", None)  # per-batch frontiers are disjoint
     flags = _flag_kwargs(kw)
     if kw:
         raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
@@ -331,6 +340,10 @@ def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     homogeneous_{uniform,biased}_temporal): eligible edges have time past the
     frontier vertex's arrival time; sampled vertices inherit the traversed
     edge's time (each (vertex, batch) frontier pair carries its own time)."""
+    comparison = kw.pop("temporal_sampling_comparison", None)
+    if kw.pop("disjoint_sampling", True) is False:
+        raise ValueError("temporal sampling requires disjoint sampling "
+                         "(reference contract, sampling_functions.hpp:80)")
     flags = _flag_kwargs(kw)
     if kw:
         raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
@@ -341,7 +354,8 @@ def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     return _mg_neighbor_sample_core(
         g, mesh, start_list, plans, seed=seed,
         with_replacement=with_replacement, biased=biased,
-        temporal=True, seed_time=seed_time, strict=strict, **flags)
+        temporal=True, seed_time=seed_time, strict=strict,
+        temporal_sampling_comparison=comparison, **flags)
 
 
 def mg_heterogeneous_temporal_neighbor_sample(
@@ -351,6 +365,10 @@ def mg_heterogeneous_temporal_neighbor_sample(
     """Distributed per-edge-type TEMPORAL sampling (reference MG
     heterogeneous_{uniform,biased}_temporal_neighbor_sample.pyx): per-type
     eligibility masks AND the arrival-time regime in one one-hop kernel."""
+    comparison = kw.pop("temporal_sampling_comparison", None)
+    if kw.pop("disjoint_sampling", True) is False:
+        raise ValueError("temporal sampling requires disjoint sampling "
+                         "(reference contract, sampling_functions.hpp:80)")
     flags = _flag_kwargs(kw)
     if kw:
         raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
@@ -361,4 +379,5 @@ def mg_heterogeneous_temporal_neighbor_sample(
     return _mg_neighbor_sample_core(
         g, mesh, start_list, plans, seed=seed,
         with_replacement=with_replacement, biased=biased, masks=masks,
-        temporal=True, seed_time=seed_time, strict=strict, **flags)
+        temporal=True, seed_time=seed_time, strict=strict,
+        temporal_sampling_comparison=comparison, **flags)

@@ -731,10 +731,64 @@ def _mg_sample_kw(kw):
         "with_replacement": bool(kw.get("with_replacement", False)),
         "seed": _seed(kw.get("random_state")),
     }
-    for name in ("prior_sources_behavior", "dedupe_sources", "return_hops",
-                 "with_edge_properties", "batch_id_list"):
+    for name in ("prior_sources_behavior", "dedupe_sources",
+                 "deduplicate_sources", "return_hops",
+                 "with_edge_properties", "batch_id_list",
+                 "disjoint_sampling", "temporal_sampling_comparison"):
         if kw.get(name) is not None:
             out[name] = kw[name]
+    return out
+
+
+def _strip_out(kw):
+    """Drop the OUTPUT-shaping kwargs before forwarding to the engines
+    (they are consumed by _finish_sample)."""
+    return {k: v for k, v in kw.items()
+            if k not in ("renumber", "compression", "compress_per_hop",
+                         "retain_seeds")}
+
+
+def _finish_sample(df, kw, start_list):
+    """Apply the reference's sampler OUTPUT options (pyx:184-205):
+    ``renumber=True`` renumbers per batch and compresses per ``compression``
+    ("COO" default /"CSR"/"CSC"/"DCSR"/"DCSC") honoring ``compress_per_hop``;
+    ``retain_seeds`` keeps outgoing-edge-less seeds in the renumber map.
+    Returns the plain frame when renumber is off (the default)."""
+    if not kw.get("renumber"):
+        return df
+    import cugraph_tpu as ct
+
+    compression = str(kw.get("compression") or "COO").upper()
+    if compression not in ("COO", "CSR", "CSC", "DCSR", "DCSC"):
+        raise ValueError(f"unknown compression {compression!r}")
+    seeds_per_label = None
+    if kw.get("retain_seeds") and start_list is not None:
+        seeds = np.asarray(start_list).reshape(-1)
+        bl = kw.get("batch_id_list")
+        if bl is None:
+            bl = np.arange(len(seeds))
+        seeds_per_label = {}
+        for s, b in zip(seeds, np.asarray(bl).reshape(-1)):
+            seeds_per_label.setdefault(int(b), []).append(int(s))
+        seeds_per_label = {b: np.asarray(v)
+                           for b, v in seeds_per_label.items()}
+    src_is_major = compression not in ("CSC", "DCSC")
+    out = ct.renumber_and_compress_sampled_edgelist(
+        df, src_is_major=src_is_major,
+        compress_per_hop=bool(kw.get("compress_per_hop", False)),
+        doubly_compress=compression in ("DCSR", "DCSC"),
+        seed_vertices_per_label=seeds_per_label)
+    if compression == "COO":
+        # expand the offsets back to explicit renumbered majors (the
+        # reference's COO mode returns majors alongside minors)
+        lho = out["label_hop_offsets"]
+        majors = []
+        for si in range(len(lho) - 1):
+            offs = out["major_offsets"][lho[si]:lho[si + 1]]
+            majors.append(np.repeat(np.arange(len(offs) - 1), np.diff(offs)))
+        out["majors"] = (np.concatenate(majors) if majors
+                         else np.zeros(0, np.int64))
+        out["major_offsets"] = None
     return out
 
 
@@ -761,9 +815,11 @@ def homogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
         df = mg_uniform_neighbor_sample(graph.graph(), graph.mesh,
                                         start_list, fanout_vals,
                                         **_mg_sample_kw(kw))
-        return _mg_attach_ids(graph, df, kw)
-    return ct.homogeneous_uniform_neighbor_sample(_sg(graph), start_list,
-                                                  fanout_vals, **kw)
+        return _finish_sample(_mg_attach_ids(graph, df, kw), kw, start_list)
+    return _finish_sample(
+        ct.homogeneous_uniform_neighbor_sample(_sg(graph), start_list,
+                                               fanout_vals, **_strip_out(kw)),
+        kw, start_list)
 
 
 def homogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
@@ -779,9 +835,11 @@ def homogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
         df = mg_biased_neighbor_sample(graph.graph(), graph.mesh,
                                        start_list, fanout_vals,
                                        **_mg_sample_kw(kw))
-        return _mg_attach_ids(graph, df, kw)
-    return ct.homogeneous_biased_neighbor_sample(_sg(graph), start_list,
-                                                 fanout_vals, **kw)
+        return _finish_sample(_mg_attach_ids(graph, df, kw), kw, start_list)
+    return _finish_sample(
+        ct.homogeneous_biased_neighbor_sample(_sg(graph), start_list,
+                                              fanout_vals, **_strip_out(kw)),
+        kw, start_list)
 
 
 def heterogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
@@ -801,11 +859,13 @@ def heterogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
 
-        return mg_heterogeneous_neighbor_sample(
+        return _finish_sample(mg_heterogeneous_neighbor_sample(
             graph.graph(), graph.mesh, start_list, h_fan_out,
-            num_edge_types=num_edge_types, **_mg_sample_kw(kw))
-    return ct.heterogeneous_uniform_neighbor_sample(
-        _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types, **kw)
+            num_edge_types=num_edge_types, **_mg_sample_kw(kw)),
+            kw, start_list)
+    return _finish_sample(ct.heterogeneous_uniform_neighbor_sample(
+        _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types,
+        **_strip_out(kw)), kw, start_list)
 
 
 def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
@@ -822,11 +882,13 @@ def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
 
-        return mg_heterogeneous_neighbor_sample(
+        return _finish_sample(mg_heterogeneous_neighbor_sample(
             graph.graph(), graph.mesh, start_list, h_fan_out,
-            num_edge_types=num_edge_types, biased=True, **_mg_sample_kw(kw))
-    return ct.heterogeneous_biased_neighbor_sample(
-        _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types, **kw)
+            num_edge_types=num_edge_types, biased=True, **_mg_sample_kw(kw)),
+            kw, start_list)
+    return _finish_sample(ct.heterogeneous_biased_neighbor_sample(
+        _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types,
+        **_strip_out(kw)), kw, start_list)
 
 
 def _temporal_compat(args, kw):

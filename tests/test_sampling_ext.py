@@ -395,10 +395,10 @@ def test_masked_sampler_table_matches_fallback():
     for biased in (False, True):
         a = _sample_neighbors_masked(
             g, frontier, key, 3, max_deg, jnp.asarray(mask), seed_times,
-            jnp.asarray(etimes), True, biased)
+            jnp.asarray(etimes), "strictly_increasing", biased)
         b = _sample_neighbors_masked(
-            g, frontier, key, 3, max_deg, None, seed_times, None, True,
-            biased, tables, ok_tab, time_tab)
+            g, frontier, key, 3, max_deg, None, seed_times, None,
+            "strictly_increasing", biased, tables, ok_tab, time_tab)
         np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
         va = np.asarray(a[2])
         np.testing.assert_array_equal(np.asarray(a[0])[va],
