@@ -27,6 +27,17 @@ TEMPORAL_COMPARISONS = ("strictly_increasing", "monotonically_increasing",
                         "last")
 
 
+def pop_dedupe_sources(kw: dict) -> bool:
+    """Pop the dedupe flag under either spelling (dedupe_sources here and in
+    the C API; deduplicate_sources in the reference pyx) — the single alias
+    rule every driver shares."""
+    v = kw.pop("dedupe_sources", None)
+    alias = kw.pop("deduplicate_sources", None)
+    if v is None:
+        v = alias
+    return bool(v) if v is not None else False
+
+
 def resolve_temporal_comparison(comparison, strict: bool = True) -> str:
     """Normalize the (comparison, legacy strict bool) pair to one mode."""
     if comparison is None:

@@ -350,14 +350,17 @@ def _sampling_flags(kwargs: dict) -> dict:
     (sampling_functions.hpp:36-76); other reference-parity kwargs are
     accepted and ignored, as before.  ``deduplicate_sources`` is the pyx
     spelling of dedupe_sources."""
+    from cugraph_tpu.algos._frontier import pop_dedupe_sources
+
     out = {}
-    for name in ("prior_sources_behavior", "dedupe_sources", "return_hops",
-                 "batch_id_list"):
+    kw2 = dict(kwargs)
+    dedupe = pop_dedupe_sources(kw2)
+    if dedupe or "dedupe_sources" in kwargs or \
+            "deduplicate_sources" in kwargs:
+        out["dedupe_sources"] = dedupe
+    for name in ("prior_sources_behavior", "return_hops", "batch_id_list"):
         if name in kwargs and kwargs[name] is not None:
             out[name] = kwargs[name]
-    if "dedupe_sources" not in out and kwargs.get("deduplicate_sources") \
-            is not None:
-        out["dedupe_sources"] = kwargs["deduplicate_sources"]
     return out
 
 

@@ -162,6 +162,11 @@ def renumber_and_compress_sampled_edgelist(
     has_hops = "hop_id" in df
     labels = (np.unique(df[batch_col].to_numpy()) if batch_col in df
               else np.array([0]))
+    if seed_vertices_per_label:
+        # a label whose seeds produced NO edges still gets a renumber-map
+        # segment (the retain_seeds contract)
+        labels = np.unique(np.concatenate(
+            [labels, np.fromiter(seed_vertices_per_label, np.int64)]))
     prop_cols = [c for c in _EDGE_PROP_COLS if c in df]
     num_hops = int(df["hop_id"].max()) + 1 if has_hops and len(df) else 1
 
@@ -172,8 +177,9 @@ def renumber_and_compress_sampled_edgelist(
 
     groups = (dict(tuple(df.groupby(batch_col, sort=True)))
               if batch_col in df else {0: df})
+    empty = df.iloc[:0]
     for lab in labels:
-        grp = groups[lab]
+        grp = groups.get(lab, empty)
         seeds = (None if seed_vertices_per_label is None
                  else seed_vertices_per_label.get(int(lab)))
         vmap, rank_of = _renumber_one_label(grp, major_col, minor_col, seeds)

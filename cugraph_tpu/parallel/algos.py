@@ -516,7 +516,11 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
     ids owner-sharded, [chunk, k] traversed edge times)."""
     B = pmin * chunk
     nseg = pmaj * chunk
-    NEG = jnp.float32(-jnp.inf) if biased else jnp.float32(-1.0)
+    last_mode = temporal and comparison == "last"
+    # 'last' scores are raw edge TIMES (can be <= -1), so the masked-score
+    # sentinel must be -inf there, like the biased log-weight scores
+    NEG = (jnp.float32(-jnp.inf) if (biased or last_mode)
+           else jnp.float32(-1.0))
     F32_BIG = jnp.float32(3.0e38)
     i = jax.lax.axis_index(prims.MAJOR)
     j = jax.lax.axis_index(prims.MINOR)
@@ -538,7 +542,7 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
         taken, out_dst, out_time = carry
         key = jax.random.fold_in(jax.random.fold_in(
             jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
-        if temporal and comparison == "last":
+        if last_mode:
             # deterministic recency: most recent past edges win
             score = et_
         elif biased:
@@ -548,9 +552,12 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
             score = jnp.log(jnp.maximum(w_, 1e-30)) + gumb
         else:
             score = jax.random.uniform(key, (E,), jnp.float32, 1e-6, 1.0)
-        elig = elig0 if with_replacement else (elig0 & ~taken)
-        w_ok = (w_ > 0) if (biased and not (temporal and comparison == "last")) \
-            else True
+        # 'last' is deterministic, so rounds must exclude already-taken
+        # edges even with replacement (else every round re-picks t_max; the
+        # SG top-k path returns the k DISTINCT most recent)
+        exclude_taken = (not with_replacement) or last_mode
+        elig = (elig0 & ~taken) if exclude_taken else elig0
+        w_ok = (w_ > 0) if (biased and not last_mode) else True
         score = jnp.where(elig & w_ok, score, NEG)
         part = prims.block_segment_reduce(score, red, nseg, "max")
         mx = prims.scatter_reduce_major(

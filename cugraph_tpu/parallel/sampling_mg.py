@@ -202,11 +202,9 @@ def _mg_neighbor_sample_core(
 
 
 def _flag_kwargs(kw):
-    dedupe = kw.pop("dedupe_sources", None)
-    if dedupe is None:  # the reference pyx spelling
-        dedupe = kw.pop("deduplicate_sources", False)
-    else:
-        kw.pop("deduplicate_sources", None)
+    from cugraph_tpu.algos._frontier import pop_dedupe_sources
+
+    dedupe = pop_dedupe_sources(kw)
     return dict(
         prior_sources_behavior=kw.pop("prior_sources_behavior", "default"),
         dedupe_sources=bool(dedupe),
@@ -225,12 +223,16 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     'edge_time' with ``with_edge_properties=True``); batches keep independent
     frontiers with multiplicity per sampling_flags_t semantics."""
     kw.pop("disjoint_sampling", None)  # per-batch frontiers are disjoint
+    kw.pop("temporal_sampling_comparison", None)  # temporal-only knob
     flags = _flag_kwargs(kw)
     if kw:
         raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")
     assert g.push is not None, "sampling needs push blocks"
     bl = flags["batch_id_list"]
-    one_batch = (len(np.unique(bl)) <= 1 if bl is not None
+    if bl is not None and len(np.asarray(bl).reshape(-1)) != \
+            len(np.asarray(start_list).reshape(-1)):
+        raise ValueError("batch_id_list must align with start_list")
+    one_batch = (len(np.unique(bl)) == 1 if bl is not None
                  else len(np.asarray(start_list)) <= 1)
     if (flags["dedupe_sources"] and one_batch
             and flags["prior_sources_behavior"] == "default"
@@ -319,6 +321,7 @@ def mg_heterogeneous_neighbor_sample(g: DistGraph, mesh, start_list,
     heterogeneous_{uniform,biased}_neighbor_sample): ``fanout_vals`` is
     flattened [hop0_type0, hop0_type1, ...]."""
     kw.pop("disjoint_sampling", None)  # per-batch frontiers are disjoint
+    kw.pop("temporal_sampling_comparison", None)  # temporal-only knob
     flags = _flag_kwargs(kw)
     if kw:
         raise TypeError(f"unknown sampler kwargs: {sorted(kw)}")

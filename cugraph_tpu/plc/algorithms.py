@@ -780,14 +780,18 @@ def _finish_sample(df, kw, start_list):
         seed_vertices_per_label=seeds_per_label)
     if compression == "COO":
         # expand the offsets back to explicit renumbered majors (the
-        # reference's COO mode returns majors alongside minors)
+        # reference's COO mode returns majors alongside minors), and convert
+        # label_hop_offsets from offset-array indices to EDGE indices so
+        # minors[lho[i]:lho[i+1]] segments stay meaningful
         lho = out["label_hop_offsets"]
-        majors = []
+        majors, edge_lho = [], [0]
         for si in range(len(lho) - 1):
             offs = out["major_offsets"][lho[si]:lho[si + 1]]
             majors.append(np.repeat(np.arange(len(offs) - 1), np.diff(offs)))
+            edge_lho.append(edge_lho[-1] + int(offs[-1] if len(offs) else 0))
         out["majors"] = (np.concatenate(majors) if majors
                          else np.zeros(0, np.int64))
+        out["label_hop_offsets"] = np.asarray(edge_lho, np.int64)
         out["major_offsets"] = None
     return out
 
@@ -924,12 +928,14 @@ def homogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_temporal_neighbor_sample
 
-        return mg_temporal_neighbor_sample(
+        return _finish_sample(mg_temporal_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
             seed_time=float(kw.get("seed_time", 0.0)),
-            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
-    return ct.homogeneous_uniform_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, **kw)
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw)),
+            kw, start_list)
+    return _finish_sample(ct.homogeneous_uniform_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, **_strip_out(kw)),
+        kw, start_list)
 
 
 def homogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
@@ -941,12 +947,14 @@ def homogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_temporal_neighbor_sample
 
-        return mg_temporal_neighbor_sample(
+        return _finish_sample(mg_temporal_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
             seed_time=float(kw.get("seed_time", 0.0)), biased=True,
-            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
-    return ct.homogeneous_biased_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, **kw)
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw)),
+            kw, start_list)
+    return _finish_sample(ct.homogeneous_biased_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, **_strip_out(kw)),
+        kw, start_list)
 
 
 def heterogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
@@ -958,13 +966,15 @@ def heterogeneous_uniform_temporal_neighbor_sample(resource_handle, graph,
         from cugraph_tpu.parallel import (
             mg_heterogeneous_temporal_neighbor_sample)
 
-        return mg_heterogeneous_temporal_neighbor_sample(
+        return _finish_sample(mg_heterogeneous_temporal_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
             num_edge_types=kw.get("num_edge_types"),
             seed_time=float(kw.get("seed_time", 0.0)),
-            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
-    return ct.heterogeneous_uniform_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, **kw)
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw)),
+            kw, start_list)
+    return _finish_sample(ct.heterogeneous_uniform_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, **_strip_out(kw)),
+        kw, start_list)
 
 
 def heterogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
@@ -976,13 +986,15 @@ def heterogeneous_biased_temporal_neighbor_sample(resource_handle, graph,
         from cugraph_tpu.parallel import (
             mg_heterogeneous_temporal_neighbor_sample)
 
-        return mg_heterogeneous_temporal_neighbor_sample(
+        return _finish_sample(mg_heterogeneous_temporal_neighbor_sample(
             graph.graph(), graph.mesh, start_list, fanout_vals,
             num_edge_types=kw.get("num_edge_types"),
             seed_time=float(kw.get("seed_time", 0.0)), biased=True,
-            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw))
-    return ct.heterogeneous_biased_temporal_neighbor_sample(
-        _sg(graph), start_list, fanout_vals, **kw)
+            strict=bool(kw.get("strict", True)), **_mg_sample_kw(kw)),
+            kw, start_list)
+    return _finish_sample(ct.heterogeneous_biased_temporal_neighbor_sample(
+        _sg(graph), start_list, fanout_vals, **_strip_out(kw)),
+        kw, start_list)
 
 
 def negative_sampling(resource_handle, graph, num_samples, random_state=None,

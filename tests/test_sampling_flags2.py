@@ -149,3 +149,88 @@ def test_plc_sampler_renumber_compression_outputs():
     out2 = plc.homogeneous_uniform_neighbor_sample(
         None, g2, [0, 2], h_fan_out=[1], random_state=0, renumber=True)
     assert 2 not in set(out2["renumber_map"])
+
+
+def test_mg_last_mode_negative_times_and_distinct_k():
+    """Review regressions: 'last' scores are raw edge times, so (a) times
+    ≤ -1 must still be selectable (the uniform path's -1.0 sentinel was
+    masking them) and (b) with_replacement must still return the k DISTINCT
+    most recent edges (it re-picked t_max k times)."""
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    src = np.full(4, 5)
+    dst = np.arange(4)
+    tm = np.array([-5.0, -4.0, -3.0, -2.0], np.float32)
+    g = build_dist_graph(src, dst, None, 6, 4, 2, store_push=True,
+                         edge_time=tm)
+    df = mg_temporal_neighbor_sample(g, mesh, [5], [2], seed_time=0.0,
+                                     seed=0, with_replacement=True,
+                                     temporal_sampling_comparison="last")
+    # two most recent past edges: times -2 (dst 3) and -3 (dst 2)
+    assert sorted(df["destinations"]) == [2, 3]
+
+
+def test_plc_temporal_renumber_output():
+    """Review regression: the temporal plc wrappers must honor the output
+    options (they silently returned plain frames)."""
+    src = np.full(4, 5)
+    dst = np.arange(4)
+    tm = (dst + 1).astype(np.float32)
+    g = SGGraph(ResourceHandle(), None, src, dst, None,
+                edge_start_time_array=tm)
+    out = plc.homogeneous_uniform_temporal_neighbor_sample(
+        None, g, "t", [5], [0.0], None, [2], random_state=0,
+        renumber=True, compression="CSR")
+    assert isinstance(out, dict) and "renumber_map" in out
+
+
+def test_retain_seeds_label_with_no_edges():
+    """Review regression: a batch label whose seeds sampled NOTHING must
+    still get a renumber-map segment under retain_seeds."""
+    g = SGGraph(ResourceHandle(), None, np.array([0]), np.array([1]), None,
+                vertices_array=np.arange(3))
+    out = plc.homogeneous_uniform_neighbor_sample(
+        None, g, [0, 2], h_fan_out=[1], random_state=0,
+        renumber=True, retain_seeds=True, batch_id_list=[0, 1])
+    # label 1 (seed 2, no out-edges) still present
+    assert len(out["renumber_map_offsets"]) == 3
+    m1 = out["renumber_map"][out["renumber_map_offsets"][1]:
+                             out["renumber_map_offsets"][2]]
+    assert 2 in set(m1)
+
+
+def test_coo_label_hop_offsets_are_edge_offsets():
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 30, 200)
+    dst = rng.integers(0, 30, 200)
+    keep = src != dst
+    g = SGGraph(ResourceHandle(), None, src[keep], dst[keep], None)
+    out = plc.homogeneous_uniform_neighbor_sample(
+        None, g, [1, 2], h_fan_out=[3, 2], random_state=0,
+        renumber=True, compression="COO", batch_id_list=[0, 1])
+    lho = out["label_hop_offsets"]
+    assert lho[-1] == len(out["minors"]) == len(out["majors"])
+    assert (np.diff(lho) >= 0).all()
+
+
+def test_plc_mg_nontemporal_ignores_temporal_kwarg():
+    """Review regression: temporal_sampling_comparison passed to a
+    NON-temporal MG sampler must be ignored like the SG branch, not
+    TypeError."""
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    from cugraph_tpu.plc import MGGraph
+    g = MGGraph(ResourceHandle(mesh=mesh), None, np.array([0, 1]),
+                np.array([1, 2]), None)
+    df = plc.homogeneous_uniform_neighbor_sample(
+        None, g, [0], h_fan_out=[1], random_state=0,
+        temporal_sampling_comparison="last")
+    assert len(df) == 1
+
+
+def test_mg_device_gate_validates_batch_list():
+    from cugraph_tpu.parallel import mg_uniform_neighbor_sample as mg_s
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    g = build_dist_graph(np.array([0, 1]), np.array([1, 2]), None, 3, 4, 2,
+                         store_push=True)
+    with pytest.raises(ValueError):
+        mg_s(g, mesh, [0, 1], [1], dedupe_sources=True, batch_id_list=[])
