@@ -81,13 +81,13 @@ def _plan_cache(src, dst, n):
     from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
                                                  estimate_windows)
 
-    # v3: multi-subtile tiles (tile_subs).  The version tag keeps stale
+    # v4: tile_subs cap raised to 128 (round 3).  The version tag keeps stale
     # pre-format-change caches from being loaded silently; the edge digest
     # ties the plan to the exact edge arrays (regenerated edges can't pick
     # up a stale plan).
     path = os.path.join(
         CACHE_DIR,
-        f"planv3_{SCALE}_ef{EDGE_FACTOR}_{_edge_digest(src, dst)}.npz")
+        f"planv4_{SCALE}_ef{EDGE_FACTOR}_{_edge_digest(src, dst)}.npz")
     if os.path.exists(path):
         import jax.numpy as jnp
 

@@ -142,7 +142,7 @@ def build_spmm_plan(src, dst, weight, num_vertices: int, *,
     if tile_subs is None:
         from cugraph_tpu.kernels.spmv_onehot import auto_tile_subs
 
-        TS = auto_tile_subs(max(m // 128, 1))
+        TS = auto_tile_subs(max(m // 128, 1), cap=64)  # ts×F VMEM
     else:
         TS = int(tile_subs)
 

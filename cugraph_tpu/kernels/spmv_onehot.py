@@ -86,15 +86,21 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def auto_tile_subs(est_subs) -> int:
+def auto_tile_subs(est_subs, cap: int = 128) -> int:
     """Subtiles packed per grid step: amortize the ~0.25 µs per-grid-step
-    overhead by growing tiles until ~2k remain, capped at 64 (unroll /
-    compile cost).  `est_subs` is the (estimated) 128-edge subtile count.
-    SINGLE source of truth — build_spmv_plan / estimate_windows /
-    estimate_plan_bytes / build_spmm_plan / the stacked MG builders all
-    take their tile_subs from here."""
-    return int(min(64, max(8, 2 ** int(np.ceil(np.log2(
-        max(est_subs / 2048, 1)))))))
+    overhead by growing tiles until ~2k remain.  `est_subs` is the
+    (estimated) 128-edge subtile count.  SINGLE source of truth —
+    build_spmv_plan / estimate_windows / estimate_plan_bytes /
+    build_spmm_plan / the stacked MG builders all take their tile_subs from
+    here.
+
+    Packs until ~1k tiles remain, cap=128 for SpMV (TPU-measured round 3:
+    RMAT-20 at ts=128/T=1089 runs 9.36 vs 9.69 ms/iter = 1.793 GTEPS;
+    ts=256 would push the batched gather one-hots past the 16 MB VMEM
+    limit).  SpMM passes cap=64 — its in-kernel buffers scale with ts×F
+    and OOMed at ts=64, F=256 already."""
+    return int(min(cap, max(8, 2 ** int(np.ceil(np.log2(
+        max(est_subs / 1024, 1)))))))
 
 
 def estimate_windows(src, dst, num_vertices: int,
@@ -444,20 +450,28 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
             out = term if out is None else out + term
         return out
 
-    # -- gather, batched across the tile's 8 subtiles: ONE wide [128, 1024]
-    # one-hot matmul keeps the MXU pipelined instead of 8 narrow dispatches.
+    # -- gather, batched across the tile's subtiles: wide one-hot matmuls
+    # keep the MXU pipelined instead of per-subtile narrow dispatches.
+    # Batches of ≤64 subtiles cap the live one-hot/result buffers
+    # (O_hiT + O_loT + R_T at 128 subtiles = ~20 MB > the 16 MB scoped-VMEM
+    # limit — measured OOM on the min/max kernels at tile_subs=128).
     # combine="right" never reads x, and gather="dst" reads x inside the
     # scatter loop (dst-side one-hots) — both skip the src-side gather.
     if combine != "right" and gather == "src":
-        O_hi_cols, O_lo_cols = [], []
-        for j in range(tile_subs):
-            s_row = src_ref[j:j + 1, :]
-            O_hi_cols.append((subX == (s_row >> 7)).astype(odt))
-            O_lo_cols.append((sub128 == (s_row & 127)).astype(jnp.float32))
-        O_hiT = jnp.concatenate(O_hi_cols, axis=1)   # [h, 8·128]
-        O_loT = jnp.concatenate(O_lo_cols, axis=1)
-        R_T = _sel(x_ref[:], O_hiT, dn_hh)           # [l, 8·128]
-        xe_all = jnp.sum(R_T * O_loT, axis=0, keepdims=True)
+        GB = min(tile_subs, 64)
+        xe_parts = []
+        for c0 in range(0, tile_subs, GB):
+            O_hi_cols, O_lo_cols = [], []
+            for j in range(c0, c0 + GB):
+                s_row = src_ref[j:j + 1, :]
+                O_hi_cols.append((subX == (s_row >> 7)).astype(odt))
+                O_lo_cols.append((sub128 == (s_row & 127)).astype(jnp.float32))
+            O_hiT = jnp.concatenate(O_hi_cols, axis=1)   # [h, GB·128]
+            O_loT = jnp.concatenate(O_lo_cols, axis=1)
+            R_T = _sel(x_ref[:], O_hiT, dn_hh)           # [l, GB·128]
+            xe_parts.append(jnp.sum(R_T * O_loT, axis=0, keepdims=True))
+        xe_all = (xe_parts[0] if len(xe_parts) == 1
+                  else jnp.concatenate(xe_parts, axis=1))
 
     # NOTE (measured, do not repeat): batching the min/max 7-step run scan
     # across all tile_subs as one [ts,128] block made the semiring kernels

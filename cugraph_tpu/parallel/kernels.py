@@ -189,10 +189,11 @@ def build_stacked_spmm_plan(g, orientation: str = "pull", *, transpose=False,
     else:
         w_src = w_dst = 512
 
-    # uniform tile_subs across shards (stacking needs one static shape)
+    # uniform tile_subs across shards (stacking needs one static shape);
+    # SpMM caps at 64 (in-kernel buffers scale with ts×F)
     max_m = max(len(_valid_edges(blocks, i, j)[0])
                 for i in range(pmaj) for j in range(pmin))
-    ts = auto_tile_subs(max(max_m // 128, 1))
+    ts = auto_tile_subs(max(max_m // 128, 1), cap=64)
     plans = []
     for i in range(pmaj):
         for j in range(pmin):
