@@ -397,7 +397,9 @@ def test_bulk_sample_matches_gather_semantics(monkeypatch):
 
 
 def test_tile_subs_variants_match():
-    """tile_subs=16/32 packings must produce identical results to 8."""
+    """tile_subs=16/32/128 packings must produce identical results to 8.
+    128 exercises the VMEM-chunked gather (two 64-subtile one-hot batches
+    per tile — the round-3 path the TPU bench runs)."""
     rng = np.random.default_rng(4)
     n, m = 2000, 15000
     src = rng.integers(0, n, m)
@@ -405,7 +407,7 @@ def test_tile_subs_variants_match():
     w = rng.uniform(0.5, 2.0, m).astype(np.float32)
     x = rng.uniform(-1, 1, ((n + 127) // 128) * 128).astype(np.float32)
     ref = None
-    for ts in (8, 16, 32):
+    for ts in (8, 16, 32, 128):
         plan = build_spmv_plan(src, dst, w, n, tile_subs=ts)
         xp = jnp.asarray(np.pad(x, (0, plan.pad_v - len(x))))
         y = np.asarray(spmv_onehot(plan, xp, interpret=True,
