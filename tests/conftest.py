@@ -11,6 +11,24 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Hundreds of XLA:CPU JIT compiles in one process each mmap code pages; the
+# default vm.max_map_count=65530 ceiling is hit mid-suite (~11k maps/min
+# measured) and manifests as a segfault inside compilation. Raise it when
+# possible; harmless no-op without privileges (the suite then needs splitting).
+def _raise_max_map_count(target=1_000_000):
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        with open(path) as f:
+            if int(f.read()) >= target:
+                return
+        with open(path, "w") as f:
+            f.write(str(target))
+    except (OSError, ValueError):
+        pass
+
+
+_raise_max_map_count()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
