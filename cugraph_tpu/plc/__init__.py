@@ -89,6 +89,13 @@ from cugraph_tpu.plc.algorithms import (
     force_atlas2,
     edge_id_lookup_table,
 )
+from cugraph_tpu.plc import comms  # noqa: F401  (init_subcomms bootstrap)
+from cugraph_tpu.plc import internal_types  # noqa: F401
+from cugraph_tpu.plc.internal_types import (  # noqa: F401
+    SamplingResult,
+    COO,
+    EdgeIdLookupResult,
+)
 
 __version__ = "0.1.0"
 

@@ -15,6 +15,22 @@ import numpy as np
 from cugraph_tpu.plc.graphs import MGGraph, ResourceHandle, SGGraph
 
 
+def _host(x):
+    """Device→host for MG engine outputs, multiprocess-safe.
+
+    Under a multi-process mesh (jax.distributed — the reference's MPI/NCCL
+    rank layout) a mesh-sharded result is not fully addressable and plain
+    np.asarray raises; every rank instead allgathers its shards
+    (multihost_utils, the host-side analog of device_allgatherv)."""
+    import jax
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def _sg(graph) -> "object":
     if isinstance(graph, SGGraph):
         return graph.graph()
@@ -57,7 +73,7 @@ def pagerank(resource_handle, graph, precomputed_vertex_out_weight_vertices=None
         p, err, iters = mg_pagerank(graph.graph(), graph.mesh, alpha=alpha,
                                     tol=epsilon, max_iter=max_iterations)
         n = graph.graph().num_vertices
-        p = np.asarray(p)[:n]
+        p = _host(p)[:n]
         return np.arange(n, dtype=np.int32), p
     G = _sg(graph)
     import pandas as pd

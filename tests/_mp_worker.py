@@ -8,7 +8,11 @@ devices each form one global mesh, the DistGraph is laid out across BOTH
 processes, and mg_pagerank's all_gather / psum_scatter / psum actually cross
 the process boundary.
 
-Usage: python tests/_mp_worker.py <process_id> <num_processes> <port>
+Usage: python tests/_mp_worker.py <process_id> <num_processes> <port> [mode]
+mode "parallel" (default) drives cugraph_tpu.parallel directly;
+mode "plc" bootstraps through plc.comms.cugraph_comms_init (the reference's
+Dask-free DDP-style launch, cugraph_nccl_comms.py:69-182) and runs
+plc.MGGraph + plc.pagerank.
 Prints "MP_OK <checksum>" on success.
 """
 
@@ -18,11 +22,14 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "parallel"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if mode == "plc":
+        return main_plc(pid, nproc, port)
     jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
                                process_id=pid,
                                initialization_timeout=60)
@@ -80,6 +87,52 @@ def main():
 
     print(f"MP_OK {float(np.sum(p_full)):.6f}", flush=True)
     jax.distributed.shutdown()
+
+
+def main_plc(pid, nproc, port):
+    """Rank body for the plc.comms bootstrap path: cugraph_comms_init →
+    init_subcomms 2D grid → plc.MGGraph → plc.pagerank, networkx-checked."""
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cugraph_tpu import plc
+    from cugraph_tpu.plc.comms import (cugraph_comms_init,
+                                       cugraph_comms_get_raft_handle,
+                                       cugraph_comms_shutdown)
+
+    handle = cugraph_comms_init(pid, nproc, f"localhost:{port}",
+                                initialization_timeout=60)
+    assert cugraph_comms_get_raft_handle() is handle
+    assert jax.device_count() == 4 * nproc, jax.devices()
+    assert handle.mesh.devices.size == 4 * nproc
+
+    rng = np.random.default_rng(7)
+    n, m = 200, 1500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    key = np.unique(src[keep] * n + dst[keep])
+    src, dst = (key // n).astype(np.int64), (key % n).astype(np.int64)
+
+    G = plc.MGGraph(handle, plc.GraphProperties(),
+                    src_array=src, dst_array=dst, store_transposed=True)
+    verts, pr = plc.pagerank(handle, G, None, None, None, None,
+                             0.85, 1e-8, 200, False)
+    full = np.zeros(n)
+    full[np.asarray(verts)[:n]] = np.asarray(pr)[:n]
+
+    import networkx as nx
+
+    Gx = nx.DiGraph()
+    Gx.add_nodes_from(range(n))
+    Gx.add_edges_from(zip(src.tolist(), dst.tolist()))
+    ref = nx.pagerank(Gx, alpha=0.85, tol=1e-10)
+    np.testing.assert_allclose(full, [ref[v] for v in range(n)], atol=1e-6)
+
+    print(f"MP_OK {float(np.sum(full)):.6f}", flush=True)
+    cugraph_comms_shutdown()
 
 
 if __name__ == "__main__":

@@ -26,7 +26,8 @@ def _free_port():
     return port
 
 
-def test_two_process_mg_pagerank_bfs():
+@pytest.mark.parametrize("mode", ["parallel", "plc"])
+def test_two_process_mg_pagerank_bfs(mode):
     nproc = 2
     port = _free_port()
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -37,7 +38,7 @@ def test_two_process_mg_pagerank_bfs():
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = ""
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), str(nproc), str(port)],
+        [sys.executable, worker, str(i), str(nproc), str(port), mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(nproc)]
     outs = []
