@@ -1,0 +1,100 @@
+"""Graph500-style BFS benchmark: K search keys, validated, TTEPS means.
+
+Mirrors cpp/tests/traversal/mg_graph500_bfs_test.cu: RMAT graph, 64 random
+search keys with degree >= 1, one BFS per key, the 5-rule parent-tree
+validation after each (testing/graph500.py), and arithmetic + harmonic mean
+TEPS printed at the end (`:481-487,757-764,984-987`).
+
+Usage:
+    python benchmarks/graph500_bfs.py [--scale 18] [--keys 64] [--cpu]
+                                      [--novalidate] [--reps 3]
+
+Timing discipline (CLAUDE.md): each BFS is one jitted dispatch; through the
+tunneled TPU a single wall time carries seconds of variable overhead, so
+each key is re-run ``--reps`` times and the minimum is kept.  Results are
+materialized to host inside the timed region.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=16)
+    ap.add_argument("--edgefactor", type=int, default=16)
+    ap.add_argument("--keys", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--novalidate", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import cugraph_tpu
+    from cugraph_tpu.testing import teps_summary, validate_bfs_tree
+
+    n = 1 << args.scale
+    m = n * args.edgefactor
+    print(f"RMAT scale={args.scale} ({n} vertices, {m} edge tuples)...",
+          file=sys.stderr)
+    df = cugraph_tpu.generate_rmat_edgelist(scale=args.scale,
+                                            num_edges=m, seed=42)
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    # graph500 treats the graph as undirected
+    G = cugraph_tpu.Graph(directed=False)
+    G.from_edgelist(src, dst, None)
+
+    # search keys: sampled among vertices with degree >= 1 (the harness
+    # samples keys then rejects zero-degree ones)
+    rng = np.random.default_rng(7)
+    present = np.unique(np.concatenate([src, dst]))
+    keys = rng.choice(present, size=min(args.keys, len(present)),
+                      replace=False)
+
+    # edge-tuple count per component for the TEPS numerator: graph500
+    # counts input edge tuples with both endpoints in the traversed
+    # component
+    times, traversed = [], []
+    for i, root in enumerate(keys):
+        best = float("inf")
+        out = None
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = cugraph_tpu.bfs(G, int(root))
+            # materialize to host INSIDE the timed region
+            d = out["distance"].to_numpy()
+            best = min(best, time.perf_counter() - t0)
+        verts = out["vertex"].to_numpy()
+        reach = np.zeros(n, bool)
+        reach[verts[d < 2**31 - 1]] = True
+        te = int(np.count_nonzero(reach[src] & reach[dst]))
+        times.append(best)
+        traversed.append(max(te, 1))
+        if not args.novalidate:
+            validate_bfs_tree(src, dst, int(root), d,
+                              out["predecessor"].to_numpy(),
+                              directed=False, vertices=verts)
+        print(f"  key {i:3d} root={int(root):8d} "
+              f"{te/best/1e6:8.1f} MTEPS  ({best*1e3:.1f} ms)",
+              file=sys.stderr)
+
+    s = teps_summary(traversed, times)
+    s.update({"scale": args.scale, "edgefactor": args.edgefactor,
+              "validated": not args.novalidate})
+    print(json.dumps(s))
+
+
+if __name__ == "__main__":
+    main()

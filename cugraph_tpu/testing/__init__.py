@@ -42,6 +42,11 @@ ALL_DATASETS = [dolphins, karate, karate_disjoint, polbooks, netscience,
                 small_line, small_tree, email_Eu_core, toy_graph,
                 toy_graph_undirected]
 
+from cugraph_tpu.testing.graph500 import (  # noqa: E402
+    validate_bfs_tree,
+    teps_summary,
+)
+
 # dataset root (reference testing/utils.py RAPIDS_DATASET_ROOT_DIR): the
 # bundled data directory stands in for the downloaded tarball root
 RAPIDS_DATASET_ROOT_DIR = os.path.join(os.path.dirname(os.path.dirname(
