@@ -158,7 +158,14 @@ def _mg_neighbor_sample_core(
                     edge_ok=None if masks is None else masks[tk],
                     frontier_times=vt, strict=strict,
                     temporal_sampling_comparison=temporal_sampling_comparison)
-                sub = np.asarray(samp)[verts]                    # [F, k]
+                # device-side row gather: only the F frontier rows cross to
+                # the host, not the dense [pad_v, k] panel
+                from cugraph_tpu.parallel.algos import sample_panel_rows
+
+                if temporal:
+                    sub, st_rows = sample_panel_rows(mesh, (samp, st), verts)
+                else:
+                    sub = sample_panel_rows(mesh, samp, verts)   # [F, k]
                 ok = sub >= 0
                 flat = ok.reshape(-1)
                 kk = sub.shape[1]
@@ -169,8 +176,7 @@ def _mg_neighbor_sample_core(
                     "batch_id": np.repeat(bats, kk)[flat],
                 }
                 if temporal:
-                    row["edge_time"] = \
-                        np.asarray(st)[verts].reshape(-1)[flat]
+                    row["edge_time"] = st_rows.reshape(-1)[flat]
                 if tk is not None:
                     row["edge_type"] = np.int32(tk)
                 hop_frames.append(pd.DataFrame(row))
@@ -252,30 +258,41 @@ def _mg_sample_device_path(g, mesh, start_list, fanout_vals, *, seed,
                            biased, with_replacement, prior_sources_behavior,
                            dedupe_sources, return_hops,
                            with_edge_properties, batch_id_list):
-    """Fused device-resident fast path (one kernel, one readback) for the
-    set-semantics GNN case: dedupe_sources + default prior behavior + one
-    batch label.  Output frame identical in shape to the layered path."""
-    from cugraph_tpu.parallel.algos import mg_sample_multihop_device
+    """Fused device-resident fast path for the set-semantics GNN case:
+    dedupe_sources + default prior behavior + one batch label.  The dense
+    [n_hops, pad_v, kmax] panels STAY on device; each hop's frontier is
+    derivable on the host (hop 0 = the unique start list; hop h = the unique
+    sampled destinations of hop h-1 — exactly the kernel's mask-union rule),
+    so only [F_h, k] row gathers ever cross to the host.  Output frame
+    identical to the layered path."""
+    from cugraph_tpu.parallel.algos import (mg_sample_multihop_device,
+                                            sample_panel_rows)
 
-    panels = np.asarray(mg_sample_multihop_device(
+    panels = mg_sample_multihop_device(
         g, mesh, start_list, fanout_vals, seed=seed,
-        with_replacement=with_replacement, biased=biased))
+        with_replacement=with_replacement, biased=biased)
     label = (int(np.asarray(batch_id_list).reshape(-1)[0])
              if batch_id_list is not None and len(np.asarray(
                  batch_id_list).reshape(-1)) else 0)
+    frontier = np.unique(np.asarray(start_list, np.int64))
     frames = []
-    for hop in range(panels.shape[0]):
+    for hop in range(len(list(fanout_vals))):
         k = int(fanout_vals[hop])
-        sub = panels[hop, :, :k]
-        srcs, cols = np.nonzero(sub >= 0)
-        if not len(srcs):
+        if not len(frontier):
             break
+        rows = sample_panel_rows(mesh, panels[hop], frontier)[:, :k]
+        ok = rows >= 0
+        ridx, cols = np.nonzero(ok)
+        if not len(ridx):
+            break
+        dsts = rows[ridx, cols].astype(np.int64)
         frames.append(pd.DataFrame({
-            "sources": srcs.astype(np.int64),
-            "destinations": sub[srcs, cols].astype(np.int64),
+            "sources": frontier[ridx],
+            "destinations": dsts,
             "hop_id": np.int32(hop),
             "batch_id": np.int32(label),
         }))
+        frontier = np.unique(dsts)
     cols_out = ["sources", "destinations", "hop_id", "batch_id"]
     if not frames:
         return pd.DataFrame(columns=[c for c in cols_out
