@@ -10,9 +10,13 @@ Usage:
                                       [--novalidate] [--reps 3]
 
 Timing discipline (CLAUDE.md): each BFS is one jitted dispatch; through the
-tunneled TPU a single wall time carries seconds of variable overhead, so
-each key is re-run ``--reps`` times and the minimum is kept.  Results are
-materialized to host inside the timed region.
+tunneled TPU a single wall time carries seconds of variable overhead, so the
+WHOLE key sweep is repeated ``--reps`` times (consecutive timed calls always
+carry different roots — identical back-to-back calls can return without
+truly waiting in some tunnel states) and the per-key minimum is kept.
+Results are materialized to host inside the timed region.  Per-key
+wall-clock through the tunnel is still upper-bound noisy — treat TPU TTEPS
+from this harness as a floor, and prefer --cpu for relative comparisons.
 """
 
 import argparse
@@ -63,31 +67,40 @@ def main():
     keys = rng.choice(present, size=min(args.keys, len(present)),
                       replace=False)
 
+    if args.reps < 1:
+        ap.error("--reps must be >= 1")
+
     # edge-tuple count per component for the TEPS numerator: graph500
     # counts input edge tuples with both endpoints in the traversed
-    # component
-    times, traversed = [], []
-    for i, root in enumerate(keys):
-        best = float("inf")
-        out = None
-        for _ in range(args.reps):
+    # component.  Sweep ALL keys per rep so consecutive timed calls carry
+    # different roots (CLAUDE.md: never repeat identical timed calls).
+    best = np.full(len(keys), np.inf)
+    outs = [None] * len(keys)
+    for _ in range(args.reps):
+        for i, root in enumerate(keys):
             t0 = time.perf_counter()
             out = cugraph_tpu.bfs(G, int(root))
             # materialize to host INSIDE the timed region
             d = out["distance"].to_numpy()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if dt < best[i]:
+                best[i] = dt
+                outs[i] = (out, d)
+    times, traversed = [], []
+    for i, root in enumerate(keys):
+        out, d = outs[i]
         verts = out["vertex"].to_numpy()
         reach = np.zeros(n, bool)
         reach[verts[d < 2**31 - 1]] = True
         te = int(np.count_nonzero(reach[src] & reach[dst]))
-        times.append(best)
+        times.append(best[i])
         traversed.append(max(te, 1))
         if not args.novalidate:
             validate_bfs_tree(src, dst, int(root), d,
                               out["predecessor"].to_numpy(),
                               directed=False, vertices=verts)
         print(f"  key {i:3d} root={int(root):8d} "
-              f"{te/best/1e6:8.1f} MTEPS  ({best*1e3:.1f} ms)",
+              f"{te/best[i]/1e6:8.1f} MTEPS  ({best[i]*1e3:.1f} ms)",
               file=sys.stderr)
 
     s = teps_summary(traversed, times)

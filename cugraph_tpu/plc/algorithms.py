@@ -111,7 +111,7 @@ def personalized_pagerank(resource_handle, graph, personalization_vertices,
         p, err, iters = mg_pagerank(graph.graph(), graph.mesh, alpha=alpha,
                                     tol=epsilon, max_iter=max_iterations,
                                     personalization=pers)
-        return np.arange(n, dtype=np.int32), np.asarray(p)[:n]
+        return np.arange(n, dtype=np.int32), _host(p)[:n]
     G = _sg(graph)
     pers = pd.DataFrame({"vertex": np.asarray(personalization_vertices),
                          "values": np.asarray(personalization_values)})
@@ -136,8 +136,8 @@ def hits(resource_handle, graph, tol=1e-5, max_iter=100, initial_hubs_guess_vert
         h, a, err, iters = mg_hits(graph.graph(), graph.mesh, tol=tol,
                                    max_iter=max_iter, normalized=normalized,
                                    nstart=nstart)
-        return (np.arange(n, dtype=np.int32), np.asarray(h)[:n],
-                np.asarray(a)[:n])
+        return (np.arange(n, dtype=np.int32), _host(h)[:n],
+                _host(a)[:n])
     kw = {}
     if initial_hubs_guess_vertices is not None:
         import pandas as pd
@@ -166,9 +166,9 @@ def bfs(resource_handle, graph, sources, direction_optimizing=False, depth_limit
         # single OR multi-source: one multi-root traversal (the per-source
         # loop this replaced cost |S| full sweeps; distances are identical)
         dist, pred = mg_bfs(graph.graph(), graph.mesh, srcs, dl)
-        pred = (np.asarray(pred)[:n] if compute_predecessors
+        pred = (_host(pred)[:n] if compute_predecessors
                 else np.full(n, -1, np.int32))
-        return (np.asarray(dist)[:n], pred, np.arange(n, dtype=np.int32))
+        return (_host(dist)[:n], pred, np.arange(n, dtype=np.int32))
     dl = None if depth_limit in (-1, None) else depth_limit
     if len(srcs) > 1:
         # multi-source BFS: one batched panel sweep, distances = per-vertex
@@ -201,8 +201,8 @@ def sssp(resource_handle, graph, source, cutoff=np.inf,
 
         dist, pred = mg_sssp(graph.graph(), graph.mesh, int(source), cutoff)
         n = graph.graph().num_vertices
-        return (np.arange(n, dtype=np.int32), np.asarray(dist)[:n],
-                np.asarray(pred)[:n])
+        return (np.arange(n, dtype=np.int32), _host(dist)[:n],
+                _host(pred)[:n])
     df = ct.sssp(_sg(graph), source=source, cutoff=cutoff).sort_values("vertex")
     pred = (df["predecessor"].to_numpy() if compute_predecessors
             else np.full(len(df), -1, np.int64))
@@ -224,7 +224,7 @@ def katz_centrality(resource_handle, graph, betas=None, alpha=0.1, beta=1.0,
                                         beta=beta, tol=epsilon,
                                         max_iter=max_iterations)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), np.asarray(c)[:n]
+        return np.arange(n, dtype=np.int32), _host(c)[:n]
     G = _sg(graph)
     if betas is not None:
         # betas align with the wrapper's output order (vertices sorted by
@@ -250,7 +250,7 @@ def eigenvector_centrality(resource_handle, graph, epsilon=1e-6,
         c, err, iters = mg_eigenvector_centrality(
             graph.graph(), graph.mesh, tol=epsilon, max_iter=max_iterations)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), np.asarray(c)[:n]
+        return np.arange(n, dtype=np.int32), _host(c)[:n]
     df = ct.eigenvector_centrality(_sg(graph), tol=epsilon,
                                    max_iter=max_iterations)
     return _vert_df(df.sort_values("vertex"), ["eigenvector_centrality"])
@@ -269,7 +269,7 @@ def betweenness_centrality(resource_handle, graph, k=None, random_state=None,
                                        seed=_seed(random_state),
                                        endpoints=include_endpoints)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), bc[:n]
+        return np.arange(n, dtype=np.int32), _host(bc)[:n]
     df = ct.betweenness_centrality(_sg(graph), k=k, normalized=normalized,
                                    endpoints=include_endpoints,
                                    seed=random_state)
@@ -308,7 +308,7 @@ def louvain(resource_handle, graph, max_level=100, threshold=1e-7,
                                  max_level=max_level, resolution=resolution,
                                  threshold=threshold)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), labels, float(mod)
+        return np.arange(n, dtype=np.int32), _host(labels), float(mod)
     parts, mod = ct.louvain(_sg(graph), max_level=max_level,
                             threshold=threshold, resolution=resolution)
     parts = parts.sort_values("vertex")
@@ -333,7 +333,7 @@ def leiden(resource_handle, random_state=None, graph=None, max_level=100,
         labels, mod = mg_leiden(graph.graph(), graph.mesh,
                                 max_level=max_level, resolution=resolution)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), labels, float(mod)
+        return np.arange(n, dtype=np.int32), _host(labels), float(mod)
     parts, mod = ct.leiden(_sg(graph), max_iter=max_level, resolution=resolution,
                            random_state=random_state, theta=theta)
     parts = parts.sort_values("vertex")
@@ -359,7 +359,7 @@ def ecg(resource_handle, random_state=None, graph=None, min_weight=0.0001,
                              max_level=max_level, threshold=threshold,
                              resolution=resolution, seed=_seed(random_state))
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), np.asarray(labels)[:n]
+        return np.arange(n, dtype=np.int32), _host(labels)[:n]
     parts = ct.ecg(_sg(graph), min_weight=min_weight,
                    ensemble_size=ensemble_size)
     if isinstance(parts, tuple):
@@ -378,7 +378,7 @@ def triangle_count(resource_handle, graph, start_list=None,
         t = mg_triangle_count(graph.graph(), graph.mesh)
         n = graph.graph().num_vertices
         verts = np.arange(n, dtype=np.int32)
-        t = np.asarray(t)[:n]
+        t = _host(t)[:n]
         if start_list is not None:
             sel = np.asarray(start_list).reshape(-1)
             return verts[sel], t[sel]
@@ -485,7 +485,7 @@ def core_number(resource_handle, graph, degree_type="bidirectional",
 
         core = mg_core_number(graph.graph(), graph.mesh, degree_type=degree_type)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), np.asarray(core)[:n]
+        return np.arange(n, dtype=np.int32), _host(core)[:n]
     df = ct.core_number(_sg(graph), degree_type=degree_type).sort_values("vertex")
     return df["vertex"].to_numpy(), df["core_number"].to_numpy()
 
@@ -544,7 +544,7 @@ def weakly_connected_components(resource_handle, graph, offsets=None,
 
         lab = mg_wcc(graph.graph(), graph.mesh)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), np.asarray(lab)[:n]
+        return np.arange(n, dtype=np.int32), _host(lab)[:n]
     df = ct.weakly_connected_components(_sg(graph)).sort_values("vertex")
     return df["vertex"].to_numpy(), df["labels"].to_numpy()
 
@@ -561,7 +561,7 @@ def strongly_connected_components(resource_handle, graph, offsets=None,
 
         lab = mg_strongly_connected_components(graph.graph(), graph.mesh)
         n = graph.graph().num_vertices
-        return np.arange(n, dtype=np.int32), lab[:n]
+        return np.arange(n, dtype=np.int32), _host(lab)[:n]
     df = ct.strongly_connected_components(_sg(graph)).sort_values("vertex")
     return df["vertex"].to_numpy(), df["labels"].to_numpy()
 

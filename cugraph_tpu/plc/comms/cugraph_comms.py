@@ -38,12 +38,32 @@ def _get_2D_div(ndevices):
     return prows, int(ndevices / prows)
 
 
-def cugraph_comms_create_unique_id():
-    """Coordinator address for rank 0 to broadcast (the NCCL-uid analog)."""
+def _primary_ip():
+    """Best-effort address other hosts can reach this one at (falls back to
+    loopback on an isolated box).  The UDP connect never sends a packet —
+    it only asks the kernel which interface would route out."""
+    try:
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+            s.connect(("10.255.255.255", 1))
+            return s.getsockname()[0]
+    except OSError:
+        return "127.0.0.1"
+
+
+def cugraph_comms_create_unique_id(host=None):
+    """Coordinator address for rank 0 to broadcast (the NCCL-uid analog).
+
+    Must be called ON the rank-0 host: the address carries that host's
+    reachable IP (NCCL's unique id works cross-machine; a loopback address
+    would strand remote ranks).  Pass ``host=`` to pin a specific interface.
+    The port is picked free-at-probe-time; as with any probe-then-bind
+    scheme it can race with other services — rank 0's
+    jax.distributed.initialize fails fast if it was taken."""
+    host = host or _primary_ip()
     with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
-        s.bind(("127.0.0.1", 0))
+        s.bind(("0.0.0.0", 0))
         port = s.getsockname()[1]
-    return f"127.0.0.1:{port}"
+    return f"{host}:{port}"
 
 
 def cugraph_comms_init(rank, world_size, uid=None, device=0, **init_kwargs):
@@ -74,8 +94,11 @@ def cugraph_comms_init(rank, world_size, uid=None, device=0, **init_kwargs):
     from cugraph_tpu.plc.comms.comms_wrapper import init_subcomms
 
     handle = ResourceHandle()
-    pcols, _ = _get_2D_div(len(jax.devices()))
-    init_subcomms(handle, pcols)
+    # row_comm_size = the FIRST element of the div (the reference's own
+    # cugraph_nccl_comms.py:179 binds it as `pcols, _` despite __get_2D_div
+    # documenting a (prows, pcols) return — we keep the value, not the name)
+    row_comm_size, _ = _get_2D_div(len(jax.devices()))
+    init_subcomms(handle, row_comm_size)
     _raft_handle = handle
     return handle
 
