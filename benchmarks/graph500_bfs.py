@@ -1,9 +1,11 @@
-"""Graph500-style BFS benchmark: K search keys, validated, TTEPS means.
+"""Graph500-style BFS/SSSP benchmark: K search keys, validated, TTEPS means.
 
-Mirrors cpp/tests/traversal/mg_graph500_bfs_test.cu: RMAT graph, 64 random
-search keys with degree >= 1, one BFS per key, the 5-rule parent-tree
+Mirrors cpp/tests/traversal/mg_graph500_{bfs,sssp}_test.cu: RMAT graph, 64
+random search keys with degree >= 1, one traversal per key, the parent-tree
 validation after each (testing/graph500.py), and arithmetic + harmonic mean
-TEPS printed at the end (`:481-487,757-764,984-987`).
+TEPS printed at the end (`:481-487,757-764,984-987`).  --algo sssp draws
+uniform (0, 1] edge weights like the sssp harness and runs the weighted
+6-rule validation.
 
 Usage:
     python benchmarks/graph500_bfs.py [--scale 18] [--keys 64] [--cpu]
@@ -35,6 +37,7 @@ def main():
     ap.add_argument("--scale", type=int, default=16)
     ap.add_argument("--edgefactor", type=int, default=16)
     ap.add_argument("--keys", type=int, default=64)
+    ap.add_argument("--algo", choices=["bfs", "sssp"], default="bfs")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--novalidate", action="store_true")
@@ -46,7 +49,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import cugraph_tpu
-    from cugraph_tpu.testing import teps_summary, validate_bfs_tree
+    from cugraph_tpu.testing import (teps_summary, validate_bfs_tree,
+                                     validate_sssp_tree)
 
     n = 1 << args.scale
     m = n * args.edgefactor
@@ -56,9 +60,14 @@ def main():
                                             num_edges=m, seed=42)
     src = df["src"].to_numpy()
     dst = df["dst"].to_numpy()
-    # graph500 treats the graph as undirected
+    # graph500 treats the graph as undirected; sssp draws uniform (0, 1]
+    # weights (mg_graph500_sssp_test.cu generates uniform random weights)
+    w = None
+    if args.algo == "sssp":
+        w = (1.0 - np.random.default_rng(11).random(len(src))).astype(
+            np.float32)
     G = cugraph_tpu.Graph(directed=False)
-    G.from_edgelist(src, dst, None)
+    G.from_edgelist(src, dst, w)
 
     # search keys: sampled among vertices with degree >= 1 (the harness
     # samples keys then rejects zero-degree ones)
@@ -79,7 +88,8 @@ def main():
     for _ in range(args.reps):
         for i, root in enumerate(keys):
             t0 = time.perf_counter()
-            out = cugraph_tpu.bfs(G, int(root))
+            out = (cugraph_tpu.bfs(G, int(root)) if args.algo == "bfs"
+                   else cugraph_tpu.sssp(G, int(root)))
             # materialize to host INSIDE the timed region
             d = out["distance"].to_numpy()
             dt = time.perf_counter() - t0
@@ -90,21 +100,29 @@ def main():
     for i, root in enumerate(keys):
         out, d = outs[i]
         verts = out["vertex"].to_numpy()
+        unreached = (2**31 - 1 if args.algo == "bfs"
+                     else np.float32(np.finfo(np.float32).max))
         reach = np.zeros(n, bool)
-        reach[verts[d < 2**31 - 1]] = True
+        reach[verts[d < unreached]] = True
         te = int(np.count_nonzero(reach[src] & reach[dst]))
         times.append(best[i])
         traversed.append(max(te, 1))
         if not args.novalidate:
-            validate_bfs_tree(src, dst, int(root), d,
-                              out["predecessor"].to_numpy(),
-                              directed=False, vertices=verts)
+            if args.algo == "bfs":
+                validate_bfs_tree(src, dst, int(root), d,
+                                  out["predecessor"].to_numpy(),
+                                  directed=False, vertices=verts)
+            else:
+                validate_sssp_tree(src, dst, w, int(root), d,
+                                   out["predecessor"].to_numpy(),
+                                   directed=False, vertices=verts)
         print(f"  key {i:3d} root={int(root):8d} "
               f"{te/best[i]/1e6:8.1f} MTEPS  ({best[i]*1e3:.1f} ms)",
               file=sys.stderr)
 
     s = teps_summary(traversed, times)
-    s.update({"scale": args.scale, "edgefactor": args.edgefactor,
+    s.update({"algo": args.algo, "scale": args.scale,
+              "edgefactor": args.edgefactor,
               "validated": not args.novalidate})
     print(json.dumps(s))
 

@@ -172,6 +172,27 @@ def _bfs_kernel_diropt(g: GraphStructure, plan, source: jax.Array,
     return dist, pred
 
 
+@partial(jax.jit, static_argnames=("unit", "atol", "rtol", "interpret"))
+def _pred_recover_device(plan, x, unit: bool, atol: float, rtol: float,
+                         interpret: bool = False):
+    """Device-side predecessor recovery: ONE eqsel_rel semiring pass gives
+    pred[v] = max in-neighbor u with x[u] + w(u,v) ≈ x[v] (the same
+    max-id-parent convention as the sparse path's .at[].max and the host
+    engines).  Replaces the O(E) host pass (~0.7 s at RMAT-20) with a
+    ~split3 SpMV (~tens of ms) — the parent-tree half of graph500's timed
+    region.  ``unit=True`` rides unit weights (BFS: x[u] + 1 == x[v])."""
+    import dataclasses
+
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    if unit:
+        plan = dataclasses.replace(
+            plan, weight=jnp.where(jnp.isnan(plan.weight), jnp.nan, 1.0))
+    return spmv_onehot(plan, x.astype(jnp.float32), reduce="max",
+                       combine="eqsel_rel", precision="split3",
+                       eq_atol=atol, eq_rtol=rtol, interpret=interpret)
+
+
 def _bfs_pred_host(G, dist: np.ndarray, pred: np.ndarray, source: int,
                    n: int) -> np.ndarray:
     """Fill predecessors the dense sweep left at -1: any in-neighbor u with
@@ -213,18 +234,31 @@ def bfs(G, start=None, depth_limit=None, source=None, return_distances=True,
     s = int(normalize_start(G, start)[0])
     n = G.number_of_vertices()
     dl = int(depth_limit) if depth_limit is not None else n
+    from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG, SpmvPlan
+
+    device_pred = None
     if use_pallas(G):
         plan = get_pull_plan(G)
         dist, pred = _bfs_kernel_diropt(G.structure, plan, jnp.int32(s), dl,
                                         n, True)
+        if (return_predecessors and isinstance(plan, SpmvPlan)
+                and plan.pad_v < (1 << 24)):
+            # unit-weight relaxation equality: dist[u] + 1 == dist[v]
+            # (integer levels — exact in f32, atol only guards the split
+            # reconstruction of the BIG unreached sentinel)
+            device_pred = _pred_recover_device(plan, dist, True, 0.25, 0.0)
     else:
         dist, pred = _bfs_kernel_diropt(G.structure, None, jnp.int32(s), dl,
                                         n, False)
     dist = np.asarray(dist)[:n]
-    pred = np.asarray(pred)[:n]
     if not return_predecessors:  # reference keeps the column, skips compute
-        pred = np.full(n, -1, pred.dtype)
+        pred = np.full(n, -1, np.int64)
+    elif device_pred is not None:
+        y = np.asarray(device_pred)[:n]
+        good = (dist > 0) & (dist < INT32_INF) & (y > -SEMIRING_BIG / 2)
+        pred = np.where(good, y, -1).astype(np.int64)
     else:
+        pred = np.asarray(pred)[:n]
         pred = _bfs_pred_host(G, dist, pred, s, n)
     return pd.DataFrame({
         "distance": dist,
@@ -367,13 +401,15 @@ def _sssp_pred_host(G, dist32: np.ndarray, source: int, n: int) -> np.ndarray:
     """Predecessors from converged f32 distances, vectorized on host: any
     in-neighbor u with dist[u] + w ≈ dist[v].  The kernel's split-bf16
     selection reconstructs values to ~2^-17 relative, so matching uses a
-    small relative tolerance rather than exact equality."""
+    small relative tolerance rather than exact equality — tight enough
+    (2e-5 covers 2^-17 with ~2.5x margin) that every accepted parent also
+    passes the graph500 validator's 1e-5/1e-4 rule-3 check."""
     src, dst, w = G.edgelist_arrays()
     w = np.ones(len(src), np.float32) if w is None else w.astype(np.float32)
     ds = dist32[src]
     dd = dist32[dst]
     reach_e = (ds < F32_INF / 2) & (dd < F32_INF / 2)
-    tol = 1e-4 * np.maximum(1.0, np.abs(dd))
+    tol = 1e-6 + 2e-5 * np.abs(dd)
     match = reach_e & (np.abs(ds + w - dd) <= tol)
     pred = np.full(n, -1, np.int64)
     np.maximum.at(pred, dst[match], src[match])
@@ -410,16 +446,37 @@ def sssp(G, source=None, method=None, directed=None,
             raise ValueError("sssp requires non-negative weights")
     from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
 
+    from cugraph_tpu.kernels.spmv_onehot import SpmvPlan
+
     delta = jnp.float32(_sssp_delta(G))
+    device_pred = None
     if use_pallas(G):
         plan = get_pull_plan(G)
-        d32 = np.asarray(_sssp_kernel_nearfar(G.structure, plan, jnp.int32(s),
-                                              delta, n, True))
+        ddev = _sssp_kernel_nearfar(G.structure, plan, jnp.int32(s),
+                                    delta, n, True)
+        if isinstance(plan, SpmvPlan) and plan.pad_v < (1 << 24):
+            # dist[u] + w ≈ dist[v]: the converged fixpoint's residual is
+            # only the forward sweep's split-gather error (~2^-17 relative),
+            # so 2e-5 rtol finds the true parent with margin — and stays a
+            # STRICT subset of the graph500 validator's 1e-5/1e-4 acceptance
+            # (a looser recovery tol can argmax onto a near-parent that the
+            # validator then rejects — observed at RMAT-18 with 1e-4/1e-4)
+            device_pred = _pred_recover_device(plan, ddev, False, 1e-6, 2e-5)
+        d32 = np.asarray(ddev)
     else:
         d32 = np.asarray(_sssp_kernel_nearfar(G.structure, None, jnp.int32(s),
                                               delta, n, False))
     dist32 = np.where(d32 >= SEMIRING_BIG / 2, F32_INF, d32).astype(np.float32)
-    pred = _sssp_pred_host(G, dist32, s, n)
+    if device_pred is not None:
+        y = np.asarray(device_pred)[:n]
+        reached = dist32[:n] < F32_INF / 2
+        good = reached & (np.arange(n) != s) & (y > -SEMIRING_BIG / 2)
+        pred = np.where(good, y, -1).astype(np.int64)
+        if np.any(reached & (np.arange(n) != s) & ~good):
+            # rare tolerance stragglers: fall back to the host matcher
+            pred = _sssp_pred_host(G, dist32, s, n)
+    else:
+        pred = _sssp_pred_host(G, dist32, s, n)
     dist = dist32[:n].astype(np.float64)
     if cutoff is not None:
         over = dist > cutoff

@@ -395,11 +395,16 @@ def build_spmv_plan(src, dst, weight, num_vertices: int,
     )
 
 
-def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
-            *, precision, reduce, combine, src_win=SRC_WIN, dst_win=DST_WIN,
-            gather="src", tile_subs=8):
+def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, *refs,
+            precision, reduce, combine, src_win=SRC_WIN, dst_win=DST_WIN,
+            gather="src", tile_subs=8, eq_atol=0.0, eq_rtol=0.0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    # combine="eqsel_rel" takes a SECOND x operand blocked like y (the
+    # reduce-endpoint view); everything else has just the y_ref tail
+    y_ref = refs[-1]
+    xd_ref = refs[0] if len(refs) > 1 else None
 
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
@@ -521,6 +526,21 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
             src_abs = (xwin_ref[i] * src_win
                        + src_ref[j:j + 1, :]).astype(jnp.float32)
             v_row = jnp.where(valid & (xe == w_raw), src_abs, -BIG)
+        elif combine == "eqsel_rel":
+            # relaxation-equality parent recovery (BFS/SSSP predecessors):
+            # where x[src] + w (within eq_atol + eq_rtol·|x[dst]| — the
+            # forward sweeps run split precision, ~2^-17 relative) meets the
+            # reduce-endpoint x[dst], the value is the edge's absolute source
+            # id.  Both gathers are exact selections under split3/highest.
+            xds = xd_ref[pl.ds(off, dw_rows), :]
+            R_Dx = _sel(xds, D_hiT if not split else D_hiT.astype(odt), dn_hh)
+            xd = jnp.sum(R_Dx * D_loT.astype(jnp.float32), axis=0,
+                         keepdims=True)
+            src_abs = (xwin_ref[i] * src_win
+                       + src_ref[j:j + 1, :]).astype(jnp.float32)
+            diff = jnp.abs(xe + jnp.where(valid, w_raw, 0.0) - xd)
+            tol = jnp.float32(eq_atol) + jnp.float32(eq_rtol) * jnp.abs(xd)
+            v_row = jnp.where(valid & (diff <= tol), src_abs, -BIG)
         else:  # "left": edge value is just the gathered src value
             v_row = xe
 
@@ -561,10 +581,12 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, y_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision",
-                                             "reduce", "combine", "gather"))
+                                             "reduce", "combine", "gather",
+                                             "eq_atol", "eq_rtol"))
 def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
                 precision: str = "highest", reduce: str = "sum",
-                combine: str = "mul", gather: str = "src"):
+                combine: str = "mul", gather: str = "src",
+                eq_atol: float = 0.0, eq_rtol: float = 0.0):
     """Semiring SpMV: y[dst] = REDUCE_{(src,dst)} COMBINE(x[src], w).
 
     x: [pad_v] f32 (pad_v = plan.n_rows·128).  Returns y with the same shape.
@@ -584,9 +606,13 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if combine == "eqsel" and precision not in ("highest", "split3"):
+    if combine in ("eqsel", "eqsel_rel") and precision not in ("highest",
+                                                               "split3"):
         raise ValueError("eqsel needs a BIT-exact selection precision "
                          "('highest' or 'split3'); 'split' is ~16-bit")
+    if combine == "eqsel_rel" and gather != "src":
+        raise ValueError("eqsel_rel gathers x at BOTH endpoints and "
+                         "requires gather='src' (the dst view is implicit)")
     interpret = interpret or _interpret_forced()
     n_rows, yb = plan.n_rows, plan.yb_rows
     yb_pad_rows = plan.n_yblocks * yb
@@ -610,26 +636,35 @@ def spmv_onehot(plan: SpmvPlan, x: jax.Array, *, interpret: bool = False,
                               lambda i, xw, yb_: (xw[i], 0))
 
     ts = plan.tile_subs
+    in_specs = [
+        pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
+        pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
+        pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
+        x_spec,
+    ]
+    operands = [plan.src_rel, plan.dst_full, plan.weight, x2]
+    if combine == "eqsel_rel":
+        # second view of x, blocked like y (the reduce-endpoint side)
+        xd2 = x.reshape(-1, 128)
+        if xd2.shape[0] < yb_pad_rows:
+            xd2 = jnp.pad(xd2, ((0, yb_pad_rows - xd2.shape[0]), (0, 0)))
+        in_specs.append(pl.BlockSpec((yb, 128), lambda i, xw, yb_: (yb_[i], 0)))
+        operands.append(xd2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(plan.num_tiles,),
-        in_specs=[
-            pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
-            pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
-            pl.BlockSpec((ts, 128), lambda i, xw, yb_: (i, 0)),
-            x_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((yb, 128), lambda i, xw, yb_: (yb_[i], 0)),
     )
     y = pl.pallas_call(
         functools.partial(_kernel, precision=precision, reduce=reduce,
                           combine=combine, src_win=plan.src_win,
                           dst_win=plan.dst_win, gather=gather,
-                          tile_subs=ts),
+                          tile_subs=ts, eq_atol=eq_atol, eq_rtol=eq_rtol),
         out_shape=jax.ShapeDtypeStruct((yb_pad_rows, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(plan.xwin_blk, plan.yblk, plan.src_rel, plan.dst_full, plan.weight, x2)
+    )(plan.xwin_blk, plan.yblk, *operands)
     return y.reshape(-1)[: n_rows * 128]
 
 

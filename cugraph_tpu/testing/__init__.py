@@ -44,6 +44,7 @@ ALL_DATASETS = [dolphins, karate, karate_disjoint, polbooks, netscience,
 
 from cugraph_tpu.testing.graph500 import (  # noqa: E402
     validate_bfs_tree,
+    validate_sssp_tree,
     teps_summary,
 )
 

@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 import cugraph_tpu
-from cugraph_tpu.testing import teps_summary, validate_bfs_tree
+from cugraph_tpu.testing import (teps_summary, validate_bfs_tree,
+                                 validate_sssp_tree)
 
 
 def _random_graph(n, m, seed, directed):
@@ -111,6 +112,74 @@ def test_mg_bfs_output_validates():
     p = np.asarray(p)[:n].astype(np.int64)
     d = np.where(d >= np.iinfo(np.int32).max, 2**31 - 1, d)
     assert validate_bfs_tree(src, dst, root, d, p, directed=True)
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_sssp_output_validates(directed):
+    n = 300
+    src, dst = _random_graph(n, 1500, 13, directed)
+    w = (1.0 - np.random.default_rng(4).random(len(src))).astype(np.float32)
+    G = cugraph_tpu.Graph(directed=directed)
+    G.from_edgelist(src, dst, w)
+    root = int(src[0])
+    df = cugraph_tpu.sssp(G, root).sort_values("vertex")
+    assert validate_sssp_tree(src, dst, w, root, df["distance"].to_numpy(),
+                              df["predecessor"].to_numpy(), directed=directed,
+                              vertices=df["vertex"].to_numpy())
+
+
+def test_sssp_validator_catches_corruptions():
+    n = 200
+    src, dst = _random_graph(n, 1200, 9, False)
+    w = (1.0 - np.random.default_rng(6).random(len(src))).astype(np.float32)
+    G = cugraph_tpu.Graph()
+    G.from_edgelist(src, dst, w)
+    root = int(src[0])
+    df = cugraph_tpu.sssp(G, root).sort_values("vertex")
+    verts = df["vertex"].to_numpy()
+    dist = df["distance"].to_numpy().copy()
+    pred = df["predecessor"].to_numpy().copy()
+    fmax = np.finfo(np.float32).max
+    reached = np.flatnonzero((dist < fmax) & (verts != root))
+
+    # rule 3: distance(v) != distance(parent) + w
+    bad = dist.copy()
+    bad[reached[0]] += 5.0
+    with pytest.raises(AssertionError, match="distance"):
+        validate_sssp_tree(src, dst, w, root, bad, pred, vertices=verts)
+
+    # rule 6: fabricated parent that is not an edge
+    i = int(reached[0])
+    v = int(verts[i])
+    nbrs = set(dst[src == v]) | set(src[dst == v])
+    non_nbr = next(u for u in range(n) if u not in nbrs and u != v)
+    bad_pred = pred.copy()
+    bad_pred[i] = non_nbr
+    with pytest.raises(AssertionError):
+        validate_sssp_tree(src, dst, w, root, dist, bad_pred, vertices=verts)
+
+    # rule 2: a 2-cycle in the parent pointers backtraces nowhere
+    a, b = None, None
+    pos = {int(vv): k for k, vv in enumerate(verts)}
+    for k in reached[1:]:
+        pk = int(pred[k])
+        if pk != root and pred[pos[pk]] != -1:
+            a, b = int(k), pos[pk]
+            break
+    if a is not None:
+        bad_pred = pred.copy()
+        bad_dist = dist.copy()
+        bad_pred[b] = int(verts[a])
+        bad_dist[a] = bad_dist[b]  # keep rule-3 plausible for zero-w chains
+        with pytest.raises(AssertionError):
+            validate_sssp_tree(src, dst, w, root, bad_dist, bad_pred,
+                               vertices=verts)
+
+    # rule 4: an edge that would relax further
+    bad = dist.copy()
+    bad[reached[-1]] = dist.max() * 3 + 7
+    with pytest.raises(AssertionError):
+        validate_sssp_tree(src, dst, w, root, bad, pred, vertices=verts)
 
 
 def test_teps_summary():

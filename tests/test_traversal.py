@@ -134,3 +134,47 @@ def test_bfs_sssp_legacy_params():
     assert (a["distance"].to_numpy() == b["distance"].to_numpy()).all()
     with pytest.raises(ValueError):
         ctpu.sssp(G)
+
+
+def test_device_pred_recovery_interpret(monkeypatch):
+    """bfs/sssp on the Pallas route recover predecessors with ONE device
+    eqsel_rel pass (traversal._pred_recover_device) instead of the host
+    O(E) matcher — distances must match the XLA route exactly and the
+    parent trees must pass the graph500 validators."""
+    from cugraph_tpu.testing import validate_bfs_tree, validate_sssp_tree
+
+    rng = np.random.default_rng(17)
+    n, m = 500, 3500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    key = np.unique(src[keep] * n + dst[keep])
+    src, dst = (key // n).astype(np.int64), (key % n).astype(np.int64)
+    w = (0.25 + rng.random(len(src))).astype(np.float32)
+
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, w)
+    root = int(src[0])
+    bfs_xla = ctpu.bfs(G, root).sort_values("vertex")
+    sssp_xla = ctpu.sssp(G, root).sort_values("vertex")
+
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    G2 = ctpu.Graph(directed=True)
+    G2.from_edgelist(src, dst, w)
+    bfs_dev = ctpu.bfs(G2, root).sort_values("vertex")
+    sssp_dev = ctpu.sssp(G2, root).sort_values("vertex")
+
+    np.testing.assert_array_equal(bfs_dev["distance"].to_numpy(),
+                                  bfs_xla["distance"].to_numpy())
+    np.testing.assert_allclose(sssp_dev["distance"].to_numpy(),
+                               sssp_xla["distance"].to_numpy(), rtol=1e-5)
+    validate_bfs_tree(src, dst, root, bfs_dev["distance"].to_numpy(),
+                      bfs_dev["predecessor"].to_numpy(), directed=True,
+                      vertices=bfs_dev["vertex"].to_numpy())
+    validate_sssp_tree(src, dst, w, root, sssp_dev["distance"].to_numpy(),
+                       sssp_dev["predecessor"].to_numpy(), directed=True,
+                       vertices=sssp_dev["vertex"].to_numpy())
+    # same max-id-parent convention as the host matcher on the BFS side
+    np.testing.assert_array_equal(bfs_dev["predecessor"].to_numpy(),
+                                  bfs_xla["predecessor"].to_numpy())
