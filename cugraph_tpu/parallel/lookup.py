@@ -1,0 +1,105 @@
+"""Distributed edge (id, type) → (src, dst) lookup container.
+
+Reference: cpp/src/lookup/lookup_src_dst_mg.cu + lookup_src_dst_impl.cuh —
+the MG build shuffles (edge_id, type, src, dst) tuples to hash owners
+(edge_id % P) and lookups shuffle query ids to the same owners, resolve in
+the per-owner cuco map, and shuffle endpoints back.
+
+TPU-native replacement: per-owner SORTED key tables (no hash map — SURVEY.md
+§7 kv-lookup stance) and the `_Router` request/reply all_to_all exchange from
+parallel/construct.py for both the build-time shuffle and each query.  The
+exchanges run real jax collectives over the mesh; in-process, owner tables
+are host NumPy per device slot (same residency model as DistNumberMap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cugraph_tpu.parallel.construct import _Router
+
+
+class MGEdgeIdLookupTable:
+    """MG analog of algos.lookup.EdgeIdLookupTable (lookup_src_dst_mg.cu).
+
+    Built from a plc.MGGraph carrying edge ids: the (key=(type, id), src,
+    dst) tuples are routed to their id-hash owner device with one all_to_all
+    exchange, each owner keeps a sorted key table, and every lookup runs the
+    request/reply exchange pair (queries to owners, endpoints back).
+    """
+
+    def __init__(self, mg_graph):
+        if getattr(mg_graph, "edge_ids", None) is None:
+            raise ValueError("graph has no edge_id property")
+        mesh = mg_graph.mesh
+        self.mesh = mesh
+        self.P = mesh.devices.size
+        eid = np.asarray(mg_graph.edge_ids, np.int64)
+        src, dst = mg_graph.edge_endpoints_external()
+        etp = (np.zeros(len(eid), np.int32)
+               if getattr(mg_graph, "edge_types", None) is None
+               else np.asarray(mg_graph.edge_types, np.int32))
+        self._id_base = int(eid.max()) + 1 if len(eid) else 1
+        key = etp.astype(np.int64) * self._id_base + eid
+
+        # build-time shuffle: split the tuples across device slots (each
+        # slot plays one process's local edges) and route every tuple to its
+        # id-hash owner via the all_to_all router
+        parts = np.array_split(np.arange(len(eid)), self.P)
+        owners = [((eid[p] % self.P + self.P) % self.P) for p in parts]
+        router = _Router(mesh, owners)
+        kx, sx, dx = router.exchange(
+            ([key[p] for p in parts], np.int64),
+            ([np.asarray(src, np.int64)[p] for p in parts], np.int64),
+            ([np.asarray(dst, np.int64)[p] for p in parts], np.int64))
+        self.tables = []
+        karr = router.gather_arrivals(kx)
+        sarr = router.gather_arrivals(sx)
+        darr = router.gather_arrivals(dx)
+        for d in range(self.P):
+            k, s, t = karr[d], sarr[d], darr[d]
+            order = np.argsort(k, kind="stable")
+            self.tables.append((k[order], s[order], t[order]))
+
+    def lookup_vertex_ids(self, edge_ids, edge_type=0) -> pd.DataFrame:
+        """DataFrame ['edge_id', 'src', 'dst']; missing ids get -1 endpoints
+        (the C API's not-found convention) — same frame the SG container
+        returns, so SG↔MG parity is a frame comparison."""
+        edge_ids = np.asarray(edge_ids, np.int64)
+        in_range = (edge_ids >= 0) & (edge_ids < self._id_base)
+        safe = np.where(in_range, edge_ids, 0)
+        qkey = np.int64(edge_type) * self._id_base + safe
+
+        # request/reply: queries split across device slots, routed to owners
+        parts = np.array_split(np.arange(len(edge_ids)), self.P)
+        owners = [((safe[p] % self.P + self.P) % self.P) for p in parts]
+        router = _Router(self.mesh, owners)
+        (qx,) = router.exchange(([qkey[p] for p in parts], np.int64))
+        reply_s, reply_d = [], []
+        for d in range(self.P):
+            keys, s, t = self.tables[d]
+            blk = qx[d]                       # [P, cap] per-sender queries
+            if len(keys):
+                pos = np.clip(np.searchsorted(keys, blk), 0, len(keys) - 1)
+                hit = keys[pos] == blk
+                reply_s.append(np.where(hit, s[pos], -1))
+                reply_d.append(np.where(hit, t[pos], -1))
+            else:
+                reply_s.append(np.full_like(blk, -1))
+                reply_d.append(np.full_like(blk, -1))
+        rs = router.reply(reply_s, np.int64)
+        rd = router.reply(reply_d, np.int64)
+        out_s = np.empty(len(edge_ids), np.int64)
+        out_d = np.empty(len(edge_ids), np.int64)
+        for p, s, t in zip(parts, rs, rd):
+            out_s[p] = s
+            out_d[p] = t
+        out_s[~in_range] = -1
+        out_d[~in_range] = -1
+        return pd.DataFrame({"edge_id": edge_ids, "src": out_s,
+                             "dst": out_d})
+
+
+def mg_edge_id_lookup_table(mg_graph) -> MGEdgeIdLookupTable:
+    return MGEdgeIdLookupTable(mg_graph)

@@ -1297,8 +1297,15 @@ def force_atlas2(resource_handle, graph, max_iter=500, **kw):
 
 
 def edge_id_lookup_table(resource_handle, graph):
+    """pylibcugraph.EdgeIdLookupTable (edge_id_lookup_table.pyx:49).  MG
+    graphs get the distributed id-hash-sharded container
+    (lookup/lookup_src_dst_mg.cu analog, parallel/lookup.py)."""
     import cugraph_tpu as ct
 
+    if isinstance(graph, MGGraph):
+        from cugraph_tpu.parallel.lookup import MGEdgeIdLookupTable
+
+        return MGEdgeIdLookupTable(graph)
     return ct.edge_id_lookup_table(_sg(graph))
 
 

@@ -157,9 +157,16 @@ class MGGraph:
         # (the reference returns them via gather_sampled_properties.cuh)
         self.edge_ids = (None if edge_id_array is None
                          else np.asarray(edge_id_array))
+        self.edge_types = (None if edge_type_array is None
+                           else np.asarray(edge_type_array))
         self._edge_id_table = self._build_edge_id_table(
             np.asarray(src, np.int64), np.asarray(dst, np.int64),
             self.edge_ids, g.pad_v, symmetrize=bool(symmetrize))
+        # endpoint arrays (output id space) for the MG lookup container —
+        # kept only when ids exist, same O(E) host residency as edge_ids
+        self._edge_endpoints = (
+            None if self.edge_ids is None
+            else (np.asarray(src, np.int64), np.asarray(dst, np.int64)))
 
     @staticmethod
     def _build_edge_id_table(src, dst, ids, pad_v, *, symmetrize):
@@ -222,6 +229,13 @@ class MGGraph:
         self.edge_ids = (None if edge_id_array is None else
                          np.concatenate([np.asarray(c) for c in
                                          _chunks(edge_id_array)]))
+        self.edge_types = (None if edge_type_array is None else
+                           np.concatenate([np.asarray(c) for c in
+                                           _chunks(edge_type_array)]))
+        self._edge_endpoints = (
+            None if self.edge_ids is None
+            else (np.concatenate(_chunks(src_array)).astype(np.int64),
+                  np.concatenate(_chunks(dst_array)).astype(np.int64)))
         if self.edge_ids is not None:
             # id keys live in INTERNAL id space (the sampler's output space);
             # the map query gathers to this host — same O(E) residency as
@@ -234,6 +248,13 @@ class MGGraph:
                 si, di, self.edge_ids, g.pad_v, symmetrize=bool(symmetrize))
         else:
             self._edge_id_table = None
+
+    def edge_endpoints_external(self):
+        """(src, dst) endpoint arrays aligned with ``edge_ids``, in the
+        graph's OUTPUT id space (external ids for sharded builds)."""
+        if getattr(self, "_edge_endpoints", None) is None:
+            raise ValueError("graph has no edge_id property")
+        return self._edge_endpoints
 
     def graph(self):
         return self._graph

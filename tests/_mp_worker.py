@@ -9,10 +9,14 @@ processes, and mg_pagerank's all_gather / psum_scatter / psum actually cross
 the process boundary.
 
 Usage: python tests/_mp_worker.py <process_id> <num_processes> <port> [mode]
+                                  [devices_per_proc] [graph]
 mode "parallel" (default) drives cugraph_tpu.parallel directly;
 mode "plc" bootstraps through plc.comms.cugraph_comms_init (the reference's
 Dask-free DDP-style launch, cugraph_nccl_comms.py:69-182) and runs
 plc.MGGraph + plc.pagerank.
+graph "skew" restricts edges to vertices < n//3, so on a 4×2 partition
+several ranks own NO edges of some block rows (the empty-partition corner
+the reference's 4+ rank MPI runs hit, mg_utilities.cpp:19-46).
 Prints "MP_OK <checksum>" on success.
 """
 
@@ -23,18 +27,21 @@ import sys
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     mode = sys.argv[4] if len(sys.argv) > 4 else "parallel"
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=4")
+    ndev = int(sys.argv[5]) if len(sys.argv) > 5 else 4
+    graph = sys.argv[6] if len(sys.argv) > 6 else "default"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={ndev}")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     if mode == "plc":
-        return main_plc(pid, nproc, port)
+        return main_plc(pid, nproc, port, ndev)
     jax.distributed.initialize(f"localhost:{port}", num_processes=nproc,
                                process_id=pid,
                                initialization_timeout=60)
-    assert jax.device_count() == 4 * nproc, jax.devices()
-    assert len(jax.local_devices()) == 4
+    assert jax.device_count() == ndev * nproc, jax.devices()
+    assert len(jax.local_devices()) == ndev
 
     import numpy as np
 
@@ -48,8 +55,15 @@ def main():
     # device arrays are globally sharded by shard_dist_graph)
     rng = np.random.default_rng(0)
     n, m = 240, 2000
-    src = rng.integers(0, n, m)
-    dst = rng.integers(0, n, m)
+    if graph == "skew":
+        # every edge inside the first third of the id range: on a 4×2
+        # partition most block rows/cols hold ZERO edges — exercises ranks
+        # that own no edges of some block
+        src = rng.integers(0, n // 3, m)
+        dst = rng.integers(0, n // 3, m)
+    else:
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
     keep = src != dst
     src, dst = src[keep], dst[keep]
     key = np.unique(src * n + dst)
@@ -58,7 +72,7 @@ def main():
 
     from cugraph_tpu.parallel import mesh_shape_for
 
-    pmaj, pmin = mesh_shape_for(4 * nproc)
+    pmaj, pmin = mesh_shape_for(ndev * nproc)
     g = build_dist_graph(src, dst, w, n, pmaj, pmin, store_push=True)
     mesh = make_mesh_2d(pmaj, pmin, jax.devices())
     g = shard_dist_graph(g, mesh)
@@ -89,7 +103,7 @@ def main():
     jax.distributed.shutdown()
 
 
-def main_plc(pid, nproc, port):
+def main_plc(pid, nproc, port, ndev=4):
     """Rank body for the plc.comms bootstrap path: cugraph_comms_init →
     init_subcomms 2D grid → plc.MGGraph → plc.pagerank, networkx-checked."""
     import jax
@@ -105,8 +119,8 @@ def main_plc(pid, nproc, port):
     handle = cugraph_comms_init(pid, nproc, f"localhost:{port}",
                                 initialization_timeout=60)
     assert cugraph_comms_get_raft_handle() is handle
-    assert jax.device_count() == 4 * nproc, jax.devices()
-    assert handle.mesh.devices.size == 4 * nproc
+    assert jax.device_count() == ndev * nproc, jax.devices()
+    assert handle.mesh.devices.size == ndev * nproc
 
     rng = np.random.default_rng(7)
     n, m = 200, 1500

@@ -26,9 +26,7 @@ def _free_port():
     return port
 
 
-@pytest.mark.parametrize("mode", ["parallel", "plc"])
-def test_two_process_mg_pagerank_bfs(mode):
-    nproc = 2
+def _run_ranks(nproc, mode, ndev=4, graph="default", timeout=280):
     port = _free_port()
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_mp_worker.py")
@@ -38,13 +36,14 @@ def test_two_process_mg_pagerank_bfs(mode):
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = ""
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), str(nproc), str(port), mode],
+        [sys.executable, worker, str(i), str(nproc), str(port), mode,
+         str(ndev), graph],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(nproc)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=280)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -53,7 +52,19 @@ def test_two_process_mg_pagerank_bfs(mode):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out}"
         assert "MP_OK" in out, f"rank {i} missing MP_OK:\n{out}"
-    # both ranks computed the same global checksum
+    # all ranks computed the same global checksum
     sums = {line.split()[1] for out in outs for line in out.splitlines()
             if line.startswith("MP_OK")}
     assert len(sums) == 1, sums
+
+
+@pytest.mark.parametrize("mode", ["parallel", "plc"])
+def test_two_process_mg_pagerank_bfs(mode):
+    _run_ranks(2, mode)
+
+
+def test_four_process_mg_pagerank_bfs_skew():
+    """4 ranks × 2 devices on a 4×2 mesh, edges confined to the first third
+    of the id range — several ranks own no edges of some block rows (the
+    layout the reference's 4+ rank MPI runs exercise)."""
+    _run_ranks(4, "parallel", ndev=2, graph="skew", timeout=420)

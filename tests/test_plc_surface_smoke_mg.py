@@ -184,6 +184,9 @@ MG_CALLS = [
     ("has_vertex", lambda h, g, gu:
         plc.has_vertex(h, g, np.array([0, 10**6]))),
     ("count_multi_edges", lambda h, g, gu: plc.count_multi_edges(h, g)),
+    ("edge_id_lookup_table", lambda h, g, gu:
+        plc.edge_id_lookup_table(h, g).lookup_vertex_ids(
+            np.array([0, 5, 10**6]))),
 ]
 
 
@@ -270,3 +273,28 @@ def test_parity_two_hop(setup):
     pm = set(zip(fm.tolist(), sm.tolist()))
     ps = set(zip(fs.tolist(), ss.tolist()))
     assert pm == ps
+
+
+def test_parity_edge_id_lookup(setup):
+    """SG↔MG edge-id lookup parity (lookup_src_dst_mg.cu vs _sg.cu): the
+    distributed id-hash-sharded container resolves the same endpoints as
+    the SG sorted table, including typed keys and missing ids."""
+    h, g, gu, src, dst, w, hs, sg, sgu = setup
+    sg_ids = plc.SGGraph(
+        hs, plc.GraphProperties(is_symmetric=False, is_multigraph=False),
+        src, dst, w, renumber=False, vertices_array=np.arange(40),
+        edge_id_array=np.arange(len(src)),
+        edge_type_array=np.zeros(len(src), np.int32))
+    tm = plc.edge_id_lookup_table(h, g)
+    ts = plc.edge_id_lookup_table(hs, sg_ids)
+    q = np.array([0, 1, 5, len(src) - 1, len(src), -3, 10**9])
+    fm = tm.lookup_vertex_ids(q, edge_type=0)
+    fs = ts.lookup_vertex_ids(q, edge_type=0)
+    np.testing.assert_array_equal(fm["src"].to_numpy(), fs["src"].to_numpy())
+    np.testing.assert_array_equal(fm["dst"].to_numpy(), fs["dst"].to_numpy())
+    # a type that doesn't exist: everything missing, both layers
+    fm2 = tm.lookup_vertex_ids(q, edge_type=7)
+    fs2 = ts.lookup_vertex_ids(q, edge_type=7)
+    assert (fm2["src"].to_numpy() == -1).all()
+    np.testing.assert_array_equal(fm2["src"].to_numpy(),
+                                  fs2["src"].to_numpy())
