@@ -762,6 +762,156 @@ def mg_sample_multihop_device(g: DistGraph, mesh, start_list, fanout_vals,
                 jnp.int32(seed), g.push.weight)
 
 
+# ---------------------------------------------------------------------------
+# Generalized fused MG sampler: batch-keyed mask planes + prior-source
+# behaviors, all hops device-resident, ONE readback per call.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
+                                  with_replacement, biased, behavior):
+    """One hop of the generalized fused sampler (round-4 answer to the
+    fast-config-only gate of ``_mg_sample_multihop_kernel``):
+
+    * ``NB`` batch mask planes [NB, chunk] per device replace the single
+      frontier mask — per-batch frontiers evolve INDEPENDENTLY on device
+      (reference per-label frontiers, prepare_next_frontier_impl.cuh);
+    * occurrence LAYERING runs in-kernel: a vertex appearing in several
+      batches samples once per occurrence with the canonical layer rank
+      (cumulative count over the batch axis — the exact rank the layered
+      host path assigns under dedupe_sources), so RNG folds match the
+      layered path bit-for-bit;
+    * prior_sources_behavior default / carry_over / exclude are mask
+      algebra on the planes;
+    * the cross-device frontier union rides BIT-PACKED uint32 words through
+      one all_gather + OR-reduce (32× less traffic than the f32 pmax of the
+      single-batch kernel, and the reason the pad_v cap lifts 2^24 → 2^27).
+    """
+    pad_v = pmaj * pmin * chunk
+    W = pad_v // 32
+    P_ = pmaj * pmin
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+
+    def _pack(dense):            # [pad_v] bool → [W] uint32 (bit i of word)
+        return jnp.sum(dense.reshape(W, 32).astype(jnp.uint32) << shifts,
+                       axis=1, dtype=jnp.uint32)
+
+    def _unpack(words):          # [NB, W] uint32 → [NB, pad_v] bool
+        return (((words[:, :, None] >> shifts) & 1) > 0).reshape(NB, pad_v)
+
+    def kernel(src_loc, dst_loc, valid, masks, prior, seed, w):
+        gath, red = _sq(src_loc), _sq(dst_loc)
+        valid_, w_ = _sq(valid), _sq(w)
+        i = jax.lax.axis_index(prims.MAJOR)
+        j = jax.lax.axis_index(prims.MINOR)
+        base = (i * jax.lax.axis_size(prims.MINOR) + j) * chunk
+
+        # canonical occurrence layer of (batch, vertex) = #earlier batches
+        # holding the vertex (matches _occurrence_rank(fv, tiebreak=fb))
+        cnt = jnp.cumsum(masks.astype(jnp.int32), axis=0)
+        layer = cnt - 1
+        outs = [jnp.full((chunk, k), -1, jnp.int32) for _ in range(NB)]
+        for r in range(NB):
+            sel_r = masks & (layer == r)
+            f_r = sel_r.any(axis=0)
+            out_dst, _ = _sample_hop_device(
+                gath, red, valid_, w_, w_, f_r, seed + jnp.int32(r * 131),
+                k, pmaj=pmaj, pmin=pmin, chunk=chunk,
+                with_replacement=with_replacement, biased=biased,
+                temporal=False, comparison=None, f_time=None)
+            for b in range(NB):
+                outs[b] = jnp.where(sel_r[b][:, None], out_dst, outs[b])
+        panel = jnp.stack(outs, 0)              # [NB, chunk, k]
+
+        # per-batch destination masks: dense scatter → bit-pack → one
+        # all_gather + OR across the mesh → owned slice
+        words = []
+        for b in range(NB):
+            flat = outs[b].reshape(-1)
+            dense = jnp.zeros((pad_v,), bool).at[
+                jnp.clip(flat, 0, pad_v - 1)].max(flat >= 0)
+            words.append(_pack(dense))
+        wstack = jnp.stack(words, 0)            # [NB, W]
+        gathered = jax.lax.all_gather(
+            wstack, (prims.MAJOR, prims.MINOR), axis=0)   # [P, NB, W]
+        union = gathered[0]
+        for t in range(1, P_):
+            union = union | gathered[t]
+        # unpack the full global mask, then slice the owned chunk (chunk is
+        # 8-aligned, not 32-aligned, so word-aligned slicing can't be used;
+        # the COLLECTIVE above is what rides packed)
+        dst_own = jax.lax.dynamic_slice_in_dim(
+            _unpack(union), base, chunk, axis=1)   # [NB, chunk]
+
+        if behavior == "carry_over":
+            nmask, nprior = masks | dst_own, prior
+        elif behavior == "exclude":
+            nprior = prior | masks
+            nmask = dst_own & ~nprior
+        else:
+            nmask, nprior = dst_own, prior
+        return panel, nmask, nprior
+
+    es = edge_spec()
+    ms = P(None, ("major", "minor"))
+    return jax.jit(jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(es, es, es, ms, ms, P(), es),
+        out_specs=(P(None, ("major", "minor"), None), ms, ms),
+        check_vma=False))
+
+
+@lru_cache(maxsize=64)
+def _compact_hop_fn(mesh, cap):
+    """Device-side frontier compaction: nonzero over the flattened mask
+    planes (size=cap, a cumsum+scatter — bandwidth-bound) + ONE row gather
+    of the sampled panel (row gather is THE fast gather here).  Only
+    [cap, k+1] values ever cross to the host."""
+    def f(panel, masks):
+        NB, pv, kk = panel.shape
+        keys = jnp.nonzero(masks.reshape(-1), size=cap, fill_value=-1)[0]
+        rows = jnp.take(panel.reshape(NB * pv, kk),
+                        jnp.maximum(keys, 0), axis=0)
+        rows = jnp.where(keys[:, None] >= 0, rows, -1)
+        return keys, rows
+
+    return jax.jit(f, out_shardings=NamedSharding(mesh, P()))
+
+
+def mg_sample_multihop_batched_device(g: DistGraph, mesh, masks0, fanouts,
+                                      caps, *, seed: int,
+                                      with_replacement: bool = False,
+                                      biased: bool = False,
+                                      behavior: str = "default"):
+    """All hops of the generalized fused sampler.  ``masks0``: [NB, pad_v]
+    bool host array (batch planes in canonical batch-id order); ``caps``:
+    per-hop static frontier capacity (power of two ≥ the hop's worst-case
+    frontier size).  Returns per hop (keys, rows) DEVICE arrays —
+    keys[i] = plane·pad_v + vertex (−1 pad), rows[i] = that row's k global
+    destinations — for the caller to fetch with a single jax.device_get."""
+    assert g.push is not None, "sampling needs push blocks"
+    if g.pad_v > (1 << 27):
+        raise ValueError("fused batched sampler needs pad_v <= 2^27")
+    if g.pad_v % 32:
+        raise ValueError("fused batched sampler needs 32-divisible pad_v")
+    NB = masks0.shape[0]
+    ms = NamedSharding(mesh, P(None, ("major", "minor")))
+    masks = jax.device_put(jnp.asarray(masks0), ms)
+    prior = jax.device_put(jnp.zeros_like(masks0), ms)
+    outs = []
+    for hop, k in enumerate(fanouts):
+        kern = _mg_sample_hop_batched_kernel(
+            mesh, g.pmaj, g.pmin, g.chunk, int(k), NB,
+            bool(with_replacement), bool(biased), behavior)
+        panel, nmask, nprior = kern(
+            g.push.src_loc, g.push.dst_loc, g.push.valid, masks, prior,
+            jnp.int32(seed + hop * 1009), g.push.weight)
+        keys, rows = _compact_hop_fn(mesh, int(caps[hop]))(panel, masks)
+        outs.append((keys, rows))
+        masks, prior = nmask, nprior
+    return outs
+
+
 
 
 # ---------------------------------------------------------------------------

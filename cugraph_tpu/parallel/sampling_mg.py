@@ -89,9 +89,19 @@ def _attach_props(g: DistGraph, frame: pd.DataFrame) -> pd.DataFrame:
     return frame
 
 
-def _occurrence_rank(v: np.ndarray) -> np.ndarray:
-    """occ[i] = rank of row i among rows with the same vertex (stable)."""
-    order = np.argsort(v, kind="stable")
+def _occurrence_rank(v: np.ndarray, tiebreak: np.ndarray | None = None
+                     ) -> np.ndarray:
+    """occ[i] = rank of row i among rows with the same vertex.
+
+    Default order within a vertex group is ARRIVAL order (stable sort) —
+    the multiplicity semantics of repeated (vertex, batch) rows.  With
+    ``tiebreak`` (the batch ids) the order is CANONICAL (sorted by batch):
+    under dedupe_sources each (vertex, batch) is unique, so the canonical
+    rank is a pure function of the frontier SET — which lets the fused
+    device kernel reproduce the exact same RNG layer per row from its mask
+    planes (cumulative count over the batch axis)."""
+    order = (np.argsort(v, kind="stable") if tiebreak is None
+             else np.lexsort((tiebreak, v)))
     vs = v[order]
     first = np.zeros(len(v), bool)
     if len(v):
@@ -132,7 +142,7 @@ def _mg_neighbor_sample_core(
         if len(state) == 0:
             break
         fv, fb, ft = state.begin_hop()
-        occ = _occurrence_rank(fv)
+        occ = _occurrence_rank(fv, tiebreak=fb if dedupe_sources else None)
         hop_frames = []
         n_layers = int(occ.max()) + 1 if len(fv) else 0
         for r in range(n_layers):
@@ -238,14 +248,10 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     if bl is not None and len(np.asarray(bl).reshape(-1)) != \
             len(np.asarray(start_list).reshape(-1)):
         raise ValueError("batch_id_list must align with start_list")
-    one_batch = (len(np.unique(bl)) == 1 if bl is not None
-                 else len(np.asarray(start_list)) <= 1)
-    if (flags["dedupe_sources"] and one_batch
-            and flags["prior_sources_behavior"] == "default"
-            and g.pad_v <= (1 << 24) and len(list(fanout_vals))
-            and min(int(k) for k in fanout_vals) > 0):
-        return _mg_sample_device_path(g, mesh, start_list, fanout_vals,
-                                      seed=seed, biased=biased,
+    plan = _plan_fused(g, mesh, start_list, fanout_vals, flags)
+    if plan is not None:
+        return _mg_sample_device_path(g, mesh, plan, seed=seed,
+                                      biased=biased,
                                       with_replacement=with_replacement,
                                       **flags)
     plans = [[(None, int(k))] for k in fanout_vals]
@@ -254,45 +260,99 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
         with_replacement=with_replacement, biased=biased, **flags)
 
 
-def _mg_sample_device_path(g, mesh, start_list, fanout_vals, *, seed,
-                           biased, with_replacement, prior_sources_behavior,
-                           dedupe_sources, return_hops,
-                           with_edge_properties, batch_id_list):
-    """Fused device-resident fast path for the set-semantics GNN case:
-    dedupe_sources + default prior behavior + one batch label.  The dense
-    [n_hops, pad_v, kmax] panels STAY on device; each hop's frontier is
-    derivable on the host (hop 0 = the unique start list; hop h = the unique
-    sampled destinations of hop h-1 — exactly the kernel's mask-union rule),
-    so only [F_h, k] row gathers ever cross to the host.  Output frame
-    identical to the layered path."""
-    from cugraph_tpu.parallel.algos import (mg_sample_multihop_device,
-                                            sample_panel_rows)
+MAX_FUSED_BATCHES = 16          # static in-kernel layer unroll bound
+MAX_FUSED_CAP = 1 << 22         # per-hop compacted-frontier capacity
+MAX_FUSED_PANEL_BYTES = 256 << 20   # per-device [NB, pad_v/P, k] budget
 
-    panels = mg_sample_multihop_device(
-        g, mesh, start_list, fanout_vals, seed=seed,
-        with_replacement=with_replacement, biased=biased)
-    label = (int(np.asarray(batch_id_list).reshape(-1)[0])
-             if batch_id_list is not None and len(np.asarray(
-                 batch_id_list).reshape(-1)) else 0)
-    frontier = np.unique(np.asarray(start_list, np.int64))
+
+def _plan_fused(g, mesh, start_list, fanout_vals, flags):
+    """Gate + static plan for the fused device sampler.  Eligible configs:
+    dedupe_sources (set semantics — mask planes can't carry multiplicity),
+    non-temporal homogeneous, any prior_sources_behavior, ≤16 batches,
+    pad_v ≤ 2^27, panel/caps within budget.  Returns None to route the
+    occurrence-layered host path instead."""
+    ks = [int(k) for k in fanout_vals]
+    if not (flags["dedupe_sources"] and ks and min(ks) > 0):
+        return None
+    if g.pad_v > (1 << 27) or g.pad_v % 32:
+        return None
+    behavior = (flags["prior_sources_behavior"] or "default").lower()
+    if behavior == "carryover":
+        behavior = "carry_over"
+    if behavior not in ("default", "carry_over", "exclude"):
+        return None
+    sv = np.asarray(start_list, np.int64).reshape(-1)
+    bl = flags["batch_id_list"]
+    b = (np.asarray(bl, np.int32).reshape(-1) if bl is not None
+         else np.zeros(len(sv), np.int32))
+    labels = np.unique(b)
+    NB = max(len(labels), 1)
+    if NB > MAX_FUSED_BATCHES:
+        return None
+    P_ = max(mesh.devices.size, 1)
+    if NB * g.pad_v * max(ks) * 4 // P_ > MAX_FUSED_PANEL_BYTES:
+        return None
+    masks0 = np.zeros((NB, g.pad_v), bool)
+    fb = np.zeros(NB, np.int64)
+    for pi, lab in enumerate(labels):
+        vs = np.unique(sv[b == lab])
+        masks0[pi, vs] = True
+        fb[pi] = len(vs)
+    # static per-hop frontier capacity from the growth bound (carry_over
+    # also keeps the current frontier)
+    caps = []
+    grow = 1 if behavior == "carry_over" else 0
+    for k in ks:
+        tot = int(min(fb.sum(), NB * g.pad_v))
+        caps.append(max(8, 1 << (max(tot, 1) - 1).bit_length()))
+        fb = np.minimum(g.num_vertices, fb * (k + grow))
+    if max(caps) > MAX_FUSED_CAP:
+        return None
+    return {"masks0": masks0, "labels": labels, "ks": ks, "caps": caps,
+            "behavior": behavior}
+
+
+def _mg_sample_device_path(g, mesh, plan, *, seed, biased, with_replacement,
+                           prior_sources_behavior, dedupe_sources,
+                           return_hops, with_edge_properties, batch_id_list):
+    """Fused device-resident path (generalized round 4): batch-keyed mask
+    planes, in-kernel occurrence layering, prior-source behaviors as mask
+    algebra, bit-packed cross-device frontier unions — the whole multi-hop
+    walk stays on device and ONE jax.device_get fetches every hop's
+    compacted (frontier keys, sampled rows).  RNG folds match the layered
+    path exactly (canonical batch-rank layers), so outputs are
+    bit-identical row sets."""
+    import jax
+
+    from cugraph_tpu.parallel.algos import mg_sample_multihop_batched_device
+
+    pad = g.pad_v
+    ks, caps, labels = plan["ks"], plan["caps"], plan["labels"]
+    outs = mg_sample_multihop_batched_device(
+        g, mesh, plan["masks0"], ks, caps, seed=seed,
+        with_replacement=with_replacement, biased=biased,
+        behavior=plan["behavior"])
+    host = jax.device_get(outs)     # the ONE device→host transfer
     frames = []
-    for hop in range(len(list(fanout_vals))):
-        k = int(fanout_vals[hop])
-        if not len(frontier):
-            break
-        rows = sample_panel_rows(mesh, panels[hop], frontier)[:, :k]
-        ok = rows >= 0
-        ridx, cols = np.nonzero(ok)
+    for hop, (keys, rows) in enumerate(host):
+        keys = np.asarray(keys)
+        rows = np.asarray(rows)
+        live = keys >= 0
+        keys, rows = keys[live], rows[live]
+        if not len(keys):
+            continue
+        v = (keys % pad).astype(np.int64)
+        plane = (keys // pad).astype(np.int64)
+        ridx, cidx = np.nonzero(rows >= 0)
         if not len(ridx):
-            break
-        dsts = rows[ridx, cols].astype(np.int64)
+            continue
         frames.append(pd.DataFrame({
-            "sources": frontier[ridx],
-            "destinations": dsts,
+            "sources": v[ridx],
+            "destinations": rows[ridx, cidx].astype(np.int64),
             "hop_id": np.int32(hop),
-            "batch_id": np.int32(label),
+            "batch_id": labels[plane[ridx]].astype(np.int32)
+            if len(labels) else np.int32(0),
         }))
-        frontier = np.unique(dsts)
     cols_out = ["sources", "destinations", "hop_id", "batch_id"]
     if not frames:
         return pd.DataFrame(columns=[c for c in cols_out

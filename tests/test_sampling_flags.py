@@ -400,3 +400,110 @@ def test_compress_per_hop_requires_hops():
     with pytest.raises(ValueError):
         ct.renumber_and_compress_sampled_edgelist(
             _toy_frame(), compress_per_hop=True, doubly_compress=True)
+
+
+def _parity_graph():
+    rng = np.random.default_rng(23)
+    n, m = 120, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    return build_dist_graph(src, dst, w, n, 4, 2, store_push=True)
+
+
+def test_mg_device_multihop_multibatch_parity():
+    """Round-4 generalization: the fused sampler's batch-keyed mask planes
+    + in-kernel canonical occurrence layering must reproduce the layered
+    path bit-for-bit for MULTI-batch dedupe configs — including vertices
+    shared between batches (different RNG layer per occurrence)."""
+    import jax
+    from cugraph_tpu.parallel.sampling_mg import (_mg_neighbor_sample_core,
+                                                  _plan_fused)
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    g = _parity_graph()
+    # vertex 7 is in all three batches; 40 in two
+    starts = [7, 40, 3, 7, 40, 99, 7, 11]
+    bl = [0, 0, 0, 4, 4, 4, 9, 9]
+    for biased in (False, True):
+        df_fast = mg_uniform_neighbor_sample(
+            g, mesh, starts, [3, 2], seed=11, dedupe_sources=True,
+            biased=biased, batch_id_list=bl, with_edge_properties=True)
+        df_ref = _mg_neighbor_sample_core(
+            g, mesh, starts, [[(None, 3)], [(None, 2)]], seed=11,
+            with_replacement=False, biased=biased, dedupe_sources=True,
+            batch_id_list=bl, with_edge_properties=True)
+        key = lambda d: sorted(zip(d.hop_id, d.batch_id, d.sources,
+                                   d.destinations))
+        assert key(df_fast) == key(df_ref), biased
+        assert set(df_fast.batch_id) == {0, 4, 9}
+    # the config really took the fused path
+    from cugraph_tpu.parallel.sampling_mg import _flag_kwargs
+
+    flags = _flag_kwargs(dict(dedupe_sources=True, batch_id_list=bl))
+    assert _plan_fused(g, mesh, starts, [3, 2], flags) is not None
+
+
+@pytest.mark.parametrize("behavior", ["exclude", "carry_over", "carryover"])
+def test_mg_device_multihop_prior_behavior_parity(behavior):
+    """exclude / carry_over prior_sources_behavior on the fused device
+    path: mask algebra on the planes must equal FrontierState's key-set
+    rules, with identical RNG draws."""
+    import jax
+    from cugraph_tpu.parallel.sampling_mg import (_mg_neighbor_sample_core,
+                                                  _plan_fused, _flag_kwargs)
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    g = _parity_graph()
+    starts = [7, 40, 3, 99]
+    bl = [0, 0, 5, 5]
+    flags = _flag_kwargs(dict(dedupe_sources=True, batch_id_list=bl,
+                              prior_sources_behavior=behavior))
+    assert _plan_fused(g, mesh, starts, [3, 2, 2], flags) is not None
+    df_fast = mg_uniform_neighbor_sample(
+        g, mesh, starts, [3, 2, 2], seed=4, dedupe_sources=True,
+        batch_id_list=bl, prior_sources_behavior=behavior)
+    df_ref = _mg_neighbor_sample_core(
+        g, mesh, starts, [[(None, 3)], [(None, 2)], [(None, 2)]], seed=4,
+        with_replacement=False, biased=False, dedupe_sources=True,
+        batch_id_list=bl, prior_sources_behavior=behavior)
+    key = lambda d: sorted(zip(d.hop_id, d.batch_id, d.sources,
+                               d.destinations))
+    assert key(df_fast) == key(df_ref)
+    if behavior == "exclude":
+        # no hop re-samples a vertex already used as a source in its batch
+        seen = {}
+        for h in sorted(set(df_fast.hop_id)):
+            hopf = df_fast[df_fast.hop_id == h]
+            for b in set(hopf.batch_id):
+                srcs = set(hopf[hopf.batch_id == b].sources)
+                assert not (srcs & seen.get(b, set()))
+                seen.setdefault(b, set()).update(srcs)
+
+
+def test_mg_device_multihop_single_readback():
+    """The fused path's contract: ONE device→host transfer per call
+    (jax.device_get of every hop's compacted keys+rows at once)."""
+    import jax
+    import cugraph_tpu.parallel.sampling_mg as smg
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    g = _parity_graph()
+    calls = []
+    real = jax.device_get
+
+    def counting(x):
+        calls.append(1)
+        return real(x)
+
+    jax.device_get = counting
+    try:
+        df = mg_uniform_neighbor_sample(
+            g, mesh, [7, 40, 3], [3, 2, 2], seed=2, dedupe_sources=True,
+            batch_id_list=[0, 1, 1])
+    finally:
+        jax.device_get = real
+    assert len(df) > 0
+    assert len(calls) == 1, calls
