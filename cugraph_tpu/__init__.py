@@ -149,6 +149,7 @@ from cugraph_tpu.algos.sampling_post import (
     compress_per_hop_csr,
     sampling_results_to_batches,
     renumber_and_compress_sampled_edgelist,
+    heterogeneous_renumber_and_sort_sampled_edgelist,
 )
 from cugraph_tpu.algos.lookup import EdgeIdLookupTable, edge_id_lookup_table
 

@@ -252,3 +252,156 @@ def renumber_and_compress_sampled_edgelist(
         out[c] = np.concatenate(props_out[c]) if props_out[c] else \
             np.zeros(0)
     return out
+
+
+def heterogeneous_renumber_and_sort_sampled_edgelist(
+    df: pd.DataFrame,
+    *,
+    vertex_type_offsets,
+    num_edge_types: int | None = None,
+    src_is_major: bool = True,
+    batch_col: str = "batch_id",
+    seed_vertices_per_label: dict | None = None,
+) -> dict:
+    """Heterogeneous sampled-edge post-processing
+    (reference heterogeneous_renumber_and_sort_sampled_edgelist,
+    sampling_functions.hpp:1214 + sampling_post_processing_impl.cuh).
+
+    * Vertices renumber PER (label, vertex type): within a label, vertices
+      are ordered by their minimum (hop, flag) pair (flag major=0 < minor=1;
+      seeds count as (hop 0, major)), then each vertex TYPE's vertices map to
+      consecutive ids starting from 0 — ``vertex_type_offsets`` (size
+      num_vertex_types + 1) segments the ORIGINAL id range by type.
+    * Edge ids renumber per (label, edge type) by minimum hop, consecutive
+      from 0.
+    * Edges sort by ((edge type), (hop), major, minor) within each label.
+
+    Returns a dict with the reference tuple's fields (pyx accessor names):
+    ``majors``/``minors`` (renumbered, TYPE-LOCAL ids — the reference
+    omits explicit endpoint types because an edge's type determines them),
+    per-edge property columns, renumbered ``edge_id``,
+    ``label_type_hop_offsets`` ([num_labels·num_edge_types·num_hops + 1]
+    edge offsets), ``renumber_map`` + ``renumber_map_offsets``
+    ([num_labels·num_vertex_types + 1] segment offsets), and
+    ``edge_renumber_map`` + ``edge_renumber_map_offsets``
+    ([num_labels·num_edge_types + 1]).
+    """
+    vto = np.asarray(vertex_type_offsets, np.int64)
+    if len(vto) < 2 or (np.diff(vto) < 0).any():
+        raise ValueError("vertex_type_offsets must be a nondecreasing array "
+                         "of size num_vertex_types + 1")
+    n_vt = len(vto) - 1
+    major_col, minor_col = (("sources", "destinations") if src_is_major
+                            else ("destinations", "sources"))
+    has_hops = "hop_id" in df
+    num_hops = int(df["hop_id"].max()) + 1 if has_hops and len(df) else 1
+    has_etype = "edge_type" in df
+    has_eid = "edge_id" in df
+    T = int(num_edge_types if num_edge_types is not None else
+            (int(df["edge_type"].max()) + 1 if has_etype and len(df) else 1))
+    labels = (np.unique(df[batch_col].to_numpy()) if batch_col in df
+              else np.array([0]))
+    if seed_vertices_per_label:
+        labels = np.unique(np.concatenate(
+            [labels, np.fromiter(seed_vertices_per_label, np.int64)]))
+    L = len(labels)
+    prop_cols = [c for c in _EDGE_PROP_COLS
+                 if c in df and c not in ("edge_id", "edge_type")]
+
+    def vtype_of(v):
+        t = np.searchsorted(vto, np.asarray(v), side="right") - 1
+        if len(t) and ((t < 0).any() or (t >= n_vt).any()):
+            raise ValueError("vertex id outside vertex_type_offsets range")
+        return t
+
+    maj_out, mnr_out, et_out, hop_out, bat_out = [], [], [], [], []
+    eid_out = []
+    props_out = {c: [] for c in prop_cols}
+    rmap, rmap_off = [], [0]
+    emap, emap_off = [], [0]
+    lth_counts = np.zeros(L * T * num_hops, np.int64)
+    groups = (dict(tuple(df.groupby(batch_col, sort=True)))
+              if batch_col in df else {0: df})
+    empty = df.iloc[:0]
+    for li, lab in enumerate(labels):
+        grp = groups.get(lab, empty)
+        seeds = (None if seed_vertices_per_label is None
+                 else seed_vertices_per_label.get(int(lab)))
+        # global (hop, flag) appearance order, then segmented per type
+        vmap_all, _ = _renumber_one_label(grp, major_col, minor_col, seeds)
+        tv = vtype_of(vmap_all)
+        counts = np.bincount(tv, minlength=n_vt)
+        starts = np.zeros(n_vt, np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        # type-local rank, preserving the (hop, flag) appearance order
+        # within each type segment
+        by_type = np.argsort(tv, kind="stable")
+        ranks = np.empty(len(vmap_all), np.int64)
+        ranks[by_type] = np.arange(len(vmap_all)) - np.repeat(starts, counts)
+        for t in range(n_vt):
+            rmap.append(vmap_all[tv == t])
+            rmap_off.append(rmap_off[-1] + int(counts[t]))
+        sorter = np.argsort(vmap_all, kind="stable")
+
+        def rank_of(vals):
+            vals = np.asarray(vals)
+            return ranks[sorter[np.searchsorted(vmap_all, vals,
+                                                sorter=sorter)]]
+
+        maj = rank_of(grp[major_col].to_numpy()).astype(np.int64)
+        mnr = rank_of(grp[minor_col].to_numpy()).astype(np.int64)
+        hops = (grp["hop_id"].to_numpy().astype(np.int64) if has_hops
+                else np.zeros(len(grp), np.int64))
+        et = (grp["edge_type"].to_numpy().astype(np.int64) if has_etype
+              else np.zeros(len(grp), np.int64))
+        # reference sort key: ((edge type), (hop), major, minor)
+        order = np.lexsort((mnr, maj, hops, et))
+        maj, mnr, hops, et = maj[order], mnr[order], hops[order], et[order]
+        maj_out.append(maj)
+        mnr_out.append(mnr)
+        et_out.append(et)
+        hop_out.append(hops)
+        bat_out.append(np.full(len(maj), lab))
+        for c in prop_cols:
+            props_out[c].append(grp[c].to_numpy()[order])
+        np.add.at(lth_counts, (li * T + et) * num_hops + hops, 1)
+
+        if has_eid:
+            ids = grp["edge_id"].to_numpy().astype(np.int64)[order]
+            new_ids = np.empty(len(ids), np.int64)
+            for t in range(T):
+                sel = et == t
+                ids_t, hops_t = ids[sel], hops[sel]
+                # min-hop-first appearance order (rule: smaller hop values
+                # renumber first; arbitrary within (edge type, hop))
+                o2 = np.lexsort((ids_t, hops_t))
+                stream = ids_t[o2]
+                uniq, first = np.unique(stream, return_index=True)
+                m = uniq[np.argsort(first, kind="stable")]
+                s2 = np.argsort(m, kind="stable")
+                new_ids[sel] = s2[np.searchsorted(m, ids_t, sorter=s2)]
+                emap.append(m)
+                emap_off.append(emap_off[-1] + len(m))
+            eid_out.append(new_ids)
+
+    def _cat(parts, dtype=np.int64):
+        return (np.concatenate(parts) if parts else np.zeros(0, dtype))
+
+    out = {
+        "majors": _cat(maj_out),
+        "minors": _cat(mnr_out),
+        "edge_type": (_cat(et_out) if has_etype else None),
+        "hop": (_cat(hop_out) if has_hops else None),
+        "batch_id": _cat(bat_out),
+        "edge_id": (_cat(eid_out) if has_eid else None),
+        "label_type_hop_offsets": np.concatenate(
+            [[0], np.cumsum(lth_counts)]).astype(np.int64),
+        "renumber_map": _cat(rmap),
+        "renumber_map_offsets": np.asarray(rmap_off, np.int64),
+        "edge_renumber_map": (_cat(emap) if has_eid else None),
+        "edge_renumber_map_offsets": (np.asarray(emap_off, np.int64)
+                                      if has_eid else None),
+    }
+    for c in prop_cols:
+        out[c] = _cat(props_out[c], np.float64)
+    return out

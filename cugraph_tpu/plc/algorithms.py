@@ -764,11 +764,27 @@ def _strip_out(kw):
                          "retain_seeds")}
 
 
-def _finish_sample(df, kw, start_list):
+def _seeds_per_label(kw, start_list):
+    seeds = np.asarray(start_list).reshape(-1)
+    bl = kw.get("batch_id_list")
+    if bl is None:
+        bl = np.arange(len(seeds))
+    out = {}
+    for s, b in zip(seeds, np.asarray(bl).reshape(-1)):
+        out.setdefault(int(b), []).append(int(s))
+    return {b: np.asarray(v) for b, v in out.items()}
+
+
+def _finish_sample(df, kw, start_list, vertex_type_offsets=None,
+                   num_edge_types=None):
     """Apply the reference's sampler OUTPUT options (pyx:184-205):
     ``renumber=True`` renumbers per batch and compresses per ``compression``
     ("COO" default /"CSR"/"CSC"/"DCSR"/"DCSC") honoring ``compress_per_hop``;
     ``retain_seeds`` keeps outgoing-edge-less seeds in the renumber map.
+    With ``vertex_type_offsets`` (the heterogeneous samplers) the renumber
+    routes through heterogeneous_renumber_and_sort_sampled_edgelist —
+    per-(label, vertex type) segmented maps, (label, edge type, hop) sorted
+    COO (c_api/neighbor_sampling.cpp:579).
     Returns the plain frame when renumber is off (the default)."""
     if not kw.get("renumber"):
         return df
@@ -779,16 +795,20 @@ def _finish_sample(df, kw, start_list):
         raise ValueError(f"unknown compression {compression!r}")
     seeds_per_label = None
     if kw.get("retain_seeds") and start_list is not None:
-        seeds = np.asarray(start_list).reshape(-1)
-        bl = kw.get("batch_id_list")
-        if bl is None:
-            bl = np.arange(len(seeds))
-        seeds_per_label = {}
-        for s, b in zip(seeds, np.asarray(bl).reshape(-1)):
-            seeds_per_label.setdefault(int(b), []).append(int(s))
-        seeds_per_label = {b: np.asarray(v)
-                           for b, v in seeds_per_label.items()}
+        seeds_per_label = _seeds_per_label(kw, start_list)
     src_is_major = compression not in ("CSC", "DCSC")
+    if vertex_type_offsets is not None:
+        # heterogeneous path: renumber+SORT only (the reference's C API
+        # pairs vertex_type_offsets with the sort entry, not compression)
+        if compression not in ("COO", "CSC"):
+            raise ValueError(
+                "heterogeneous renumbering (vertex_type_offsets) emits "
+                "sorted COO only; use compression='COO' (src major) or "
+                "'CSC' (dst major)")
+        return ct.heterogeneous_renumber_and_sort_sampled_edgelist(
+            df, vertex_type_offsets=vertex_type_offsets,
+            num_edge_types=num_edge_types, src_is_major=src_is_major,
+            seed_vertices_per_label=seeds_per_label)
     out = ct.renumber_and_compress_sampled_edgelist(
         df, src_is_major=src_is_major,
         compress_per_hop=bool(kw.get("compress_per_hop", False)),
@@ -876,16 +896,18 @@ def heterogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
         h_fan_out = starting_vertex_label_offsets
         if num_edge_types is None:
             num_edge_types = vertex_type_offsets
+        vertex_type_offsets = None   # legacy slot held num_edge_types
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
 
         return _finish_sample(mg_heterogeneous_neighbor_sample(
             graph.graph(), graph.mesh, start_list, h_fan_out,
             num_edge_types=num_edge_types, **_mg_sample_kw(kw)),
-            kw, start_list)
+            kw, start_list, vertex_type_offsets, num_edge_types)
     return _finish_sample(ct.heterogeneous_uniform_neighbor_sample(
         _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types,
-        **_strip_out(kw)), kw, start_list)
+        **_strip_out(kw)), kw, start_list, vertex_type_offsets,
+        num_edge_types)
 
 
 def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
@@ -899,16 +921,18 @@ def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
         h_fan_out = starting_vertex_label_offsets
         if num_edge_types is None:
             num_edge_types = vertex_type_offsets
+        vertex_type_offsets = None   # legacy slot held num_edge_types
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
 
         return _finish_sample(mg_heterogeneous_neighbor_sample(
             graph.graph(), graph.mesh, start_list, h_fan_out,
             num_edge_types=num_edge_types, biased=True, **_mg_sample_kw(kw)),
-            kw, start_list)
+            kw, start_list, vertex_type_offsets, num_edge_types)
     return _finish_sample(ct.heterogeneous_biased_neighbor_sample(
         _sg(graph), start_list, h_fan_out, num_edge_types=num_edge_types,
-        **_strip_out(kw)), kw, start_list)
+        **_strip_out(kw)), kw, start_list, vertex_type_offsets,
+        num_edge_types)
 
 
 def _temporal_compat(args, kw):

@@ -1,0 +1,178 @@
+"""heterogeneous_renumber_and_sort_sampled_edgelist tests.
+
+Reference contract: cpp/include/cugraph/sampling_functions.hpp:1100-1240 —
+per-(label, vertex type) segmented renumber maps ordered by min (hop, flag),
+per-(label, edge type) edge-id maps ordered by min hop, edges sorted by
+((edge type), (hop), major, minor), and the three offsets arrays.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import cugraph_tpu as ct
+
+
+def _frame():
+    # vertex types: [0, 10) type 0, [10, 30) type 1 (vto = [0, 10, 30])
+    return pd.DataFrame({
+        "sources":      [3, 3, 12, 5, 12, 25, 3, 11],
+        "destinations": [12, 25, 5, 11, 3, 12, 5, 25],
+        "hop_id":       np.array([0, 0, 1, 1, 0, 1, 0, 1], np.int32),
+        "batch_id":     np.array([0, 0, 0, 0, 7, 7, 7, 7], np.int32),
+        "edge_type":    np.array([0, 1, 0, 1, 0, 1, 0, 1], np.int32),
+        "edge_id":      np.array([100, 200, 101, 201, 102, 202, 103, 203],
+                                 np.int64),
+        "weight":       np.arange(8, dtype=np.float64),
+    })
+
+
+VTO = np.array([0, 10, 30])
+
+
+def test_het_renumber_roundtrip_per_type():
+    df = _frame()
+    out = ct.heterogeneous_renumber_and_sort_sampled_edgelist(
+        df, vertex_type_offsets=VTO, num_edge_types=2)
+    L, n_vt = 2, 2
+    rmo = out["renumber_map_offsets"]
+    assert len(rmo) == L * n_vt + 1
+    rmap = out["renumber_map"]
+    # per-(label, type) segments hold exactly the label's vertices of that
+    # type, and type-local renumbered ids round-trip through the segment
+    lth = out["label_type_hop_offsets"]
+    assert len(lth) == L * 2 * 2 + 1        # L * num_edge_types * num_hops
+    labels = [0, 7]
+    for li, lab in enumerate(labels):
+        sub = df[df.batch_id == lab]
+        verts = np.unique(np.concatenate([sub.sources, sub.destinations]))
+        for t in range(n_vt):
+            seg = rmap[rmo[li * n_vt + t]: rmo[li * n_vt + t + 1]]
+            expect = verts[(verts >= VTO[t]) & (verts < VTO[t + 1])]
+            assert set(seg) == set(expect), (lab, t)
+            # all within original type range
+            assert ((seg >= VTO[t]) & (seg < VTO[t + 1])).all()
+    # decode each edge back via its label segment and compare multisets
+    dec = []
+    T, H = 2, 2
+    for li, lab in enumerate(labels):
+        segs = [rmap[rmo[li * n_vt + t]: rmo[li * n_vt + t + 1]]
+                for t in range(n_vt)]
+        e0, e1 = lth[li * T * H], lth[(li + 1) * T * H]
+        for i in range(e0, e1):
+            et = int(out["edge_type"][i])
+            hop = int(out["hop"][i])
+            # src type / dst type implied by edge type in this fixture:
+            # type-0 edges go t0->t1 or t1->t0 etc; recover by trying both
+            # segments and matching the original pair set
+            for ts in range(n_vt):
+                for td in range(n_vt):
+                    ms, md = out["majors"][i], out["minors"][i]
+                    if ms < len(segs[ts]) and md < len(segs[td]):
+                        dec.append((lab, hop, et, segs[ts][ms],
+                                    segs[td][md]))
+    orig = set(zip(df.batch_id, df.hop_id, df.edge_type, df.sources,
+                   df.destinations))
+    assert orig <= set(dec)
+
+
+def test_het_sort_key_and_offsets():
+    df = _frame()
+    out = ct.heterogeneous_renumber_and_sort_sampled_edgelist(
+        df, vertex_type_offsets=VTO, num_edge_types=2)
+    lth = out["label_type_hop_offsets"]
+    T, H = 2, 2
+    # segment (label, etype, hop) holds only matching rows, in (major,
+    # minor) sorted order
+    for li in range(2):
+        for t in range(T):
+            for h in range(H):
+                s, e = lth[(li * T + t) * H + h], lth[(li * T + t) * H + h + 1]
+                if e > s:
+                    assert (out["edge_type"][s:e] == t).all()
+                    assert (out["hop"][s:e] == h).all()
+                    key = out["majors"][s:e] * 10**6 + out["minors"][s:e]
+                    assert (np.diff(key) >= 0).all()
+    # total edges preserved
+    assert lth[-1] == len(df)
+
+
+def test_het_edge_id_renumber():
+    df = _frame()
+    out = ct.heterogeneous_renumber_and_sort_sampled_edgelist(
+        df, vertex_type_offsets=VTO, num_edge_types=2)
+    emo = out["edge_renumber_map_offsets"]
+    emap = out["edge_renumber_map"]
+    assert len(emo) == 2 * 2 + 1            # num_labels * num_edge_types + 1
+    # renumbered ids are consecutive from 0 per (label, etype) and map back
+    lth = out["label_type_hop_offsets"]
+    T, H = 2, 2
+    for li in range(2):
+        for t in range(T):
+            seg = emap[emo[li * T + t]: emo[li * T + t + 1]]
+            s, e = lth[(li * T + t) * H], lth[(li * T + t + 1) * H]
+            ids = out["edge_id"][s:e]
+            if len(ids):
+                assert ids.max() == len(seg) - 1
+                orig = df[(df.batch_id == [0, 7][li])
+                          & (df.edge_type == t)].edge_id.to_numpy()
+                np.testing.assert_array_equal(np.sort(seg), np.sort(orig))
+                # round-trip
+                np.testing.assert_array_equal(
+                    np.sort(seg[ids]), np.sort(orig))
+    # min-hop-first rule: hop-0 edges' ids renumber before hop-1 edges' ids
+    for li in range(2):
+        for t in range(T):
+            s0, e0 = lth[(li * T + t) * H], lth[(li * T + t) * H + 1]
+            s1, e1 = lth[(li * T + t) * H + 1], lth[(li * T + t + 1) * H]
+            if e0 > s0 and e1 > s1:
+                assert out["edge_id"][s0:e0].max() < \
+                    out["edge_id"][s1:e1].min()
+
+
+def test_het_seed_vertices_and_bad_offsets():
+    df = _frame()
+    # an isolated seed still lands in its (label, type) renumber segment
+    out = ct.heterogeneous_renumber_and_sort_sampled_edgelist(
+        df, vertex_type_offsets=VTO, num_edge_types=2,
+        seed_vertices_per_label={0: np.array([9])})
+    rmo = out["renumber_map_offsets"]
+    seg = out["renumber_map"][rmo[0]: rmo[1]]     # label 0, type 0
+    assert 9 in set(seg)
+    # seeds are (hop 0, major): 9 must renumber before any minor-only vertex
+    assert list(seg).index(9) <= 2
+    with pytest.raises(ValueError):
+        ct.heterogeneous_renumber_and_sort_sampled_edgelist(
+            df, vertex_type_offsets=[0, 5], num_edge_types=2)  # 12 > 5
+
+
+def test_het_through_plc_sampler():
+    """vertex_type_offsets + renumber=True on the plc heterogeneous sampler
+    routes through the segmented renumber (c_api/neighbor_sampling.cpp:579)
+    and the SamplingResult accessors expose the new fields."""
+    import jax
+
+    from cugraph_tpu import plc
+    from cugraph_tpu.parallel.mesh import make_mesh_2d
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    et = ((src + dst) % 2).astype(np.int32)
+    h = plc.ResourceHandle()
+    g = plc.SGGraph(h, plc.GraphProperties(), src, dst, None,
+                    renumber=False, vertices_array=np.arange(40),
+                    edge_type_array=et)
+    out = plc.heterogeneous_uniform_neighbor_sample(
+        h, g, np.array([0, 1]), None, np.array([0, 20, 40]),
+        np.array([2, 2, 2, 2], np.int32), num_edge_types=2,
+        renumber=True, return_hops=True, random_state=3)
+    assert isinstance(out, dict)
+    assert out["label_type_hop_offsets"] is not None
+    assert len(out["renumber_map_offsets"]) % 2 == 1  # L*2 types + 1
+    res = plc.SamplingResult(out)
+    assert res.get_label_type_hop_offsets() is not None
+    assert res.get_renumber_map() is not None
+    assert res.get_renumber_map_offsets() is not None
