@@ -60,14 +60,15 @@ def _edge_digest(src, dst) -> str:
 
 
 def plan_cache(src, dst, scale: int, edgefactor: int, n: int,
-               device_arrays: bool):
+               device_arrays: bool, tile_subs=None):
     """Autotuned SpmvPlan, disk-cached (planv4 format, CLAUDE.md)."""
     from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
                                                  estimate_windows)
 
+    tag = "" if tile_subs is None else f"_ts{tile_subs}"
     path = os.path.join(
         CACHE_DIR,
-        f"planv4_{scale}_ef{edgefactor}_{_edge_digest(src, dst)}.npz")
+        f"planv4_{scale}_ef{edgefactor}_{_edge_digest(src, dst)}{tag}.npz")
     if os.path.exists(path):
         z = np.load(path)
         arrs = {k: z[k] for k in ("src_rel", "dst_full", "weight",
@@ -87,7 +88,7 @@ def plan_cache(src, dst, scale: int, edgefactor: int, n: int,
     print(f"# windows: src={sw} dst={dw} "
           f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr, flush=True)
     plan = build_spmv_plan(src, dst, None, n, src_win=sw, dst_win=dw,
-                           device_arrays=False)
+                           device_arrays=False, tile_subs=tile_subs)
     print(f"# plan built in {time.perf_counter()-t0:.0f}s: "
           f"tiles={plan.num_tiles} ts={plan.tile_subs}",
           file=sys.stderr, flush=True)
@@ -139,6 +140,10 @@ def main():
     ap.add_argument("--spill", action="store_true",
                     help="force the host-spill path")
     ap.add_argument("--chunk-mb", type=int, default=512)
+    ap.add_argument("--tile-subs", type=int, default=None,
+                    help="override the plan's subtiles-per-tile (ts=64 "
+                         "halves in-kernel buffers; scale>=23 plans OOM "
+                         "Mosaic scoped vmem at ts=128)")
     ap.add_argument("--prep-only", action="store_true")
     args = ap.parse_args()
 
@@ -160,7 +165,7 @@ def main():
 
     if args.prep_only:
         plan_cache(src, dst, args.scale, args.edgefactor, n,
-                   device_arrays=False)
+                   device_arrays=False, tile_subs=args.tile_subs)
         print(json.dumps({"prep": "ok", "scale": args.scale,
                           "est_plan_gib": est / 2**30, "spill": spill}))
         return 0
@@ -185,7 +190,7 @@ def main():
         pad_v = splan.pad_v
     else:
         plan = plan_cache(src, dst, args.scale, args.edgefactor, n,
-                          device_arrays=True)
+                          device_arrays=True, tile_subs=args.tile_subs)
         pad_v = plan.pad_v
 
     out_w = np.bincount(src, minlength=pad_v).astype(np.float32)

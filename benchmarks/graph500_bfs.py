@@ -85,7 +85,7 @@ def main():
     # different roots (CLAUDE.md: never repeat identical timed calls).
     best = np.full(len(keys), np.inf)
     outs = [None] * len(keys)
-    for _ in range(args.reps):
+    for rep in range(args.reps):
         for i, root in enumerate(keys):
             t0 = time.perf_counter()
             out = (cugraph_tpu.bfs(G, int(root)) if args.algo == "bfs"
@@ -93,6 +93,8 @@ def main():
             # materialize to host INSIDE the timed region
             d = out["distance"].to_numpy()
             dt = time.perf_counter() - t0
+            print(f"# rep {rep} key {i:3d} {dt*1e3:9.1f} ms",
+                  file=sys.stderr, flush=True)
             if dt < best[i]:
                 best[i] = dt
                 outs[i] = (out, d)

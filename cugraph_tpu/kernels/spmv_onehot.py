@@ -457,13 +457,19 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, *refs,
 
     # -- gather, batched across the tile's subtiles: wide one-hot matmuls
     # keep the MXU pipelined instead of per-subtile narrow dispatches.
-    # Batches of ≤64 subtiles cap the live one-hot/result buffers
-    # (O_hiT + O_loT + R_T at 128 subtiles = ~20 MB > the 16 MB scoped-VMEM
-    # limit — measured OOM on the min/max kernels at tile_subs=128).
+    # The batch is VMEM-BUDGETED: live buffers are O_hiT [xw_rows, GB·128]
+    # (odt) + O_loT/R_T [128, GB·128] f32, plus ~50% split-limb temporaries;
+    # GB=64 at the RMAT-20 config (xw_rows=128, split) measures right at
+    # the 16 MB scoped limit (model bytes = 10 MB), so the model budget is
+    # 10 MB — plans with LARGER x windows (RMAT-23 autotunes src_win=32768)
+    # halve the batch instead of OOMing the Mosaic compiler.
     # combine="right" never reads x, and gather="dst" reads x inside the
     # scatter loop (dst-side one-hots) — both skip the src-side gather.
     if combine != "right" and gather == "src":
+        odt_b = 2 if split else 4
         GB = min(tile_subs, 64)
+        while GB > 8 and GB * 128 * (xw_rows * odt_b + 1024) > (10 << 20):
+            GB //= 2
         xe_parts = []
         for c0 in range(0, tile_subs, GB):
             O_hi_cols, O_lo_cols = [], []

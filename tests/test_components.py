@@ -73,3 +73,41 @@ def test_vertex_coloring_proper():
     for u, v in Gnx.edges():
         if u != v:
             assert color[u] != color[v]
+
+
+def test_wcc_hybrid_matches_label_propagation():
+    """The Afforest-style mask hybrid (round-4 WCC experiment) must produce
+    the exact labels of the default path — including graphs where the
+    max-degree seed's component is NOT giant, many small components, and
+    isolated vertices."""
+    import numpy as np
+
+    import cugraph_tpu as ct
+    from cugraph_tpu.algos.components import _wcc_hybrid
+
+    rng = np.random.default_rng(10)
+    cases = []
+    # power-law-ish: giant component + fringe
+    s = rng.integers(0, 300, 1500)
+    d = rng.integers(0, 300, 1500)
+    cases.append((np.concatenate([s, [500]]), np.concatenate([d, [501]]),
+                  520))
+    # many small components: disjoint 4-cliques
+    ss, dd = [], []
+    for c in range(30):
+        base = c * 5
+        for i in range(4):
+            for j in range(i + 1, 4):
+                ss.append(base + i)
+                dd.append(base + j)
+    cases.append((np.array(ss), np.array(dd), 160))
+    for src, dst, n in cases:
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        G = ct.Graph(directed=True)
+        G.from_edgelist(src, dst, None, renumber=False,
+                        vertices=np.arange(n))
+        want = ct.weakly_connected_components(G).sort_values("vertex")
+        got = _wcc_hybrid(G, interpret=True)[:n]
+        ext = G.number_map.to_external(got)
+        np.testing.assert_array_equal(ext, want["labels"].to_numpy())
