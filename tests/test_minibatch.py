@@ -153,3 +153,60 @@ def test_minibatch_training_learns():
                 first = float(loss)
             last = float(loss)
     assert last < first * 0.7
+
+
+def test_graphsage_real_dataset_golden_accuracy():
+    """Stored-golden accuracy on a REAL bundled dataset (round-4 weak #5:
+    the ogbn-arxiv BASELINE row is egress-blocked, so this freezes a
+    committed target on Zachary's karate club instead): GraphSAGE over
+    UNSUPERVISED structural features computed by the library itself
+    (personalized PageRank from the two faction leaders + degree), trained
+    on 5 labeled nodes per faction, must recover the documented club split
+    at >= 90% test accuracy with fixed seeds — a regression trip-wire for
+    the renumber->structure->train feed path on real data."""
+    import networkx as nx
+    import pandas as pd
+
+    from cugraph_tpu.datasets import karate
+    from cugraph_tpu.nn.models import graphsage_apply, make_train_step
+
+    G = karate.get_graph(download=True)
+    n = G.number_of_vertices()
+    Gx = nx.karate_club_graph()  # ground-truth 'club' labels (the split)
+    labels_ext = np.array([0 if Gx.nodes[v]["club"] == "Mr. Hi" else 1
+                           for v in range(n)], np.int32)
+
+    def ppr(seed):
+        pers = pd.DataFrame({"vertex": [seed], "values": [1.0]})
+        df = ct.pagerank(G, personalization=pers).sort_values("vertex")
+        return df["pagerank"].to_numpy()
+
+    deg = ct.degree_centrality(G).sort_values(
+        "vertex")["degree_centrality"].to_numpy()
+    feats_ext = np.stack([ppr(0), ppr(33), deg], 1).astype(np.float32)
+    feats_ext = (feats_ext - feats_ext.mean(0)) / (feats_ext.std(0) + 1e-9)
+
+    # datasets renumber: place external-id features/labels at INTERNAL rows
+    nm = G.number_map
+    i2e = nm.to_external(np.arange(n))
+    g_full = G.structure
+    pad_v = g_full.pad_v
+    x = np.zeros((pad_v, 3), np.float32)
+    x[:n] = feats_ext[i2e]
+    y = np.zeros(pad_v, np.int32)
+    y[:n] = labels_ext[i2e]
+    train_int = nm.to_internal(np.array([0, 1, 2, 3, 4, 33, 32, 31, 30, 29]))
+    mask = np.zeros(pad_v, bool)
+    mask[train_int] = True
+
+    params = graphsage_init(jax.random.key(0), 3, 16, 2)
+    opt = optax.adam(2e-2)
+    step = jax.jit(make_train_step(graphsage_apply, opt))
+    st = opt.init(params)
+    for _ in range(150):
+        params, st, _ = step(params, st, g_full, jnp.asarray(x),
+                             jnp.asarray(y), jnp.asarray(mask))
+    logits = np.asarray(graphsage_apply(params, g_full, jnp.asarray(x)))
+    test_int = np.setdiff1d(np.arange(n), np.asarray(train_int))
+    acc = float((logits[test_int].argmax(1) == y[test_int]).mean())
+    assert acc >= 0.90, acc   # frozen golden (measured 0.958)
