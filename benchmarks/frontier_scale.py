@@ -183,7 +183,8 @@ def main():
 
         t0 = time.perf_counter()
         splan = build_spilled_spmv_plan(
-            src, dst, None, n, max_chunk_bytes=args.chunk_mb << 20)
+            src, dst, None, n, max_chunk_bytes=args.chunk_mb << 20,
+            tile_subs=args.tile_subs)
         print(f"# spilled plan: {splan.num_chunks} chunks x "
               f"{splan.chunk_bytes()/2**20:.0f} MiB "
               f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr, flush=True)

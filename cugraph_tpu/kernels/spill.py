@@ -56,13 +56,14 @@ class SpilledSpmvPlan:
 
 def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
                             yb_rows: int = DEFAULT_YB_ROWS,
-                            max_chunk_bytes: int = 256 << 20
+                            max_chunk_bytes: int = 256 << 20,
+                            tile_subs: int | None = None
                             ) -> SpilledSpmvPlan:
     """Build the full plan host-side, then split it into uniform chunks of
     whole y blocks such that each chunk's tile arrays fit ``max_chunk_bytes``.
     """
     full = build_spmv_plan(src, dst, weight, num_vertices, yb_rows=yb_rows,
-                           device_arrays=False)
+                           device_arrays=False, tile_subs=tile_subs)
     yb = full.yb_rows
     tile_bytes = full.tile_subs * 128 * (4 + 4 + 4)  # per-tile array bytes
     yblk = np.asarray(full.yblk)

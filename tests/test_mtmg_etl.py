@@ -162,3 +162,38 @@ def test_mtmg_concurrent_ingest_rmat14_scale():
     g1, mesh1 = GraphHandle(im).create_graph(el1, num_vertices=1 << scale)
     p1, _, _ = mg_pagerank(g1, mesh1, tol=1e-7, max_iter=100)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p1), atol=1e-7)
+
+
+def test_etl_string_renumber_scale_through_build():
+    """Round-4 weak-spot closure (ETL half): string-key renumbering at
+    RMAT-14 edge scale (262K rows, ~16K unique keys) feeding an actual
+    graph build + pagerank — the ingest pipeline the ETL library exists
+    for, not just a toy frame (renumbering.cu role)."""
+    import numpy as np
+    import pandas as pd
+
+    import cugraph_tpu as ct
+    from cugraph_tpu.etl import renumber_strings
+    from cugraph_tpu.generators.rmat import _rmat_host
+
+    scale, m = 14, (1 << 14) * 16
+    src, dst = _rmat_host(scale, m, 0.57, 0.19, 0.19, 7, False)
+    df = pd.DataFrame({
+        "s": np.char.add("ip-10-0-", src.astype(str)),
+        "d": np.char.add("ip-10-0-", dst.astype(str)),
+    })
+    renum, mapping = renumber_strings(df, "s", "d")
+    n = len(mapping)
+    assert n == len(np.unique(np.concatenate([src, dst])))
+    # round trip: every renumbered edge decodes to its original strings
+    vals = mapping["value"].to_numpy()
+    sel = np.random.default_rng(0).integers(0, m, 2000)
+    np.testing.assert_array_equal(vals[renum["s"].to_numpy()[sel]],
+                                  df["s"].to_numpy()[sel])
+    # the renumbered ids drive a real build + analytics
+    G = ct.Graph(directed=True)
+    G.from_edgelist(renum["s"].to_numpy(), renum["d"].to_numpy(), None,
+                    renumber=False, vertices=np.arange(n))
+    pr = ct.pagerank(G, max_iter=40, fail_on_nonconvergence=False)
+    out = pr[0] if isinstance(pr, tuple) else pr
+    assert abs(float(out["pagerank"].sum()) - 1.0) < 1e-3
