@@ -47,71 +47,16 @@ CACHE_DIR = os.path.expanduser("~/.cache/cugraph_tpu/bench")
 
 
 def _edge_cache():
-    # "c1" = counter-RNG generator semantics (native C++ / NumPy identical);
-    # versioning the file keeps pre-change caches from mixing with plans
-    # built for differently-generated edges.
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"rmat{SCALE}_ef{EDGE_FACTOR}_c1.npz")
-    if os.path.exists(path):
-        z = np.load(path)
-        return z["src"], z["dst"]
-    from cugraph_tpu.generators.rmat import _rmat_host
+    from cugraph_tpu.utils.benchcache import edge_cache
 
-    n = 1 << SCALE
-    src, dst = _rmat_host(SCALE, n * EDGE_FACTOR, 0.57, 0.19, 0.19, 7, False)
-    np.savez(path, src=src, dst=dst)
-    return src, dst
-
-
-def _edge_digest(src, dst) -> str:
-    """Short content hash tying the plan cache to the edge arrays (a sparse
-    sample keeps it cheap at 16M edges)."""
-    import hashlib
-
-    h = hashlib.sha256()
-    h.update(np.ascontiguousarray(src[::65537]).tobytes())
-    h.update(np.ascontiguousarray(dst[::65537]).tobytes())
-    h.update(str(len(src)).encode())
-    return h.hexdigest()[:8]
+    return edge_cache(SCALE, EDGE_FACTOR)
 
 
 def _plan_cache(src, dst, n):
-    """Build (or load) the autotuned SpmvPlan; caching skips the ~60 s of
-    host-side window estimation + tiling sort."""
-    from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
-                                                 estimate_windows)
+    # one owner for the cache format + planv4 version tag: benchcache.py
+    from cugraph_tpu.utils.benchcache import plan_cache
 
-    # v4: tile_subs cap raised to 128 (round 3).  The version tag keeps stale
-    # pre-format-change caches from being loaded silently; the edge digest
-    # ties the plan to the exact edge arrays (regenerated edges can't pick
-    # up a stale plan).
-    path = os.path.join(
-        CACHE_DIR,
-        f"planv4_{SCALE}_ef{EDGE_FACTOR}_{_edge_digest(src, dst)}.npz")
-    if os.path.exists(path):
-        import jax.numpy as jnp
-
-        z = np.load(path)
-        return SpmvPlan(
-            src_rel=jnp.asarray(z["src_rel"]), dst_full=jnp.asarray(z["dst_full"]),
-            weight=jnp.asarray(z["weight"]), xwin_blk=jnp.asarray(z["xwin_blk"]),
-            yblk=jnp.asarray(z["yblk"]), num_vertices=int(z["num_vertices"]),
-            n_rows=int(z["n_rows"]), yb_rows=int(z["yb_rows"]),
-            n_yblocks=int(z["n_yblocks"]), num_tiles=int(z["num_tiles"]),
-            src_win=int(z["src_win"]), dst_win=int(z["dst_win"]),
-            tile_subs=int(z["tile_subs"]),
-        )
-    sw, dw = estimate_windows(src, dst, n)
-    print(f"# windows: src={sw} dst={dw}", file=sys.stderr, flush=True)
-    plan = build_spmv_plan(src, dst, None, n, src_win=sw, dst_win=dw)
-    np.savez(path, src_rel=np.asarray(plan.src_rel),
-             dst_full=np.asarray(plan.dst_full), weight=np.asarray(plan.weight),
-             xwin_blk=np.asarray(plan.xwin_blk), yblk=np.asarray(plan.yblk),
-             num_vertices=plan.num_vertices, n_rows=plan.n_rows,
-             yb_rows=plan.yb_rows, n_yblocks=plan.n_yblocks,
-             num_tiles=plan.num_tiles, src_win=plan.src_win,
-             dst_win=plan.dst_win, tile_subs=plan.tile_subs)
-    return plan
+    return plan_cache(src, dst, SCALE, EDGE_FACTOR, n, device_arrays=True)
 
 
 def child():

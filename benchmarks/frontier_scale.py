@@ -32,80 +32,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CACHE_DIR = os.path.expanduser("~/.cache/cugraph_tpu/bench")
-
-
-def edge_cache(scale: int, edgefactor: int):
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    path = os.path.join(CACHE_DIR, f"rmat{scale}_ef{edgefactor}_c1.npz")
-    if os.path.exists(path):
-        z = np.load(path)
-        return z["src"], z["dst"]
-    from cugraph_tpu.generators.rmat import _rmat_host
-
-    n = 1 << scale
-    src, dst = _rmat_host(scale, n * edgefactor, 0.57, 0.19, 0.19, 7, False)
-    np.savez(path, src=src, dst=dst)
-    return src, dst
-
-
-def _edge_digest(src, dst) -> str:
-    import hashlib
-
-    h = hashlib.sha256()
-    h.update(np.ascontiguousarray(src[::65537]).tobytes())
-    h.update(np.ascontiguousarray(dst[::65537]).tobytes())
-    h.update(str(len(src)).encode())
-    return h.hexdigest()[:8]
-
-
-def plan_cache(src, dst, scale: int, edgefactor: int, n: int,
-               device_arrays: bool, tile_subs=None):
-    """Autotuned SpmvPlan, disk-cached (planv4 format, CLAUDE.md)."""
-    from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
-                                                 estimate_windows)
-
-    tag = "" if tile_subs is None else f"_ts{tile_subs}"
-    path = os.path.join(
-        CACHE_DIR,
-        f"planv4_{scale}_ef{edgefactor}_{_edge_digest(src, dst)}{tag}.npz")
-    if os.path.exists(path):
-        z = np.load(path)
-        arrs = {k: z[k] for k in ("src_rel", "dst_full", "weight",
-                                  "xwin_blk", "yblk")}
-        if device_arrays:
-            import jax.numpy as jnp
-
-            arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
-        return SpmvPlan(
-            num_vertices=int(z["num_vertices"]), n_rows=int(z["n_rows"]),
-            yb_rows=int(z["yb_rows"]), n_yblocks=int(z["n_yblocks"]),
-            num_tiles=int(z["num_tiles"]), src_win=int(z["src_win"]),
-            dst_win=int(z["dst_win"]), tile_subs=int(z["tile_subs"]),
-            **arrs)
-    t0 = time.perf_counter()
-    sw, dw = estimate_windows(src, dst, n)
-    print(f"# windows: src={sw} dst={dw} "
-          f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr, flush=True)
-    plan = build_spmv_plan(src, dst, None, n, src_win=sw, dst_win=dw,
-                           device_arrays=False, tile_subs=tile_subs)
-    print(f"# plan built in {time.perf_counter()-t0:.0f}s: "
-          f"tiles={plan.num_tiles} ts={plan.tile_subs}",
-          file=sys.stderr, flush=True)
-    np.savez(path, src_rel=np.asarray(plan.src_rel),
-             dst_full=np.asarray(plan.dst_full),
-             weight=np.asarray(plan.weight),
-             xwin_blk=np.asarray(plan.xwin_blk), yblk=np.asarray(plan.yblk),
-             num_vertices=plan.num_vertices, n_rows=plan.n_rows,
-             yb_rows=plan.yb_rows, n_yblocks=plan.n_yblocks,
-             num_tiles=plan.num_tiles, src_win=plan.src_win,
-             dst_win=plan.dst_win, tile_subs=plan.tile_subs)
-    if device_arrays:
-        import jax
-        import jax.numpy as jnp
-
-        plan = jax.tree_util.tree_map(jnp.asarray, plan)
-    return plan
+# one owner for the edge/plan cache format (benchcache.py); edge_cache is
+# re-exported because bench_sampling_rmat20 / bench_wcc_hybrid import it here
+from cugraph_tpu.utils.benchcache import edge_cache, plan_cache  # noqa: E402
 
 
 def host_pagerank(src, dst, n, pad_v, iters, alpha=0.85):

@@ -467,8 +467,14 @@ def _kernel(xwin_ref, yblk_ref, src_ref, dst_ref, w_ref, x_ref, *refs,
     # scatter loop (dst-side one-hots) — both skip the src-side gather.
     if combine != "right" and gather == "src":
         odt_b = 2 if split else 4
+        # split pays ~50% limb temporaries on top of the model bytes, so its
+        # budget is 10 MB (GB=64 at the RMAT-20 config sits exactly there);
+        # the non-split path has no temporaries and its measured RMAT-20
+        # config (xw_rows=128, GB=64 → 12.58 MB model) fits the 16 MB
+        # scoped limit — don't shrink a proven configuration.
+        budget = (10 << 20) if split else (13 << 20)
         GB = min(tile_subs, 64)
-        while GB > 8 and GB * 128 * (xw_rows * odt_b + 1024) > (10 << 20):
+        while GB > 8 and GB * 128 * (xw_rows * odt_b + 1024) > budget:
             GB //= 2
         xe_parts = []
         for c0 in range(0, tile_subs, GB):

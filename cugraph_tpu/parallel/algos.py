@@ -807,27 +807,38 @@ def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
         base = (i * jax.lax.axis_size(prims.MINOR) + j) * chunk
 
         # canonical occurrence layer of (batch, vertex) = #earlier batches
-        # holding the vertex (matches _occurrence_rank(fv, tiebreak=fb))
+        # holding the vertex (matches _occurrence_rank(fv, tiebreak=fb)).
+        # Loop only over layers POPULATED somewhere on the mesh (pmax keeps
+        # the trip count mesh-uniform, so the collectives inside the hop
+        # pass stay aligned): NB disjoint batches cost ONE edge-space pass,
+        # not NB — same bound the layered host path uses (n_layers =
+        # max occurrence + 1), and identical RNG folds for every live r.
         cnt = jnp.cumsum(masks.astype(jnp.int32), axis=0)
         layer = cnt - 1
-        outs = [jnp.full((chunk, k), -1, jnp.int32) for _ in range(NB)]
-        for r in range(NB):
+        L = jax.lax.pmax(jax.lax.pmax(
+            jnp.max(cnt[NB - 1]), prims.MAJOR), prims.MINOR)
+
+        def layer_body(carry):
+            r, panel = carry
             sel_r = masks & (layer == r)
             f_r = sel_r.any(axis=0)
             out_dst, _ = _sample_hop_device(
-                gath, red, valid_, w_, w_, f_r, seed + jnp.int32(r * 131),
+                gath, red, valid_, w_, w_, f_r, seed + r * jnp.int32(131),
                 k, pmaj=pmaj, pmin=pmin, chunk=chunk,
                 with_replacement=with_replacement, biased=biased,
                 temporal=False, comparison=None, f_time=None)
-            for b in range(NB):
-                outs[b] = jnp.where(sel_r[b][:, None], out_dst, outs[b])
-        panel = jnp.stack(outs, 0)              # [NB, chunk, k]
+            panel = jnp.where(sel_r[:, :, None], out_dst[None], panel)
+            return r + jnp.int32(1), panel
+
+        panel0 = jnp.full((NB, chunk, k), -1, jnp.int32)
+        _, panel = jax.lax.while_loop(
+            lambda c: c[0] < L, layer_body, (jnp.int32(0), panel0))
 
         # per-batch destination masks: dense scatter → bit-pack → one
         # all_gather + OR across the mesh → owned slice
         words = []
         for b in range(NB):
-            flat = outs[b].reshape(-1)
+            flat = panel[b].reshape(-1)
             dense = jnp.zeros((pad_v,), bool).at[
                 jnp.clip(flat, 0, pad_v - 1)].max(flat >= 0)
             words.append(_pack(dense))

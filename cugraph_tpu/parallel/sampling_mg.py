@@ -283,8 +283,11 @@ def _plan_fused(g, mesh, start_list, fanout_vals, flags):
         return None
     sv = np.asarray(start_list, np.int64).reshape(-1)
     bl = flags["batch_id_list"]
+    # bl=None means each seed is its OWN batch (FrontierState default /
+    # np.arange in both SG drivers) — NOT one shared batch; zeros here
+    # would merge frontiers and mislabel batch_id on the fused path.
     b = (np.asarray(bl, np.int32).reshape(-1) if bl is not None
-         else np.zeros(len(sv), np.int32))
+         else np.arange(len(sv), dtype=np.int32))
     labels = np.unique(b)
     NB = max(len(labels), 1)
     if NB > MAX_FUSED_BATCHES:

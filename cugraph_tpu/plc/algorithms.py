@@ -895,8 +895,11 @@ def heterogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
     if h_fan_out is None:
         h_fan_out = starting_vertex_label_offsets
         if num_edge_types is None:
+            # legacy positional slot held num_edge_types; an EXPLICIT
+            # keyword vertex_type_offsets alongside num_edge_types must
+            # survive (it drives the heterogeneous renumber)
             num_edge_types = vertex_type_offsets
-        vertex_type_offsets = None   # legacy slot held num_edge_types
+            vertex_type_offsets = None
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
 
@@ -920,8 +923,9 @@ def heterogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
     if h_fan_out is None:
         h_fan_out = starting_vertex_label_offsets
         if num_edge_types is None:
+            # see uniform twin: only null the slot when it was CONSUMED
             num_edge_types = vertex_type_offsets
-        vertex_type_offsets = None   # legacy slot held num_edge_types
+            vertex_type_offsets = None
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_heterogeneous_neighbor_sample
 

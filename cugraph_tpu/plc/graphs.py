@@ -226,27 +226,31 @@ class MGGraph:
         self.properties = props
         self.number_map = nmap
         self.build_stats = stats
-        self.edge_ids = (None if edge_id_array is None else
-                         np.concatenate([np.asarray(c) for c in
-                                         _chunks(edge_id_array)]))
-        self.edge_types = (None if edge_type_array is None else
-                           np.concatenate([np.asarray(c) for c in
-                                           _chunks(edge_type_array)]))
-        self._edge_endpoints = (
-            None if self.edge_ids is None
-            else (np.concatenate(_chunks(src_array)).astype(np.int64),
-                  np.concatenate(_chunks(dst_array)).astype(np.int64)))
+        def _full(a):
+            # flatten a chunk list; a plain ndarray is already the full
+            # edge order (avoid the split-then-reconcatenate identity copy)
+            if a is None:
+                return None
+            if isinstance(a, (list, tuple)):
+                return np.concatenate([np.asarray(x) for x in a])
+            return np.asarray(a)
+
+        self.edge_ids = _full(edge_id_array)
+        self.edge_types = _full(edge_type_array)
         if self.edge_ids is not None:
             # id keys live in INTERNAL id space (the sampler's output space);
             # the map query gathers to this host — same O(E) residency as
-            # the edge_ids array itself
-            si = nmap.to_internal(np.concatenate(_chunks(src_array))) \
-                .astype(np.int64)
-            di = nmap.to_internal(np.concatenate(_chunks(dst_array))) \
-                .astype(np.int64)
+            # the edge_ids array itself.  Endpoints concatenate ONCE and
+            # feed both the external-endpoint record and the id table.
+            s_full = _full(src_array).astype(np.int64)
+            d_full = _full(dst_array).astype(np.int64)
+            self._edge_endpoints = (s_full, d_full)
+            si = nmap.to_internal(s_full).astype(np.int64)
+            di = nmap.to_internal(d_full).astype(np.int64)
             self._edge_id_table = self._build_edge_id_table(
                 si, di, self.edge_ids, g.pad_v, symmetrize=bool(symmetrize))
         else:
+            self._edge_endpoints = None
             self._edge_id_table = None
 
     def edge_endpoints_external(self):

@@ -507,3 +507,53 @@ def test_mg_device_multihop_single_readback():
         jax.device_get = real
     assert len(df) > 0
     assert len(calls) == 1, calls
+
+
+def test_mg_fused_default_batches_are_per_seed():
+    """Regression (round-4 review): with batch_id_list=None every seed is
+    its OWN batch (FrontierState / SG arange default) — the fused gate must
+    not merge them into one plane (it briefly mapped None → zeros, changing
+    batch_id labels AND the merged-frontier RNG stream)."""
+    import jax
+    from cugraph_tpu.parallel.sampling_mg import _mg_neighbor_sample_core
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    g = _parity_graph()
+    seeds = [3, 40, 99]
+    df = mg_uniform_neighbor_sample(g, mesh, seeds, [3, 2], seed=21,
+                                    dedupe_sources=True)
+    assert set(df.batch_id) == {0, 1, 2}
+    df_ref = _mg_neighbor_sample_core(
+        g, mesh, seeds, [[(None, 3)], [(None, 2)]], seed=21,
+        with_replacement=False, biased=False, dedupe_sources=True)
+    key = lambda d: sorted(zip(d.hop_id, d.batch_id, d.sources,
+                               d.destinations))
+    assert key(df) == key(df_ref)
+
+
+def test_plc_het_legacy_call_keeps_vertex_type_offsets():
+    """Regression (round-4 review): a legacy-shaped heterogeneous call
+    (fanout in the positional label-offsets slot) with EXPLICIT keyword
+    num_edge_types + vertex_type_offsets must still run the segmented
+    heterogeneous renumber, not silently drop the offsets."""
+    from cugraph_tpu import plc
+
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    et = ((src + dst) % 2).astype(np.int32)
+    h = plc.ResourceHandle()
+    g = plc.SGGraph(h, plc.GraphProperties(), src, dst, None,
+                    renumber=False, vertices_array=np.arange(40),
+                    edge_type_array=et)
+    out = plc.heterogeneous_uniform_neighbor_sample(
+        h, g, np.array([0, 1]), np.array([2, 2], np.int32),
+        num_edge_types=2, vertex_type_offsets=np.array([0, 20, 40]),
+        renumber=True, return_hops=True, random_state=3)
+    # the heterogeneous (segmented) renumber ran: per-(label, vertex-type)
+    # map offsets, L*2 types + 1 entries
+    assert out["renumber_map_offsets"] is not None
+    assert len(out["renumber_map_offsets"]) % 2 == 1
+    assert out["label_type_hop_offsets"] is not None
