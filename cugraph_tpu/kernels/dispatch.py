@@ -102,17 +102,41 @@ def get_pull_plan(G):
     return plan
 
 
-def get_push_plan(G):
-    """Plan computing y[src] = Σ w·x[dst] (the push SpMV = pull on Aᵀ)."""
+def get_push_plan(G, max_tile_subs: int | None = None,
+                  yb_rows: int | None = None):
+    """Plan computing y[src] = Σ w·x[dst] (the push SpMV = pull on Aᵀ).
+
+    ``max_tile_subs`` / ``yb_rows`` shrink the kernel's scoped-VMEM
+    footprint for the gather="dst" kernels (eqsel argmax recovery): their
+    x operand is Y-BLOCK shaped, so at the default yb_rows=8192 the
+    x + y-in + y-out blocks alone hit Mosaic's 16 MB scoped limit on
+    RMAT-20-sized plans (measured 16.19-16.38 MB, a clean compile error,
+    nearly independent of tile_subs).  Constrained plans are cached
+    separately; the default plan is reused when it already satisfies the
+    constraints."""
     plan = getattr(G, "_spmv_plan_push", None)
+    if plan is not None and \
+            (max_tile_subs is None or plan.tile_subs <= max_tile_subs) and \
+            (yb_rows is None or plan.yb_rows <= yb_rows):
+        return plan
+    attr = "_spmv_plan_push"
+    if max_tile_subs is not None:
+        attr += f"_ts{max_tile_subs}"
+    if yb_rows is not None:
+        attr += f"_yb{yb_rows}"
+    plan = getattr(G, attr, None)
     if plan is None:
-        from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan
+        from cugraph_tpu.kernels.spmv_onehot import (DEFAULT_YB_ROWS,
+                                                     build_spmv_plan)
 
         src, dst, w = G.edgelist_arrays()
         n = G.number_of_vertices()
         sw, dw = _plan_windows(dst, src, n)
-        plan = build_spmv_plan(dst, src, w, n, src_win=sw, dst_win=dw)
-        G._spmv_plan_push = plan
+        plan = build_spmv_plan(dst, src, w, n, src_win=sw, dst_win=dw,
+                               tile_subs=max_tile_subs,
+                               yb_rows=(DEFAULT_YB_ROWS if yb_rows is None
+                                        else yb_rows))
+        setattr(G, attr, plan)
     return plan
 
 
@@ -172,7 +196,12 @@ def per_v_random_select(G, key, *, interpret: bool = False):
 
     from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG, spmv_onehot
 
-    plan = get_push_plan(G)  # kernel-src = graph-dst: selection per SOURCE
+    # kernel-src = graph-dst: selection per SOURCE.  yb_rows halved + ts
+    # capped at 64: the eqsel gather="dst" pass blocks x BY Y BLOCKS, and
+    # at yb_rows=8192 its x + y-in + y-out blocks alone hit the 16 MB
+    # scoped-VMEM limit on RMAT-20 plans (measured 16.19 MB at ts=64).  At
+    # 2 dispatches/call the extra grid steps cost ~0.3 ms.
+    plan = get_push_plan(G, max_tile_subs=64, yb_rows=4096)
     if plan.pad_v >= (1 << 24):
         raise ValueError("per_v_random_select requires < 2^24 vertices "
                          "(f32-exact id reconstruction)")
