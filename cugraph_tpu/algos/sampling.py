@@ -180,6 +180,16 @@ def _row_cumweights(g: GraphStructure):
 # F × max_deg footprint would exceed this
 _BULK_SAMPLE_TILE = 16_000_000
 
+# With replacement the gather path needs NO [F, max_deg] tile — it draws
+# floor(u·deg) offsets and element-gathers F·k indices — so past the tile
+# budget the choice is gather (F·k element gathers at ~0.12 G elem/s) vs
+# k whole-graph 2-pass selects (2·E MXU-bound edges/round at ~1.7 G/s);
+# k cancels.  Select only wins for near-all-vertex frontiers
+# (F > ~0.14·E).  Constants from the calibrated TPU rates
+# (docs/performance.md); the k=-1 and without-replacement paths still tile.
+_BULK_GATHER_COST = 1.0 / 0.12e9     # s per element gather
+_BULK_SELECT_COST = 1.0 / 1.7e9      # s per traversed edge (split SpMV)
+
 
 def _host_weights(g: GraphStructure) -> np.ndarray:
     """Cached host copy of CSR weights — per-hop np.asarray would pay a
@@ -259,8 +269,18 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
     max_deg = max(int(np.asarray(g.out_degrees())[:n].max()), 1) if n else 1
     tables = _fetch_tables(g, weights=biased, cum=biased)
     # cumw kept even when tables exist: the dense-CDF path falls back to the
-    # binary search when F*k*D exceeds its tensor budget
-    cumw = _row_cumweights(g) if biased else None
+    # binary search when F*k*D exceeds its tensor budget.  CACHED on the
+    # Graph: the O(E) host cumsum + device upload costs seconds per call at
+    # RMAT-20 scale (measured round 4) and is invariant across calls.
+    cumw = None
+    if biased:
+        cumw = getattr(G, "_cumw_cache", None)
+        if cumw is None:
+            cumw = _row_cumweights(g)
+            try:
+                G._cumw_cache = cumw
+            except AttributeError:
+                pass
     from cugraph_tpu.algos._frontier import FrontierState
 
     state = FrontierState(seeds, np.arange(len(seeds), dtype=np.int32), n,
@@ -281,7 +301,9 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
                 nbr_table=tables[0] if tables is not None else None)
             dst, eidx, valid = np.asarray(nbr), np.asarray(eidx), np.asarray(valid)
         elif (with_replacement and not biased
-              and len(frontier) * max_deg > _BULK_SAMPLE_TILE):
+              and len(frontier) * max_deg > _BULK_SAMPLE_TILE
+              and len(frontier) * _BULK_GATHER_COST
+                  > 2 * int(g.csr.pad_e) * _BULK_SELECT_COST):
             from cugraph_tpu.kernels.dispatch import use_pallas
 
             # The bulk prim draws ONE neighbor per graph vertex per round, so

@@ -55,8 +55,10 @@ class Graph:
         self._spmv_plan_push = None
         self._spmv_plan_sym = None
         self._spmv_plan_pull_spilled = None
+        self._spmv_plan_aux = {}     # VMEM-constrained variants (dispatch)
         self._spmm_plans_brandes = None
         self._csr_perm_cache = None
+        self._cumw_cache = None      # biased-sampling row cum-weights
         self._pending_nodes = None
 
     # -- construction ---------------------------------------------------------

@@ -119,13 +119,22 @@ def get_push_plan(G, max_tile_subs: int | None = None,
             (max_tile_subs is None or plan.tile_subs <= max_tile_subs) and \
             (yb_rows is None or plan.yb_rows <= yb_rows):
         return plan
-    attr = "_spmv_plan_push"
-    if max_tile_subs is not None:
-        attr += f"_ts{max_tile_subs}"
-    if yb_rows is not None:
-        attr += f"_yb{yb_rows}"
-    plan = getattr(G, attr, None)
-    if plan is None:
+    if max_tile_subs is None and yb_rows is None:
+        key = None
+    else:
+        # constrained variants live in a DICT that Graph.__init__/clear()
+        # resets (a dynamic attribute would survive clear() → stale plan)
+        key = ("push", max_tile_subs, yb_rows)
+        aux = getattr(G, "_spmv_plan_aux", None)
+        if aux is None:
+            aux = {}
+            try:
+                G._spmv_plan_aux = aux
+            except AttributeError:
+                pass
+        if key in aux:
+            return aux[key]
+    if plan is None or key is not None:
         from cugraph_tpu.kernels.spmv_onehot import (DEFAULT_YB_ROWS,
                                                      build_spmv_plan)
 
@@ -136,7 +145,10 @@ def get_push_plan(G, max_tile_subs: int | None = None,
                                tile_subs=max_tile_subs,
                                yb_rows=(DEFAULT_YB_ROWS if yb_rows is None
                                         else yb_rows))
-        setattr(G, attr, plan)
+        if key is None:
+            G._spmv_plan_push = plan
+        else:
+            aux[key] = plan
     return plan
 
 
