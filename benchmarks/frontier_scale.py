@@ -111,9 +111,11 @@ def main():
                                                spmv_spilled)
 
         t0 = time.perf_counter()
+        full = plan_cache(src, dst, args.scale, args.edgefactor, n,
+                          device_arrays=False, tile_subs=args.tile_subs)
         splan = build_spilled_spmv_plan(
             src, dst, None, n, max_chunk_bytes=args.chunk_mb << 20,
-            tile_subs=args.tile_subs)
+            tile_subs=args.tile_subs, full_plan=full)
         print(f"# spilled plan: {splan.num_chunks} chunks x "
               f"{splan.chunk_bytes()/2**20:.0f} MiB "
               f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr, flush=True)

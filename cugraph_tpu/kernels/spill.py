@@ -32,9 +32,19 @@ from cugraph_tpu.kernels.spmv_onehot import (
 
 @dataclass(frozen=True)
 class SpilledSpmvPlan:
-    """Host-resident plan split at y-block boundaries into uniform chunks."""
+    """Host-resident plan split at y-block boundaries into uniform chunks.
 
-    chunks: tuple  # of SpmvPlan with NumPy arrays, yblk rebased per chunk
+    Chunks are MATERIALIZED ON DEMAND from the full plan's arrays: RMAT
+    skew concentrates tiles in the hub y blocks, so padding every chunk to
+    the heaviest chunk's tile count up front cost ~3× the plan's own
+    footprint in host copies — at RMAT-25 (18.4 GiB plan) the eager padded
+    chunks (59 GiB) OOM-killed the host (round-4 measurement).  Keeping
+    (t0, t1, b0) index ranges + one transient padded buffer per streamed
+    chunk bounds host memory at plan + O(1) chunks."""
+
+    full: SpmvPlan       # host (NumPy) arrays, tiles sorted by y block
+    ranges: tuple        # ((t0, t1, b0), ...) tile/block span per chunk
+    chunk_tiles: int     # uniform padded tile count (one XLA compilation)
     num_vertices: int
     n_rows: int          # full padded x rows (pad_v = n_rows * 128)
     yb_rows: int
@@ -46,24 +56,70 @@ class SpilledSpmvPlan:
 
     @property
     def num_chunks(self) -> int:
-        return len(self.chunks)
+        return len(self.ranges)
 
     def chunk_bytes(self) -> int:
-        c = self.chunks[0]
-        return int(np.asarray(c.src_rel).nbytes + np.asarray(c.dst_full).nbytes
-                   + np.asarray(c.weight).nbytes)
+        return int(self.chunk_tiles * self.full.tile_subs * 128 * (4 + 4 + 4))
+
+    def materialize_chunk(self, i: int) -> SpmvPlan:
+        """Padded uniform-shape SpmvPlan for chunk ``i`` (fresh host
+        arrays; all-NaN padding tiles pinned to the chunk's last y block
+        keep yblk sorted and are masked out inside the kernel)."""
+        t0, t1, b0 = self.ranges[i]
+        full, TS = self.full, self.full.tile_subs
+        nt = t1 - t0
+        pad_t = self.chunk_tiles - nt
+        sr = np.asarray(full.src_rel)[t0 * TS: t1 * TS]
+        df = np.asarray(full.dst_full)[t0 * TS: t1 * TS]
+        ww = np.asarray(full.weight)[t0 * TS: t1 * TS]
+        xb = np.asarray(full.xwin_blk)[t0:t1]
+        yk = np.asarray(full.yblk)[t0:t1] - b0
+        if pad_t:
+            sr = np.concatenate([sr, np.zeros((pad_t * TS, 128), np.int32)])
+            df = np.concatenate([df, np.zeros((pad_t * TS, 128), np.int32)])
+            ww = np.concatenate([ww, np.full((pad_t * TS, 128), np.nan,
+                                             np.float32)])
+            xb = np.concatenate([xb, np.zeros(pad_t, np.int32)])
+            yk = np.concatenate([yk, np.full(pad_t, yk[-1], np.int32)])
+        bpc, yb = self.blocks_per_chunk, self.yb_rows
+        return SpmvPlan(
+            src_rel=sr, dst_full=df, weight=ww, xwin_blk=xb,
+            yblk=yk.astype(np.int32),
+            # num_vertices is unused by the kernel; keep it UNIFORM across
+            # chunks — it is a static jit field, and a differing last chunk
+            # would force a second 30-90 s compile
+            num_vertices=bpc * yb * 128,
+            n_rows=bpc * yb,       # uniform out rows -> one compilation
+            yb_rows=yb,
+            n_yblocks=bpc,
+            num_tiles=self.chunk_tiles,
+            src_win=full.src_win,
+            dst_win=full.dst_win,
+            tile_subs=TS,
+        )
+
+    @property
+    def chunks(self):
+        """Eagerly materialized chunk tuple — test/introspection
+        convenience; the streaming path materializes one at a time."""
+        return tuple(self.materialize_chunk(i)
+                     for i in range(self.num_chunks))
 
 
 def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
                             yb_rows: int = DEFAULT_YB_ROWS,
                             max_chunk_bytes: int = 256 << 20,
-                            tile_subs: int | None = None
+                            tile_subs: int | None = None,
+                            full_plan: SpmvPlan | None = None
                             ) -> SpilledSpmvPlan:
     """Build the full plan host-side, then split it into uniform chunks of
     whole y blocks such that each chunk's tile arrays fit ``max_chunk_bytes``.
+    ``full_plan`` supplies a prebuilt HOST-array plan (e.g. from the
+    benchcache disk cache — ~16 min of tiling sorts at RMAT-25).
     """
-    full = build_spmv_plan(src, dst, weight, num_vertices, yb_rows=yb_rows,
-                           device_arrays=False, tile_subs=tile_subs)
+    full = full_plan if full_plan is not None else build_spmv_plan(
+        src, dst, weight, num_vertices, yb_rows=yb_rows,
+        device_arrays=False, tile_subs=tile_subs)
     yb = full.yb_rows
     tile_bytes = full.tile_subs * 128 * (4 + 4 + 4)  # per-tile array bytes
     yblk = np.asarray(full.yblk)
@@ -88,44 +144,15 @@ def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
         int(blk_start_tile[min(b + bpc, full.n_yblocks)] - blk_start_tile[b])
         for b in starts)
 
-    chunks = []
+    ranges = []
     for b0 in starts:
         b1 = min(b0 + bpc, full.n_yblocks)
-        t0, t1 = int(blk_start_tile[b0]), int(blk_start_tile[b1])
-        nt = t1 - t0
-        pad_t = chunk_tiles - nt
-        TS = full.tile_subs
-        sr = np.asarray(full.src_rel)[t0 * TS: t1 * TS]
-        df = np.asarray(full.dst_full)[t0 * TS: t1 * TS]
-        ww = np.asarray(full.weight)[t0 * TS: t1 * TS]
-        xb = np.asarray(full.xwin_blk)[t0:t1]
-        yk = yblk[t0:t1] - b0
-        if pad_t:
-            # all-NaN padding tiles pinned to the chunk's LAST y block keep
-            # yblk sorted and are masked out inside the kernel
-            sr = np.concatenate([sr, np.zeros((pad_t * TS, 128), np.int32)])
-            df = np.concatenate([df, np.zeros((pad_t * TS, 128), np.int32)])
-            ww = np.concatenate([ww, np.full((pad_t * TS, 128), np.nan,
-                                             np.float32)])
-            xb = np.concatenate([xb, np.zeros(pad_t, np.int32)])
-            yk = np.concatenate([yk, np.full(pad_t, yk[-1], np.int32)])
-        chunks.append(SpmvPlan(
-            src_rel=sr, dst_full=df, weight=ww, xwin_blk=xb,
-            yblk=yk.astype(np.int32),
-            # num_vertices is unused by the kernel; keep it UNIFORM across
-            # chunks — it is a static jit field, and a differing last chunk
-            # would force a second 30-90 s compile
-            num_vertices=bpc * yb * 128,
-            n_rows=bpc * yb,       # uniform out rows -> one compilation
-            yb_rows=yb,
-            n_yblocks=bpc,
-            num_tiles=chunk_tiles,
-            src_win=full.src_win,
-            dst_win=full.dst_win,
-            tile_subs=full.tile_subs,
-        ))
+        ranges.append((int(blk_start_tile[b0]), int(blk_start_tile[b1]),
+                       int(b0)))
     return SpilledSpmvPlan(
-        chunks=tuple(chunks),
+        full=full,
+        ranges=tuple(ranges),
+        chunk_tiles=chunk_tiles,
         num_vertices=num_vertices,
         n_rows=full.n_rows,
         yb_rows=yb,
@@ -140,10 +167,11 @@ def spmv_spilled(plan: SpilledSpmvPlan, x, *, interpret: bool = False,
     y [pad_v] on device.  Same semantics as spmv_onehot."""
     x = jnp.asarray(x)
     parts = []
-    for c in plan.chunks:
+    for i in range(plan.num_chunks):
+        c = plan.materialize_chunk(i)                 # fresh host arrays
         dev = jax.tree_util.tree_map(jnp.asarray, c)  # H2D this chunk
         parts.append(spmv_onehot(dev, x, interpret=interpret,
                                  precision=precision, reduce=reduce,
                                  combine=combine))
-        del dev
+        del dev, c                                    # bound host residency
     return jnp.concatenate(parts)[: plan.pad_v]
