@@ -37,8 +37,11 @@ def worker(args):
     # cores, fall back to round-robin sharing and say so.
     ncores = os.cpu_count() or 1
     if args.nproc <= ncores:
-        per = ncores // args.nproc
-        cores = set(range(args.pid * per, (args.pid + 1) * per))
+        # balanced split that uses EVERY core even when ncores % nproc != 0
+        # (a floor split would shrink the total pinned set as nproc grows,
+        # re-introducing the very contention artifact this measures around)
+        bounds = [(r * ncores) // args.nproc for r in range(args.nproc + 1)]
+        cores = set(range(bounds[args.pid], bounds[args.pid + 1]))
     else:
         cores = {args.pid % ncores}
     try:

@@ -354,6 +354,12 @@ def heterogeneous_renumber_and_sort_sampled_edgelist(
                 else np.zeros(len(grp), np.int64))
         et = (grp["edge_type"].to_numpy().astype(np.int64) if has_etype
               else np.zeros(len(grp), np.int64))
+        # an out-of-range type would index the NEXT label's offset segment
+        # and leave np.empty garbage in the renumbered edge ids — fail loud
+        if has_etype and len(et) and (et.min() < 0 or et.max() >= T):
+            raise ValueError(
+                f"edge_type values span [{et.min()}, {et.max()}] but "
+                f"num_edge_types={T}")
         # reference sort key: ((edge type), (hop), major, minor)
         order = np.lexsort((mnr, maj, hops, et))
         maj, mnr, hops, et = maj[order], mnr[order], hops[order], et[order]

@@ -263,6 +263,10 @@ def mg_uniform_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
 MAX_FUSED_BATCHES = 16          # static in-kernel layer unroll bound
 MAX_FUSED_CAP = 1 << 22         # per-hop compacted-frontier capacity
 MAX_FUSED_PANEL_BYTES = 256 << 20   # per-device [NB, pad_v/P, k] budget
+# _compact_hop_fn's data-dependent row gather reshapes across the sharded
+# panel axis, which GSPMD may lower by REPLICATING the operand — so the
+# FULL panel must also fit comfortably on one device (HBM is 16 GB)
+MAX_FUSED_PANEL_TOTAL = 2 << 30
 
 
 def _plan_fused(g, mesh, start_list, fanout_vals, flags):
@@ -293,7 +297,9 @@ def _plan_fused(g, mesh, start_list, fanout_vals, flags):
     if NB > MAX_FUSED_BATCHES:
         return None
     P_ = max(mesh.devices.size, 1)
-    if NB * g.pad_v * max(ks) * 4 // P_ > MAX_FUSED_PANEL_BYTES:
+    panel_bytes = NB * g.pad_v * max(ks) * 4
+    if panel_bytes // P_ > MAX_FUSED_PANEL_BYTES \
+            or panel_bytes > MAX_FUSED_PANEL_TOTAL:
         return None
     masks0 = np.zeros((NB, g.pad_v), bool)
     fb = np.zeros(NB, np.int64)

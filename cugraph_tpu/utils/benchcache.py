@@ -61,6 +61,7 @@ def plan_cache(src, dst, scale: int, edgefactor: int, n: int, *,
     from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
                                                  estimate_windows)
 
+    os.makedirs(CACHE_DIR, exist_ok=True)   # callers may skip edge_cache
     tag = "" if tile_subs is None else f"_ts{tile_subs}"
     path = os.path.join(
         CACHE_DIR,

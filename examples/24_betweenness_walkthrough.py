@@ -5,7 +5,7 @@ vs approximate (k-sample) betweenness on karate, endpoint inclusion, edge
 betweenness, and the normalization knob.  The engine batches all sources
 into one [pad_v, 128] Brandes panel per sweep (algos/centrality.py).
 
-Run: python examples/24_betweenness_walkthrough.py
+Run: PYTHONPATH=. python examples/24_betweenness_walkthrough.py
 """
 
 import jax

@@ -176,3 +176,21 @@ def test_het_through_plc_sampler():
     assert res.get_label_type_hop_offsets() is not None
     assert res.get_renumber_map() is not None
     assert res.get_renumber_map_offsets() is not None
+
+
+def test_het_renumber_rejects_out_of_range_edge_type():
+    """Regression (round-4 review): an edge_type >= num_edge_types used to
+    corrupt the NEXT label's offset segment and leave uninitialized edge
+    ids — it must raise instead."""
+    import cugraph_tpu as ct
+
+    df = pd.DataFrame({
+        "sources": [0, 1, 2, 3],
+        "destinations": [1, 2, 3, 0],
+        "hop_id": [0, 0, 1, 1],
+        "batch_id": [0, 0, 0, 0],
+        "edge_type": [0, 1, 0, 1],   # two types...
+    })
+    with pytest.raises(ValueError, match="num_edge_types"):
+        ct.heterogeneous_renumber_and_sort_sampled_edgelist(
+            df, vertex_type_offsets=[0, 4], num_edge_types=1)  # ...T=1
