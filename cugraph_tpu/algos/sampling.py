@@ -218,6 +218,56 @@ def _eidx_lookup(g: GraphStructure, srcs, dsts):
     return lo
 
 
+# without replacement the device path materializes a [F, max_deg] Gumbel
+# tile (×3 f32/int32 arrays); past this entry budget (~1.5 GB device) the
+# host engine below samples in O(sum frontier degrees) instead
+_TILE_FALLBACK_ENTRIES = 128_000_000
+
+
+def _host_sample_without_replacement(g, frontier, key, k, biased):
+    """Host Gumbel-top-k without replacement over the frontier's adjacency
+    (cached CSR): per-edge keys + one lexsort by (row, -key) + rank-within-
+    row < min(k, deg).  Cost ∝ Σ frontier degrees — independent of max_deg,
+    where the device tile path needs F × max_deg entries (3.7 GB at
+    RMAT-20's 40K-row hop-1 frontier; this is the repo's sort-shaped-work-
+    on-host rule).  Same sampling law as the device tile: uniform Gumbel
+    top-k over the neighbor multiset, log-weight shifted when biased."""
+    import jax
+
+    from cugraph_tpu.prims.intersection import _host_csr
+
+    off, ind, w = _host_csr(g.csr, biased)
+    F = len(frontier)
+    deg = (off[frontier + 1] - off[frontier]).astype(np.int64)
+    total = int(deg.sum())
+    kk = int(k)
+    dst = np.full((F, kk), -1, np.int64)
+    eidx = np.zeros((F, kk), np.int64)
+    valid = np.zeros((F, kk), bool)
+    if total == 0 or kk == 0:
+        return dst, eidx, valid
+    rowptr = np.concatenate([[0], np.cumsum(deg)])
+    rows = np.repeat(np.arange(F), deg)
+    pos = np.arange(total) - np.repeat(rowptr[:-1], deg)
+    e = np.repeat(off[frontier].astype(np.int64), deg) + pos
+    seed = int(np.asarray(jax.random.key_data(key)).reshape(-1)[-1])
+    rng = np.random.default_rng(seed)
+    keys = rng.gumbel(size=total)
+    if biased:
+        wf = w[e].astype(np.float64)
+        keys = np.where(wf > 0, keys + np.log(np.maximum(wf, 1e-300)),
+                        -np.inf)
+    order = np.lexsort((-keys, rows))
+    rank = np.arange(total) - np.repeat(rowptr[:-1], deg)
+    rs, es, ks = rows[order], e[order], keys[order]
+    take = (rank < kk) & (ks > -np.inf)
+    rr, cc = rs[take], rank[take]
+    eidx[rr, cc] = es[take]
+    dst[rr, cc] = ind[es[take]]
+    valid[rr, cc] = True
+    return dst, eidx, valid
+
+
 def _bulk_sample_with_replacement(G, g, frontier, key, k):
     """Fanout-k uniform sampling WITH replacement via k rounds of the
     semiring per_v_random_select prim (kernels/dispatch.py) — the TPU fast
@@ -328,6 +378,11 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
                 dst = np.asarray(dst)
                 eidx = np.asarray(eidx)
                 valid = np.asarray(valid)
+        elif (not with_replacement and tables is None
+              and len(frontier) * max_deg > _TILE_FALLBACK_ENTRIES):
+            # the device Gumbel tile would not fit HBM — host engine
+            dst, eidx, valid = _host_sample_without_replacement(
+                g, np.asarray(frontier), sub, int(k), bool(biased))
         else:
             dst, eidx, valid = _sample_neighbors(
                 g, jnp.asarray(frontier), sub, int(k),

@@ -121,3 +121,47 @@ def test_rmat_determinism_and_scramble():
     c = ctpu.rmat(7, 500, seed=9, scramble_vertex_ids=True)
     assert not a.equals(c)
     assert c["src"].max() < 128
+
+
+def test_host_without_replacement_engine_validity(monkeypatch):
+    """The host Gumbel-top-k fallback (big F×max_deg tiles) must return
+    distinct valid neighbors per vertex, degree-capped, deterministic per
+    seed — and it must be what the public path dispatches to when the
+    device tile would not fit."""
+    import cugraph_tpu.algos.sampling as S
+
+    rng = np.random.default_rng(9)
+    n = 300
+    src = rng.integers(0, n, 5000)
+    dst = rng.integers(0, n, 5000)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.1, 2.0, len(src)).astype(np.float32)
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, w, renumber=False, vertices=np.arange(n))
+
+    nbrs = {}
+    for s, d in zip(src, dst):
+        nbrs.setdefault(int(s), []).append(int(d))
+
+    # force the host engine through the PUBLIC sampler
+    monkeypatch.setattr(S, "_TILE_FALLBACK_ENTRIES", 10)
+    monkeypatch.setattr(S, "_fetch_tables", lambda *a, **k: None)
+    seeds = sorted(nbrs)[:40]
+    for biased in (False, True):
+        fn = (ctpu.homogeneous_biased_neighbor_sample if biased
+              else ctpu.uniform_neighbor_sample)
+        df = fn(G, seeds, [4], with_replacement=False, random_state=7)
+        df2 = fn(G, seeds, [4], with_replacement=False, random_state=7)
+        assert df.equals(df2), "host engine must be deterministic per seed"
+        for s, grp in df.groupby("sources"):
+            picks = grp.destinations.tolist()
+            # distinct picks (no replacement) up to neighbor multiplicity
+            import collections
+            cnt = collections.Counter(picks)
+            avail = collections.Counter(nbrs[int(s)])
+            for d, c in cnt.items():
+                assert c <= avail[d], (s, d, c)
+            assert len(picks) == min(4, len(nbrs[int(s)]))
+            for d in picks:
+                assert d in avail
