@@ -140,15 +140,23 @@ def build_spilled_spmv_plan(src, dst, weight, num_vertices: int,
             break
         bpc = (bpc + 1) // 2
     starts = list(range(0, full.n_yblocks, bpc))
-    chunk_tiles = max(
-        int(blk_start_tile[min(b + bpc, full.n_yblocks)] - blk_start_tile[b])
-        for b in starts)
 
+    # SUB-SPLIT oversized block ranges: RMAT skew can put most tiles in the
+    # hub y block, and padding every chunk to that block's tile count
+    # multiplies the per-iteration H2D traffic ~4× (measured at RMAT-25).
+    # Several uniform chunks may cover the SAME y-block range; their
+    # partial outputs fold with the reduce combiner in spmv_spilled.
     ranges = []
     for b0 in starts:
         b1 = min(b0 + bpc, full.n_yblocks)
-        ranges.append((int(blk_start_tile[b0]), int(blk_start_tile[b1]),
-                       int(b0)))
+        t0, t1 = int(blk_start_tile[b0]), int(blk_start_tile[b1])
+        nt = t1 - t0
+        pieces = max(1, -(-nt // budget_tiles))
+        step = -(-nt // pieces)
+        for p in range(pieces):
+            ranges.append((t0 + p * step, min(t0 + (p + 1) * step, t1),
+                           int(b0)))
+    chunk_tiles = max(t1 - t0 for t0, t1, _ in ranges)
     return SpilledSpmvPlan(
         full=full,
         ranges=tuple(ranges),
@@ -166,12 +174,35 @@ def spmv_spilled(plan: SpilledSpmvPlan, x, *, interpret: bool = False,
     """Streamed semiring SpMV.  x: [pad_v] (device or host); returns
     y [pad_v] on device.  Same semantics as spmv_onehot."""
     x = jnp.asarray(x)
-    parts = []
+    fold = {"sum": lambda a, b: a + b,
+            "min": jnp.minimum, "max": jnp.maximum}[reduce]
+    by_block, order, prev = {}, [], None
     for i in range(plan.num_chunks):
+        _, _, b0 = plan.ranges[i]
         c = plan.materialize_chunk(i)                 # fresh host arrays
         dev = jax.tree_util.tree_map(jnp.asarray, c)  # H2D this chunk
-        parts.append(spmv_onehot(dev, x, interpret=interpret,
-                                 precision=precision, reduce=reduce,
-                                 combine=combine))
-        del dev, c                                    # bound host residency
-    return jnp.concatenate(parts)[: plan.pad_v]
+        part = spmv_onehot(dev, x, interpret=interpret,
+                           precision=precision, reduce=reduce,
+                           combine=combine)
+        if b0 in by_block:
+            # sub-chunks of one y-block range fold with the reduce
+            # combiner (untouched rows hold the reduce identity)
+            by_block[b0] = fold(by_block[b0], part)
+        else:
+            by_block[b0] = part
+            order.append(b0)
+        del dev, c
+        if prev is not None and i % 2 == 0:
+            # BACKPRESSURE: async dispatch would otherwise queue every
+            # chunk's host copy at once (jax holds the references, so the
+            # dels free nothing) — at RMAT-25/26 that re-creates the full
+            # eager footprint and OOM-kills the host.  The barrier is a
+            # SCALAR D2H FETCH, not block_until_ready: in some tunnel
+            # states block_until_ready returns without waiting (CLAUDE.md
+            # timing trap — confirmed again here as a 129 GB OOM at
+            # RMAT-26), while a value fetch cannot complete before the
+            # producing chunks have streamed.  Every 2nd chunk bounds
+            # in-flight payloads at ~3 chunks for half the fetch count.
+            _ = float(prev.ravel()[0])
+        prev = part
+    return jnp.concatenate([by_block[b] for b in order])[: plan.pad_v]
