@@ -176,7 +176,7 @@ def spmv_spilled(plan: SpilledSpmvPlan, x, *, interpret: bool = False,
     x = jnp.asarray(x)
     fold = {"sum": lambda a, b: a + b,
             "min": jnp.minimum, "max": jnp.maximum}[reduce]
-    by_block, order, prev = {}, [], None
+    by_block, order, pending = {}, [], []
     for i in range(plan.num_chunks):
         _, _, b0 = plan.ranges[i]
         c = plan.materialize_chunk(i)                 # fresh host arrays
@@ -191,18 +191,34 @@ def spmv_spilled(plan: SpilledSpmvPlan, x, *, interpret: bool = False,
         else:
             by_block[b0] = part
             order.append(b0)
-        del dev, c
-        if prev is not None and i % 2 == 0:
-            # BACKPRESSURE: async dispatch would otherwise queue every
-            # chunk's host copy at once (jax holds the references, so the
-            # dels free nothing) — at RMAT-25/26 that re-creates the full
-            # eager footprint and OOM-kills the host.  The barrier is a
-            # SCALAR D2H FETCH, not block_until_ready: in some tunnel
-            # states block_until_ready returns without waiting (CLAUDE.md
-            # timing trap — confirmed again here as a 129 GB OOM at
-            # RMAT-26), while a value fetch cannot complete before the
-            # producing chunks have streamed.  Every 2nd chunk bounds
-            # in-flight payloads at ~3 chunks for half the fetch count.
-            _ = float(prev.ravel()[0])
-        prev = part
+        del c
+        pending.append((dev, part))
+        if len(pending) >= 2:
+            # BACKPRESSURE + EAGER FREEING (three OOM lessons at
+            # RMAT-25/26, CLAUDE.md): (1) async dispatch queues every
+            # chunk's host copy, so a barrier is mandatory; (2) the
+            # barrier must be a SCALAR D2H FETCH — in some tunnel states
+            # block_until_ready returns without waiting (measured 129 GB
+            # OOM); (3) the tunnel client keeps host mirrors of live
+            # device buffers across ITERATIONS (second OOM after a clean
+            # warm pass), so the chunk arrays are Array.delete()d
+            # explicitly once their output is fetched.  Bounds in-flight
+            # chunks at 2 while overlapping compute with the next
+            # materialization.
+            dprev, pprev = pending.pop(0)
+            _ = float(pprev.ravel()[0])
+            for leaf in jax.tree_util.tree_leaves(dprev):
+                if hasattr(leaf, "delete"):
+                    try:
+                        leaf.delete()
+                    except Exception:
+                        pass
+    for dprev, pprev in pending:
+        _ = float(pprev.ravel()[0])
+        for leaf in jax.tree_util.tree_leaves(dprev):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
     return jnp.concatenate([by_block[b] for b in order])[: plan.pad_v]
