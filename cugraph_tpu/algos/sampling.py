@@ -218,10 +218,14 @@ def _eidx_lookup(g: GraphStructure, srcs, dsts):
     return lo
 
 
-# without replacement the device path materializes a [F, max_deg] Gumbel
-# tile (×3 f32/int32 arrays); past this entry budget (~1.5 GB device) the
-# host engine below samples in O(sum frontier degrees) instead
-_TILE_FALLBACK_ENTRIES = 128_000_000
+# without replacement, when no neighbor table fits, the device path
+# materializes a [F, max_deg] Gumbel tile via ELEMENT gathers — which
+# scalarize on this TPU (~0.12 G elem/s; measured 19.5 s/call at
+# RMAT-20's 4096×23K hop-0 tile) — and past ~1.5 GB it would OOM HBM
+# outright.  The host engine below samples in O(Σ frontier degrees)
+# (one lexsort), so it wins everywhere except tiny tiles where dispatch
+# overhead dominates.
+_TILE_FALLBACK_ENTRIES = 4_000_000
 
 
 def _host_sample_without_replacement(g, frontier, key, k, biased):
@@ -239,19 +243,80 @@ def _host_sample_without_replacement(g, frontier, key, k, biased):
     off, ind, w = _host_csr(g.csr, biased)
     F = len(frontier)
     deg = (off[frontier + 1] - off[frontier]).astype(np.int64)
-    total = int(deg.sum())
     kk = int(k)
     dst = np.full((F, kk), -1, np.int64)
     eidx = np.zeros((F, kk), np.int64)
     valid = np.zeros((F, kk), bool)
-    if total == 0 or kk == 0:
+    if kk == 0 or not len(frontier):
+        return dst, eidx, valid
+    seed0 = int(np.asarray(jax.random.key_data(key)).reshape(-1)[-1])
+
+    # HIGH-DEGREE uniform rows skip the sort entirely: the first k DISTINCT
+    # values of an iid uniform draw sequence have exactly the law of
+    # sampling without replacement, and at deg ≥ 4k² the chance that 2k
+    # draws contain < k distinct is negligible (rare leftovers fall back to
+    # the sort path).  Hub rows dominate Σ frontier degrees on power-law
+    # graphs — this bounds the sorted portion at F·4k² edges (measured:
+    # RMAT-20 hop-1 frontiers went from ~20 s of lexsort to ~1 s).
+    rows_idx = np.arange(F)
+    if not biased and kk >= 1:
+        big = deg >= max(4 * kk * kk, 2 * kk)
+        B = int(big.sum())
+        if B:
+            m = 2 * kk
+            rngb = np.random.default_rng((seed0, 1))
+            u = rngb.random((B, m))
+            db = deg[big][:, None]
+            cand = np.minimum((u * db).astype(np.int64), db - 1)
+            acc = np.full((B, kk), -1, np.int64)
+            cnt = np.zeros(B, np.int64)
+            for j in range(m):
+                cj = cand[:, j]
+                dup = (acc == cj[:, None]).any(axis=1)
+                take = (~dup) & (cnt < kk)
+                acc[take, cnt[take]] = cj[take]
+                cnt = cnt + take
+            done = cnt >= kk
+            rb = rows_idx[big][done]
+            e_acc = off[frontier[big][done]].astype(np.int64)[:, None] \
+                + acc[done]
+            eidx[rb] = e_acc
+            dst[rb] = ind[e_acc]
+            valid[rb] = True
+            # under-filled big rows (astronomically rare) join the sort path
+            sort_rows = ~big
+            sort_rows[rows_idx[big][~done]] = True
+        else:
+            sort_rows = ~big
+        if not sort_rows.any():
+            return dst, eidx, valid
+        d_s, e_s, v_s = _host_sample_wr_sorted(off, ind, w,
+                                               frontier[sort_rows],
+                                               kk, biased, seed0)
+        dst[sort_rows] = d_s
+        eidx[sort_rows] = e_s
+        valid[sort_rows] = v_s
+        return dst, eidx, valid
+    d2, e2, v2 = _host_sample_wr_sorted(off, ind, w, frontier, kk, biased,
+                                        seed0)
+    return d2, e2, v2
+
+
+def _host_sample_wr_sorted(off, ind, w, frontier, kk, biased, seed0):
+    """Lexsort Gumbel-top-k core over the given rows (see caller)."""
+    F = len(frontier)
+    deg = (off[frontier + 1] - off[frontier]).astype(np.int64)
+    total = int(deg.sum())
+    dst = np.full((F, kk), -1, np.int64)
+    eidx = np.zeros((F, kk), np.int64)
+    valid = np.zeros((F, kk), bool)
+    if total == 0:
         return dst, eidx, valid
     rowptr = np.concatenate([[0], np.cumsum(deg)])
     rows = np.repeat(np.arange(F), deg)
     pos = np.arange(total) - np.repeat(rowptr[:-1], deg)
     e = np.repeat(off[frontier].astype(np.int64), deg) + pos
-    seed = int(np.asarray(jax.random.key_data(key)).reshape(-1)[-1])
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng((seed0, 2))
     keys = rng.gumbel(size=total)
     if biased:
         wf = w[e].astype(np.float64)

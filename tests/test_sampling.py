@@ -165,3 +165,32 @@ def test_host_without_replacement_engine_validity(monkeypatch):
             assert len(picks) == min(4, len(nbrs[int(s)]))
             for d in picks:
                 assert d in avail
+
+
+def test_host_wr_rejection_fast_path_uniform():
+    """High-degree rows take the first-k-distinct rejection path (exactly
+    the without-replacement law); chi-square uniformity over a 600-degree
+    hub plus distinctness and small-row fallback correctness."""
+    import jax
+
+    import cugraph_tpu.algos.sampling as S
+
+    rng = np.random.default_rng(0)
+    hub_dst = rng.choice(np.arange(1, 601), 600, replace=False)
+    src = np.concatenate([np.zeros(600, np.int64), [700, 700, 701]])
+    dst = np.concatenate([hub_dst, [701, 702, 702]])
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None, renumber=False, vertices=np.arange(1000))
+    g = G.structure
+    counts = np.zeros(1000, np.int64)
+    k = 3
+    for t in range(1500):
+        d, e, v = S._host_sample_without_replacement(
+            g, np.array([0, 700, 701]), jax.random.PRNGKey(t), k, False)
+        assert v[0].all() and len(set(d[0].tolist())) == k
+        counts[d[0]] += 1
+        assert v[1].sum() == 2 and len(set(d[1][v[1]].tolist())) == 2
+        assert v[2].sum() == 1
+    exp = 1500 * k / 600
+    chi2 = (((counts[hub_dst] - exp) ** 2) / exp).sum()
+    assert 400 < chi2 < 820, chi2   # dof 599
