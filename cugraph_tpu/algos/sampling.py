@@ -200,22 +200,40 @@ def _host_weights(g: GraphStructure) -> np.ndarray:
     return _host_csr(g.csr, True)[2]
 
 
-def _eidx_lookup(g: GraphStructure, srcs, dsts):
-    """First CSR edge index of each (src, dst) pair — vectorized binary
-    search within row spans (host NumPy, cached CSR copies)."""
+def _eidx_lookup(g: GraphStructure, srcs, dsts, rng=None):
+    """CSR edge index of each (src, dst) pair — vectorized binary search
+    within row spans (host NumPy, cached CSR copies).  Default: the FIRST
+    parallel instance.  With ``rng`` (a numpy Generator): a UNIFORM draw
+    among the parallel instances — the exact conditional law of the bulk
+    with-replacement prim, whose per-edge iid priorities make the winning
+    instance uniform given its endpoint (the reference returns the actual
+    traversed instance, gather_one_hop_impl.cuh; the law is identical)."""
     from cugraph_tpu.prims.intersection import _host_csr
 
     off, ind, _ = _host_csr(g.csr, False)
     lo = off[srcs].astype(np.int64)
     hi = off[srcs + 1].astype(np.int64)
     last = max(len(ind) - 1, 0)
+    up = None
+    if rng is not None:
+        up = hi.copy()          # upper_bound search runs alongside
     for _ in range(34):
         mid = (lo + hi) >> 1
         v = ind[np.clip(mid, 0, last)]
         go = (v < dsts) & (lo < hi)
         lo = np.where(go, mid + 1, lo)
         hi = np.where(go | (lo >= hi), hi, mid)
-    return lo
+    if up is None:
+        return lo
+    lo2 = lo.copy()
+    for _ in range(34):
+        mid = (lo2 + up) >> 1
+        v = ind[np.clip(mid, 0, last)]
+        go = (v <= dsts) & (lo2 < up)
+        lo2 = np.where(go, mid + 1, lo2)
+        up = np.where(go | (lo2 >= up), up, mid)
+    count = np.maximum(lo2 - lo, 1)
+    return lo + (rng.random(len(lo)) * count).astype(np.int64)
 
 
 # without replacement, when no neighbor table fits, the device path
@@ -323,7 +341,7 @@ def _host_sample_wr_sorted(off, ind, w, frontier, kk, biased, seed0):
         keys = np.where(wf > 0, keys + np.log(np.maximum(wf, 1e-300)),
                         -np.inf)
     order = np.lexsort((-keys, rows))
-    rank = np.arange(total) - np.repeat(rowptr[:-1], deg)
+    rank = pos          # post-lexsort index within each row == slot offset
     rs, es, ks = rows[order], e[order], keys[order]
     take = (rank < kk) & (ks > -np.inf)
     rr, cc = rs[take], rank[take]
@@ -339,7 +357,8 @@ def _bulk_sample_with_replacement(G, g, frontier, key, k):
     path for huge frontiers, where the enumerate-neighbors tile
     [F, max_deg] would not fit.  For parallel (multi-)edges the sampled
     NEIGHBOR distribution is multiplicity-weighted like the gather path,
-    but edge attribution (weight/properties) takes the first parallel edge.
+    and edge attribution draws UNIFORMLY among the parallel instances —
+    the prim's exact conditional law (see _eidx_lookup).
     Returns (dst [F, k], eidx [F, k], valid [F, k])."""
     import jax
 
@@ -355,7 +374,9 @@ def _bulk_sample_with_replacement(G, g, frontier, key, k):
     srcs_rep = np.repeat(frontier, int(k)).reshape(len(frontier), int(k))
     eidx = np.zeros_like(dst, dtype=np.int64)
     if valid.any():
-        eidx[valid] = _eidx_lookup(g, srcs_rep[valid], dst[valid])
+        seed0 = int(np.asarray(jax.random.key_data(key)).reshape(-1)[-1])
+        eidx[valid] = _eidx_lookup(g, srcs_rep[valid], dst[valid],
+                                   rng=np.random.default_rng(seed0))
     return dst, eidx, valid
 
 
@@ -418,7 +439,7 @@ def _neighbor_sample(G, start_list, fanout_vals, with_replacement, biased,
         elif (with_replacement and not biased
               and len(frontier) * max_deg > _BULK_SAMPLE_TILE
               and len(frontier) * _BULK_GATHER_COST
-                  > 2 * int(g.csr.pad_e) * _BULK_SELECT_COST):
+                  > 2 * int(g.csr.num_edges) * _BULK_SELECT_COST):
             from cugraph_tpu.kernels.dispatch import use_pallas
 
             # The bulk prim draws ONE neighbor per graph vertex per round, so

@@ -39,6 +39,13 @@ def symmetrize(df_or_src, dst=None, weight=None, src_name="src", dst_name="dst",
     s2, d2, w2 = symmetrize_edgelist(inv[:e].astype(np.int64),
                                      inv[e:].astype(np.int64),
                                      None if w is None else np.asarray(w))
+    if not isinstance(df_or_src, pd.DataFrame):
+        # column input → column tuple, the reference symmetrize() contract
+        # (symmetrize.py:262 returns (src, dst[, value]); the DataFrame
+        # branch above mirrors symmetrize_df)
+        if w2 is not None:
+            return uniq[s2], uniq[d2], w2
+        return uniq[s2], uniq[d2]
     out = {src_name: uniq[s2], dst_name: uniq[d2]}
     if w2 is not None:
         out["weight"] = w2

@@ -134,10 +134,14 @@ void degrees(const int32_t* src, const int32_t* dst, const float* weight,
 // hot loop): computes per-edge device id and local indices for the pull
 // orientation, then a grouped (device, dst_loc, src_loc) sort.
 // Outputs are pre-allocated dense blocks [n_dev, e_local].
+// eid/eid_out (nullable): per-edge instance indices permuted alongside the
+// other payloads (pad = -1) — lets samplers resolve parallel-edge properties
+// to the traversed instance.
 int build_blocks_2d(const int64_t* gathered_end, const int64_t* reduced_end,
                     const float* weight, int64_t m, int64_t pmaj, int64_t pmin,
                     int64_t chunk, int64_t e_local, int32_t* src_loc,
-                    int32_t* dst_loc, float* w_out, uint8_t* valid_out) {
+                    int32_t* dst_loc, float* w_out, uint8_t* valid_out,
+                    const int32_t* eid, int32_t* eid_out) {
   const int64_t n_dev = pmaj * pmin;
   const int64_t row_block = pmin * chunk;
   const int64_t dst_pad = pmaj * chunk - 1;
@@ -161,6 +165,7 @@ int build_blocks_2d(const int64_t* gathered_end, const int64_t* reduced_end,
       dst_loc[base + k] = (int32_t)dst_pad;
       w_out[base + k] = 0.0f;
       valid_out[base + k] = 0;
+      if (eid_out) eid_out[base + k] = -1;
     }
   }
   // counting-sort per device by dst_loc (single global pass: bucket per
@@ -188,6 +193,7 @@ int build_blocks_2d(const int64_t* gathered_end, const int64_t* reduced_end,
       dst_loc[p] = (int32_t)dl;
       w_out[p] = weight ? weight[e] : 1.0f;
       valid_out[p] = 1;
+      if (eid_out) eid_out[p] = eid ? eid[e] : (int32_t)e;
     }
   }
   return 0;

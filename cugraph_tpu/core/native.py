@@ -96,7 +96,7 @@ def get_lib():
         lib.build_blocks_2d.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64,
-                                        i32p, i32p, f32p, u8p]
+                                        i32p, i32p, f32p, u8p, i32p, i32p]
         lib.spmv_plan_count.restype = ctypes.c_int64
         lib.spmv_plan_count.argtypes = [i64p, i64p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64,
@@ -239,9 +239,10 @@ def bfs_pred_from_dist_native(src, dst, dist, pred, n_threads=None):
 
 
 def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,
-                           chunk, e_local):
-    """Native 2D-partition bucketing; returns (src_loc, dst_loc, w, valid)
-    as [n_dev, e_local] arrays, or None."""
+                           chunk, e_local, eid=None):
+    """Native 2D-partition bucketing; returns (src_loc, dst_loc, w, valid,
+    eid_or_None) as [n_dev, e_local] arrays, or None.  ``eid``: optional
+    per-edge instance indices permuted alongside the payloads (pad −1)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -249,20 +250,24 @@ def build_blocks_2d_native(gathered_end, reduced_end, weight, pmaj, pmin,
     re = np.ascontiguousarray(reduced_end, np.int64)
     m = ge.shape[0]
     w = None if weight is None else np.ascontiguousarray(weight, np.float32)
+    ei = None if eid is None else np.ascontiguousarray(eid, np.int32)
     n_dev = pmaj * pmin
     src_loc = np.empty((n_dev, e_local), np.int32)
     dst_loc = np.empty((n_dev, e_local), np.int32)
     w_out = np.empty((n_dev, e_local), np.float32)
     valid = np.empty((n_dev, e_local), np.uint8)
+    eid_out = None if ei is None else np.empty((n_dev, e_local), np.int32)
     rc = lib.build_blocks_2d(
         _ptr(ge, ctypes.c_int64), _ptr(re, ctypes.c_int64),
         _ptr(w, ctypes.c_float) if w is not None else None,
         m, pmaj, pmin, chunk, e_local,
         _ptr(src_loc, ctypes.c_int32), _ptr(dst_loc, ctypes.c_int32),
-        _ptr(w_out, ctypes.c_float), _ptr(valid, ctypes.c_uint8))
+        _ptr(w_out, ctypes.c_float), _ptr(valid, ctypes.c_uint8),
+        _ptr(ei, ctypes.c_int32) if ei is not None else None,
+        _ptr(eid_out, ctypes.c_int32) if eid_out is not None else None)
     if rc != 0:
         return None
-    return src_loc, dst_loc, w_out, valid.astype(bool)
+    return src_loc, dst_loc, w_out, valid.astype(bool), eid_out
 
 
 def rmat_native(scale, num_edges, a, b, c, seed, clip_and_flip,

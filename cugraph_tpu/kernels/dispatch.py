@@ -212,7 +212,11 @@ def per_v_random_select(G, key, *, interpret: bool = False):
     # capped at 64: the eqsel gather="dst" pass blocks x BY Y BLOCKS, and
     # at yb_rows=8192 its x + y-in + y-out blocks alone hit the 16 MB
     # scoped-VMEM limit on RMAT-20 plans (measured 16.19 MB at ts=64).  At
-    # 2 dispatches/call the extra grid steps cost ~0.3 ms.
+    # 2 dispatches/call the extra grid steps cost ~0.3 ms.  NOTE: a graph
+    # using both push SpMV (yb=8192) and selection therefore keeps TWO
+    # O(E) device plans alive — a deliberate VMEM-for-HBM trade (2× plan
+    # residency ≈ 4 GB at RMAT-20 of the 16 GB HBM); call
+    # G._spmv_plan_aux.clear() to evict constraint variants if HBM-bound.
     plan = get_push_plan(G, max_tile_subs=64, yb_rows=4096)
     if plan.pad_v >= (1 << 24):
         raise ValueError("per_v_random_select requires < 2^24 vertices "

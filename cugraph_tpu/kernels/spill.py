@@ -80,7 +80,11 @@ class SpilledSpmvPlan:
             ww = np.concatenate([ww, np.full((pad_t * TS, 128), np.nan,
                                              np.float32)])
             xb = np.concatenate([xb, np.zeros(pad_t, np.int32)])
-            yk = np.concatenate([yk, np.full(pad_t, yk[-1], np.int32)])
+            # nt == 0 (a pad-only range, possible when a y-block span holds
+            # no tiles): no last real block to pin padding to — use block 0,
+            # the NaN weights mask every lane anyway
+            pin = yk[-1] if nt else np.int32(0)
+            yk = np.concatenate([yk, np.full(pad_t, pin, np.int32)])
         bpc, yb = self.blocks_per_chunk, self.yb_rows
         return SpmvPlan(
             src_rel=sr, dst_full=df, weight=ww, xwin_blk=xb,

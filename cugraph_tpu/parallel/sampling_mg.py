@@ -72,13 +72,69 @@ def _host_eprop_table(g: DistGraph):
     return table
 
 
+def _host_eprop_by_eid(g: DistGraph):
+    """Edge-INSTANCE-indexed property arrays decompressed from the push
+    blocks (cached per DistGraph).  weight[eid] / etype[eid] / etime[eid] —
+    the exact attribution table for samplers that return the traversed
+    instance id."""
+    cached = getattr(g, "_host_eprop_by_eid", None)
+    if cached is not None and not callable(cached):
+        return cached
+    eid = np.asarray(g.push.eid).reshape(-1)
+    valid = np.asarray(g.push.valid).reshape(-1)
+    live = valid & (eid >= 0)
+    e = eid[live]
+    n = int(e.max()) + 1 if len(e) else 0
+    w = np.zeros(n, np.float32)
+    w[e] = np.asarray(g.push.weight).reshape(-1)[live]
+    et = None
+    if g.push.etype is not None:
+        et = np.zeros(n, np.int32)
+        et[e] = np.asarray(g.push.etype).reshape(-1)[live]
+    tm = None
+    if g.push.etime is not None:
+        tm = np.zeros(n, np.float32)
+        tm[e] = np.asarray(g.push.etime).reshape(-1)[live]
+    table = {"weight": w, "etype": et, "etime": tm}
+    object.__setattr__(g, "_host_eprop_by_eid", table)
+    return table
+
+
 def _attach_props(g: DistGraph, frame: pd.DataFrame) -> pd.DataFrame:
+    if "_eid" in frame and g.push is not None and g.push.eid is not None:
+        # instance-exact: the sampler returned the traversed edge id
+        tab = _host_eprop_by_eid(g)
+        e = frame["_eid"].to_numpy()
+        if (e < 0).any():
+            raise RuntimeError("sampled row without an edge instance id")
+        frame["weight"] = tab["weight"][e]
+        if tab["etype"] is not None and "edge_type" not in frame:
+            frame["edge_type"] = tab["etype"][e]
+        if tab["etime"] is not None and "edge_time" not in frame:
+            frame["edge_time"] = tab["etime"][e]
+        return frame
     tab = _host_eprop_table(g)
     key = frame["sources"].to_numpy().astype(np.int64) * g.pad_v \
         + frame["destinations"].to_numpy().astype(np.int64)
-    pos = np.searchsorted(tab["keys"], key)
-    pos = np.clip(pos, 0, max(len(tab["keys"]) - 1, 0))
-    ok = len(tab["keys"]) > 0 and bool((tab["keys"][pos] == key).all())
+    # first-match fallback (no eid blocks — store_eid=False builds): exact
+    # only when parallel edges carry equal properties; REFUSE the silently
+    # wrong answer otherwise (the reference gathers per instance,
+    # gather_one_hop_impl.cuh)
+    ks = tab["keys"]
+    if len(ks):
+        dup = np.flatnonzero(ks[1:] == ks[:-1])
+        for name in ("weight", "etype", "etime"):
+            col = tab[name]
+            if col is not None and len(dup) and \
+                    not bool((col[dup] == col[dup + 1]).all()):
+                raise ValueError(
+                    "graph has parallel edges with distinct "
+                    f"{name} values; rebuild with store_eid=True "
+                    "(build_dist_graph default when properties are given) "
+                    "for instance-exact sampled properties")
+    pos = np.searchsorted(ks, key)
+    pos = np.clip(pos, 0, max(len(ks) - 1, 0))
+    ok = len(ks) > 0 and bool((ks[pos] == key).all())
     if not ok:
         raise RuntimeError("sampled edge missing from property table")
     frame["weight"] = tab["weight"][pos]
@@ -161,7 +217,7 @@ def _mg_neighbor_sample_core(
                         "static k; pass the max degree instead")
                 if int(k) == 0 or (masks is not None and tk not in masks):
                     continue
-                samp, st = mg_sample_one_hop(
+                samp, st, sei = mg_sample_one_hop(
                     g, mesh, verts, int(k),
                     seed + hop * 1009 + r * 131 + (0 if tk is None else tk) * 7,
                     with_replacement, biased,
@@ -172,10 +228,12 @@ def _mg_neighbor_sample_core(
                 # the host, not the dense [pad_v, k] panel
                 from cugraph_tpu.parallel.algos import sample_panel_rows
 
-                if temporal:
-                    sub, st_rows = sample_panel_rows(mesh, (samp, st), verts)
-                else:
-                    sub = sample_panel_rows(mesh, samp, verts)   # [F, k]
+                panels = [samp] + ([st] if temporal else []) \
+                    + ([sei] if sei is not None else [])
+                got = list(sample_panel_rows(mesh, tuple(panels), verts))
+                sub = got.pop(0)                                 # [F, k]
+                st_rows = got.pop(0) if temporal else None
+                ei_rows = got.pop(0) if sei is not None else None
                 ok = sub >= 0
                 flat = ok.reshape(-1)
                 kk = sub.shape[1]
@@ -185,6 +243,8 @@ def _mg_neighbor_sample_core(
                     "hop_id": np.int32(hop),
                     "batch_id": np.repeat(bats, kk)[flat],
                 }
+                if ei_rows is not None:
+                    row["_eid"] = ei_rows.reshape(-1)[flat].astype(np.int64)
                 if temporal:
                     row["edge_time"] = st_rows.reshape(-1)[flat]
                 if tk is not None:
@@ -212,6 +272,8 @@ def _mg_neighbor_sample_core(
     out = pd.concat(frames, ignore_index=True)
     if with_edge_properties:
         out = _attach_props(g, out)
+    if "_eid" in out:
+        out = out.drop(columns=["_eid"])
     if not return_hops:
         out = out.drop(columns=["hop_id"])
     return out
@@ -294,31 +356,37 @@ def _plan_fused(g, mesh, start_list, fanout_vals, flags):
          else np.arange(len(sv), dtype=np.int32))
     labels = np.unique(b)
     NB = max(len(labels), 1)
-    if NB > MAX_FUSED_BATCHES:
-        return None
+    # >16 batches chunk into ≤16-plane GROUPS run hop-synchronized with
+    # cross-group layer offsets (round-5; RNG folds stay bit-identical to
+    # the layered path at any batch count)
     P_ = max(mesh.devices.size, 1)
-    panel_bytes = NB * g.pad_v * max(ks) * 4
+    gNB = min(NB, MAX_FUSED_BATCHES)
+    panel_bytes = gNB * g.pad_v * max(ks) * 4
     if panel_bytes // P_ > MAX_FUSED_PANEL_BYTES \
             or panel_bytes > MAX_FUSED_PANEL_TOTAL:
         return None
-    masks0 = np.zeros((NB, g.pad_v), bool)
-    fb = np.zeros(NB, np.int64)
-    for pi, lab in enumerate(labels):
-        vs = np.unique(sv[b == lab])
-        masks0[pi, vs] = True
-        fb[pi] = len(vs)
-    # static per-hop frontier capacity from the growth bound (carry_over
-    # also keeps the current frontier)
-    caps = []
+    groups = []
     grow = 1 if behavior == "carry_over" else 0
-    for k in ks:
-        tot = int(min(fb.sum(), NB * g.pad_v))
-        caps.append(max(8, 1 << (max(tot, 1) - 1).bit_length()))
-        fb = np.minimum(g.num_vertices, fb * (k + grow))
-    if max(caps) > MAX_FUSED_CAP:
-        return None
-    return {"masks0": masks0, "labels": labels, "ks": ks, "caps": caps,
-            "behavior": behavior}
+    for lo in range(0, max(len(labels), 1), MAX_FUSED_BATCHES):
+        labs = labels[lo:lo + MAX_FUSED_BATCHES]
+        nbg = max(len(labs), 1)
+        masks0 = np.zeros((nbg, g.pad_v), bool)
+        fb = np.zeros(nbg, np.int64)
+        for pi, lab in enumerate(labs):
+            vs = np.unique(sv[b == lab])
+            masks0[pi, vs] = True
+            fb[pi] = len(vs)
+        # static per-hop frontier capacity from the growth bound
+        # (carry_over also keeps the current frontier)
+        caps = []
+        for k in ks:
+            tot = int(min(fb.sum(), nbg * g.pad_v))
+            caps.append(max(8, 1 << (max(tot, 1) - 1).bit_length()))
+            fb = np.minimum(g.num_vertices, fb * (k + grow))
+        if max(caps) > MAX_FUSED_CAP:
+            return None
+        groups.append({"masks0": masks0, "labels": labs, "caps": caps})
+    return {"groups": groups, "ks": ks, "behavior": behavior}
 
 
 def _mg_sample_device_path(g, mesh, plan, *, seed, biased, with_replacement,
@@ -336,39 +404,53 @@ def _mg_sample_device_path(g, mesh, plan, *, seed, biased, with_replacement,
     from cugraph_tpu.parallel.algos import mg_sample_multihop_batched_device
 
     pad = g.pad_v
-    ks, caps, labels = plan["ks"], plan["caps"], plan["labels"]
+    ks = plan["ks"]
+    groups = plan["groups"]
     outs = mg_sample_multihop_batched_device(
-        g, mesh, plan["masks0"], ks, caps, seed=seed,
+        g, mesh, [grp["masks0"] for grp in groups], ks,
+        [grp["caps"] for grp in groups], seed=seed,
         with_replacement=with_replacement, biased=biased,
         behavior=plan["behavior"])
     host = jax.device_get(outs)     # the ONE device→host transfer
     frames = []
-    for hop, (keys, rows) in enumerate(host):
-        keys = np.asarray(keys)
-        rows = np.asarray(rows)
-        live = keys >= 0
-        keys, rows = keys[live], rows[live]
-        if not len(keys):
-            continue
-        v = (keys % pad).astype(np.int64)
-        plane = (keys // pad).astype(np.int64)
-        ridx, cidx = np.nonzero(rows >= 0)
-        if not len(ridx):
-            continue
-        frames.append(pd.DataFrame({
-            "sources": v[ridx],
-            "destinations": rows[ridx, cidx].astype(np.int64),
-            "hop_id": np.int32(hop),
-            "batch_id": labels[plane[ridx]].astype(np.int32)
-            if len(labels) else np.int32(0),
-        }))
+    for grp, ghost in zip(groups, host):
+        labels = grp["labels"]
+        for hop, (keys, rows, erows) in enumerate(ghost):
+            keys = np.asarray(keys)
+            rows = np.asarray(rows)
+            live = keys >= 0
+            keys, rows = keys[live], rows[live]
+            if not len(keys):
+                continue
+            v = (keys % pad).astype(np.int64)
+            plane = (keys // pad).astype(np.int64)
+            ridx, cidx = np.nonzero(rows >= 0)
+            if not len(ridx):
+                continue
+            fr = pd.DataFrame({
+                "sources": v[ridx],
+                "destinations": rows[ridx, cidx].astype(np.int64),
+                "hop_id": np.int32(hop),
+                "batch_id": labels[plane[ridx]].astype(np.int32)
+                if len(labels) else np.int32(0),
+            })
+            if erows is not None:
+                fr["_eid"] = np.asarray(erows)[live][ridx, cidx].astype(
+                    np.int64)
+            frames.append(fr)
     cols_out = ["sources", "destinations", "hop_id", "batch_id"]
     if not frames:
         return pd.DataFrame(columns=[c for c in cols_out
                                      if return_hops or c != "hop_id"])
     out = pd.concat(frames, ignore_index=True)
+    if len(groups) > 1:
+        # group-major assembly → restore the hop-major row order of the
+        # single-group path (stable: batches stay in canonical order)
+        out = out.sort_values("hop_id", kind="stable", ignore_index=True)
     if with_edge_properties:
         out = _attach_props(g, out)
+    if "_eid" in out:
+        out = out.drop(columns=["_eid"])
     if not return_hops:
         out = out.drop(columns=["hop_id"])
     return out

@@ -26,8 +26,9 @@ df = ctpu.pagerank(G)
 print("pagerank keeps external ids:", sorted(df["vertex"].tolist()))
 
 # --- symmetrize a directed edge list (reference symmetrize.ipynb)
-sym = ctpu.symmetrize(ext_src, ext_dst, np.ones(len(ext_src), np.float32))
-print("symmetrized edges:", len(sym))  # both directions of every pair
+sym_s, sym_d, sym_w = ctpu.symmetrize(
+    ext_src, ext_dst, np.ones(len(ext_src), np.float32))
+print("symmetrized edges:", len(sym_s))  # both directions of every pair
 
 # --- induced subgraph on a vertex subset
 sub_df, _ = ctpu.induced_subgraph(G, np.array([17, 500, 91203]))

@@ -115,6 +115,41 @@ def test_build_blocks_2d_native_matches_numpy():
         assert ta == tb
 
 
+def test_build_blocks_2d_eid_native_matches_numpy():
+    """eid payloads permute alongside the other columns in both builders:
+    every valid slot's eid must point at the input edge with that slot's
+    (endpoints, weight); pad slots are −1."""
+    from cugraph_tpu.parallel.partition import Partition2D, _build_blocks
+    import cugraph_tpu.core.native as nat
+
+    rng = np.random.default_rng(5)
+    n, m = 200, 1500
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = np.arange(m, dtype=np.float32)  # weight IS the input index
+    eid = np.arange(m, dtype=np.int32)
+    part = Partition2D.create(n, 4, 2)
+
+    def check(blocks):
+        assert blocks.eid is not None
+        ei = np.asarray(blocks.eid).reshape(-1)
+        vv = np.asarray(blocks.valid).reshape(-1)
+        ww = np.asarray(blocks.weight).reshape(-1)
+        assert np.all(ei[~vv] == -1)
+        assert np.array_equal(ei[vv], ww[vv].astype(np.int32))
+        assert sorted(ei[vv].tolist()) == list(range(m))
+
+    check(_build_blocks(part, major_end=dst, minor_end=src, weight=w,
+                        eid=eid))
+    saved = nat._lib, nat._tried
+    nat._lib, nat._tried = None, True
+    try:
+        check(_build_blocks(part, major_end=dst, minor_end=src, weight=w,
+                            eid=eid))
+    finally:
+        nat._lib, nat._tried = saved
+
+
 def test_degrees_native_matches_numpy():
     rng = np.random.default_rng(4)
     n, m = 400, 3000

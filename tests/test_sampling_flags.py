@@ -557,3 +557,38 @@ def test_plc_het_legacy_call_keeps_vertex_type_offsets():
     assert out["renumber_map_offsets"] is not None
     assert len(out["renumber_map_offsets"]) % 2 == 1
     assert out["label_type_hop_offsets"] is not None
+
+
+def test_mg_device_multihop_group_chunked_parity():
+    """Round-5: >16 batches chunk into ≤16-plane GROUPS with cross-group
+    occurrence-layer offsets (lbase) — outputs must stay bit-identical to
+    the layered host path, including vertices shared between batches that
+    land in DIFFERENT groups (their RNG layer is the GLOBAL canonical
+    rank, not the within-group one)."""
+    import jax
+    from cugraph_tpu.parallel.sampling_mg import (_mg_neighbor_sample_core,
+                                                  _flag_kwargs, _plan_fused)
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    g = _parity_graph()
+    # 40 batches (one per seed, bl=None default); vertex 7 occurs in
+    # batches 2, 20 and 38 (groups 0, 1, 2), vertex 40 in batches 5 and 25
+    rng = np.random.default_rng(1)
+    starts = rng.integers(0, 120, 40).tolist()
+    starts[2] = starts[20] = starts[38] = 7
+    starts[5] = starts[25] = 40
+    flags = _flag_kwargs(dict(dedupe_sources=True))
+    plan = _plan_fused(g, mesh, starts, [3, 2], flags)
+    assert plan is not None and len(plan["groups"]) == 3
+    for biased in (False, True):
+        df_fast = mg_uniform_neighbor_sample(
+            g, mesh, starts, [3, 2], seed=11, dedupe_sources=True,
+            biased=biased, with_edge_properties=True)
+        df_ref = _mg_neighbor_sample_core(
+            g, mesh, starts, [[(None, 3)], [(None, 2)]], seed=11,
+            with_replacement=False, biased=biased, dedupe_sources=True,
+            with_edge_properties=True)
+        key = lambda d: sorted(zip(d.hop_id, d.batch_id, d.sources,
+                                   d.destinations,
+                                   np.round(d.weight.to_numpy(), 5)))
+        assert key(df_fast) == key(df_ref), biased
