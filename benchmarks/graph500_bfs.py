@@ -189,15 +189,23 @@ def run_batched(args, G, src, dst, w, keys, n_ext):
             d_f = dist[:, i].astype(np.float64)
             unreached = np.float64(np.finfo(np.float32).max)
             d_ext = np.where(d_f < BIG / 2, d_f, unreached)
-            # parent: any in-edge realizing the distance step (tolerance =
-            # the validator's rule-3 tolerance; split-precision f32)
+            # exact f64 host Dijkstra for the parent tree (see
+            # run_device_serial — tolerance-matched parents 2-cycle on
+            # near-zero-weight undirected edges)
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import dijkstra
+
             _, _, w_int = G.edgelist_arrays()
-            du, dv = d_ext[src_i], d_ext[dst_i]
-            tol = 1e-5 + 1e-4 * np.abs(dv)
-            ok = ((du < unreached)
-                  & (np.abs(du + w_int - dv) <= tol) & (dv > 0))
-            pred = np.full(n, -1, np.int64)
-            pred[dst_i[ok]] = src_i[ok]
+            if not hasattr(G, "_g500_spmat"):
+                both_s = np.concatenate([src_i, dst_i])
+                both_d = np.concatenate([dst_i, src_i])
+                both_w = np.concatenate([w_int, w_int]).astype(np.float64)
+                G._g500_spmat = csr_matrix(
+                    (both_w, (both_s, both_d)), shape=(n, n))
+            _, pr = dijkstra(G._g500_spmat, indices=int(keys_int[i]),
+                             return_predecessors=True)
+            pred = pr.astype(np.int64)
+            pred[pred == -9999] = -1
             pred[keys_int[i]] = -1
         reach = d_ext < unreached
         n_reach[verts[reach]] = True
@@ -324,25 +332,37 @@ def run_device_serial(args, G, src, dst, w, keys, n_ext):
     dist_d, cs = run(jnp.int32(K), plan, keys2, n, K)
     print(f"# {K}-key sweep done ({time.perf_counter()-t0:.1f} s incl. "
           f"compile), checksum {float(cs):.6e}", file=sys.stderr, flush=True)
-    dist = np.asarray(dist_d)[:n]
 
     def timed(nk):
         t0 = time.perf_counter()
         _, cs = run(jnp.int32(nk), plan, keys2, n, K)
         float(cs)
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        print(f"# t({nk})={dt:.3f}s", file=sys.stderr, flush=True)
+        return dt
 
+    # larger-count first: the warm call above ran K keys, and identical
+    # back-to-back payloads through the tunnel can misbehave (CLAUDE.md) —
+    # alternating hi/lo keeps every adjacent pair distinct.  BFS programs
+    # run 2K keys fine; the (min,+) SSSP program crashes the TPU worker
+    # past ~15 s of single-program execution (reproduced 3×), so SSSP
+    # differences t(K) − t(K/2) instead — the timed window covers keys
+    # [lo, hi) and TEPS is computed over exactly those keys.
+    hi, lo = (2 * K, K) if args.algo == "bfs" else (K, K // 2)
     diffs, walls = [], []
     for _ in range(max(args.reps, 2)):
-        t1 = timed(K)
-        t2 = timed(2 * K)
+        t2 = timed(hi)
+        t1 = timed(lo)
         diffs.append(t2 - t1)
-        walls.append(t2 / 2)
-        print(f"# t({K})={t1:.3f}s t({2 * K})={t2:.3f}s diff={t2 - t1:.3f}s",
+        walls.append(t2 / hi)
+        print(f"# diff={t2 - t1:.3f}s over keys [{lo},{hi})",
               file=sys.stderr, flush=True)
     wall = min(walls)
-    good = [d for d in diffs if d > 0.25 * wall]
-    sweep_time = min(good) if good else wall
+    good = [d for d in diffs if d > 0.25 * (hi - lo) * wall]
+    window_time = min(good) if good else (hi - lo) * wall
+    win_keys = sorted({k % K for k in range(lo, hi)})
+    per_key_time = window_time / (hi - lo)
+    dist = np.asarray(dist_d)[:n]
 
     src_i, dst_i, w_i = G.edgelist_arrays()
     verts = G.number_map.to_external(np.arange(n))
@@ -359,12 +379,25 @@ def run_device_serial(args, G, src, dst, w, keys, n_ext):
             d_f = dist[:, i].astype(np.float64)
             unreached = np.float64(np.finfo(np.float32).max)
             d_ext = np.where(d_f < BIG / 2, d_f, unreached)
-            du, dv = d_ext[src_i], d_ext[dst_i]
-            tol = 1e-5 + 1e-4 * np.abs(dv)
-            ok = ((du < unreached)
-                  & (np.abs(du + w_i - dv) <= tol) & (dv > 0))
-            pred = np.full(n, -1, np.int64)
-            pred[dst_i[ok]] = src_i[ok]
+            # exact f64 host Dijkstra for the parent tree (acyclic by
+            # construction — tolerance-matched parents form 2-cycles on
+            # near-zero-weight undirected edges; same host-pred-recovery
+            # convention as the BFS row's bfs_pred_from_dist engine).  The
+            # device distances stay the validated payload: rule 3 holds
+            # because the exact tree realizes them within the split noise.
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import dijkstra
+
+            if not hasattr(G, "_g500_spmat"):
+                both_s = np.concatenate([src_i, dst_i])
+                both_d = np.concatenate([dst_i, src_i])
+                both_w = np.concatenate([w_i, w_i]).astype(np.float64)
+                G._g500_spmat = csr_matrix(
+                    (both_w, (both_s, both_d)), shape=(n, n))
+            _, pr = dijkstra(G._g500_spmat, indices=int(keys_int[i]),
+                             return_predecessors=True)
+            pred = pr.astype(np.int64)
+            pred[pred == -9999] = -1
             pred[keys_int[i]] = -1
         reach = d_ext < unreached
         n_reach[verts[reach]] = True
@@ -384,12 +417,15 @@ def run_device_serial(args, G, src, dst, w, keys, n_ext):
             print(f"# key {i:3d} validated ({traversed[-1]} edge tuples)",
                   file=sys.stderr, flush=True)
 
-    s = teps_summary(traversed, [sweep_time / K] * K)
+    te_win = [traversed[k] for k in win_keys]
+    s = teps_summary(te_win, [per_key_time] * len(win_keys))
     s.update({
         "algo": args.algo, "scale": args.scale,
         "edgefactor": args.edgefactor, "validated": not args.novalidate,
-        "device_serial": True, "sweep_seconds": sweep_time,
-        "teps_aggregate": float(sum(traversed) / sweep_time),
+        "device_serial": True, "timed_keys": len(win_keys),
+        "window_seconds": window_time,
+        "sweep_seconds_est": per_key_time * K,
+        "teps_aggregate": float(sum(te_win) / window_time),
     })
     print(json.dumps(s))
 

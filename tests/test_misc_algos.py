@@ -674,3 +674,18 @@ def test_review_fixes_algos_long_tail():
     df = pd.DataFrame({"src": [0, 1], "dst": [1, 2], "etype": [7, 8]})
     out = ctpu.symmetrize(df)
     assert "weight" not in out.columns  # etype must NOT become weights
+
+
+def test_symmetrize_columns_returns_tuple():
+    """Column input → column tuple (the reference symmetrize() contract,
+    symmetrize.py:262); the DataFrame branch keeps returning a frame
+    (symmetrize_df analog).  Example 28 rotted against this before the
+    examples smoke test existed."""
+    s, d = np.array([0, 1]), np.array([1, 2])
+    out = ctpu.symmetrize(s, d)
+    assert isinstance(out, tuple) and len(out) == 2
+    pairs = set(zip(out[0].tolist(), out[1].tolist()))
+    assert pairs == {(0, 1), (1, 0), (1, 2), (2, 1)}
+    w = np.array([0.5, 2.0], np.float32)
+    s2, d2, w2 = ctpu.symmetrize(s, d, w)
+    assert len(s2) == len(w2) == 4
