@@ -341,18 +341,19 @@ def run_device_serial(args, G, src, dst, w, keys, n_ext):
         print(f"# t({nk})={dt:.3f}s", file=sys.stderr, flush=True)
         return dt
 
-    # larger-count first: the warm call above ran K keys, and identical
-    # back-to-back payloads through the tunnel can misbehave (CLAUDE.md) —
-    # alternating hi/lo keeps every adjacent pair distinct.  BFS programs
-    # run 2K keys fine; the (min,+) SSSP program crashes the TPU worker
-    # past ~15 s of single-program execution (reproduced 3×), so SSSP
-    # differences t(K) − t(K/2) instead — the timed window covers keys
-    # [lo, hi) and TEPS is computed over exactly those keys.
+    # no two ADJACENT dispatches may carry identical payloads (CLAUDE.md
+    # tunnel trap) — the warm call ran K keys, so BFS opens with hi=2K and
+    # SSSP (whose hi IS K) opens with lo=K/2.  BFS programs run 2K keys
+    # fine; the (min,+) SSSP program crashes the TPU worker past ~15 s of
+    # single-program execution (reproduced 3×), so SSSP differences
+    # t(K) − t(K/2) instead — the timed window covers keys [lo, hi) and
+    # TEPS is computed over exactly those keys.
     hi, lo = (2 * K, K) if args.algo == "bfs" else (K, K // 2)
+    order = (hi, lo) if args.algo == "bfs" else (lo, hi)
     diffs, walls = [], []
     for _ in range(max(args.reps, 2)):
-        t2 = timed(hi)
-        t1 = timed(lo)
+        ts = {nk: timed(nk) for nk in order}
+        t2, t1 = ts[hi], ts[lo]
         diffs.append(t2 - t1)
         walls.append(t2 / hi)
         print(f"# diff={t2 - t1:.3f}s over keys [{lo},{hi})",

@@ -639,11 +639,13 @@ def mg_sample_one_hop(g: DistGraph, mesh, frontier: np.ndarray, k: int,
                       strict: bool = True,
                       temporal_sampling_comparison: str | None = None):
     """One hop of distributed uniform/biased sampling: k out-neighbors per
-    frontier vertex.  Returns (dst int32 [pad_v, k], time f32 [pad_v, k])
-    owner-sharded (−1 dst = none).  ``biased`` samples ∝ edge weight via the
-    Gumbel-max trick; ``edge_ok`` restricts eligibility (heterogeneous
-    sampling); ``frontier_times`` enables the temporal regime (edge time must
-    exceed the frontier vertex's time)."""
+    frontier vertex.  Returns (dst int32 [pad_v, k], time f32 [pad_v, k],
+    eid int32 [pad_v, k] or None) owner-sharded (−1 dst = none; eid = the
+    traversed edge INSTANCE when the graph was built with store_eid, for
+    instance-exact parallel-edge properties).  ``biased`` samples ∝ edge
+    weight via the Gumbel-max trick; ``edge_ok`` restricts eligibility
+    (heterogeneous sampling); ``frontier_times`` enables the temporal
+    regime (edge time must exceed the frontier vertex's time)."""
     assert g.push is not None, "sampling needs push blocks"
     temporal = frontier_times is not None
     if temporal and g.push.etime is None:
@@ -1012,10 +1014,16 @@ def _host_edge_key_sorted(g: DistGraph) -> np.ndarray:
     cached = getattr(g, "_host_ekeys", None)
     if cached is not None:
         return cached
-    from cugraph_tpu.parallel.louvain import _gather_edges_host
+    # the sampling property table caches the SAME sorted key array — reuse
+    # it instead of holding two O(E) copies (review finding, round 5)
+    tab = getattr(g, "_host_eprop_table", None)
+    if tab is not None and not callable(tab):
+        keys = tab["keys"]
+    else:
+        from cugraph_tpu.parallel.louvain import _gather_edges_host
 
-    src, dst, _ = _gather_edges_host(g)
-    keys = np.sort(src.astype(np.int64) * g.pad_v + dst)
+        src, dst, _ = _gather_edges_host(g)
+        keys = np.sort(src.astype(np.int64) * g.pad_v + dst)
     object.__setattr__(g, "_host_ekeys", keys)
     return keys
 

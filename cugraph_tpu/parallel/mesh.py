@@ -67,6 +67,7 @@ def shard_dist_graph(g, mesh: Mesh):
             valid=jax.device_put(b.valid, ee),
             etype=None if b.etype is None else jax.device_put(b.etype, ee),
             etime=None if b.etime is None else jax.device_put(b.etime, ee),
+            eid=None if b.eid is None else jax.device_put(b.eid, ee),
         )
 
     return DistGraph(

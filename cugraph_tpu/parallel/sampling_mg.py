@@ -116,27 +116,42 @@ def _attach_props(g: DistGraph, frame: pd.DataFrame) -> pd.DataFrame:
     tab = _host_eprop_table(g)
     key = frame["sources"].to_numpy().astype(np.int64) * g.pad_v \
         + frame["destinations"].to_numpy().astype(np.int64)
-    # first-match fallback (no eid blocks — store_eid=False builds): exact
-    # only when parallel edges carry equal properties; REFUSE the silently
-    # wrong answer otherwise (the reference gathers per instance,
-    # gather_one_hop_impl.cuh)
+    # first-match fallback (no eid blocks — store_eid=False builds and the
+    # sharded-construction path): exact unless the SAMPLED pair has
+    # parallel instances with distinct properties; REFUSE the silently
+    # wrong answer for those (the reference gathers per instance,
+    # gather_one_hop_impl.cuh).  The per-position ambiguity mask is
+    # computed once and cached with the table.
     ks = tab["keys"]
-    if len(ks):
-        dup = np.flatnonzero(ks[1:] == ks[:-1])
-        for name in ("weight", "etype", "etime"):
-            col = tab[name]
-            if col is not None and len(dup) and \
-                    not bool((col[dup] == col[dup + 1]).all()):
-                raise ValueError(
-                    "graph has parallel edges with distinct "
-                    f"{name} values; rebuild with store_eid=True "
-                    "(build_dist_graph default when properties are given) "
-                    "for instance-exact sampled properties")
+    amb = tab.get("ambiguous")
+    if amb is None:
+        amb = np.zeros(len(ks), bool)
+        if len(ks):
+            same = ks[1:] == ks[:-1]
+            for name in ("weight", "etype", "etime"):
+                col = tab[name]
+                if col is not None:
+                    d = same & (col[1:] != col[:-1])
+                    amb[1:] |= d
+                    amb[:-1] |= d
+            # propagate within equal-key runs (every slot of a run flags
+            # when any adjacent pair differs): group-id = run index
+            grp = np.concatenate([[0], np.cumsum(~same)])
+            hit = np.bincount(grp, weights=amb.astype(np.float64),
+                              minlength=int(grp[-1]) + 1) > 0
+            amb = hit[grp]
+        tab["ambiguous"] = amb
     pos = np.searchsorted(ks, key)
     pos = np.clip(pos, 0, max(len(ks) - 1, 0))
     ok = len(ks) > 0 and bool((ks[pos] == key).all())
     if not ok:
         raise RuntimeError("sampled edge missing from property table")
+    if len(ks) and bool(amb[pos].any()):
+        raise ValueError(
+            "sampled a parallel edge whose instances carry distinct "
+            "properties; rebuild with store_eid=True (build_dist_graph "
+            "default when properties are given) for instance-exact "
+            "sampled properties")
     frame["weight"] = tab["weight"][pos]
     if tab["etype"] is not None and "edge_type" not in frame:
         frame["edge_type"] = tab["etype"][pos]
@@ -334,7 +349,8 @@ MAX_FUSED_PANEL_TOTAL = 2 << 30
 def _plan_fused(g, mesh, start_list, fanout_vals, flags):
     """Gate + static plan for the fused device sampler.  Eligible configs:
     dedupe_sources (set semantics — mask planes can't carry multiplicity),
-    non-temporal homogeneous, any prior_sources_behavior, ≤16 batches,
+    non-temporal homogeneous, any prior_sources_behavior, ANY batch count
+    (>16 batches chunk into ≤16-plane hop-synchronized groups),
     pad_v ≤ 2^27, panel/caps within budget.  Returns None to route the
     occurrence-layered host path instead."""
     ks = [int(k) for k in fanout_vals]

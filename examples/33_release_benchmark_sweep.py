@@ -49,14 +49,12 @@ SWEEP = [
 rows = []
 for name, fn in SWEEP:
     t0 = time.perf_counter()
-    try:
-        fn()
+    if name.startswith("jaccard") and not hasattr(ct, "random_pairs"):
+        ct.jaccard(Gu)   # default pair source (two-hop neighbor pairs)
         rows.append((name, time.perf_counter() - t0, "ok"))
-    except TypeError:
-        # jaccard default pair source (two-hop) when random_pairs is absent
-        t0 = time.perf_counter()
-        ct.jaccard(Gu)
-        rows.append((name, time.perf_counter() - t0, "ok"))
+        continue
+    fn()
+    rows.append((name, time.perf_counter() - t0, "ok"))
 print(f"{'algorithm':28s} {'seconds':>8s}")
 for name, dt, st in rows:
     print(f"{name:28s} {dt:8.2f}  {st}")

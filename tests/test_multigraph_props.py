@@ -100,7 +100,47 @@ def test_mg_attach_props_fallback_raises_on_ambiguous_multigraph():
     src, dst, w, _, _ = _parallel_graph_arrays()
     g = build_dist_graph(src, dst, w, 8, 4, 2, store_push=True,
                          store_eid=False)
-    with pytest.raises(ValueError, match="parallel edges"):
+    with pytest.raises(ValueError, match="parallel edge"):
+        mg_uniform_neighbor_sample(g, mesh, [0], [3],
+                                   with_replacement=False, seed=3,
+                                   with_edge_properties=True)
+
+
+def test_shard_dist_graph_preserves_eid():
+    """shard_dist_graph must carry eid (review finding: it rebuilt
+    EdgeBlocks without it, silently losing instance-exactness for every
+    sharded graph — the plc MGGraph path)."""
+    from cugraph_tpu.parallel.mesh import make_mesh_2d, shard_dist_graph
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    src, dst, w, _, _ = _parallel_graph_arrays()
+    g = build_dist_graph(src, dst, w, 8, 4, 2, store_push=True)
+    assert g.push.eid is not None
+    gs = shard_dist_graph(g, mesh)
+    assert gs.push.eid is not None
+    df = mg_uniform_neighbor_sample(gs, mesh, [0], [3],
+                                    with_replacement=False, seed=3,
+                                    with_edge_properties=True)
+    assert sorted(df["weight"].tolist()) == [1.0, 2.0, 3.0]
+
+
+def test_attach_props_fallback_only_rejects_ambiguous_samples():
+    """Without eid blocks, sampling AWAY from the distinct-property
+    parallel pair must still succeed — only touching the ambiguous pair
+    raises (review finding: the old check refused the whole graph)."""
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    src, dst, w, _, _ = _parallel_graph_arrays()
+    # add an unambiguous corner of the graph: 5→6, 5→7
+    src = np.concatenate([src, [5, 5]])
+    dst = np.concatenate([dst, [6, 7]])
+    w = np.concatenate([w, [9.0, 8.0]]).astype(np.float32)
+    g = build_dist_graph(src, dst, w, 8, 4, 2, store_push=True,
+                         store_eid=False)
+    ok = mg_uniform_neighbor_sample(g, mesh, [5], [2],
+                                    with_replacement=False, seed=1,
+                                    with_edge_properties=True)
+    assert sorted(ok["weight"].tolist()) == [8.0, 9.0]
+    with pytest.raises(ValueError, match="parallel edge"):
         mg_uniform_neighbor_sample(g, mesh, [0], [3],
                                    with_replacement=False, seed=3,
                                    with_edge_properties=True)
