@@ -632,6 +632,51 @@ def _msbfs_dist_batched_pallas(pull_plan, sources: jax.Array, n: int):
 
 
 @partial(jax.jit, static_argnames=("n",))
+def _msbfs_dist_serial_device(plan, sources: jax.Array, n: int):
+    """Multi-source BFS as a DEVICE-RESIDENT serial loop: fori_loop over
+    the sources, each a dense level-sweep through the one-hot SpMV kernel
+    at bf16 ``precision="default"`` — exact for 0/1 frontier masks (unit
+    one-hot products, f32 accumulation of small integers).  One dispatch,
+    [pad_v, S] int32 out (−1 unreached).
+
+    Why this exists next to the [pad_v, 128] panel (``_msbfs_dist_batched_
+    pallas``): the panel SpMM's per-edge cost scales with the panel width
+    and its plan fragments on large id spaces (padding factor 28.5 at
+    RMAT-20 vs the SpMV plan's 1.07) — measured 3.2× FASTER serial at
+    RMAT-20 (4.52 s vs 14.59 s for 64 sources, benchmarks/graph500_bfs.py
+    --device), while the panel wins at RMAT-18 and below where its plan
+    stays dense.  ``multi_source_bfs(strategy="auto")`` picks by the
+    measured crossover."""
+    from cugraph_tpu.kernels.spmv_onehot import spmv_onehot
+
+    pad_v = plan.pad_v
+    varange = jnp.arange(pad_v)
+    real = varange < n
+    S = sources.shape[0]
+
+    def key_body(kidx, dist_all):
+        root = sources[kidx]
+        dist0 = jnp.where(varange == root, 0, -1).astype(jnp.int32)
+        # padding slots (root == -1) never match a vertex: all-(-1) column
+
+        def body(st):
+            dist, level, _ = st
+            frontier = (dist == level).astype(jnp.float32)
+            hit = spmv_onehot(plan, frontier, precision="default")
+            newly = (hit > 0) & (dist == -1) & real
+            return (jnp.where(newly, level + 1, dist), level + 1,
+                    jnp.any(newly))
+
+        dist, _, _ = jax.lax.while_loop(
+            lambda st: st[2] & (st[1] < n), body,
+            (dist0, jnp.int32(0), jnp.bool_(root >= 0)))
+        return dist_all.at[:, kidx].set(dist)
+
+    return jax.lax.fori_loop(0, S, key_body,
+                             jnp.full((pad_v, S), -1, jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n",))
 def _mssssp_dist_batched(g: GraphStructure, sources: jax.Array, n: int):
     """Weighted distances from a PANEL of sources: batched Bellman-Ford —
     each round relaxes every edge for all columns at once via a (min,+)

@@ -169,16 +169,27 @@ def bfs_edges(G, source, reverse=False, depth_limit=None,
     return bfs(G, source, depth_limit=depth_limit)
 
 
+# above this many directed edges the [·,128] panel SpMM plan fragments
+# (RMAT-20: 4.5%-full subtiles, padding factor 28.5 vs the SpMV plan's
+# 1.07) and the serial-keys device loop is faster — measured 3.2× at
+# RMAT-20, while the panel wins ~10× at RMAT-18; threshold = the geometric
+# midpoint of those anchors (benchmarks/graph500_bfs.py --device/--batched)
+_MSBFS_SERIAL_EDGES = 16_000_000
+
+
 def multi_source_bfs(G, sources, components=None, depth_limit=None,
-                     offload=False):
+                     offload=False, strategy: str = "auto"):
     """cugraph.multi_source_bfs (ms_bfs.py:172 — a placeholder raising
-    NotImplementedError in the reference; implemented here).  All sources
-    run SIMULTANEOUSLY as 128-wide panels through the batched BFS sweep
-    (one masked SpMM per level for the whole panel, the Brandes-forward
-    design in algos/centrality.py); predecessors are recovered host-side
-    from the distance panels (any in-neighbor one level up — the BFS
-    convention).  Returns ['vertex', 'distance_<s>', 'predecessor_<s>',
-    ...]."""
+    NotImplementedError in the reference; implemented here).  Sources run
+    in ONE device dispatch per 128-wide group, either as a batched SpMM
+    panel (one masked SpMM per level for the whole panel, the
+    Brandes-forward design in algos/centrality.py) or as a device-resident
+    serial loop of SpMV level sweeps (faster on large graphs, where the
+    panel plan fragments — see ``strategy``); predecessors are recovered
+    host-side from the distance panels (any in-neighbor one level up — the
+    BFS convention).  ``strategy``: "auto" (measured-crossover dispatch),
+    "panel", or "serial".  Returns ['vertex', 'distance_<s>',
+    'predecessor_<s>', ...]."""
     if offload:
         raise NotImplementedError("offload not supported")
     import jax.numpy as jnp
@@ -187,23 +198,34 @@ def multi_source_bfs(G, sources, components=None, depth_limit=None,
     from cugraph_tpu.algos._utils import (normalize_start, source_panels,
                                           unrenumber_column)
     from cugraph_tpu.algos.traversal import (INT32_INF, _msbfs_dist_batched,
-                                             _msbfs_dist_batched_pallas)
-    from cugraph_tpu.kernels.dispatch import use_pallas
+                                             _msbfs_dist_batched_pallas,
+                                             _msbfs_dist_serial_device)
+    from cugraph_tpu.kernels.dispatch import get_pull_plan, use_pallas
 
+    if strategy not in ("auto", "panel", "serial"):
+        raise ValueError(f"unknown multi_source_bfs strategy {strategy!r}")
     sources = np.asarray(sources).reshape(-1)
     s_int = normalize_start(G, sources)
     n = G.number_of_vertices()
     g = G.structure
     src_i, dst_i, _ = G.edgelist_arrays()
     fast = use_pallas(G)
+    serial = fast and (strategy == "serial" or (
+        strategy == "auto" and g.csr.num_edges > _MSBFS_SERIAL_EDGES))
     if fast:
-        from cugraph_tpu.algos.centrality import _get_brandes_spmm_plan
+        if serial:
+            pull_plan = get_pull_plan(G)
+        else:
+            from cugraph_tpu.algos.centrality import _get_brandes_spmm_plan
 
-        pull_plan = _get_brandes_spmm_plan(G, "pull")
+            pull_plan = _get_brandes_spmm_plan(G, "pull")
     dl = None if depth_limit is None else int(depth_limit)
     out = {"vertex": G.number_map.to_external(np.arange(n))}
     for panel, i, count in source_panels(s_int):
-        if fast:
+        if serial:
+            dist = np.asarray(_msbfs_dist_serial_device(
+                pull_plan, jnp.asarray(panel), n))
+        elif fast:
             dist = np.asarray(_msbfs_dist_batched_pallas(
                 pull_plan, jnp.asarray(panel), n))
         else:

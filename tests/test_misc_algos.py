@@ -689,3 +689,22 @@ def test_symmetrize_columns_returns_tuple():
     w = np.array([0.5, 2.0], np.float32)
     s2, d2, w2 = ctpu.symmetrize(s, d, w)
     assert len(s2) == len(w2) == 4
+
+
+def test_multi_source_bfs_serial_strategy_matches_panel(monkeypatch):
+    """The serial-device strategy (round 5: fori_loop of SpMV level sweeps,
+    faster on large graphs where the panel SpMM plan fragments) must
+    produce identical distances/predecessors to the panel strategy."""
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CUGRAPH_TPU_PALLAS_MIN_EDGES", "1")
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 90, 500)
+    dst = rng.integers(0, 90, 500)
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(src, dst, None)
+    a = ctpu.multi_source_bfs(G, [0, 5, 7], strategy="serial")
+    b = ctpu.multi_source_bfs(G, [0, 5, 7], strategy="panel")
+    for c in a.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), c)
+    with pytest.raises(ValueError, match="strategy"):
+        ctpu.multi_source_bfs(G, [0], strategy="bogus")
