@@ -748,11 +748,23 @@ def od_shortest_distances(G, origins, destinations) -> pd.DataFrame:
     n = G.number_of_vertices()
     g = G.structure
     fast = use_pallas(G)
+    # unweighted origins sweep serially on device past the panel-plan
+    # fragmentation crossover (see multi_source_bfs strategy="auto")
+    serial = False
     if fast:
         if w is None:
-            from cugraph_tpu.algos.centrality import _get_brandes_spmm_plan
+            from cugraph_tpu.api.convenience import _MSBFS_SERIAL_EDGES
 
-            pull_plan = _get_brandes_spmm_plan(G, "pull")
+            serial = g.csr.num_edges > _MSBFS_SERIAL_EDGES
+            if serial:
+                from cugraph_tpu.kernels.dispatch import get_pull_plan
+
+                pull_plan = get_pull_plan(G)
+            else:
+                from cugraph_tpu.algos.centrality import \
+                    _get_brandes_spmm_plan
+
+                pull_plan = _get_brandes_spmm_plan(G, "pull")
         else:
             from cugraph_tpu.kernels.spmm_onehot import (
                 get_structure_spmm_plan,
@@ -764,9 +776,15 @@ def od_shortest_distances(G, origins, destinations) -> pd.DataFrame:
     cols = []
     for panel, _, count in source_panels(o_int):
         if w is None:
-            dist = np.asarray(
-                _msbfs_dist_batched_pallas(pull_plan, jnp.asarray(panel), n)
-                if fast else _msbfs_dist_batched(g, jnp.asarray(panel), n))
+            if serial:
+                dist = np.asarray(_msbfs_dist_serial_device(
+                    pull_plan, jnp.asarray(panel), n))
+            else:
+                dist = np.asarray(
+                    _msbfs_dist_batched_pallas(pull_plan,
+                                               jnp.asarray(panel), n)
+                    if fast else _msbfs_dist_batched(g, jnp.asarray(panel),
+                                                     n))
             blk = dist[np.ix_(d_int, np.arange(count))].astype(np.float64)
             blk = np.where(blk >= 0, blk, F32_INF)
         else:
