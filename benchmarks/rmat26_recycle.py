@@ -37,12 +37,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cugraph_tpu.utils.benchcache import CACHE_DIR, edge_cache  # noqa: E402
 
 
-def _state_path(scale):
-    return os.path.join(CACHE_DIR, f"rmat{scale}_recycle_state.npz")
+def _state_path(args):
+    # keyed by every parameter that changes the math — a scale-only name
+    # silently reused stale vectors across edgefactor/tile_subs variants
+    return os.path.join(
+        CACHE_DIR, f"rmat{args.scale}_ef{args.edgefactor}"
+        f"_ts{args.tile_subs}_recycle_state.npz")
 
 
-def _aux_path(scale):
-    return os.path.join(CACHE_DIR, f"rmat{scale}_recycle_aux.npz")
+def _aux_path(args):
+    return os.path.join(
+        CACHE_DIR, f"rmat{args.scale}_ef{args.edgefactor}"
+        f"_ts{args.tile_subs}_recycle_aux.npz")
 
 
 def child(args):
@@ -58,25 +64,19 @@ def child(args):
 
     n = 1 << args.scale
     t0 = time.perf_counter()
-    aux = np.load(_aux_path(args.scale))
+    aux = np.load(_aux_path(args))
     inv_out_h, is_dang_h, reset_h = aux["inv_out"], aux["is_dang"], aux["reset"]
     pad_v = len(reset_h)
     # the plan MUST be a cache hit (a miss would re-run ~25 min of tiling
     # per child); the parent stamped the edge digest into the aux file so
-    # the child never touches the 8.6 GB edge arrays
-    from cugraph_tpu.utils.benchcache import PLAN_TAG
-    tag = f"_ts{args.tile_subs}" if args.tile_subs else ""
-    path = os.path.join(
-        CACHE_DIR,
-        f"{PLAN_TAG}_{args.scale}_ef{args.edgefactor}_"
-        f"{aux['digest'].item()}{tag}.npz")
+    # the child never touches the 8.6 GB edge arrays.  Path + loader come
+    # from benchcache — the ONE owner of the cache layout.
+    from cugraph_tpu.utils.benchcache import load_plan, plan_path
+    path = plan_path(args.scale, args.edgefactor, aux["digest"].item(),
+                     args.tile_subs)
     if not os.path.exists(path):
         raise SystemExit(f"plan cache missing: {path}")
-    from cugraph_tpu.kernels.spmv_onehot import SpmvPlan
-    from cugraph_tpu.utils.benchcache import _PLAN_ARRAYS, _PLAN_SCALARS
-    z = np.load(path)
-    full = SpmvPlan(**{k: z[k] for k in _PLAN_ARRAYS},
-                    **{k: int(z[k]) for k in _PLAN_SCALARS})
+    full = load_plan(path)
     print(f"# plan loaded ({time.perf_counter()-t0:.0f}s)", file=sys.stderr,
           flush=True)
     splan = build_spilled_spmv_plan(
@@ -85,7 +85,7 @@ def child(args):
     print(f"# spilled plan: {splan.num_chunks} chunks x "
           f"{splan.chunk_bytes()/2**20:.0f} MiB", file=sys.stderr, flush=True)
 
-    sp = _state_path(args.scale)
+    sp = _state_path(args)
     if os.path.exists(sp):
         st = np.load(sp)
         p_h, it0 = st["p"].astype(np.float32), int(st["iter"])
@@ -138,23 +138,21 @@ def main():
         return child(args)
 
     n = 1 << args.scale
-    if args.fresh and os.path.exists(_state_path(args.scale)):
-        os.unlink(_state_path(args.scale))
+    if args.fresh:
+        for f in (_state_path(args), _aux_path(args)):
+            if os.path.exists(f):
+                os.unlink(f)
 
     # aux vectors once (bincount over the cached edge list)
-    if not os.path.exists(_aux_path(args.scale)):
+    if not os.path.exists(_aux_path(args)):
         t0 = time.perf_counter()
         src, dst = edge_cache(args.scale, args.edgefactor)
-        from cugraph_tpu.kernels.spmv_onehot import estimate_windows
-        from cugraph_tpu.utils.benchcache import edge_digest
+        from cugraph_tpu.utils.benchcache import edge_digest, plan_path
 
         digest = edge_digest(src, dst)
         # pad_v from the cached plan scalars (cheap load of scalar keys)
-        from cugraph_tpu.utils.benchcache import PLAN_TAG
-        tag = f"_ts{args.tile_subs}" if args.tile_subs else ""
-        ppath = os.path.join(
-            CACHE_DIR, f"{PLAN_TAG}_{args.scale}_ef{args.edgefactor}_"
-            f"{digest}{tag}.npz")
+        ppath = plan_path(args.scale, args.edgefactor, digest,
+                          args.tile_subs)
         if not os.path.exists(ppath):
             raise SystemExit(
                 f"RMAT-{args.scale} plan cache missing ({ppath}); build it "
@@ -168,15 +166,15 @@ def main():
         is_dang = (np.arange(pad_v) < n) & (out_w <= 0)
         reset = np.zeros(pad_v, np.float32)
         reset[:n] = 1.0 / n
-        np.savez(_aux_path(args.scale), inv_out=inv_out, is_dang=is_dang,
+        np.savez(_aux_path(args), inv_out=inv_out, is_dang=is_dang,
                  reset=reset, digest=digest)
         del src, dst, out_w, inv_out, is_dang, reset
         print(f"# aux ready ({time.perf_counter()-t0:.0f}s)",
               file=sys.stderr, flush=True)
 
     done = 0
-    if os.path.exists(_state_path(args.scale)):
-        done = int(np.load(_state_path(args.scale))["iter"])
+    if os.path.exists(_state_path(args)):
+        done = int(np.load(_state_path(args))["iter"])
         print(f"# resuming from iteration {done}", file=sys.stderr, flush=True)
     rows = []
     while done < args.iters:
@@ -187,24 +185,30 @@ def main():
                "--chunk-mb", str(args.chunk_mb),
                "--tile-subs", str(args.tile_subs)] \
             + (["--cpu"] if args.cpu else [])
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=args.child_timeout)
-        line = None
-        for ln in proc.stdout.splitlines():
-            if ln.strip().startswith("{"):
-                line = json.loads(ln)
-        sys.stderr.write(proc.stderr[-2000:] + "\n")
-        if proc.returncode != 0 or line is None:
-            print(f"# child failed rc={proc.returncode} after "
+        def _attempt():
+            """(rc, json_line_or_None) — a timeout counts as a failure,
+            not a parent-killing traceback (the tunnel stalls sometimes;
+            the checkpoint state makes a retry safe)."""
+            try:
+                pr = subprocess.run(cmd, capture_output=True, text=True,
+                                    timeout=args.child_timeout)
+            except subprocess.TimeoutExpired as e:
+                sys.stderr.write((e.stderr or "")[-2000:] + "\n")
+                return -9, None
+            sys.stderr.write(pr.stderr[-2000:] + "\n")
+            ln_out = None          # reset per attempt: a stale row from a
+            for ln in pr.stdout.splitlines():   # failed attempt must not
+                if ln.strip().startswith("{"):  # masquerade as the retry's
+                    ln_out = json.loads(ln)
+            return pr.returncode, ln_out
+
+        rc, line = _attempt()
+        if rc != 0 or line is None:
+            print(f"# child failed rc={rc} after "
                   f"{time.perf_counter()-t0:.0f}s — retrying once",
                   file=sys.stderr, flush=True)
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=args.child_timeout)
-            for ln in proc.stdout.splitlines():
-                if ln.strip().startswith("{"):
-                    line = json.loads(ln)
-            if proc.returncode != 0 or line is None:
-                sys.stderr.write(proc.stderr[-4000:] + "\n")
+            rc, line = _attempt()
+            if rc != 0 or line is None:
                 raise SystemExit("child failed twice; aborting")
         rows.append(line)
         done = line["iter"]
@@ -215,7 +219,7 @@ def main():
     from benchmarks.frontier_scale import host_pagerank
 
     src, dst = edge_cache(args.scale, args.edgefactor)
-    st = np.load(_state_path(args.scale))
+    st = np.load(_state_path(args))
     pv = st["p"].astype(np.float64)
     ph = host_pagerank(src, dst, n, len(pv), int(st["iter"]))
     l1 = float(np.abs(pv - ph).sum())

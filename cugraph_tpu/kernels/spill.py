@@ -182,7 +182,24 @@ def spmv_spilled(plan: SpilledSpmvPlan, x, *, interpret: bool = False,
             "min": jnp.minimum, "max": jnp.maximum}[reduce]
     by_block, order, pending = {}, [], []
     for i in range(plan.num_chunks):
-        _, _, b0 = plan.ranges[i]
+        t0, t1, b0 = plan.ranges[i]
+        if t1 == t0:
+            # pad-only range (a y-block span with no tiles): its output is
+            # identically the reduce identity — emit it directly instead of
+            # materializing + streaming a full padded chunk (hundreds of
+            # MiB of NaNs through the tunnel per iteration)
+            from cugraph_tpu.kernels.spmv_onehot import SEMIRING_BIG
+
+            rows = plan.blocks_per_chunk * plan.yb_rows * 128
+            ident = {"sum": 0.0, "min": SEMIRING_BIG,
+                     "max": -SEMIRING_BIG}[reduce]
+            part = jnp.full((rows,), ident, jnp.float32)
+            if b0 in by_block:
+                by_block[b0] = fold(by_block[b0], part)
+            else:
+                by_block[b0] = part
+                order.append(b0)
+            continue
         c = plan.materialize_chunk(i)                 # fresh host arrays
         dev = jax.tree_util.tree_map(jnp.asarray, c)  # H2D this chunk
         part = spmv_onehot(dev, x, interpret=interpret,

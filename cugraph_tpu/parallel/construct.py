@@ -153,6 +153,8 @@ class _Router:
         recv, cap, emax = _count_kernel(mesh)(g)
         self.recv_counts = _unshard(recv, mesh)       # per device: [P]
         self.cap = max(int(cap), 1)
+        # worst per-device arrival total — consumers can presize
+        # gather_arrivals outputs / assert O(E/P) balance with it
         self.max_arrivals = int(emax)
 
     def _pack(self, field_list, dtype):
@@ -274,6 +276,15 @@ class DistNumberMap:
 
     def to_external(self, internal):
         ids = np.asarray(internal, np.int64)
+        # out-of-range internals would fall outside every owner's table and
+        # return np.empty garbage — fail loudly like to_internal does
+        hi = (self.bases[-1] + len(self.tables[-1][0]) if self.P
+              else np.int64(0))
+        bad = (ids < 0) | (ids >= hi)
+        if bad.any():
+            raise ValueError(
+                f"internal id(s) out of range [0, {int(hi)}): "
+                f"{ids[bad][:5].tolist()}")
         owner = np.searchsorted(self.bases, ids, side="right") - 1
         out = np.empty(ids.shape[0], np.int64)
         for d in range(self.P):
@@ -462,7 +473,10 @@ def build_dist_graph_sharded(
     duplicate is the first in (sender, input) order — identical to the host
     build whenever duplicate pairs carry equal weights.
 
-    Returns (graph, stats); ``stats`` records the largest per-device buffer
+    Returns (graph, stats); ``stats`` records the largest SIMULTANEOUS
+    per-device exchange footprint (all fields' send + receive [P, cap]
+    buffers of the widest all_to_all — the memory claim a test can assert)
+    — the largest per-device buffer
     the build materialized (the memory claim a test can assert).
     """
     pmaj, pmin = mesh.devices.shape
@@ -521,7 +535,7 @@ def build_dist_graph_sharded(
         ex = r.exchange(*fields)
         arrivals = [r.gather_arrivals(e) for e in ex]
         stats["max_device_buffer_elems"] = max(
-            stats["max_device_buffer_elems"], Pn * r.cap)
+            stats["max_device_buffer_elems"], 2 * len(fields) * Pn * r.cap)
         for d in range(Pn):
             s = arrivals[0][d].astype(np.int64)
             t = arrivals[1][d].astype(np.int64)
@@ -563,7 +577,7 @@ def build_dist_graph_sharded(
         ex = r.exchange(*fields)
         arrivals = [r.gather_arrivals(e) for e in ex]
         stats["max_device_buffer_elems"] = max(
-            stats["max_device_buffer_elems"], Pn * r.cap)
+            stats["max_device_buffer_elems"], 2 * len(fields) * Pn * r.cap)
 
         per_dev, counts = [], []
         for d in range(Pn):

@@ -17,7 +17,35 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from cugraph_tpu.parallel.construct import _Router
+from cugraph_tpu.parallel.construct import (_Router, _merge64, _split64)
+
+# jax under the default x64-off config SILENTLY casts int64 device_put
+# inputs to int32 (verified; the construct.py hazard note) — every int64
+# payload crossing the router therefore rides as TWO int32 limbs, using
+# construct.py's split/merge (the one owner of the limb convention)
+
+
+def _exchange64(router, arrays_per_slot):
+    """router.exchange for a list of int64 fields, limb-split; returns the
+    per-field per-device [P, cap] int64 arrays."""
+    fields = []
+    for slots in arrays_per_slot:
+        pairs = [_split64(a) for a in slots]
+        fields.append(([p[0] for p in pairs], np.int32))
+        fields.append(([p[1] for p in pairs], np.int32))
+    outs = router.exchange(*fields)
+    joined = []
+    for i in range(0, len(outs), 2):
+        joined.append([_merge64(lo, hi)
+                       for lo, hi in zip(outs[i], outs[i + 1])])
+    return joined
+
+
+def _reply64(router, reply_blocks):
+    pairs = [_split64(np.asarray(b, np.int64)) for b in reply_blocks]
+    lo = router.reply([p[0] for p in pairs], np.int32)
+    hi = router.reply([p[1] for p in pairs], np.int32)
+    return [_merge64(a, b) for a, b in zip(lo, hi)]
 
 
 class MGEdgeIdLookupTable:
@@ -49,10 +77,10 @@ class MGEdgeIdLookupTable:
         parts = np.array_split(np.arange(len(eid)), self.P)
         owners = [((eid[p] % self.P + self.P) % self.P) for p in parts]
         router = _Router(mesh, owners)
-        kx, sx, dx = router.exchange(
-            ([key[p] for p in parts], np.int64),
-            ([np.asarray(src, np.int64)[p] for p in parts], np.int64),
-            ([np.asarray(dst, np.int64)[p] for p in parts], np.int64))
+        kx, sx, dx = _exchange64(router, [
+            [key[p] for p in parts],
+            [np.asarray(src, np.int64)[p] for p in parts],
+            [np.asarray(dst, np.int64)[p] for p in parts]])
         self.tables = []
         karr = router.gather_arrivals(kx)
         sarr = router.gather_arrivals(sx)
@@ -75,7 +103,7 @@ class MGEdgeIdLookupTable:
         parts = np.array_split(np.arange(len(edge_ids)), self.P)
         owners = [((safe[p] % self.P + self.P) % self.P) for p in parts]
         router = _Router(self.mesh, owners)
-        (qx,) = router.exchange(([qkey[p] for p in parts], np.int64))
+        (qx,) = _exchange64(router, [[qkey[p] for p in parts]])
         reply_s, reply_d = [], []
         for d in range(self.P):
             keys, s, t = self.tables[d]
@@ -88,8 +116,8 @@ class MGEdgeIdLookupTable:
             else:
                 reply_s.append(np.full_like(blk, -1))
                 reply_d.append(np.full_like(blk, -1))
-        rs = router.reply(reply_s, np.int64)
-        rd = router.reply(reply_d, np.int64)
+        rs = _reply64(router, reply_s)
+        rd = _reply64(router, reply_d)
         out_s = np.empty(len(edge_ids), np.int64)
         out_d = np.empty(len(edge_ids), np.int64)
         for p, s, t in zip(parts, rs, rd):

@@ -133,6 +133,16 @@ class MGGraph:
         src = np.asarray(src_array)
         dst = np.asarray(dst_array)
         n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+        # the host build treats ids as DENSE [0, n): a sparse/huge external
+        # id space would allocate pad_v ≈ max_id vertex arrays (measured:
+        # 2^33-scale ids hang the build for minutes) — route those through
+        # the hash-renumbered sharded ingest instead of failing slowly
+        if n > max(4 * (src.shape[0] + 1), 1 << 24):
+            raise ValueError(
+                f"vertex id space [0, {n}) is sparse relative to "
+                f"{src.shape[0]} edges; the host MGGraph build takes dense "
+                "internal ids — renumber first, or use build='sharded' "
+                "(hash-renumbered distributed ingest)")
         pmaj, pmin = mesh.devices.shape
         # is_symmetric DESCRIBES the input (both directions already in the
         # COO); only an explicit symmetrize=True asks us to ADD reverses —

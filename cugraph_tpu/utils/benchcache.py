@@ -27,6 +27,23 @@ _PLAN_SCALARS = ("num_vertices", "n_rows", "yb_rows", "n_yblocks",
                  "num_tiles", "src_win", "dst_win", "tile_subs")
 
 
+def _savez_atomic(path: str, **arrays):
+    """np.savez via tmp + rename: these files run to tens of GiB in a
+    host-near-OOM regime, and an interrupted write at the final keyed path
+    bricks every later run with a zipfile error (np.savez appends .npz to
+    suffix-less names, hence the .npz tmp suffix)."""
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def edge_cache(scale: int, edgefactor: int):
     """RMAT edge list, disk-cached.  "c1" = counter-RNG generator semantics
     (native C++ / NumPy identical); versioning the file keeps pre-change
@@ -40,7 +57,7 @@ def edge_cache(scale: int, edgefactor: int):
 
     n = 1 << scale
     src, dst = _rmat_host(scale, n * edgefactor, 0.57, 0.19, 0.19, 7, False)
-    np.savez(path, src=src, dst=dst)
+    _savez_atomic(path, src=src, dst=dst)
     return src, dst
 
 
@@ -54,26 +71,40 @@ def edge_digest(src, dst) -> str:
     return h.hexdigest()[:8]
 
 
+def plan_path(scale: int, edgefactor: int, digest: str,
+              tile_subs=None) -> str:
+    """THE plan-cache filename (single owner of the layout — harnesses
+    that stamp a digest and reload later, e.g. benchmarks/rmat26_recycle,
+    must build paths here so a format/tag change cannot strand them)."""
+    tag = "" if tile_subs is None else f"_ts{tile_subs}"
+    return os.path.join(
+        CACHE_DIR, f"{PLAN_TAG}_{scale}_ef{edgefactor}_{digest}{tag}.npz")
+
+
+def load_plan(path: str, *, device_arrays: bool = False):
+    """Load a cached SpmvPlan npz (host arrays by default)."""
+    from cugraph_tpu.kernels.spmv_onehot import SpmvPlan
+
+    z = np.load(path)
+    arrs = {k: z[k] for k in _PLAN_ARRAYS}
+    if device_arrays:
+        import jax.numpy as jnp
+
+        arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
+    return SpmvPlan(**arrs, **{k: int(z[k]) for k in _PLAN_SCALARS})
+
+
 def plan_cache(src, dst, scale: int, edgefactor: int, n: int, *,
                device_arrays: bool = True, tile_subs=None):
     """Build (or load) the autotuned SpmvPlan; caching skips ~60 s of
     host-side window estimation + tiling sort per run."""
-    from cugraph_tpu.kernels.spmv_onehot import (SpmvPlan, build_spmv_plan,
-                                                 estimate_windows)
+    from cugraph_tpu.kernels.spmv_onehot import build_spmv_plan, \
+        estimate_windows
 
     os.makedirs(CACHE_DIR, exist_ok=True)   # callers may skip edge_cache
-    tag = "" if tile_subs is None else f"_ts{tile_subs}"
-    path = os.path.join(
-        CACHE_DIR,
-        f"{PLAN_TAG}_{scale}_ef{edgefactor}_{edge_digest(src, dst)}{tag}.npz")
+    path = plan_path(scale, edgefactor, edge_digest(src, dst), tile_subs)
     if os.path.exists(path):
-        z = np.load(path)
-        arrs = {k: z[k] for k in _PLAN_ARRAYS}
-        if device_arrays:
-            import jax.numpy as jnp
-
-            arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
-        return SpmvPlan(**arrs, **{k: int(z[k]) for k in _PLAN_SCALARS})
+        return load_plan(path, device_arrays=device_arrays)
     t0 = time.perf_counter()
     sw, dw = estimate_windows(src, dst, n)
     print(f"# windows: src={sw} dst={dw} "
@@ -83,8 +114,9 @@ def plan_cache(src, dst, scale: int, edgefactor: int, n: int, *,
     print(f"# plan built in {time.perf_counter()-t0:.0f}s: "
           f"tiles={plan.num_tiles} ts={plan.tile_subs}",
           file=sys.stderr, flush=True)
-    np.savez(path, **{k: np.asarray(getattr(plan, k)) for k in _PLAN_ARRAYS},
-             **{k: getattr(plan, k) for k in _PLAN_SCALARS})
+    _savez_atomic(
+        path, **{k: np.asarray(getattr(plan, k)) for k in _PLAN_ARRAYS},
+        **{k: getattr(plan, k) for k in _PLAN_SCALARS})
     if device_arrays:
         import jax
         import jax.numpy as jnp

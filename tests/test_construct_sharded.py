@@ -119,17 +119,24 @@ def test_sharded_build_edge_properties(mesh):
 
 
 def test_sharded_build_memory_bound(mesh):
-    """No device buffer exceeds ~2/P of the edge list (+ alignment slack):
-    the property the single-host build cannot offer (VERDICT round-2 §2)."""
+    """The build's SIMULTANEOUS per-device exchange footprint stays
+    O(E/P): the widest all_to_all moves 5 fields (src/dst/w + the local
+    mirror doubling edges) with send+recv live at once, so the bound is
+    (2 fields-factor) × ~2E/P (+ alignment slack) — the property the
+    single-host build cannot offer (VERDICT round-2 §2; round-5 review
+    made the stat count every live buffer, not one field's)."""
     n, m = 1000, 16000
     src, dst, w = _random_coo(n, m, seed=7, unique=False)
     g, stats = build_dist_graph_sharded(
         mesh, _chunks(src, 8), _chunks(dst, 8), _chunks(w, 8),
         num_vertices=n, store_push=True)
     e_total = len(src)
-    bound = 2 * e_total // 8 + 8 * 128 + 256
+    per_field = 2 * e_total // 8 + 8 * 128 + 256
+    bound = 2 * 3 * per_field     # 3 fields × (send + recv)
     assert stats["max_device_buffer_elems"] <= bound, \
         (stats, e_total, bound)
+    # ...and still scales as O(E/P): far below one device holding the list
+    assert stats["max_device_buffer_elems"] < e_total
     assert g.num_edges == e_total
 
 

@@ -298,3 +298,43 @@ def test_parity_edge_id_lookup(setup):
     assert (fm2["src"].to_numpy() == -1).all()
     np.testing.assert_array_equal(fm2["src"].to_numpy(),
                                   fs2["src"].to_numpy())
+
+
+def test_edge_id_lookup_64bit_keys_and_endpoints():
+    """Edge ids past 2^31 and 64-bit external vertex ids must survive the
+    router exchanges bit-exactly (round-5 review finding: int64 payloads
+    were device_put directly and jax under x64-off silently truncates to
+    int32 — keys now ride as two int32 limbs like construct.py's
+    renumber)."""
+    import jax
+
+    from cugraph_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    rng = np.random.default_rng(9)
+    base_v = np.int64(3) << 32          # external ids ≥ 2^33
+    src = base_v + rng.integers(0, 30, 120)
+    dst = base_v + rng.integers(30, 60, 120)
+    w = rng.uniform(0.5, 2.0, 120).astype(np.float32)
+    eid = (np.int64(5) << 31) + np.arange(120, dtype=np.int64)  # ≥ 2^31
+    h = plc.ResourceHandle(mesh=mesh)
+    # 64-bit external ids need the hash-renumbered sharded ingest (the
+    # host build takes dense internal ids and now REFUSES sparse spaces)
+    with pytest.raises(ValueError, match="sparse"):
+        plc.MGGraph(h, plc.GraphProperties(is_symmetric=False,
+                                           is_multigraph=True),
+                    src, dst, w, edge_id_array=eid,
+                    edge_type_array=np.zeros(120, np.int32))
+    g = plc.MGGraph(
+        h, plc.GraphProperties(is_symmetric=False, is_multigraph=True),
+        src, dst, w, edge_id_array=eid,
+        edge_type_array=np.zeros(120, np.int32), build="sharded")
+    t = plc.edge_id_lookup_table(h, g)
+    q = eid[[0, 7, 63, 119]]
+    out = t.lookup_vertex_ids(q, edge_type=0)
+    np.testing.assert_array_equal(out["src"].to_numpy(),
+                                  src[[0, 7, 63, 119]])
+    np.testing.assert_array_equal(out["dst"].to_numpy(),
+                                  dst[[0, 7, 63, 119]])
+    missing = t.lookup_vertex_ids(np.array([1, (np.int64(9) << 31)]))
+    assert (missing["src"].to_numpy() == -1).all()
