@@ -33,8 +33,11 @@ def renumber_sampled_edgelist(df: pd.DataFrame, batch_col: str = "batch_id"):
     for b, grp in df.groupby(batch_col, sort=True):
         rows = grp.index.to_numpy()
         # first-appearance order walking hops: ALL sources of hop h before
-        # any destination of hop h (vectorized via a (hop, src/dst) sort key)
-        hops = grp["hop_id"].to_numpy()
+        # any destination of hop h (vectorized via a (hop, src/dst) sort
+        # key); frames without hop_id (return_hops=False samplers emit
+        # them) renumber as a single hop
+        hops = (grp["hop_id"].to_numpy() if "hop_id" in grp
+                else np.zeros(len(grp), np.int64))
         allv = np.concatenate([grp["sources"].to_numpy(),
                                grp["destinations"].to_numpy()])
         keys = np.concatenate([hops * 2, hops * 2 + 1])
@@ -42,12 +45,17 @@ def renumber_sampled_edgelist(df: pd.DataFrame, batch_col: str = "batch_id"):
         uniq, first = np.unique(stream, return_index=True)
         appearance = np.argsort(first, kind="stable")
         vmap = uniq[appearance]                       # id → original vertex
-        lut = {int(v): i for i, v in enumerate(vmap)}
         maps[b] = vmap
         sel = pos[df.index.get_indexer(rows)] if not df.index.equals(
             pd.RangeIndex(len(df))) else rows
-        out_src[sel] = [lut[int(v)] for v in df["sources"].to_numpy()[sel]]
-        out_dst[sel] = [lut[int(v)] for v in df["destinations"].to_numpy()[sel]]
+        # vectorized rank lookup (the _renumber_one_label pattern below) —
+        # the per-edge dict comprehension it replaces was interpreter-speed
+        sorter = np.argsort(vmap, kind="stable")
+        vs = vmap[sorter]
+        out_src[sel] = sorter[np.searchsorted(
+            vs, df["sources"].to_numpy()[sel])]
+        out_dst[sel] = sorter[np.searchsorted(
+            vs, df["destinations"].to_numpy()[sel])]
     out = df.copy()
     out["sources"] = out_src
     out["destinations"] = out_dst
@@ -66,8 +74,10 @@ def compress_per_hop_csr(renumbered: pd.DataFrame, maps: dict,
     for b, grp in renumbered.groupby(batch_col, sort=True):
         n_local = len(maps[b])
         hops = []
-        for hop in sorted(grp["hop_id"].unique()):
-            h = grp[grp["hop_id"] == hop]
+        hop_vals = (sorted(grp["hop_id"].unique()) if "hop_id" in grp
+                    else [0])
+        for hop in hop_vals:
+            h = grp[grp["hop_id"] == hop] if "hop_id" in grp else grp
             s = h["sources"].to_numpy()
             d = h["destinations"].to_numpy()
             w = h["weight"].to_numpy() if "weight" in h else np.ones(len(h))
@@ -220,7 +230,15 @@ def renumber_and_compress_sampled_edgelist(
                 np.cumsum(offs, out=offs)
                 all_offsets.append(offs)
         else:
-            n_rows = int(maj.max()) + 1 if len(maj) else len(vmap)
+            # retained seeds that produced no edges still need their CSR
+            # row (the per-hop branch's prev_max handling covers them; the
+            # whole-label branch must too — round-5 review finding)
+            n_rows = int(maj.max()) + 1 if len(maj) else 0
+            if seeds is not None and len(seeds):
+                n_rows = max(n_rows,
+                             int(rank_of(np.asarray(seeds)).max()) + 1)
+            if n_rows == 0:
+                n_rows = len(vmap)
             offs = np.zeros(n_rows + 1, np.int64)
             np.add.at(offs, maj + 1, 1)
             np.cumsum(offs, out=offs)

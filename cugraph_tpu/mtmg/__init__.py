@@ -38,16 +38,21 @@ class ResourceManager:
     # parity alias (reference naming)
     register_local_device = register_local_gpu
 
+    def _sorted(self):
+        # sort by rank ONLY: jax Device objects are unorderable, so a rank
+        # tie (double registration) must not fall through to comparing them
+        return sorted(self._ranks, key=lambda t: t[0])
+
     def registered_ranks(self):
-        return [r for r, _ in sorted(self._ranks)]
+        return [r for r, _ in self._sorted()]
 
     def devices(self):
-        return [d for _, d in sorted(self._ranks)]
+        return [d for _, d in self._sorted()]
 
     def create_instance_manager(self, ranks=None):
         devs = self.devices()
         if ranks is not None:
-            devs = [d for (r, d) in sorted(self._ranks) if r in set(ranks)]
+            devs = [d for (r, d) in self._sorted() if r in set(ranks)]
         return InstanceManager(devs)
 
 
@@ -74,13 +79,16 @@ class InstanceManager:
 
     def __init__(self, devices):
         self._devices = list(devices)
+        if not self._devices:
+            raise ValueError("no devices registered (register_local_gpu "
+                             "before create_instance_manager)")
         self._next = 0
         self._lock = threading.Lock()
 
     def get_handle(self) -> Handle:
         with self._lock:
             i = self._next
-            self._next = (self._next + 1) % max(len(self._devices), 1)
+            self._next = (self._next + 1) % len(self._devices)
         return Handle(self._devices[i], i)
 
     def size(self) -> int:
@@ -96,6 +104,9 @@ class PerThreadEdgelist:
         self._local = threading.local()
         self._all = []
         self._lock = threading.Lock()
+        # parity knob: the reference flushes per-thread staging buffers at
+        # this granularity; chunks here are host lists already, so it only
+        # bounds the per-append coalescing below (not a correctness knob)
         self.chunk_size = chunk_size
 
     def _bufs(self):
@@ -106,11 +117,24 @@ class PerThreadEdgelist:
         return self._local.bufs
 
     def append(self, src, dst, wgt=None):
-        s, d, w = self._bufs()
-        s.append(np.atleast_1d(np.asarray(src)))
-        d.append(np.atleast_1d(np.asarray(dst)))
+        src = np.atleast_1d(np.asarray(src))
+        dst = np.atleast_1d(np.asarray(dst))
+        if len(src) != len(dst):
+            raise ValueError(f"src/dst length mismatch: {len(src)} vs "
+                             f"{len(dst)}")
         if wgt is not None:
-            w.append(np.atleast_1d(np.asarray(wgt)))
+            wgt = np.atleast_1d(np.asarray(wgt))
+            if len(wgt) != len(src):
+                raise ValueError(f"wgt length mismatch: {len(wgt)} weights "
+                                 f"for {len(src)} edges")
+        # append the TRIPLE under the lock so a concurrent consolidate()
+        # can never observe a torn (src-without-dst) chunk
+        s, d, w = self._bufs()
+        with self._lock:
+            s.append(src)
+            d.append(dst)
+            if wgt is not None:
+                w.append(wgt)
 
     def flush(self):  # parity no-op: chunks are already host-resident
         pass

@@ -39,48 +39,16 @@ def _mg_spmm(mesh, pmaj, chunk):
 def mg_spmm_pallas_fn(mesh, pmaj: int, pmin: int, chunk: int, fwd, bwd):
     """Differentiable MG SpMM through the one-hot Pallas kernel.
 
-    ``fwd``/``bwd`` are CONCRETE StackedSpmmPlans (parallel.kernels) — the
-    custom VJP closes over them outside any trace (custom_vjp forbids traced
-    closures).  Forward: all_gather minor → local Pallas SpMM → psum_scatter
-    major.  Backward = the exact transpose: all_gather major → local Pallas
-    SpMM on the transpose plan → psum_scatter minor.
+    ``fwd``/``bwd`` are CONCRETE StackedSpmmPlans (parallel.kernels) bound
+    outside any trace (custom_vjp forbids traced closures).  A thin binding
+    over ``mg_spmm_pallas_arg_fn`` — one owner for the shard_map bodies
+    (they were duplicated verbatim before; round-5 review finding).
     """
-    from cugraph_tpu.kernels.spmm_onehot import spmm_onehot
+    arg_f = mg_spmm_pallas_arg_fn(mesh, pmaj, pmin, chunk)
 
-    es, vs = edge_spec(), vertex_spec()
-    nseg = pmaj * chunk
-    B = pmin * chunk
-
-    def k_fwd(fp, x_own):
-        lp = fp.local()
-        x_blk = prims.gather_minor_block(x_own)            # [B, F]
-        xp = jnp.pad(x_blk, ((0, lp.pad_v - B), (0, 0)))
-        part = spmm_onehot(lp, xp)[:nseg]
-        return prims.scatter_reduce_major_sum(part)
-
-    def k_bwd(bp, gy_own):
-        lp = bp.local()
-        gy_blk = prims.gather_major_block(gy_own)          # [nseg, F]
-        gp = jnp.pad(gy_blk, ((0, lp.pad_v - nseg), (0, 0)))
-        part = spmm_onehot(lp, gp)[:B]
-        return prims.scatter_reduce_minor_sum(part)
-
-    sm_f = jax.jit(jax.shard_map(k_fwd, mesh=mesh, in_specs=(es, vs),
-                                 out_specs=vs, check_vma=False))
-    sm_b = jax.jit(jax.shard_map(k_bwd, mesh=mesh, in_specs=(es, vs),
-                                 out_specs=vs, check_vma=False))
-
-    @jax.custom_vjp
     def f(x):
-        return sm_f(fwd, x)
+        return arg_f(fwd, bwd, x)
 
-    def f_fwd(x):
-        return sm_f(fwd, x), None
-
-    def f_bwd(_, gy):
-        return (sm_b(bwd, gy),)
-
-    f.defvjp(f_fwd, f_bwd)
     return f
 
 
@@ -154,25 +122,24 @@ def _spmm_call(g: DistGraph, mesh, x: jax.Array, plans=None) -> jax.Array:
         g.pull.src_loc, g.pull.dst_loc, g.pull.weight, x)
 
 
-_arg_fns: dict = {}
-
-
+@lru_cache(maxsize=32)
 def _get_arg_fn(mesh, pmaj, pmin, chunk):
-    key = (id(mesh), pmaj, pmin, chunk)
-    f = _arg_fns.get(key)
-    if f is None:
-        f = mg_spmm_pallas_arg_fn(mesh, pmaj, pmin, chunk)
-        _arg_fns[key] = (f, mesh)  # hold the mesh so id() cannot alias
-    else:
-        f = f[0]
-    return f
+    # keyed on the (hashable) mesh like every other kernel cache in this
+    # file — the previous id(mesh) dict never evicted and pinned meshes +
+    # compiled shard_maps for the process lifetime
+    return mg_spmm_pallas_arg_fn(mesh, pmaj, pmin, chunk)
 
 
 def mg_aggregate_mean(g: DistGraph, mesh, x: jax.Array,
                       plans=None) -> jax.Array:
-    """Mean of in-neighbor features, owner-sharded [pad_v, F] → [pad_v, F]."""
+    """Mean of in-neighbor features, owner-sharded [pad_v, F] → [pad_v, F].
+
+    Clamp matches the SG layer's 1e-12 (nn/layers.py aggregate): the
+    in-degree is the WEIGHTED sum, and a 1.0 clamp silently halved the
+    aggregate wherever per-vertex in-weights summed below 1 — an MG↔SG
+    divergence on weighted graphs (round-5 review finding)."""
     agg = _spmm_call(g, mesh, x, plans=plans)
-    deg = jnp.maximum(g.in_degree, 1.0)
+    deg = jnp.maximum(g.in_degree, 1e-12)
     return agg / deg[:, None]
 
 

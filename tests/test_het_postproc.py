@@ -194,3 +194,37 @@ def test_het_renumber_rejects_out_of_range_edge_type():
     with pytest.raises(ValueError, match="num_edge_types"):
         ct.heterogeneous_renumber_and_sort_sampled_edgelist(
             df, vertex_type_offsets=[0, 4], num_edge_types=1)  # ...T=1
+
+
+def test_whole_label_compression_keeps_empty_seed_rows():
+    """compress_per_hop=False must still emit CSR rows for retained seeds
+    that produced no edges — the per-hop branch did, the whole-label
+    branch sized offsets by max(major) only (round-5 review finding)."""
+    import pandas as pd
+
+    from cugraph_tpu.algos.sampling_post import (
+        renumber_and_compress_sampled_edgelist)
+
+    df = pd.DataFrame({"sources": [10], "destinations": [20],
+                       "batch_id": [0], "hop_id": [0]})
+    out = renumber_and_compress_sampled_edgelist(
+        df, seed_vertices_per_label={0: [10, 30]}, compress_per_hop=False)
+    offs = out["major_offsets"]
+    # seeds 10, 30 → renumber ranks 0, 1; edge only from rank 0:
+    # offsets must cover BOTH seed rows → [0, 1, 1]
+    assert list(offs) == [0, 1, 1], offs
+
+
+def test_sampling_results_to_batches_without_hop_id():
+    """return_hops=False frames (no hop_id column) must still compress —
+    the library's own sampler produces them (round-5 review finding)."""
+    import pandas as pd
+
+    from cugraph_tpu.algos.sampling_post import sampling_results_to_batches
+
+    df = pd.DataFrame({"sources": [0, 0, 1], "destinations": [1, 2, 2],
+                       "batch_id": [0, 0, 0]})
+    out = sampling_results_to_batches(df)
+    hop = out[0]["hops"][0]
+    assert hop["offsets"][-1] == 3
+    assert len(out[0]["map"]) == 3

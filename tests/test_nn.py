@@ -208,3 +208,41 @@ def test_appnp_propagate_fixpoint_oracle():
     for _ in range(6):
         z = 0.2 * z0[:n] + 0.8 * (A_hat @ z)
     np.testing.assert_allclose(out, z, rtol=1e-4, atol=1e-4)
+
+
+def test_mg_aggregate_mean_matches_sg_on_weighted_graph():
+    """MG mean aggregation must use the SG layer's 1e-12 clamp: vertices
+    whose in-edge WEIGHTS sum below 1 diverged by the weight-sum factor
+    under the old max(deg, 1.0) (round-5 review finding)."""
+    import jax
+    import numpy as np
+
+    from cugraph_tpu.core.structure import build_structure_host
+    from cugraph_tpu.nn.layers import aggregate_neighbors
+    from cugraph_tpu.parallel import build_dist_graph, make_mesh_2d
+    from cugraph_tpu.parallel.nn import mg_aggregate_mean, shard_vertex_data
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 30, 150)
+    dst = rng.integers(0, 30, 150)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.01, 0.4, len(src)).astype(np.float32)  # sums < 1 exist
+    F = 8
+    x = rng.normal(size=(30, F)).astype(np.float32)
+
+    g = build_dist_graph(src, dst, w, 32, 4, 2)
+    xp = np.zeros((g.pad_v, F), np.float32)
+    xp[:30] = x
+    agg_mg = np.asarray(mg_aggregate_mean(
+        g, mesh, shard_vertex_data(mesh, xp)))[:30]
+
+    gs = build_structure_host(src, dst, w, 30)
+    import jax.numpy as jnp
+
+    xs = np.zeros((gs.pad_v, F), np.float32)
+    xs[:30] = x
+    agg_sg = np.asarray(aggregate_neighbors(gs, jnp.asarray(xs),
+                                            mode="mean"))[:30]
+    np.testing.assert_allclose(agg_mg, agg_sg, rtol=2e-4, atol=2e-5)
