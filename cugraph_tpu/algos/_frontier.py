@@ -100,13 +100,28 @@ class FrontierState:
         return b.astype(np.int64) * self.key_mod + v
 
     def begin_hop(self):
-        """Apply dedupe_sources; returns the (v, b[, t]) arrays to sample."""
+        """Apply dedupe_sources; returns the (v, b[, t]) arrays to sample.
+
+        Temporal + dedupe keeps the MIN arrival time per (batch, vertex) —
+        the canonical choice (the reference's thrust sort/unique keeps an
+        implementation-defined instance; earliest-arrival is deterministic
+        AND a pure function of the row SET, which is what lets the fused
+        device path reproduce it exactly with a min-reduce time plane)."""
         if self.dedupe and len(self.v):
-            _, idx = np.unique(self._key(self.v, self.b), return_index=True)
-            idx.sort()
-            self.v, self.b = self.v[idx], self.b[idx]
             if self.t is not None:
+                keys = self._key(self.v, self.b)
+                order = np.lexsort((self.t, keys))
+                ks = keys[order]
+                first = np.ones(len(ks), bool)
+                first[1:] = ks[1:] != ks[:-1]
+                idx = np.sort(order[first])   # each key's min-time row,
+                self.v, self.b = self.v[idx], self.b[idx]  # arrival order
                 self.t = self.t[idx]
+            else:
+                _, idx = np.unique(self._key(self.v, self.b),
+                                   return_index=True)
+                idx.sort()
+                self.v, self.b = self.v[idx], self.b[idx]
         return self.v, self.b, self.t
 
     def advance(self, dest_v, dest_b, dest_t=None):

