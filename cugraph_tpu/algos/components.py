@@ -295,7 +295,10 @@ def maximal_independent_set(G, seed: int = 0):
 
 def vertex_coloring(G, seed: int = 0, max_colors: int | None = None):
     """Greedy coloring by iterated MIS (reference vertex_coloring_impl.cuh:151).
-    Returns ['vertex', 'color']."""
+    Returns ['vertex', 'color'].  When ``max_colors`` caps the MIS loop
+    before every vertex is colored, the leftovers carry the sentinel
+    color −1 — check for it before using the result as a proper
+    coloring (without a cap every vertex gets a color)."""
     g = G.structure
     n = G.number_of_vertices()
     eligible = np.zeros(g.pad_v, dtype=bool)

@@ -211,27 +211,26 @@ def core_number(G, degree_type: str = "bidirectional"):
 
 def k_core(G, k=None, core_number_df=None, degree_type: str = "bidirectional"):
     """Extract the k-core subgraph (reference k_core_impl.cuh:23).
-    Returns a new Graph on the vertices with core_number >= k."""
+    Returns a new Graph on the vertices with core_number >= k.
+
+    Every qualifying VERTEX is part of the result even when none of its
+    edges survive the filter (the reference rebuilds from the edge list
+    alone, k_core.py:127-138, silently dropping such vertices; by the
+    k-core definition they belong — e.g. every isolated vertex at k=0)."""
     df = core_number_df if core_number_df is not None else core_number(G, degree_type)
-    dfs = df.sort_values("vertex")
     if k is None:
         k = int(df["core_number"].max())
     # core values indexed by INTERNAL id for vectorized edge filtering
     core_arr = np.zeros(G.number_of_vertices(), np.int64)
-    core_arr[G.lookup_internal_vertex_id(dfs["vertex"].to_numpy())] = \
-        dfs["core_number"].to_numpy()
+    core_arr[G.lookup_internal_vertex_id(df["vertex"].to_numpy())] = \
+        df["core_number"].to_numpy()
     src, dst, w = G.edgelist_arrays()
-    ext_src = G.number_map.to_external(src)
-    ext_dst = G.number_map.to_external(dst)
     keep = (core_arr[src] >= k) & (core_arr[dst] >= k)
+    verts = df["vertex"].to_numpy()[df["core_number"].to_numpy() >= k]
     from cugraph_tpu.api.graph import Graph
     out = Graph(directed=G.is_directed())
-    if keep.any():
-        out.from_edgelist(ext_src[keep], ext_dst[keep],
-                          None if w is None else w[keep])
-    else:
-        cn = dict(zip(df["vertex"], df["core_number"]))
-        out.from_edgelist(np.array([], dtype=ext_src.dtype),
-                          np.array([], dtype=ext_dst.dtype), None,
-                          vertices=np.array([v for v in cn if cn[v] >= k]))
+    out.from_edgelist(G.number_map.to_external(src[keep]),
+                      G.number_map.to_external(dst[keep]),
+                      None if w is None else w[keep],
+                      vertices=np.sort(verts))
     return out

@@ -24,9 +24,6 @@ from cugraph_tpu.api.exceptions import FailedToConvergeError
 from cugraph_tpu.core.structure import GraphStructure
 from cugraph_tpu.prims.vertex_edge import spmv_pull, spmv_push
 
-# edge count above which the Pallas one-hot SpMV pays for its compile time
-_PALLAS_MIN_EDGES = 200_000
-
 
 @partial(jax.jit, static_argnames=("max_iter",))
 def _pagerank_kernel(

@@ -80,7 +80,11 @@ class CsrMatrix:
         return self.pad_v - 1
 
     def degrees(self) -> jax.Array:
-        """Per-major-vertex edge counts, [pad_v] (zero beyond num_vertices)."""
+        """Per-major-vertex edge counts, [pad_v].  NOTE: the SINK row
+        (pad_v − 1) holds the padding-edge count (pad_e − num_edges), and
+        rows in [num_vertices, sink) are zero — mask with
+        ``arange(pad_v) < num_vertices`` before trusting the tail (every
+        in-repo caller does)."""
         return self.offsets[1:] - self.offsets[:-1]
 
 
@@ -106,6 +110,15 @@ def build_csr_host(
     pad_v = padded_vertex_count(num_vertices, v_align)
     sink = pad_v - 1
     pad_e = max(round_up(num_edges, e_align), e_align)
+    if pad_e >= (1 << 31):
+        # int32 offsets are a design bound of this CSR (and the one-hot
+        # plan formats downstream); a silent cumsum wrap past 2^31 would
+        # yield negative offsets — fail loudly instead (largest exercised
+        # single-structure scale: RMAT-26, ~1.07B edges)
+        raise ValueError(
+            f"edge count {num_edges} exceeds the int32 CSR offset bound "
+            "(2^31-1 padded edges per structure); shard the graph "
+            "(parallel.build_dist_graph) instead")
 
     # native C++ counting-sort path (core/_native/builder.cpp), ~10× numpy's
     # lexsort; silently falls back to numpy when no toolchain is present

@@ -94,3 +94,18 @@ def test_core_number_native_matches_xla_all_degree_types():
             np.testing.assert_array_equal(
                 a["core_number"].to_numpy(), b["core_number"].to_numpy(),
                 err_msg=f"directed={directed} dt={dt}")
+
+
+def test_k_core_keeps_edgeless_qualifying_vertices():
+    """k_core must include every vertex with core >= k, including those
+    none of whose edges survive (round-5 review repro: isolated vertex 2
+    at k=0 was dropped whenever any edge was kept)."""
+    G = ctpu.Graph(directed=False)
+    G.from_edgelist(np.array([0]), np.array([1]), None,
+                    vertices=np.array([0, 1, 2]))
+    out = ctpu.k_core(G, k=0)
+    assert out.number_of_vertices() == 3
+    assert out.number_of_edges() == 1
+    # and the max core still extracts correctly
+    out1 = ctpu.k_core(G, k=1)
+    assert out1.number_of_vertices() == 2
