@@ -1002,7 +1002,8 @@ def _masked_neighbor_sample(G, start_list, fanouts_per_hop, *, masks_by_type,
                if G.edge_times is not None and seed_time is not None else None)
     times = None
     if et_host is not None:
-        t0 = np.full(len(seeds), np.float32(seed_time), np.float32)
+        t0 = np.broadcast_to(np.asarray(seed_time, np.float32),
+                             (len(seeds),)).astype(np.float32)
         times = t0
 
     # row-gather fast path: [pad_v, D] table views of the per-edge mask /

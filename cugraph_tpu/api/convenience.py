@@ -62,8 +62,11 @@ def from_adjlist(offsets, indices, values=None, create_using=None):
     deg = np.diff(offsets)
     src = np.repeat(np.arange(len(deg)), deg)
     G = _new(create_using)
+    # the CSR names every row as a vertex — zero-degree rows must survive
+    # (renumbering from edges alone dropped them; round-5 review finding)
     G.from_edgelist(src, indices,
-                    None if values is None else np.asarray(values, np.float32))
+                    None if values is None else np.asarray(values, np.float32),
+                    vertices=np.arange(len(deg)))
     return G
 
 
@@ -318,7 +321,8 @@ def symmetrize_df(df, src_name="src", dst_name="dst", weight_name=None,
 
     if not symmetrize:
         return df
-    return _sym(df, src_name=src_name, dst_name=dst_name)
+    return _sym(df, src_name=src_name, dst_name=dst_name,
+                value_col=weight_name)
 
 
 def symmetrize_ddf(df, src_name="src", dst_name="dst", weight_name=None,

@@ -114,8 +114,15 @@ class Graph:
                                  edge_id=edge_id, edge_type=edge_type,
                                  edge_time=edge_time)
 
-    def from_pandas_edgelist(self, df, source="src", destination="dst",
+    def from_pandas_edgelist(self, df, source="source",
+                             destination="destination",
                              edge_attr=None, renumber=True) -> "Graph":
+        # reference defaults are source/destination (graph_classes.py);
+        # frames using the src/dst convention keep working when the
+        # defaults were not overridden
+        if source == "source" and source not in df.columns \
+                and {"src", "dst"} <= set(df.columns):
+            source, destination = "src", "dst"
         src = df[source].to_numpy()
         dst = df[destination].to_numpy()
         w = None if edge_attr is None else df[edge_attr].to_numpy().astype(np.float32)
@@ -396,7 +403,9 @@ class Graph:
         deg = np.diff(offsets)
         src = np.repeat(np.arange(len(deg)), deg)
         w = None if value_col is None else np.asarray(value_col, np.float32)
-        return self.from_edgelist(src, indices, w, renumber=renumber)
+        # every CSR row is a vertex — zero-degree rows must survive
+        return self.from_edgelist(src, indices, w, renumber=renumber,
+                                  vertices=np.arange(len(deg)))
 
     def from_pandas_adjacency(self, pdf):
         """Reference Graph.from_pandas_adjacency: labeled dense matrix
@@ -495,14 +504,16 @@ class Graph:
         self._pending_nodes = nodes
 
     def to_directed(self) -> "Graph":
-        g = Graph(directed=True)
+        # a MultiGraph converts to a directed MULTIgraph (parallel edges
+        # survive, reference graph_classes.py) — type(self) keeps the class
+        g = type(self)(directed=True)
         src, dst, w = self.edgelist_arrays()
         ext_s = self._number_map.to_external(src)
         ext_d = self._number_map.to_external(dst)
         return g.from_edgelist(ext_s, ext_d, w)
 
     def to_undirected(self) -> "Graph":
-        g = Graph(directed=False)
+        g = type(self)(directed=False)
         src, dst, w = self.edgelist_arrays()
         ext_s = self._number_map.to_external(src)
         ext_d = self._number_map.to_external(dst)

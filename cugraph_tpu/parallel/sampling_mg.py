@@ -205,8 +205,9 @@ def _mg_neighbor_sample_core(
         fv0, np.arange(len(fv0), dtype=np.int32), pad,
         prior_sources_behavior=prior_sources_behavior,
         dedupe_sources=dedupe_sources, batch_id_list=batch_id_list,
-        times=(np.full(len(fv0), np.float32(seed_time)) if temporal
-               else None))
+        times=(np.broadcast_to(
+            np.asarray(seed_time, np.float32), (len(fv0),)).copy()
+               if temporal else None))
 
     frames = []
     for hop, fanouts in enumerate(hop_plans):
@@ -554,8 +555,9 @@ def mg_temporal_neighbor_sample(g: DistGraph, mesh, start_list, fanout_vals,
     if g.push is None or g.push.etime is None:
         raise ValueError("temporal MG sampling requires push blocks built "
                          "with edge_time")
-    plan = _plan_fused(g, mesh, start_list, fanout_vals, flags,
-                       temporal=True)
+    plan = (_plan_fused(g, mesh, start_list, fanout_vals, flags,
+                        temporal=True)
+            if np.ndim(seed_time) == 0 else None)
     if plan is not None:
         from cugraph_tpu.algos._frontier import resolve_temporal_comparison
 

@@ -272,7 +272,7 @@ def betweenness_centrality(resource_handle, graph, k=None, random_state=None,
         return np.arange(n, dtype=np.int32), _host(bc)[:n]
     df = ct.betweenness_centrality(_sg(graph), k=k, normalized=normalized,
                                    endpoints=include_endpoints,
-                                   seed=random_state)
+                                   seed=_seed(random_state))
     return _vert_df(df.sort_values("vertex"), ["betweenness_centrality"])
 
 
@@ -290,7 +290,7 @@ def edge_betweenness_centrality(resource_handle, graph, k=None,
         return (df["src"].to_numpy(), df["dst"].to_numpy(),
                 df["betweenness_centrality"].to_numpy())
     df = ct.edge_betweenness_centrality(_sg(graph), k=k, normalized=normalized,
-                                        seed=random_state)
+                                        seed=_seed(random_state))
     return (df["src"].to_numpy(), df["dst"].to_numpy(),
             df["betweenness_centrality"].to_numpy())
 
@@ -585,8 +585,7 @@ def jaccard_coefficients(resource_handle, graph, first, second,
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_jaccard_coefficients
 
-        c = mg_jaccard_coefficients(graph.graph(), graph.mesh, first, second)
-        return np.asarray(first), np.asarray(second), c
+        return _mg_sim(mg_jaccard_coefficients, graph, first, second)
     return _sim(ct.jaccard, graph, first, second, use_weight)
 
 
@@ -740,6 +739,26 @@ def _fanout_compat(starting_vertex_label_offsets, h_fan_out):
     return starting_vertex_label_offsets, h_fan_out
 
 
+def _label_offsets_to_batches(offsets, start_list, kw):
+    """starting_vertex_label_offsets → batch_id_list (the reference groups
+    seeds into labels by CSR offsets, sampling_functions.hpp:512; the
+    wrappers previously DROPPED the offsets — round-5 review finding).
+    Explicit batch_id_list wins when both are given."""
+    if offsets is None or kw.get("batch_id_list") is not None:
+        return kw
+    off = np.asarray(offsets, np.int64).reshape(-1)
+    n_seeds = len(np.asarray(start_list).reshape(-1))
+    if len(off) < 2 or off[0] != 0 or off[-1] != n_seeds or \
+            (np.diff(off) < 0).any():
+        raise ValueError(
+            f"starting_vertex_label_offsets must be a CSR over the "
+            f"{n_seeds} start vertices (got {offsets!r})")
+    kw = dict(kw)
+    kw["batch_id_list"] = np.repeat(
+        np.arange(len(off) - 1, dtype=np.int32), np.diff(off))
+    return kw
+
+
 def _mg_sample_kw(kw):
     """Map plc sampler kwargs onto the MG engine's knobs, including the
     reference sampling_flags_t fields (sampling_functions.hpp:36-76)."""
@@ -848,7 +867,10 @@ def homogeneous_uniform_neighbor_sample(resource_handle, graph, start_list,
                                         h_fan_out=None, **kw):
     import cugraph_tpu as ct
 
-    _, fanout_vals = _fanout_compat(starting_vertex_label_offsets, h_fan_out)
+    offs, fanout_vals = _fanout_compat(starting_vertex_label_offsets,
+                                       h_fan_out)
+    kw = _label_offsets_to_batches(offs, start_list, kw)
+    kw.setdefault("with_replacement", False)  # one default for SG and MG
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_uniform_neighbor_sample
 
@@ -867,8 +889,10 @@ def homogeneous_biased_neighbor_sample(resource_handle, graph, start_list,
                                        h_fan_out=None, **kw):
     import cugraph_tpu as ct
 
-    _, fanout_vals = _fanout_compat(starting_vertex_label_offsets, h_fan_out)
-
+    offs, fanout_vals = _fanout_compat(starting_vertex_label_offsets,
+                                       h_fan_out)
+    kw = _label_offsets_to_batches(offs, start_list, kw)
+    kw.setdefault("with_replacement", False)  # one default for SG and MG
     if isinstance(graph, MGGraph):
         from cugraph_tpu.parallel import mg_biased_neighbor_sample
 
@@ -950,8 +974,13 @@ def _temporal_compat(args, kw):
         start_times = args[2] if len(args) > 2 else None
         fanout = args[4] if len(args) > 4 else kw.pop("h_fan_out", None)
         if start_times is not None:
-            kw.setdefault("seed_time", np.asarray(start_times).reshape(-1)[0]
-                          if np.ndim(start_times) else start_times)
+            # PER-SEED start times flow through whole (the engines
+            # broadcast a scalar or take the aligned array; collapsing to
+            # the first element gave every seed the wrong eligibility
+            # window — round-5 review finding)
+            st = np.asarray(start_times, np.float32).reshape(-1)
+            kw.setdefault("seed_time",
+                          float(st[0]) if len(st) == 1 else st)
         return start_list, fanout, kw
     start_list = args[0]
     fanout = args[1] if len(args) > 1 else kw.pop("h_fan_out", None)
@@ -1122,6 +1151,12 @@ def two_hop_neighbors(resource_handle, graph, start_vertices=None,
         return mg_two_hop_neighbors(graph.graph(), graph.mesh,
                                     start_vertices=start_vertices)
     df = ct.two_hop_neighbors(_sg(graph))
+    if start_vertices is not None:
+        # match the MG path and get_two_hop_neighbors: pairs FROM the
+        # given starts only (review finding: the SG path ignored it)
+        sel = np.isin(df["first"].to_numpy(),
+                      np.asarray(start_vertices).reshape(-1))
+        df = df[sel]
     return df["first"].to_numpy(), df["second"].to_numpy()
 
 
@@ -1153,7 +1188,7 @@ def degrees(resource_handle, graph, source_vertices=None,
         _, dout = _subset_deg(verts, dout, source_vertices)
         return v1, din, dout
     G = _sg(graph)
-    df = G.degrees().sort_values("vertex")
+    df = G.degrees(vertex_subset=source_vertices).sort_values("vertex")
     return (df["vertex"].to_numpy(), df["in_degree"].to_numpy(),
             df["out_degree"].to_numpy())
 
@@ -1163,7 +1198,7 @@ def in_degrees(resource_handle, graph, source_vertices=None, **kw):
         verts, din, _ = _mg_degree_arrays(graph)
         return _subset_deg(verts, din, source_vertices)
     G = _sg(graph)
-    df = G.in_degree().sort_values("vertex")
+    df = G.in_degree(source_vertices).sort_values("vertex")
     return df["vertex"].to_numpy(), df["degree"].to_numpy()
 
 
@@ -1172,7 +1207,7 @@ def out_degrees(resource_handle, graph, source_vertices=None, **kw):
         verts, _, dout = _mg_degree_arrays(graph)
         return _subset_deg(verts, dout, source_vertices)
     G = _sg(graph)
-    df = G.out_degree().sort_values("vertex")
+    df = G.out_degree(source_vertices).sort_values("vertex")
     return df["vertex"].to_numpy(), df["degree"].to_numpy()
 
 

@@ -708,3 +708,20 @@ def test_multi_source_bfs_serial_strategy_matches_panel(monkeypatch):
         np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), c)
     with pytest.raises(ValueError, match="strategy"):
         ctpu.multi_source_bfs(G, [0], strategy="bogus")
+
+
+def test_from_adjlist_keeps_isolated_rows_and_multigraph_to_directed():
+    """Round-5 review regressions: (1) CSR constructors name every row a
+    vertex — zero-degree rows must survive; (2) MultiGraph.to_directed
+    keeps parallel edges (a plain Graph conversion deduped them)."""
+    G = ctpu.from_adjlist(np.array([0, 1, 1, 1]), np.array([1]))
+    assert G.number_of_vertices() == 3  # vertex 2 is isolated but real
+
+    M = ctpu.MultiGraph(directed=False)
+    M.from_edgelist(np.array([0, 0]), np.array([1, 1]),
+                    np.array([1.0, 2.0], np.float32))
+    D = M.to_directed()
+    assert isinstance(D, ctpu.MultiGraph)
+    # both directions of both parallel edges survive (4 arcs); the old
+    # plain-Graph conversion deduped them to 2
+    assert D.number_of_edges() == 2 * M.number_of_edges()

@@ -140,3 +140,65 @@ def test_induced_subgraph_offsets_multiple():
     # group 0 edges stay within [0, 10)
     assert (s[: eoff[1]] < 10).all() and (d[: eoff[1]] < 10).all()
     assert (s[eoff[1]:] >= 10).all() and (s[eoff[1]:] < 25).all()
+
+
+def test_sg_degrees_and_two_hop_honor_subsets():
+    """SG paths of degrees/in/out_degrees and two_hop_neighbors must honor
+    source/start vertices like their MG twins (round-5 review: silently
+    ignored)."""
+    h = ResourceHandle()
+    src = np.array([0, 0, 1, 2, 3])
+    dst = np.array([1, 2, 2, 3, 0])
+    from cugraph_tpu.plc import GraphProperties
+    g = SGGraph(h, GraphProperties(is_symmetric=False), src, dst,
+                None, renumber=False, vertices_array=np.arange(5))
+    v, din, dout = plc.degrees(h, g, source_vertices=[1, 3])
+    assert list(v) == [1, 3] and len(din) == 2 == len(dout)
+    v2, d2 = plc.in_degrees(h, g, source_vertices=[2])
+    assert list(v2) == [2] and d2[0] == 2
+    f, s = plc.two_hop_neighbors(h, g, start_vertices=[0])
+    assert set(f.tolist()) <= {0}
+
+
+def test_label_offsets_become_batches():
+    """starting_vertex_label_offsets groups seeds into batches (round-5
+    review: the wrappers silently dropped the offsets)."""
+    h = ResourceHandle()
+    src = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    dst = np.array([1, 2, 2, 3, 3, 0, 0, 1])
+    from cugraph_tpu.plc import GraphProperties
+    g = SGGraph(h, GraphProperties(is_symmetric=False), src, dst,
+                None, renumber=False, vertices_array=np.arange(4))
+    df = plc.homogeneous_uniform_neighbor_sample(
+        h, g, np.array([0, 1, 2, 3]),
+        starting_vertex_label_offsets=np.array([0, 2, 4]),
+        h_fan_out=np.array([2]), random_state=0)
+    bids = set(np.asarray(df["batch_id"]).tolist())
+    assert bids == {0, 1}, bids
+    with pytest.raises(ValueError, match="label_offsets"):
+        plc.homogeneous_uniform_neighbor_sample(
+            h, g, np.array([0, 1]),
+            starting_vertex_label_offsets=np.array([0, 5]),
+            h_fan_out=np.array([2]))
+
+
+def test_temporal_per_seed_start_times():
+    """Per-seed starting_vertex_start_times must flow through whole —
+    collapsing to the first element gave every seed the first seed's
+    eligibility window (round-5 review).  Seed 0 (t=0) can traverse the
+    t=5 edge; seed 1 (t=99) must find nothing."""
+    h = ResourceHandle()
+    src = np.array([0, 1])
+    dst = np.array([1, 2])
+    tm = np.array([5.0, 6.0], np.float32)
+    from cugraph_tpu.plc import GraphProperties
+    g = SGGraph(h, GraphProperties(is_symmetric=False), src, dst,
+                None, renumber=False, vertices_array=np.arange(3),
+                edge_start_time_array=tm)
+    df = plc.homogeneous_uniform_temporal_neighbor_sample(
+        h, g, "t", np.array([0, 1]), np.array([0.0, 99.0]), None,
+        np.array([2]), random_state=0)
+    rows = list(zip(np.asarray(df["sources"]).tolist(),
+                    np.asarray(df["destinations"]).tolist()))
+    assert (0, 1) in rows          # seed 0 at t=0 sees the t=5 edge
+    assert (1, 2) not in rows      # seed 1 at t=99 must see NOTHING
