@@ -99,7 +99,10 @@ def _louvain_move_sweep(src, dst, w, cluster, up_down, resolution, pad_v: int):
 
 @partial(jax.jit, static_argnames=("pad_v",))
 def _modularity(src, dst, w, cluster, resolution, pad_v: int):
-    m2 = jnp.sum(w)
+    # epsilon guard: an edgeless graph would otherwise yield NaN, which
+    # also defeats the convergence break (NaN <= x is False) — round-5
+    # review finding
+    m2 = jnp.maximum(jnp.sum(w), 1e-30)
     intra = jnp.sum(jnp.where(jnp.take(cluster, src) == jnp.take(cluster, dst), w, 0.0))
     k = jax.ops.segment_sum(w, src, num_segments=pad_v)
     sigma = jax.ops.segment_sum(k, cluster, num_segments=pad_v)
@@ -130,6 +133,8 @@ def _louvain_one_level_native(src, dst, w, n, resolution, max_sweeps,
     # modularity, are exactly preserved) — replaces an argsort of the COO
     agg = coarsen_edges_native(src.astype(np.int32), dst.astype(np.int32),
                                w, n)
+    if agg is None:          # per-call native failure (nonzero rc): the
+        return None, None    # caller falls back to the jitted level loop
     src, dst, w = agg
     ds = dst
     dw = w
@@ -152,6 +157,8 @@ def _louvain_one_level_native(src, dst, w, n, resolution, max_sweeps,
     for sweep in range(max_sweeps):
         cluster2 = louvain_sweep_native(ds, dw, row_off, cluster, up_down,
                                         resolution)
+        if cluster2 is None:
+            break            # keep the best clustering found so far
         q2 = modularity(cluster2)
         up_down = not up_down
         if q2 > best_q + threshold:
@@ -171,10 +178,12 @@ def _louvain_one_level(src, dst, w, n, resolution, max_sweeps=20, threshold=1e-7
     from cugraph_tpu.core.native import get_lib
 
     if get_lib() is not None and n > 0 and len(src):
-        return _louvain_one_level_native(np.asarray(src), np.asarray(dst),
-                                         np.asarray(w, np.float32), n,
-                                         resolution, max_sweeps, threshold,
-                                         init)
+        cl, q = _louvain_one_level_native(np.asarray(src), np.asarray(dst),
+                                          np.asarray(w, np.float32), n,
+                                          resolution, max_sweeps, threshold,
+                                          init)
+        if cl is not None:     # None = per-call native failure → jit path
+            return cl, q
     s, d, ww, pad_v = _pad_coo(src, dst, w, n)
     if init is None:
         cluster = jnp.arange(pad_v, dtype=jnp.int32)
@@ -366,9 +375,12 @@ def _leiden_refine(src, dst, w, n, comm, resolution, theta, rng_key,
         refined = np.arange(n, dtype=np.int32)
         comm32 = np.asarray(comm, np.int32)
         for i in range(sweeps):
-            refined = leiden_refine_sweep_native(
+            nxt = leiden_refine_sweep_native(
                 ds, dw, row_off, comm32, refined, theta, resolution,
                 seed0 * 0x9E3779B97F4A7C15 + i)
+            if nxt is None:   # per-call native failure: keep what we have
+                break
+            refined = nxt
         return refined
 
     s, d, ww, pad_v = _pad_coo(src, dst, w, n)
@@ -433,9 +445,13 @@ def leiden(G, max_iter: int = 100, resolution: float = 1.0,
     _, cc = csgraph.connected_components(A, directed=False)
     _, compact_f = np.unique(cc, return_inverse=True)
     df = vertex_frame(G, {"partition": compact_f.astype(np.int32)})
-    s, d, ww, pad_v = _pad_coo(
-        src0, dst0,
-        np.ones(len(src0), np.float32) if w0 is None else w0, n0)
+    wq = np.ones(len(src0), np.float32) if w0 is None \
+        else np.asarray(w0, np.float32)
+    # doubled-self-loop convention, matching louvain's level loop and
+    # analyzeClustering_modularity (round-5 review: the final q diverged
+    # from both on graphs with self-loops)
+    wq = np.where(src0 == dst0, 2.0 * wq, wq)
+    s, d, ww, pad_v = _pad_coo(src0, dst0, wq, n0)
     lab_full = np.zeros(pad_v, np.int32)
     lab_full[:n0] = compact_f
     q = float(_modularity(s, d, ww, jnp.asarray(lab_full),
@@ -484,9 +500,12 @@ def ecg(G, min_weight: float = 0.05, ensemble_size: int = 16,
             # early-stop the reference doesn't have either (ecg_impl.cuh:148
             # runs fixed one-level members)
             for up_down in (True, False):
-                cluster = louvain_sweep_native(agg_d, agg_w, row_off,
-                                               cluster, up_down, resolution,
-                                               rank=rank)
+                nxt = louvain_sweep_native(agg_d, agg_w, row_off,
+                                           cluster, up_down, resolution,
+                                           rank=rank)
+                if nxt is None:   # per-call native failure: partial member
+                    break
+                cluster = nxt
             votes += (cluster[src] == cluster[dst])
     else:
         for e in range(ensemble_size):

@@ -211,7 +211,11 @@ def _bfs_pred_host(G, dist: np.ndarray, pred: np.ndarray, source: int,
         return out  # engine fills exactly the missing slots
     ds = dist[src].astype(np.int64)  # int64: INT32_INF + 1 must not wrap
     match = (ds + 1 == dist[dst]) & missing[dst]
-    out[dst[match]] = src[match]     # any valid parent (last edge wins)
+    # MAX-id parent, the documented convention (matches the native engine,
+    # the device eqsel recovery, and the sparse .at[].max path — the
+    # last-edge-wins assignment it replaces made cross-engine predecessor
+    # trees differ on edge-order; round-5 review finding)
+    np.maximum.at(out, dst[match], src[match])
     return out
 
 
@@ -531,7 +535,21 @@ def k_hop_neighbors(G, start, k: int):
     mask0 = np.zeros(g.pad_v, dtype=bool)
     mask0[seeds] = True
     reach = np.array(_khop_kernel(g, jnp.asarray(mask0), int(k)))[:n]
-    reach[seeds[seeds < n]] = False
+    # a seed belongs iff REACHABLE in <=k hops (a cycle back to it) — the
+    # kernel seeds the mask, so recheck: s qualifies iff some in-neighbor
+    # sits within k-1 hops of the seed set (round-5 review finding: seeds
+    # were removed unconditionally)
+    sd = seeds[seeds < n]
+    reach[sd] = False
+    if int(k) >= 1 and len(sd):
+        r1 = (np.array(_khop_kernel(g, jnp.asarray(mask0),
+                                    int(k) - 1))[:n]
+              if int(k) > 1 else mask0[:n])
+        src_i, dst_i, _ = G.edgelist_arrays()
+        is_seed = np.zeros(n, bool)
+        is_seed[sd] = True
+        back = is_seed[dst_i] & r1[src_i]
+        reach[dst_i[back]] = True
     verts = np.nonzero(reach)[0]
     return pd.DataFrame({"vertex": G.number_map.to_external(verts)})
 
@@ -558,18 +576,27 @@ def extract_bfs_paths(G, distances_df: pd.DataFrame, destinations) -> pd.DataFra
                 and dv < np.float64(F32_INF) / 2)
 
     destinations = np.asarray(destinations).reshape(-1)
-    finite = [d for d in destinations if _reachable(lut_dist.get(d))]
-    max_len = int(max((lut_dist[d] for d in finite), default=0)) + 1
-    paths = np.full((len(destinations), max_len), -1, dtype=np.int64)
+    # walk every chain FIRST, then size the row width by the longest chain:
+    # the hop count of a weighted (SSSP) frame is unrelated to the numeric
+    # distance (dist 0.5 can be two hops), so sizing by int(max dist)+1
+    # overflowed the row (round-5 review finding).  Chains are bounded by
+    # the vertex count (acyclic predecessor trees ground out).
+    chains = [None] * len(destinations)
+    cap = len(vertices) + 1
     for r, d in enumerate(destinations):
         if not _reachable(lut_dist.get(d)):
             continue
         cur, chain = d, []
-        while cur is not None and cur != -1 and len(chain) <= max_len:
+        while cur is not None and cur != -1 and len(chain) <= cap:
             chain.append(cur)
             nxt = lut_pred.get(cur, -1)
             cur = None if nxt == -1 or nxt is None else nxt
-        paths[r, : len(chain)] = chain[::-1]
+        chains[r] = chain
+    max_len = max((len(c) for c in chains if c is not None), default=1)
+    paths = np.full((len(destinations), max_len), -1, dtype=np.int64)
+    for r, chain in enumerate(chains):
+        if chain is not None:
+            paths[r, : len(chain)] = chain[::-1]
     return pd.DataFrame({
         "destination": destinations,
         "path_offset": np.arange(len(destinations)) * max_len,

@@ -316,11 +316,16 @@ def mg_louvain_move_phase(g: DistGraph, mesh, resolution: float = 1.0,
         engine = os.environ.get("CUGRAPH_TPU_MG_SWEEP_ENGINE", "host")
     if engine == "host":
         return _move_phase_host(g, resolution, max_sweeps)
+    if g.pad_v >= (1 << 24):
+        # the device engine ships cluster ids as f32 payloads, exact only
+        # below 2^24 — beyond that ids would round to wrong clusters with
+        # no error (round-5 review); the host engine has no such limit
+        return _move_phase_host(g, resolution, max_sweeps)
     part = g.part
     n, pad_v = g.num_vertices, g.pad_v
     k = np.asarray(g.out_degree) + 0.0   # weighted degree (out == in totals
     #                                       for symmetrized inputs)
-    m2 = float(k.sum())
+    m2 = float(max(k.sum(), 1e-30))
     cluster = np.arange(pad_v, dtype=np.int32)
     agg = _local_aggregate_kernel(mesh, g.pmaj, g.pmin, g.chunk)
     move = _merge_move_kernel(mesh, g.pmaj, g.pmin, g.chunk, n)

@@ -725,3 +725,39 @@ def test_from_adjlist_keeps_isolated_rows_and_multigraph_to_directed():
     # both directions of both parallel edges survive (4 arcs); the old
     # plain-Graph conversion deduped them to 2
     assert D.number_of_edges() == 2 * M.number_of_edges()
+
+
+def test_extract_paths_weighted_hops_and_khop_cycle_seed():
+    """Round-5 review regressions: (1) SSSP paths whose hop count exceeds
+    int(max distance)+1 must not overflow the row width; (2) a seed on a
+    cycle of length <= k is part of its own k-hop neighborhood."""
+    # dist 0.5 over TWO hops: row width must come from chain length
+    G = ctpu.Graph(directed=True)
+    G.from_edgelist(np.array([0, 1]), np.array([1, 2]),
+                    np.array([0.25, 0.25], np.float32))
+    out = ctpu.sssp(G, 0)
+    df, flat, max_len = ctpu.extract_bfs_paths(G, out, [2])
+    assert max_len >= 3
+    assert flat[:3].tolist() == [0, 1, 2]
+
+    # triangle: 0 reaches itself in 3 hops
+    T = ctpu.Graph(directed=True)
+    T.from_edgelist(np.array([0, 1, 2]), np.array([1, 2, 0]), None)
+    kh = ctpu.k_hop_neighbors(T, 0, 3)
+    assert 0 in set(kh["vertex"].tolist())
+    kh2 = ctpu.k_hop_neighbors(T, 0, 2)
+    assert 0 not in set(kh2["vertex"].tolist())
+
+
+def test_leiden_modularity_consistent_with_analyze_on_self_loops():
+    """Leiden's reported q must use the same doubled-self-loop convention
+    as louvain and analyzeClustering_modularity (round-5 review)."""
+    rng = np.random.default_rng(0)
+    src = np.concatenate([rng.integers(0, 20, 100), [3, 7]])
+    dst = np.concatenate([rng.integers(0, 20, 100), [3, 7]])  # self-loops
+    G = ctpu.Graph(directed=False)
+    G.from_edgelist(src, dst, None)
+    df, q = ctpu.leiden(G, random_state=0)
+    q2 = ctpu.analyzeClustering_modularity(
+        G, df["partition"].nunique(), df, "vertex", "partition")
+    assert abs(q - q2) < 1e-4, (q, q2)
