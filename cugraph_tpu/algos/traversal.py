@@ -526,30 +526,22 @@ def _khop_kernel(g: GraphStructure, seed_mask: jax.Array, k: int):
 
 
 def k_hop_neighbors(G, start, k: int):
-    """k-hop neighborhood of start vertices (reference k_hop_nbrs_impl.cuh:220).
-    Returns a DataFrame ['vertex'] of all vertices within k hops (excluding
-    the starts themselves unless reachable in <=k hops by a cycle)."""
+    """k-hop neighborhood of start vertices.  Returns a DataFrame
+    ['vertex'] of all OTHER vertices within k hops — the starts themselves
+    are ALWAYS excluded (NetworkX ``cutoff`` convention minus the seeds;
+    for undirected graphs any seed with an edge trivially "returns to
+    itself" in 2 hops, so a cycle-inclusion rule would re-add every seed).
+    The reference's C-level k_hop_nbrs (k_hop_nbrs_impl.cuh:220) returns
+    the EXACTLY-k frontier per start instead — a per-start shape this
+    within-k set deliberately diverges from (no python-level twin exists
+    in the reference to match)."""
     g = G.structure
     n = G.number_of_vertices()
     seeds = normalize_start(G, start)
     mask0 = np.zeros(g.pad_v, dtype=bool)
     mask0[seeds] = True
     reach = np.array(_khop_kernel(g, jnp.asarray(mask0), int(k)))[:n]
-    # a seed belongs iff REACHABLE in <=k hops (a cycle back to it) — the
-    # kernel seeds the mask, so recheck: s qualifies iff some in-neighbor
-    # sits within k-1 hops of the seed set (round-5 review finding: seeds
-    # were removed unconditionally)
-    sd = seeds[seeds < n]
-    reach[sd] = False
-    if int(k) >= 1 and len(sd):
-        r1 = (np.array(_khop_kernel(g, jnp.asarray(mask0),
-                                    int(k) - 1))[:n]
-              if int(k) > 1 else mask0[:n])
-        src_i, dst_i, _ = G.edgelist_arrays()
-        is_seed = np.zeros(n, bool)
-        is_seed[sd] = True
-        back = is_seed[dst_i] & r1[src_i]
-        reach[dst_i[back]] = True
+    reach[seeds[seeds < n]] = False
     verts = np.nonzero(reach)[0]
     return pd.DataFrame({"vertex": G.number_map.to_external(verts)})
 

@@ -525,24 +525,17 @@ def _gather_edges_host(g: DistGraph):
     cached = getattr(g, "_host_coo", None)
     if cached is not None:
         return cached
-    pmaj, pmin, chunk = g.pmaj, g.pmin, g.chunk
-    B = pmin * chunk
-    src_loc = np.asarray(g.pull.src_loc)
-    dst_loc = np.asarray(g.pull.dst_loc)
-    w = np.asarray(g.pull.weight)
-    valid = np.asarray(g.pull.valid)
-    srcs, dsts, ws = [], [], []
-    for i in range(pmaj):
-        for j in range(pmin):
-            v = valid[i, j]
-            s = i * B + src_loc[i, j][v]
-            dl = dst_loc[i, j][v]
-            d = (dl // chunk * pmin + j) * chunk + dl % chunk
-            srcs.append(s)
-            dsts.append(d)
-            ws.append(w[i, j][v])
-    out = (np.concatenate(srcs), np.concatenate(dsts),
-           np.concatenate(ws).astype(np.float32))
+    # one owner for the per-block decompression (and its cache):
+    # _blocks_host — this used to duplicate the loop AND hold a second
+    # O(E) host copy next to _host_blocks_pull (round-5 review finding)
+    blocks = _blocks_host(g, "pull")
+    if blocks:
+        out = (np.concatenate([b[0] for b in blocks]).astype(np.int64),
+               np.concatenate([b[1] for b in blocks]).astype(np.int64),
+               np.concatenate([b[2] for b in blocks]).astype(np.float32))
+    else:
+        out = (np.empty(0, np.int64), np.empty(0, np.int64),
+               np.empty(0, np.float32))
     object.__setattr__(g, "_host_coo", out)
     return out
 

@@ -740,13 +740,14 @@ def test_extract_paths_weighted_hops_and_khop_cycle_seed():
     assert max_len >= 3
     assert flat[:3].tolist() == [0, 1, 2]
 
-    # triangle: 0 reaches itself in 3 hops
+    # seeds are ALWAYS excluded (documented contract: nx cutoff minus
+    # the seeds — cycle re-inclusion would trivially re-add every seed of
+    # an undirected graph at k >= 2)
     T = ctpu.Graph(directed=True)
     T.from_edgelist(np.array([0, 1, 2]), np.array([1, 2, 0]), None)
     kh = ctpu.k_hop_neighbors(T, 0, 3)
-    assert 0 in set(kh["vertex"].tolist())
-    kh2 = ctpu.k_hop_neighbors(T, 0, 2)
-    assert 0 not in set(kh2["vertex"].tolist())
+    assert 0 not in set(kh["vertex"].tolist())
+    assert set(kh["vertex"].tolist()) == {1, 2}
 
 
 def test_leiden_modularity_consistent_with_analyze_on_self_loops():
